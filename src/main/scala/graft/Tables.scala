@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
+
+/** Single place where test tables are read, so read options / schema
+  * handling stay consistent across every operator.
+  *
+  * Tables are the driver-generated TPC-H-ish parquet files (see
+  * TESTDATA.md). At cluster scale these reads would be partitioned
+  * parquet/iceberg scans; all operators only depend on the DataFrame,
+  * so the source can be swapped without touching them.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects by default; read it as nanos-since-epoch LongType
+    // and convert to a proper timestamp column here, once.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}
