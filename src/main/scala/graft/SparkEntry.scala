@@ -8,10 +8,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.GroupA.queries ++ graft.queries.GroupA2.queries
+    graft.queries.GroupA.queries ++ graft.queries.GroupA2.queries ++
+      graft.queries.GroupB.queries ++ graft.queries.GroupC.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.GroupA.oracles ++ graft.queries.GroupA2.oracles
+    graft.queries.GroupA.oracles ++ graft.queries.GroupA2.oracles ++
+      graft.queries.GroupB.oracles ++ graft.queries.GroupC.oracles
 }

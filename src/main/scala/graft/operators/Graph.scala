@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph reachability — the Spark-first replacement for the
+  * reference's type-validation DFS (collection-templates
+  * scripts/filter_articles2.py `has_path_rocksdb_subclass`, which walks
+  * the `subclass_of` RocksDB map one key at a time).
+  *
+  * Semi-naive iteration: each round joins only the frontier (pairs
+  * discovered last round) against the edge set, so work per round is
+  * proportional to NEW paths, not the whole closure. Every round is one
+  * shuffle on the join key; `localCheckpoint` truncates lineage so the
+  * plan doesn't grow with iteration count (and AQE re-plans each round
+  * from actual sizes — small frontiers get broadcast automatically).
+  */
+object Graph {
+
+  /** Transitive closure of `edges` (columns `src`, `dst`): every pair
+    * (a, b) with a path a → … → b of length ≥ 1. Terminates when a
+    * round yields no new pairs, or after `maxIter` rounds (a cycle
+    * guard for non-DAG inputs; the closure itself is cycle-safe because
+    * known pairs are anti-joined away each round).
+    *
+    * `uniquePaths = true` asserts every reachable pair has exactly one
+    * path (trees / forests — e.g. a `subclass_of` taxonomy). Then no
+    * pair can be rediscovered, so the per-round `distinct` + anti-join
+    * (two extra shuffles) are skipped and each round is a single join.
+    */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 30,
+                        uniquePaths: Boolean = false): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+    val base = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
+    // Rename once so the iterated self-join never has ambiguous columns.
+    val hop = base.select(col("src").as("h_src"), col("dst").as("h_dst"))
+    var closure = base
+    var frontier = base
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val grown = frontier
+        .join(hop, frontier("dst") === col("h_src"))
+        .select(frontier("src"), col("h_dst").as("dst"))
+      val novel =
+        (if (uniquePaths) grown
+         else grown.distinct().join(closure, Seq("src", "dst"), "left_anti"))
+          .localCheckpoint()
+      if (novel.isEmpty) done = true
+      else {
+        closure = closure.union(novel).localCheckpoint()
+        frontier = novel
+        iter += 1
+      }
+    }
+    closure
+  }
+
+  /** Reachability validation (filter_articles2.py main loop): a member
+    * row is valid iff its `typeCol` node reaches the row's `targetCol`
+    * node (or equals it). Returns the input plus a boolean `valid`.
+    * Implemented as one left join against the closure — at cluster
+    * scale this shuffles on (type, target); AQE broadcasts the closure
+    * side when it is small.
+    */
+  def validateReachable(members: DataFrame, closure: DataFrame,
+                        typeCol: String, targetCol: String): DataFrame = {
+    val hit = closure
+      .select(col("src").as("__vsrc"), col("dst").as("__vdst"), lit(1).as("__vhit"))
+    members
+      .join(hit, col(typeCol) === col("__vsrc") && col(targetCol) === col("__vdst"),
+            "left_outer")
+      .withColumn("valid", col("__vhit").isNotNull || col(typeCol) === col(targetCol))
+      .drop("__vsrc", "__vdst", "__vhit")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group B — graph reachability: the reference's subclass-of closure and
+  * member type-validation (filter_articles2.py) on a synthetic-but-
+  * deterministic hierarchy derived from `part`: node k's parent is
+  * k DIV 2 (a binary tree over the part keys), so both engines build
+  * the identical graph and the DuckDB oracle can replay it with a
+  * recursive CTE.
+  */
+object GroupB {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Parent edges of the synthetic type hierarchy: k → k/2 for k ≥ 2. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part")
+      .filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
+
+  private val edgeCte =
+    """e AS (SELECT p_partkey AS src, p_partkey // 2 AS dst
+      |       FROM part WHERE p_partkey >= 2),
+      |c AS (SELECT src, dst FROM e
+      |      UNION
+      |      SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // b1: full transitive closure via semi-naive iteration (the
+    // reference walks this per-member with a RocksDB DFS; here the
+    // whole closure materializes in O(depth) distributed rounds).
+    "b1_closure_iterative" -> ((s, d) =>
+      Graph.transitiveClosure(edges(s, d), maxIter = 40, uniquePaths = true)),
+
+    // b2: member-valid-iff-reachable + per-collection valid/invalid
+    // counts (filter_articles2.py keeps both). Members are lineitem
+    // rows typed by l_partkey; each order demands an ancestor type.
+    "b2_validate_members" -> ((s, d) => {
+      val closure = Graph.transitiveClosure(edges(s, d), maxIter = 40, uniquePaths = true)
+      val members = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables(s, d, "orders")
+                .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("required")),
+              col("l_orderkey") === col("o_orderkey"))
+      Graph.validateReachable(members, closure, "l_partkey", "required")
+        .groupBy("o_orderkey")
+        .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
+             sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b1_closure_iterative" ->
+      s"""WITH RECURSIVE $edgeCte
+         |SELECT src, dst FROM c""".stripMargin,
+
+    "b2_validate_members" ->
+      s"""WITH RECURSIVE $edgeCte
+         |SELECT o_orderkey,
+         |  cast(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS bigint) AS valid_cnt,
+         |  cast(sum(CASE WHEN valid THEN 0 ELSE 1 END) AS bigint) AS invalid_cnt
+         |FROM (
+         |  SELECT o_orderkey,
+         |    (c.src IS NOT NULL OR l_partkey = (o_orderkey % 30 + 2)) AS valid
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  LEFT JOIN c ON c.src = l_partkey AND c.dst = (o_orderkey % 30 + 2))
+         |GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.NTriples
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group C — sources/formats: N-triples parsing (create_kv.py inlet),
+  * subject-grouped first-wins predicate maps (predicates_one), and JSON
+  * column extraction (update_elasticsearch.py nested fields).
+  *
+  * The testdata ships no raw triples file, so c1 synthesizes N-triples
+  * LINES deterministically from `part` (same expression on both
+  * engines) and then exercises the real parser on them — the thing
+  * under test is the parse, not the generator.
+  */
+object GroupC {
+  type Q = (SparkSession, String) => DataFrame
+
+  // k % 3 == 0 → label literal with language tag; 1 → entity-valued
+  // instance_of; 2 → plain numeric literal. Covers the reference's
+  // three object shapes (create_kv.py clean()).
+  private val genLineSql =
+    """CASE
+      |  WHEN p_partkey % 3 = 0 THEN
+      |    '<http://ex/e/Q' || cast(p_partkey AS string) ||
+      |    '> <http://ex/p/label> "' || p_name || '"@en .'
+      |  WHEN p_partkey % 3 = 1 THEN
+      |    '<http://ex/e/Q' || cast(p_partkey AS string) ||
+      |    '> <http://ex/p/instance_of> <http://ex/e/Q' ||
+      |    cast(p_partkey % 7 + 1 AS string) || '> .'
+      |  ELSE
+      |    '<http://ex/e/Q' || cast(p_partkey AS string) ||
+      |    '> <http://ex/p/qrank> "' || cast(p_size AS string) || '" .'
+      |END""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, Q] = Map(
+    // c1: N-triples lines → cleaned (subject, predicate, obj) rows.
+    "c1_ntriples_parse" -> ((s, d) => {
+      val lines = Tables(s, d, "part").select(expr(genLineSql).as("value"))
+      NTriples.parse(lines).filter(col("subject") =!= "")
+    }),
+
+    // c2: subject-grouped single-valued predicate map, first-wins by
+    // event order (create_kv.py predicates_one keeps the first triple
+    // per predicate) — min_by under FILTER, one map-side-combinable agg.
+    "c2_group_entity" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          expr("min_by(value, event_id) FILTER (WHERE event_type = 'click')").as("first_click"),
+          expr("min_by(value, event_id) FILTER (WHERE event_type = 'view')").as("first_view"),
+          expr("min_by(value, event_id) FILTER (WHERE event_type = 'purchase')").as("first_purchase"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // c3: JSON property extraction + aggregation over it.
+    "c3_json_extract" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"),
+             max(col("k")).as("k_max"),
+             sum(when(col("k") > 50, 1L).otherwise(0L)).as("k_gt50"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c1_ntriples_parse" ->
+      s"""WITH lines AS (SELECT $genLineSql AS value FROM part),
+         |parsed AS (
+         |  SELECT
+         |    regexp_extract(value, '^<([^>]+)> <([^>]+)> (.+) \\.$$', 1) AS s_uri,
+         |    regexp_extract(value, '^<([^>]+)> <([^>]+)> (.+) \\.$$', 2) AS p_uri,
+         |    regexp_extract(value, '^<([^>]+)> <([^>]+)> (.+) \\.$$', 3) AS o_raw
+         |  FROM lines)
+         |SELECT
+         |  regexp_extract(s_uri, '([^/#]+)$$', 1) AS subject,
+         |  regexp_extract(p_uri, '([^/#]+)$$', 1) AS predicate,
+         |  CASE WHEN starts_with(o_raw, '<')
+         |       THEN regexp_extract(regexp_extract(o_raw, '^<([^>]+)>$$', 1), '([^/#]+)$$', 1)
+         |       ELSE regexp_extract(o_raw, '^"([^"]*)"', 1) END AS obj,
+         |  starts_with(o_raw, '<') AS obj_is_uri
+         |FROM parsed
+         |WHERE regexp_extract(s_uri, '([^/#]+)$$', 1) <> ''""".stripMargin,
+
+    "c2_group_entity" ->
+      """SELECT user_id,
+        |  min_by(value, event_id) FILTER (WHERE event_type = 'click') AS first_click,
+        |  min_by(value, event_id) FILTER (WHERE event_type = 'view') AS first_view,
+        |  min_by(value, event_id) FILTER (WHERE event_type = 'purchase') AS first_purchase,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "c3_json_extract" ->
+      """SELECT event_type,
+        |  cast(sum(k) AS bigint) AS k_sum,
+        |  max(k) AS k_max,
+        |  cast(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS bigint) AS k_gt50
+        |FROM (SELECT event_type,
+        |        cast(json_extract_string(props, '$.k') AS bigint) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+  )
+}

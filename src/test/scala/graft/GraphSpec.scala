@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+import graft.sources.NTriples
+
+class GraphSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.as[(Long, Long)].collect().toSet
+
+  test("closure of a chain finds all ancestor pairs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(pairs(Graph.transitiveClosure(edges)) ===
+      Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L), (1L, 4L)))
+  }
+
+  test("closure of a dag with diamond does not duplicate pairs") {
+    // 1→2, 1→3, 2→4, 3→4 : (1,4) reachable two ways, must appear once
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val c = Graph.transitiveClosure(edges)
+    assert(c.count() === c.distinct().count())
+    assert(pairs(c) === Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 4L)))
+  }
+
+  test("closure terminates on a cycle") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(pairs(Graph.transitiveClosure(edges)) ===
+      Set((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("uniquePaths closure matches general closure on a tree") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L), (7L, 3L))
+      .toDF("src", "dst")
+    assert(pairs(Graph.transitiveClosure(edges, uniquePaths = true)) ===
+      pairs(Graph.transitiveClosure(edges)))
+  }
+
+  test("validateReachable marks reachable, equal, and unreachable") {
+    val closure = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val members = Seq((10L, 1L, 3L), (11L, 1L, 1L), (12L, 3L, 1L))
+      .toDF("id", "typ", "target")
+    val got = Graph.validateReachable(members, closure, "typ", "target")
+      .select("id", "valid").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(10L -> true, 11L -> true, 12L -> false))
+  }
+
+  test("ntriples parse handles uri objects, literals, language tags, junk") {
+    val lines = Seq(
+      "<http://ex/e/Q1> <http://ex/p/instance_of> <http://ex/e/Q5> .",
+      "<http://ex/e/Q2> <http://ex/p/label> \"Ada Lovelace\"@en .",
+      "<http://ex/e/Q3> <http://ex/p/qrank> \"42\" .",
+      "not a triple at all").toDF("value")
+    val got = NTriples.parse(lines)
+      .as[(String, String, String, Boolean)].collect().toSet
+    assert(got.contains(("Q1", "instance_of", "Q5", true)))
+    assert(got.contains(("Q2", "label", "Ada Lovelace", false)))
+    assert(got.contains(("Q3", "qrank", "42", false)))
+    assert(got.exists(_._1 == ""), "malformed line should yield empty subject")
+  }
+}
