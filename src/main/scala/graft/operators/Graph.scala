@@ -56,6 +56,33 @@ object Graph {
     closure
   }
 
+  /** Transitive closure by pointer doubling: after round k the result
+    * holds every pair connected by a path of length ≤ 2^k, so a
+    * hierarchy of depth d closes in ⌈log2 d⌉ rounds instead of d —
+    * the right variant for deep chains (each round is one self-join +
+    * distinct). Trade-off vs semi-naive: a pair at distance n is
+    * re-derived once per split point, so on shallow-but-bushy graphs
+    * the duplicate volume (pruned by the per-round distinct) can exceed
+    * the frontier approach; pick per workload.
+    */
+  def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    var closure = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var size = closure.count()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val left = closure.select(col("src"), col("dst").as("mid"))
+      val right = closure.select(col("src").as("mid"), col("dst"))
+      val doubled = left.join(right, "mid").select(col("src"), col("dst"))
+      closure = closure.union(doubled).distinct().localCheckpoint()
+      val next = closure.count()
+      if (next == size) done = true
+      size = next
+      iter += 1
+    }
+    closure
+  }
+
   /** Reachability validation (filter_articles2.py main loop): a member
     * row is valid iff its `typeCol` node reaches the row's `targetCol`
     * node (or equals it). Returns the input plus a boolean `valid`.
