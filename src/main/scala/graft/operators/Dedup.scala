@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. (Reference analogue:
+  * collection-templates dedups members by curated name —
+  * scripts/prepare_members_names.py `uniq_members` — and merges
+  * same-name collections — scripts/filter_duplicates.py; these
+  * operators generalize that to content-level near-duplication.)
+  *
+  * Scale posture: nothing here is all-pairs. Candidate generation goes
+  * through an inverted index (shared shingle / LSH band bucket /
+  * SimHash band), so the only shuffles key on high-cardinality values
+  * and the pair fan-out is bounded by bucket sizes. `dfCap` drops
+  * ubiquitous shingles (stopword-like n-grams) that would otherwise
+  * create quadratic buckets — the standard df-cut for skew.
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5 of `textCol`, smallest id wins.
+    * One map-side-combinable aggregation. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (id, shingle) pairs, optionally dropping shingles whose
+    * document frequency exceeds `dfCap` (0 = keep all). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, dfCap: Long = 0L): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    if (dfCap <= 0) sh
+    else {
+      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("shingle")
+      sh.join(keep, "shingle")
+    }
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `tau`, via a
+    * shared-shingle inverted-index join (only pairs with ≥ 1 common
+    * shingle are ever materialized, then one aggregation counts the
+    * intersection; sizes come from a pre-agg, so |A ∪ B| needs no
+    * second pass over the text).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double, dfCap: Long = 0L): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n, dfCap).localCheckpoint()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("shingle"), col("id").as("id_a"))
+      .join(sh.select(col("shingle"), col("id").as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` min-values of seeded xxhash64 over
+    * the shingle set, as one grouped aggregation (each component is a
+    * plain `min`, so partial aggregation applies). Output: (id,
+    * sig array<long>). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: signatures banded into `bands` groups of
+    * `rows` components; docs sharing any band bucket pair up. Output
+    * includes the signature-estimated Jaccard (fraction of equal
+    * components). At cluster scale the bucket join shuffles on
+    * (band, bucket-hash) — high cardinality, bounded fan-out.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rows: Int,
+                      minEstJaccard: Double, dfCap: Long = 0L): DataFrame = {
+    val numHashes = bands * rows
+    val sigs = minhashSignatures(shingles(docs, idCol, textCol, n, dfCap), numHashes)
+      .localCheckpoint()
+    val banded = sigs.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+                    xxhash64(b, concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))))
+                      .as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+            Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash fingerprints: every feature (word n-gram; n = 1
+    * means plain tokens, n ≥ 2 gives far better discrimination on
+    * small vocabularies) hashes to 64 bits; each bit position
+    * accumulates +1/-1 across features (term frequency = weight, as in
+    * Charikar's scheme); the sign vector is the fingerprint. The 64
+    * per-bit sums are one grouped aggregation. Output: (id, fp long). */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(Text.wordShingles(col(textCol), shingleN)).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    tok.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` ≤ 6,
+    * Manku-style combined-band blocking (Detecting Near-Duplicates for
+    * Web Crawling, WWW'07): the 64-bit fingerprint splits into 8 bands
+    * of 8 bits; with ≤ 6 differing bits at least two bands match
+    * exactly, so every qualifying pair collides in one of the C(8,2) =
+    * 28 tables keyed by a 16-bit band-pair value. The candidate join
+    * keys on (table, 16-bit value) — wider keys than single-band
+    * blocking, so buckets stay small at scale; fan-out is 28 rows per
+    * document. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, shingleN: Int = 1): DataFrame = {
+    require(maxHamming <= 6, "8-band pairwise blocking guarantees recall only for maxHamming <= 6")
+    val fps = simhashFingerprints(docs, idCol, textCol, shingleN).localCheckpoint()
+    def band(b: Int): Column =
+      shiftrightunsigned(col("fp"), b * 8).bitwiseAND(0xFFL)
+    val tables = for { i <- 0 until 8; j <- i + 1 until 8 } yield
+      struct(lit(i * 8 + j).as("tbl"),
+             (band(i) * 256L + band(j)).as("key"))
+    val banded = fps.select(col("id"), col("fp"),
+        explode(array(tables: _*)).as("tk"))
+      .select(col("id"), col("fp"), col("tk.tbl"), col("tk.key"))
+    banded.select(col("tbl"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("tbl"), col("key"), col("id").as("id_b"), col("fp").as("fp_b")),
+            Seq("tbl", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * exact cosine pairs / kNN as the correctness baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  * (Reference analogue: related-collection search —
+  * collection-templates research/related-collections,
+  * airflow/dags/precompute_related.py — which ranks the top-10 most
+  * similar collections per collection.)
+  */
+object Similarity {
+
+  /** Exact cosine near-dup pairs (similarity ≥ `tau`). All-pairs by
+    * construction — exactness over an inner-product threshold cannot
+    * prune without risking misses, so this is the validation-scale
+    * variant; `lshTopK` is the 100 TB path. Vectors are unit-normalized
+    * once before the self-join so each pair costs one dot product.
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  tau: Double): DataFrame = {
+    val unit = normalized(emb, idCol, vecCol).localCheckpoint()
+    val a = unit.select(col("id").as("id_a"), col("unit").as("va"))
+    val b = unit.select(col("id").as("id_b"), col("unit").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Vectors.dot(col("va"), col("vb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector: block
+    * nested-loop join + per-query rank window. Ranking uses the cosine
+    * rounded to 4 decimals with the neighbor id as tiebreak, so the
+    * k-set is stable across engines' last-ulp float differences.
+    */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("unit").as("qv"))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
+    Relational.topKPerGroup(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** Deterministic ±1 hyperplane components (seeded), so LSH results
+    * are reproducible across runs and testable against the exact kNN. */
+  private def planes(numTables: Int, bitsPerTable: Int, dim: Int,
+                     seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numTables)(Seq.fill(bitsPerTable)(
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** Approximate top-k: random-hyperplane LSH. Each of `numTables`
+    * tables assigns every vector a `bitsPerTable`-bit bucket (sign of
+    * the dot with a fixed ±1 hyperplane per bit); query and corpus
+    * vectors sharing a (table, bucket) pair become candidates, which
+    * are then exactly re-scored and ranked. Shuffles key on (table,
+    * bucket) — high cardinality, no all-pairs stage; recall/cost is
+    * tuned by (numTables, bitsPerTable).
+    */
+  def knnLsh(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             numTables: Int = 16, bitsPerTable: Int = 5, dim: Int = 64,
+             seed: Long = 42L): DataFrame = {
+    val ps = planes(numTables, bitsPerTable, dim, seed)
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val unit = normalized(df, idCol, vecCol)
+      val buckets = ps.zipWithIndex.map { case (tablePlanes, t) =>
+        val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
+          val planeLit = array(p.map(lit): _*)
+          when(Vectors.dot(col("unit"), planeLit) >= 0, lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _)
+        struct(lit(t).as("table"), bucket.as("bucket"))
+      }
+      unit.select(col("id").as(idAs), col("unit").as(vecAs),
+          explode(array(buckets: _*)).as("tb"))
+        .select(col(idAs), col(vecAs), col("tb.table"), col("tb.bucket"))
+    }
+    val qb = bucketed(queries, "query_id", "qv")
+    val cb = bucketed(corpus, "neighbor_id", "cv")
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "cv")
+      .distinct()
+    val scored = cands
+      .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
+    Relational.topKPerGroup(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** (id, unit) with `unit` the L2-normalized vector in doubles;
+    * zero vectors pass through unchanged (cosine 0 downstream). */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val n = Vectors.norm(v)
+    df.select(col(idCol).as("id"),
+      when(n === 0.0, transform(v, x => x.cast("double")))
+        .otherwise(transform(v, x => x.cast("double") / n)).as("unit"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Group D — deduplication over the `documents` / `embeddings` tables:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  * d3/d4 are sketch-based (hash functions engine-specific) so they get
+  * the driver's rows-only check; their fidelity vs the exact variants
+  * is asserted in DedupSpec instead.
+  */
+object GroupD {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "d1_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables(s, d, "documents"), "doc_id", "text")),
+
+    "d2_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables(s, d, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5)),
+
+    "d3_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables(s, d, "documents"), "doc_id", "text",
+        n = 3, bands = 8, rows = 4, minEstJaccard = 0.5)),
+
+    "d4_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables(s, d, "documents"), "doc_id", "text",
+        maxHamming = 6)),
+
+    "d5_neardup_embedding" -> ((s, d) =>
+      Similarity.cosinePairs(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        tau = 0.35)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+        |FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5""".stripMargin,
+
+    "d5_neardup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Sketch-dedup fidelity: the LSH/SimHash variants have no SQL oracle
+  * (hash-specific), so their guarantee is checked here against the
+  * exact n-gram Jaccard pairs on sf0.001.
+  */
+class DedupSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  private lazy val exactPairs = pairSet(
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8))
+
+  test("testdata has planted near-duplicates (precondition)") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("minhash-lsh recalls near-exact duplicate pairs") {
+    val got = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, rows = 4, minEstJaccard = 0.5))
+    val recall = exactPairs.count(got.contains).toDouble / exactPairs.size
+    assert(recall >= 0.9, s"minhash recall $recall of ${exactPairs.size} pairs")
+  }
+
+  test("minhash signature estimate tracks true jaccard on near-dups") {
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 8, rows = 4, minEstJaccard = 0.0)
+      .select($"id_a", $"id_b", $"est_jaccard")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8)
+    val joined = est.join(truth, Seq("id_a", "id_b"))
+      .select(abs($"est_jaccard" - $"jaccard").as("err"))
+      .agg(avg($"err")).as[Double].head()
+    assert(joined <= 0.15, s"mean |est - true| = $joined")
+  }
+
+  test("simhash finds the near-exact duplicates") {
+    // Short documents put even 0.95-jaccard pairs at Hamming 4-6, so
+    // the operating point is the blocking guarantee's edge (k = 6);
+    // measured against the jaccard >= 0.9 planted pairs.
+    val nearExact = pairSet(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.9))
+    val got = pairSet(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6))
+    val recall = nearExact.count(got.contains).toDouble / nearExact.size
+    assert(recall >= 0.9, s"simhash recall $recall of ${nearExact.size} pairs")
+  }
+
+  test("df-capped shingles drop only high-frequency shingles") {
+    val uncapped = Dedup.shingles(docs, "doc_id", "text", 3)
+    val capped = Dedup.shingles(docs, "doc_id", "text", 3, dfCap = 5)
+    val maxDf = capped.groupBy("shingle").count().agg(max("count")).as[Long].head()
+    assert(maxDf <= 5)
+    assert(capped.count() < uncapped.count())
+  }
+
+  test("lsh knn achieves reasonable recall vs exact knn") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.knnBruteForce(qs, emb, "vec_id", "embedding", 10))
+    val approx = topSets(Similarity.knnLsh(qs, emb, "vec_id", "embedding", 10))
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@10 = $mean")
+  }
+}
