@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches.
+  * The decode step is STUBBED — this container has no image/audio
+  * codecs — with a deterministic fake feature extractor; everything
+  * around it (schema, batch shape, partitioning, frame slicing) is the
+  * real Spark-side plumbing a production decode UDF would plug into.
+  *
+  * Scale posture: `decodeFeatures` is the only non-declarative step
+  * (per-partition iterator, no shuffle, batch-at-a-time so a vectorized
+  * decoder amortizes model/codec setup); `frameSample` stays fully
+  * declarative (binary `substring` + `explode`), so Catalyst can prune
+  * and push around it.
+  */
+object Media {
+
+  val metaType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Deterministic synthetic media rows derived from `documents` —
+    * text bytes stand in for encoded image/video payloads so the
+    * pipeline is testable without real codecs. */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        when(col("doc_id") % 3 === 0, lit("video"))
+          .when(col("doc_id") % 3 === 1, lit("image"))
+          .otherwise(lit("audio")).as("kind"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"),
+        (col("doc_id") % 8 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** ==== STUB ==== The real decoder (image decode + embedding model)
+    * goes here; this deterministic hash-based fake keeps the contract —
+    * `dim` floats in [0, 1) per payload — testable in this container. */
+  private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val base = scala.util.hashing.MurmurHash3.bytesHash(payload, 42)
+    Array.tabulate(dim) { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((base, i))
+      (h & 0x7fffffff).toFloat / Int.MaxValue
+    }
+  }
+
+  /** Feature extraction over the binary column: partition-local,
+    * batch-at-a-time (`batchSize` rows per decoder call — the shape a
+    * vectorized/GPU decoder needs), appending `features array<float>`.
+    * No shuffle: rows stay where the scan put them. */
+  def decodeFeatures(df: DataFrame, dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // One call per batch: a real decoder would process the whole
+        // Array[Array[Byte]] in a single vectorized invocation.
+        val features = batch.map(r => stubDecode(r.getAs[Array[Byte]](mediaIdx), dim))
+        batch.lazyZip(features).map { (r, f) => Row.fromSeq(r.toSeq :+ f) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Declarative frame sampling for fixed-frame-size payloads: slice
+    * the binary payload into `meta.n_frames` frames and keep every
+    * `everyN`-th — binary `substring` + `explode`, no UDF, so the
+    * sampling runs inside codegen and row counts stay plannable. */
+  def frameSample(df: DataFrame, everyN: Int): DataFrame =
+    df.withColumn("frame_size",
+        greatest(floor(length(col("media")) / col("meta.n_frames")), lit(1)).cast("int"))
+      .withColumn("frame_no",
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyN))))
+      .select(col("id"), col("frame_no"),
+        col("media").substr(col("frame_no") * col("frame_size") + 1,
+          col("frame_size")).as("frame_bytes"))
+}

@@ -17,21 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Transitive closure of `edges` (columns `src`, `dst`): every pair
     * (a, b) with a path a → … → b of length ≥ 1. Terminates when a
     * round yields no new pairs, or after `maxIter` rounds (a cycle
     * guard for non-DAG inputs; the closure itself is cycle-safe because
-    * known pairs are anti-joined away each round).
+    * known pairs are anti-joined away each round). Hitting `maxIter`
+    * with a non-empty frontier means the closure is INCOMPLETE: a
+    * warning is logged, or an `IllegalStateException` thrown when
+    * `strict = true`.
     *
     * `uniquePaths = true` asserts every reachable pair has exactly one
-    * path (trees / forests — e.g. a `subclass_of` taxonomy). Then no
-    * pair can be rediscovered, so the per-round `distinct` + anti-join
-    * (two extra shuffles) are skipped and each round is a single join.
+    * path (PRECONDITION: the edge set is a tree/forest — every node has
+    * at most one parent, e.g. a `subclass_of` taxonomy; violating it
+    * yields duplicate pairs and, on cyclic inputs, non-termination
+    * until `maxIter`). Then no pair can be rediscovered, so the
+    * per-round `distinct` + anti-join (two extra shuffles) are skipped
+    * and each round is a single join. `strict = true` additionally
+    * verifies the precondition up front (one cheap aggregation).
     */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 30,
-                        uniquePaths: Boolean = false): DataFrame = {
+                        uniquePaths: Boolean = false,
+                        strict: Boolean = false): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
     val base = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
+    if (uniquePaths && strict) {
+      val multiParent = base.groupBy("dst").count().filter(col("count") > 1).limit(1).count()
+      if (multiParent > 0) throw new IllegalStateException(
+        "transitiveClosure(uniquePaths = true) requires a tree/forest edge set, " +
+          "but some dst has more than one parent — rerun with uniquePaths = false")
+    }
     // Rename once so the iterated self-join never has ambiguous columns.
     val hop = base.select(col("src").as("h_src"), col("dst").as("h_dst"))
     var closure = base
@@ -52,6 +68,12 @@ object Graph {
         frontier = novel
         iter += 1
       }
+    }
+    if (!done) {
+      val msg = s"transitiveClosure stopped at maxIter = $maxIter with a non-empty " +
+        "frontier — the returned closure is incomplete (deeper chains, or a cycle " +
+        "under uniquePaths = true); raise maxIter"
+      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
     }
     closure
   }

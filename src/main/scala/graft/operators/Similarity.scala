@@ -66,12 +66,20 @@ object Similarity {
     * are then exactly re-scored and ranked. Shuffles key on (table,
     * bucket) — high cardinality, no all-pairs stage; recall/cost is
     * tuned by (numTables, bitsPerTable).
+    *
+    * `dim` ≤ 0 (the default) derives the embedding dimension from the
+    * corpus; an explicit value is validated against the data (a
+    * mismatched hyperplane length would otherwise null out plane dots
+    * via zip_with padding and silently degrade recall).
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             numTables: Int = 16, bitsPerTable: Int = 5, dim: Int = 64,
+             numTables: Int = 16, bitsPerTable: Int = 5, dim: Int = -1,
              seed: Long = 42L): DataFrame = {
-    val ps = planes(numTables, bitsPerTable, dim, seed)
+    val dataDim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim <= 0 || dim == dataDim,
+      s"knnLsh dim = $dim does not match the embedding dimension $dataDim")
+    val ps = planes(numTables, bitsPerTable, dataDim, seed)
     def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val unit = normalized(df, idCol, vecCol)
       val buckets = ps.zipWithIndex.map { case (tablePlanes, t) =>

@@ -187,7 +187,7 @@ object GroupA2 {
     "a10_merge_by_name" ->
       """SELECT p_name, min(p_partkey) AS stable_id,
         |  cast(max(cast(p_retailprice AS decimal(18,2))) AS double) AS rank,
-        |  sum(p_size) AS total_size, count(*) AS merged_count
+        |  cast(sum(p_size) AS bigint) AS total_size, count(*) AS merged_count
         |FROM part GROUP BY 1""".stripMargin,
 
     "a11_merge_letter_ranges" ->

@@ -41,7 +41,9 @@ object GroupD {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      """WITH w AS (SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
+        |       FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
         |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle

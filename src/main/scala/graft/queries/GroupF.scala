@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group F — text analysis over the `documents` table: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * These are the per-document scoring stages a training-data pipeline
+  * runs before dedup/filtering (reference analogue: the name-curation
+  * and interesting-score stages of collection-templates
+  * scripts/prepare_members_names.py, generalized to document content).
+  *
+  * Everything is a single narrow projection over the scan — no
+  * shuffle, no UDFs (higher-order functions only), so at 100 TB each
+  * of these runs as one embarrassingly-parallel codegen'd pass.
+  */
+object GroupF {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** "BPE-ish" subword segmentation: letter runs, digit runs, single
+    * punctuation marks — the standard pre-tokenizer regex shape. */
+  private val subtokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Per-language marker stopword lists (disjoint across languages so
+    * the argmax is unambiguous). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => lit(w)): _*))).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // f1: token statistics — whitespace tokens, distinct tokens,
+    // BPE-ish subword count, mean token length.
+    "f1_token_stats" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        regexp_count(col("text"), lit(subtokenRe)).cast("long").as("n_subtokens"),
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(round(
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+              size(toks), 6)).as("avg_token_len"))
+    }),
+
+    // f2: quality score from length / punctuation-ratio /
+    // stopword-ratio signals, combined into one [0,1] score.
+    "f2_quality_score" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      val nToks = size(toks).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val punctRatio = when(nChars === 0, lit(0.0))
+        .otherwise(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / nChars)
+      val stopRatio = when(nToks === 0, lit(0.0))
+        .otherwise(countIn(toks, stopwords).cast("double") / nToks)
+      val lenScore = least(nToks / 100.0, lit(1.0))
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(lenScore * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+          (lit(1.0) - punctRatio) * 0.2, 6).as("quality"))
+    }),
+
+    // f3: language guess by marker-stopword overlap, deterministic
+    // priority order on ties, 'und' when no marker hits.
+    "f3_lang_id" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      val scored = Tables(s, d, "documents")
+        .select(col("doc_id") +: col("lang") +:
+          langMarkers.map { case (l, ws) => countIn(toks, ws).as(s"s_$l") }: _*)
+      val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val guess = langMarkers.foldRight(lit("und")) { case ((l, _), els) =>
+        when(col(s"s_$l") > 0 && col(s"s_$l") === best, lit(l)).otherwise(els)
+      }
+      scored.select(col("doc_id"), col("lang"), guess.as("guess"))
+    }),
+
+    // f4: content fingerprint — md5 of the sorted distinct 3-shingle
+    // set, the canonical "same content modulo shingle order" key.
+    "f4_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        md5(concat_ws("|",
+          array_sort(array_distinct(Text.wordShingles(col("text"), 3)))))
+          .as("fingerprint"))),
+  )
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"
+
+  private def duckCountIn(words: Seq[String]): String =
+    s"cast(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS bigint)"
+
+  val oracles: Map[String, String] = Map(
+    "f1_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+         |SELECT doc_id,
+         |  cast(len(toks) AS bigint) AS n_tokens,
+         |  cast(len(list_distinct(toks)) AS bigint) AS n_distinct,
+         |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bigint) AS n_subtokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE round(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 6)
+         |  END AS avg_token_len
+         |FROM t""".stripMargin,
+
+    "f2_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN len(text) = 0 THEN 0.0
+         |       ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / len(text) END AS punct_ratio,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE ${duckCountIn(stopwords)} * 1.0 / len(toks) END AS stopword_ratio,
+         |  least(len(toks) / 100.0, 1.0) AS len_score
+         |FROM t)
+         |SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(len_score * 0.5 + (1.0 - stopword_ratio) * 0.3 +
+         |        (1.0 - punct_ratio) * 0.2, 6) AS quality
+         |FROM r""".stripMargin,
+
+    "f3_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${langMarkers.map { case (l, ws) => s"${duckCountIn(ws)} AS s_$l" }.mkString(",\n  ")}
+         |FROM t)
+         |SELECT doc_id, lang,
+         |  CASE ${langMarkers.map { case (l, _) =>
+               s"WHEN s_$l > 0 AND s_$l = greatest(${langMarkers.map(m => s"s_${m._1}").mkString(", ")}) THEN '$l'"
+             }.mkString(" ")}
+         |       ELSE 'und' END AS guess
+         |FROM sc""".stripMargin,
+
+    "f4_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, $duckToks AS words FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_sort(list_distinct(list_transform(
+         |           generate_series(1, greatest(len(words) - 2, 0)),
+         |           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingles
+         |       FROM w)
+         |SELECT doc_id, md5(array_to_string(shingles, '|')) AS fingerprint FROM sh""".stripMargin,
+  )
+}

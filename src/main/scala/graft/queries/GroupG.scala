@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group G — event analytics over the `events` table: gap-based
+  * sessionization, tumbling-window aggregates, JSON property
+  * extraction. These are the batch halves of the streaming operators in
+  * `graft.streaming.Sessions` (same column logic, same results).
+  *
+  * Cross-engine determinism: all time arithmetic runs on epoch seconds
+  * (`cast(ts as long)` floors identically in Spark and DuckDB), and
+  * window ordering always carries `event_id` as a total tiebreak.
+  *
+  * Scale posture: g1 shuffles once on `user_id` (high cardinality — the
+  * natural session partitioning at 100 TB); g2/g3 are single
+  * map-side-combinable aggregations on (window, type) / type.
+  */
+object GroupG {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // g1: gap-based sessionization (30 min) — the classic
+    // lag + cumulative-sum-of-boundaries window pattern; one shuffle.
+    "g1_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val gap = col("es") - lag(col("es"), 1).over(w)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("es"))
+        .withColumn("is_new", when(gap.isNull || gap > 1800L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("es")).as("start_es"),
+             max(col("es")).as("end_es"))
+    }),
+
+    // g2: 15-minute tumbling-window counts per event type via the
+    // native `window()` grouping (same shape Structured Streaming
+    // uses); emitted as epoch seconds for the oracle compare.
+    "g2_tumbling_counts" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        .select(col("w.start").cast("long").as("window_es"), col("event_type"),
+                col("n"), col("value_sum"))
+    }),
+
+    // g3: JSON property extraction + aggregation — schema-on-read over
+    // the `props` JSON string column, no UDF.
+    "g3_json_props" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).as("k_sum"),
+             avg(col("k")).as("k_avg"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS es
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(es) OVER w IS NULL
+        |                   OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, cast(session_id AS bigint) AS session_id,
+        |  count(*) AS n_events, min(es) AS start_es, max(es) AS end_es
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "g2_tumbling_counts" ->
+      """SELECT cast(floor(epoch(ts) / 900) * 900 AS bigint) AS window_es,
+        |  event_type, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "g3_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS k_sum,
+        |  avg(cast(json_extract_string(props, '$.k') AS bigint)) AS k_avg
+        |FROM events GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.multimodal.Media
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing: schema, batch shape, determinism, frame
+  * sampling — the parts that stay real around the stubbed decode.
+  */
+class MediaSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private lazy val media = Media.syntheticMedia(Tables(spark, sfDir, "documents"))
+
+  test("synthetic media has the contract schema (id, media binary, meta struct)") {
+    val s = media.schema
+    assert(s("media").dataType == BinaryType)
+    assert(s("meta").dataType == Media.metaType)
+  }
+
+  test("decodeFeatures appends fixed-dim features and preserves rows") {
+    val out = Media.decodeFeatures(media, dim = 8, batchSize = 16)
+    assert(out.schema("features").dataType == ArrayType(FloatType, containsNull = false))
+    assert(out.count() == media.count())
+    assert(out.filter(size($"features") =!= 8).count() == 0)
+  }
+
+  test("decodeFeatures is deterministic and content-keyed") {
+    val a = Media.decodeFeatures(media, dim = 4, batchSize = 7)
+      .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
+    val b = Media.decodeFeatures(media.repartition(5), dim = 4, batchSize = 64)
+      .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
+    // Same rows, same features, regardless of partitioning / batch size.
+    assert(a == b)
+  }
+
+  test("frameSample emits every Nth frame with non-empty bytes") {
+    val frames = Media.frameSample(media.filter($"meta.kind" === "video"), everyN = 2)
+    assert(frames.filter($"frame_no" % 2 =!= 0).count() == 0)
+    assert(frames.filter(length($"frame_bytes") === 0).count() == 0)
+    // A doc with n_frames in 1..8 sampled every 2 yields ceil(n/2) frames.
+    val perDoc = frames.groupBy("id").count()
+    val expect = media.filter($"meta.kind" === "video")
+      .select($"id", ceil($"meta.n_frames" / 2.0).cast("long").as("want"))
+    assert(perDoc.join(expect, "id").filter($"count" =!= $"want").count() == 0)
+  }
+}

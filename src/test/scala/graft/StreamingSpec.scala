@@ -1,0 +1,103 @@
+package graft
+
+import graft.streaming.{SessionEvent, SessionOut, Sessions}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Structured Streaming specs: the stateful sessionizer and the
+  * watermarked tumbling counts, driven by MemoryStream micro-batches.
+  *
+  * Each addData is followed by processAllAvailable so the event-time
+  * watermark advances between micro-batches (the watermark used by
+  * batch N is computed from batch N-1's data). Assertions only claim
+  * emissions that are certain under that schedule — Spark may or may
+  * not append one extra timeout-only batch after the last watermark
+  * advance, so "still open" is only asserted where the final watermark
+  * provably hasn't reached the session's gap horizon.
+  */
+class StreamingSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("sessionizer closes a session on gap and emits timed-out sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = Sessions.sessionize(input.toDS(), gapSec = 1800L,
+      watermarkDelay = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1 gets two events 100s apart; user 2 one event.
+      input.addData(
+        SessionEvent(1L, 1L, ts(1000)), SessionEvent(1L, 2L, ts(1100)),
+        SessionEvent(2L, 3L, ts(1050)))
+      query.processAllAvailable()
+      // Batch 2: user 1 again, 10000s later — past the gap, so the
+      // first session closes inline (gap path, no watermark needed).
+      input.addData(SessionEvent(1L, 4L, ts(11100)))
+      query.processAllAvailable()
+      // Batch 3: unrelated user; processed with watermark 11090, which
+      // is past user 2's gap horizon (1050 + 1800), firing its timeout.
+      input.addData(SessionEvent(3L, 5L, ts(20000)))
+      query.processAllAvailable()
+      val rows = spark.table("sessions_out").as[SessionOut].collect().toSet
+      assert(rows.contains(SessionOut(1L, 1000L, 1100L, 2L)),
+        s"expected user 1's first session closed via gap, got $rows")
+      assert(rows.contains(SessionOut(2L, 1050L, 1050L, 1L)),
+        s"expected user 2's session emitted via event-time timeout, got $rows")
+      // User 3's session (horizon 21800) is past the final watermark
+      // (at most 19990) — must still be open.
+      assert(!rows.exists(_.user_id == 3L), s"user 3 should be open, got $rows")
+    } finally query.stop()
+  }
+
+  test("sessionizer matches the batch g1 logic on in-gap events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = Sessions.sessionize(input.toDS(), gapSec = 1800L,
+      watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("sessions_batch_eq")
+      .outputMode("append").start()
+    try {
+      // Unordered within the batch — the sessionizer must sort.
+      input.addData(
+        SessionEvent(7L, 2L, ts(2000)), SessionEvent(7L, 1L, ts(500)),
+        SessionEvent(7L, 3L, ts(3500)))
+      query.processAllAvailable()
+      // Advance the watermark past user 7's horizon (3500 + 1800), then
+      // run one more batch so the timeout fires under that watermark.
+      input.addData(SessionEvent(8L, 9L, ts(100000)))
+      query.processAllAvailable()
+      input.addData(SessionEvent(9L, 10L, ts(100001)))
+      query.processAllAvailable()
+      val rows = spark.table("sessions_batch_eq").as[SessionOut].collect().toSet
+      assert(rows.contains(SessionOut(7L, 500L, 3500L, 3L)),
+        s"chained in-gap events should form one session, got $rows")
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling counts aggregate closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val out = Sessions.tumblingCounts(events, "15 minutes", "5 minutes")
+    val query = out.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "click"), (ts(10), "click"), (ts(100), "view"))
+      query.processAllAvailable()
+      // Raise the max event time so the watermark passes 900s …
+      input.addData((ts(5000), "click"))
+      query.processAllAvailable()
+      // … then run a batch under that watermark to flush window [0, 900).
+      input.addData((ts(5001), "view"))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows.contains((0L, "click", 2L)), s"got $rows")
+      assert(rows.contains((0L, "view", 1L)), s"got $rows")
+    } finally query.stop()
+  }
+}

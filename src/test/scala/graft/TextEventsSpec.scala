@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the Group F text-analysis and Group G event
+  * queries beyond the smoke/oracle gates: invariants that should hold
+  * on any input, checked on sf0.001.
+  */
+class TextEventsSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  test("f1: distinct tokens never exceed total tokens") {
+    val bad = SparkEntry.queries("f1_token_stats")(spark, sfDir)
+      .filter($"n_distinct" > $"n_tokens" || $"n_tokens" < 0).count()
+    assert(bad == 0)
+  }
+
+  test("f2: quality and ratios stay in [0, 1]") {
+    val q = SparkEntry.queries("f2_quality_score")(spark, sfDir)
+    val bad = q.filter($"quality" < 0 || $"quality" > 1 ||
+      $"punct_ratio" < 0 || $"punct_ratio" > 1 ||
+      $"stopword_ratio" < 0 || $"stopword_ratio" > 1).count()
+    assert(bad == 0)
+  }
+
+  test("f3: every document gets a guess from the closed label set") {
+    val langs = SparkEntry.queries("f3_lang_id")(spark, sfDir)
+      .select("guess").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("f4: fingerprint is a function of content — equal text, equal fp") {
+    val docs = Tables(spark, sfDir, "documents")
+    val fp = SparkEntry.queries("f4_fingerprint")(spark, sfDir)
+    val joined = docs.select($"doc_id", md5($"text").as("th"))
+      .join(fp, "doc_id")
+    val groups = joined.groupBy("th")
+      .agg(countDistinct("fingerprint").as("nfp"))
+      .filter($"nfp" > 1).count()
+    assert(groups == 0, "same text hashed to different fingerprints")
+  }
+
+  test("g1: sessions of one user never overlap and respect the gap") {
+    val s = SparkEntry.queries("g1_sessionize")(spark, sfDir)
+    // Consecutive sessions per user must be separated by > 1800s.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_es")
+    val bad = s.withColumn("prev_end", lag($"end_es", 1).over(w))
+      .filter($"prev_end".isNotNull && $"start_es" - $"prev_end" <= 1800)
+      .count()
+    assert(bad == 0, "adjacent sessions within the 30-min gap")
+  }
+
+  test("g1: session event counts sum to the event count") {
+    val total = Tables(spark, sfDir, "events").count()
+    val summed = SparkEntry.queries("g1_sessionize")(spark, sfDir)
+      .agg(sum("n_events")).as[Long].head()
+    assert(summed == total)
+  }
+
+  test("g2: window starts are aligned to 900s and counts sum to total") {
+    val g2 = SparkEntry.queries("g2_tumbling_counts")(spark, sfDir)
+    assert(g2.filter($"window_es" % 900 =!= 0).count() == 0)
+    val total = Tables(spark, sfDir, "events").count()
+    assert(g2.agg(sum("n")).as[Long].head() == total)
+  }
+}

@@ -18,12 +18,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def sort_key(x):
+    # Floats sort on a representation rounded to the comparison
+    # tolerance so two rows differing only below tolerance cannot sort
+    # into different positions on the got vs want side.
+    if x is None:
+        return (True, "")
+    if isinstance(x, float):
+        return (False, f"{x:.9g}" if math.isfinite(x) else str(x))
+    return (False, str(x))
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), \
+    return sorted(out, key=lambda t: tuple(sort_key(x) for x in t)), \
         [cols[i] for i in order]
 
 
