@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.expr.ArrayDot
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT graft_dot(a, b)")` works next to
+  * the Column API. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`, or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def twoArg(name: String, usage: String,
+                     build: (Expression, Expression) => Expression): Descriptor =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[ArrayDot].getName, name, usage),
+      { args =>
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        build(args.head, args(1))
+      })
+
+  val descriptors: Seq[Descriptor] = Seq(
+    twoArg("graft_dot",
+      "graft_dot(a, b) - dot product of two float/double arrays",
+      ArrayDot(_, _)))
+
+  /** Idempotently register the functions on an existing session. */
+  def register(spark: SparkSession): Unit = descriptors.foreach {
+    case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}

@@ -1,18 +1,22 @@
 package graft.functions
 
+import graft.functions.expr.ArrayDot
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Column-level vector math over `array<float>` embedding columns —
-  * higher-order functions only (codegen'd), no UDFs, computed in
-  * double precision.
+  * a native codegen expression for the hot dot-product loop, no UDFs,
+  * computed in double precision.
   */
 object Vectors {
 
-  /** Dot product of two equal-length array columns. */
+  /** Dot product of two equal-length array columns — fused primitive
+    * loop via [[graft.functions.expr.ArrayDot]] (one pass, zero
+    * per-row allocations, stays inside whole-stage codegen). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(ArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
