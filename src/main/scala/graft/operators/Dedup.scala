@@ -41,28 +41,76 @@ object Dedup {
     }
   }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `tau`, via a
-    * shared-shingle inverted-index join (only pairs with ≥ 1 common
-    * shingle are ever materialized, then one aggregation counts the
-    * intersection; sizes come from a pre-agg, so |A ∪ B| needs no
-    * second pass over the text).
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `tau`. Two exact
+    * plans, selected by `prefixFilter`; both return identical results.
+    *
+    * Default (`prefixFilter = false`): shared-shingle inverted-index
+    * join — only pairs with ≥ 1 common shingle are materialized, one
+    * aggregation counts each intersection, sizes come from a pre-agg.
+    * Join volume is Σ df² over shingles, which is the efficient plan
+    * when shingle document-frequencies are bounded (low-entropy /
+    * synthetic corpora, or any corpus after a `dfCap` cut).
+    *
+    * `prefixFilter = true`: PPJoin-style prefix filtering (Xiao et
+    * al., "Efficient Similarity Joins for Near Duplicate Detection",
+    * WWW'08). Shingles are globally ordered rarest-first; a document
+    * of set size s indexes only its first s − ⌈τ·s⌉ + 1 shingles, and
+    * any pair with J ≥ τ provably shares an indexed shingle on both
+    * sides (its rarest common element sits within both prefixes).
+    * Candidates are then verified on full collected shingle sets. On
+    * high-entropy corpora (real web text: shingle df ≈ 1–2) this
+    * skips the ubiquitous-shingle join mass entirely and is the
+    * 100 TB path; on low-entropy corpora the candidate set stays
+    * large and the default count-join is faster.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double, dfCap: Long = 0L): DataFrame = {
+                        n: Int, tau: Double, dfCap: Long = 0L,
+                        prefixFilter: Boolean = false): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n, dfCap).localCheckpoint()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val shared = sh.select(col("shingle"), col("id").as("id_a"))
-      .join(sh.select(col("shingle"), col("id").as("id_b")), "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (!prefixFilter) {
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val shared = sh.select(col("shingle"), col("id").as("id_a"))
+        .join(sh.select(col("shingle"), col("id").as("id_b")), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      // Global rarity order (df, shingle); rank each doc's shingles by it.
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("df", "shingle")
+      val prefix = sh.join(dfreq, "shingle")
+        .withColumn("pos", row_number().over(w))
+        .withColumn("n_sh", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")))
+        .filter(col("pos") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
+        .select("shingle", "id")
+      val cands = prefix.select(col("shingle"), col("id").as("id_a"))
+        .join(prefix.select(col("shingle"), col("id").as("id_b")), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      // Exact verification on the full sets (bounded by document size).
+      val sets = sh.groupBy("id")
+        .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n_sh"))
+      cands
+        .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+          col("n_sh").as("na")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+          col("n_sh").as("nb")), "id_b")
+        .withColumn("shared",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** MinHash signatures: `numHashes` min-values of seeded xxhash64 over

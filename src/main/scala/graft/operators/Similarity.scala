@@ -80,8 +80,15 @@ object Similarity {
     require(dim <= 0 || dim == dataDim,
       s"knnLsh dim = $dim does not match the embedding dimension $dataDim")
     val ps = planes(numTables, bitsPerTable, dataDim, seed)
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val unit = normalized(df, idCol, vecCol)
+    // Normalize once, reuse for bucketing and scoring (at cluster scale
+    // this would be a persisted/cached intermediate).
+    val qUnit = normalized(queries, idCol, vecCol).localCheckpoint()
+    val cUnit = normalized(corpus, idCol, vecCol).localCheckpoint()
+    // Bucket rows carry ONLY (id, table, bucket): exploding `numTables`
+    // rows per vector must not duplicate the embedding itself, and the
+    // candidate dedup below then shuffles two longs per row instead of
+    // two full vectors.
+    def bucketIds(unit: DataFrame, idAs: String): DataFrame = {
       val buckets = ps.zipWithIndex.map { case (tablePlanes, t) =>
         val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
           val planeLit = array(p.map(lit): _*)
@@ -89,17 +96,17 @@ object Similarity {
         }.reduce(_ + _)
         struct(lit(t).as("table"), bucket.as("bucket"))
       }
-      unit.select(col("id").as(idAs), col("unit").as(vecAs),
-          explode(array(buckets: _*)).as("tb"))
-        .select(col(idAs), col(vecAs), col("tb.table"), col("tb.bucket"))
+      unit.select(col("id").as(idAs), explode(array(buckets: _*)).as("tb"))
+        .select(col(idAs), col("tb.table"), col("tb.bucket"))
     }
-    val qb = bucketed(queries, "query_id", "qv")
-    val cb = bucketed(corpus, "neighbor_id", "cv")
-    val cands = qb.join(cb, Seq("table", "bucket"))
+    val cands = bucketIds(qUnit, "query_id")
+      .join(bucketIds(cUnit, "neighbor_id"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
     val scored = cands
+      .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")), "query_id")
+      .join(cUnit.select(col("id").as("neighbor_id"), col("unit").as("cv")), "neighbor_id")
       .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
     Relational.topKPerGroup(
         scored.select("query_id", "neighbor_id", "cosine"),

@@ -60,6 +60,15 @@ class DedupSpec extends GraftSuite {
     assert(capped.count() < uncapped.count())
   }
 
+  test("prefix-filtered jaccard join returns exactly the count-join pairs") {
+    val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5,
+        prefixFilter = true)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pref == naive)
+  }
+
   test("lsh knn achieves reasonable recall vs exact knn") {
     val emb = Tables(spark, sfDir, "embeddings")
     val qs = emb.filter(col("vec_id") % 50 === 0)
