@@ -13,16 +13,26 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles as an array of strings; empty array when the
-    * document has fewer than n words. (Reference analogue: the document
-    * fingerprints behind related-collection search —
-    * collection-templates research/related-collections.)
+  /** Word n-gram shingles from a PRE-TOKENIZED array column; empty
+    * array when the document has fewer than n words. (Reference
+    * analogue: the document fingerprints behind related-collection
+    * search — collection-templates research/related-collections.)
+    *
+    * `toks` must be a plain column reference (project `tokens(text)`
+    * into its own column first): higher-order functions are evaluated
+    * interpreted, so any expression captured inside the lambda is
+    * re-evaluated PER ELEMENT — embedding the tokenizer here would
+    * re-run the regex split once per shingle, turning shingling
+    * quadratic in document length.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** One-shot tokenizer + shingler, for contexts that cannot stage a
+    * token column. HOT-PATH CAVEAT: see [[shingles]] — prefer
+    * projecting [[tokens]] first wherever row counts are large. */
+  def wordShingles(text: Column, n: Int): Column = shingles(tokens(text), n)
 }

@@ -31,7 +31,8 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int, dfCap: Long = 0L): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(Text.shingles(col("toks"), n)).as("shingle"))
       .distinct()
     if (dfCap <= 0) sh
     else {
@@ -168,8 +169,9 @@ object Dedup {
     * per-bit sums are one grouped aggregation. Output: (id, fp long). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(Text.wordShingles(col(textCol), shingleN)).as("token"))
+    val tok = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(Text.shingles(col("toks"), shingleN)).as("token"))
       .withColumn("th", xxhash64(col("token")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1L) === 1L, 1L)

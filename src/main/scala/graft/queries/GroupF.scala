@@ -38,24 +38,28 @@ object GroupF {
 
   val queries: Map[String, Q] = Map(
     // f1: token statistics — whitespace tokens, distinct tokens,
-    // BPE-ish subword count, mean token length.
+    // BPE-ish subword count, mean token length. The token array is
+    // staged once: array lambdas run interpreted, so a repeated
+    // `tokens(text)` expression would re-split per usage.
     "f1_token_stats" -> ((s, d) => {
-      val toks = Text.tokens(col("text"))
-      Tables(s, d, "documents").select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        regexp_count(col("text"), lit(subtokenRe)).cast("long").as("n_subtokens"),
-        when(size(toks) === 0, lit(0.0))
-          .otherwise(round(
-            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-              size(toks), 6)).as("avg_token_len"))
+      val toks = col("toks")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          regexp_count(col("text"), lit(subtokenRe)).cast("long").as("n_subtokens"),
+          when(size(toks) === 0, lit(0.0))
+            .otherwise(round(
+              aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+                size(toks), 6)).as("avg_token_len"))
     }),
 
     // f2: quality score from length / punctuation-ratio /
     // stopword-ratio signals, combined into one [0,1] score.
     "f2_quality_score" -> ((s, d) => {
-      val toks = Text.tokens(col("text"))
+      val toks = col("toks")
       val nToks = size(toks).cast("double")
       val nChars = length(col("text")).cast("double")
       val punctRatio = when(nChars === 0, lit(0.0))
@@ -63,19 +67,22 @@ object GroupF {
       val stopRatio = when(nToks === 0, lit(0.0))
         .otherwise(countIn(toks, stopwords).cast("double") / nToks)
       val lenScore = least(nToks / 100.0, lit(1.0))
-      Tables(s, d, "documents").select(
-        col("doc_id"),
-        round(punctRatio, 6).as("punct_ratio"),
-        round(stopRatio, 6).as("stopword_ratio"),
-        round(lenScore * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
-          (lit(1.0) - punctRatio) * 0.2, 6).as("quality"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          round(punctRatio, 6).as("punct_ratio"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          round(lenScore * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+            (lit(1.0) - punctRatio) * 0.2, 6).as("quality"))
     }),
 
     // f3: language guess by marker-stopword overlap, deterministic
     // priority order on ties, 'und' when no marker hits.
     "f3_lang_id" -> ((s, d) => {
-      val toks = Text.tokens(col("text"))
+      val toks = col("toks")
       val scored = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id") +: col("lang") +:
           langMarkers.map { case (l, ws) => countIn(toks, ws).as(s"s_$l") }: _*)
       val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
@@ -87,12 +94,16 @@ object GroupF {
 
     // f4: content fingerprint — md5 of the sorted distinct 3-shingle
     // set, the canonical "same content modulo shingle order" key.
+    // Tokens are staged in their own projection so the interpreted
+    // shingle lambda reads a bound column, not a re-split per element.
     "f4_fingerprint" -> ((s, d) =>
-      Tables(s, d, "documents").select(
-        col("doc_id"),
-        md5(concat_ws("|",
-          array_sort(array_distinct(Text.wordShingles(col("text"), 3)))))
-          .as("fingerprint"))),
+      Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          md5(concat_ws("|",
+            array_sort(array_distinct(Text.shingles(col("toks"), 3)))))
+            .as("fingerprint"))),
   )
 
   private val duckToks =
