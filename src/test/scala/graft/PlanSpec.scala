@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan assertions for representative queries — the scale
+  * properties SURVEY §5 promises must be visible in the plan, not just
+  * hoped for: dimension joins broadcast, filters and projections reach
+  * the parquet scan, and per-group top-k runs through the rank-limit
+  * pushdown (WindowGroupLimit) so the sort never materializes whole
+  * groups.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("a2: dim join is a broadcast hash join with pruned, filtered scans") {
+    val p = plan("a2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // lineitem scan reads only the two needed columns.
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey)]"), p)
+  }
+
+  test("a3: multiway join broadcasts every dim and pushes the region filter") {
+    val p = plan("a3_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the parquet scan\n$p")
+  }
+
+  test("a7/a9: per-group top-k uses partial+final WindowGroupLimit") {
+    for (q <- Seq("a7_window_topk", "a9_dedup_first_by_key")) {
+      val p = plan(q)
+      assert("WindowGroupLimit".r.findAllIn(p).size == 2,
+        s"$q should run rank-limit pushdown on both sides of the shuffle\n$p")
+    }
+  }
+
+  test("f1: document scan is pruned to the referenced columns") {
+    val p = plan("f1_token_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("d5/e1: vector scoring runs the native graft_dot expression") {
+    for (q <- Seq("d5_neardup_embedding", "e1_knn_bruteforce")) {
+      val p = plan(q)
+      assert(p.contains("graft_dot"), s"$q should score via ArrayDot\n$p")
+    }
+  }
+
+  test("a4: allowlist filter stays a LEFT SEMI broadcast join") {
+    val p = plan("a4_semijoin_allowlist")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+}
