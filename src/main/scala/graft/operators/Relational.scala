@@ -34,6 +34,68 @@ object Relational {
                  orderCols: Seq[Column]): DataFrame =
     topKPerGroup(df, keyCols, orderCols, 1, "__rn").drop("__rn")
 
+  /** As-of join: attach to every left row the latest right row of the
+    * same `key` with `rightTs` ≤ `leftTs` (inclusive), as a nullable
+    * `asof` struct of the right side's columns.
+    *
+    * Spark-first formulation: tag and union both sides, shuffle ONCE on
+    * `key`, and stream a `last(_, ignoreNulls)` running window ordered
+    * by (ts, side) — right rows sort before left rows at equal
+    * timestamps, which is what makes the match inclusive. No range
+    * join, no per-row probe; cost is one shuffle + one sort regardless
+    * of how many right rows precede each left row. When (key, ts) is
+    * not unique on the right, ties resolve to the LARGEST values of
+    * `rightTiebreak` (right-side column names) — pass it to make the
+    * result deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(right.columns.map(col): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+    val lSide = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"), lit(1).as("__side"))
+    val rSide = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"), lit(0).as("__side"))
+    // Right rows sort before left rows at equal ts (inclusive match);
+    // equal-ts right rows sort tiebreak-ascending, and the running
+    // last() then surfaces the largest tiebreak.
+    val ordered: Seq[Column] = (col("__ts").asc +: col("__side").asc +:
+      rightTiebreak.map(n => col("__r").getField(n).asc_nulls_first))
+    val w = Window.partitionBy("__k")
+      .orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.union(rSide)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__l").isNotNull)
+      .select(col("__l.*") +: Seq(col("__asof").as("asof")): _*)
+  }
+
+  /** Per-group top-k with a diversity cap: at most `perKind` rows of
+    * any one `kindCol` value inside each group's top-k. (Reference
+    * analogue: related-collection ranking keeps the 10 best related
+    * collections but at most 2 per collection type —
+    * collection-templates airflow/dags/precompute_related.py.)
+    *
+    * Two rank windows: the first caps each (group, kind) run, the
+    * second takes the global top-k of the survivors. Both shuffles key
+    * on the group (the second reuses the first's partitioning when
+    * groupCols prefix-match), and both run through the rank-limit
+    * pushdown (WindowGroupLimit), so no group is ever fully sorted.
+    */
+  def diverseTopK(df: DataFrame, groupCols: Seq[Column], kindCol: Column,
+                  orderCols: Seq[Column], k: Int, perKind: Int): DataFrame = {
+    val wKind = Window.partitionBy(groupCols :+ kindCol: _*).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__rk", row_number().over(wKind))
+      .filter(col("__rk") <= perKind)
+      .withColumn("__rn", row_number().over(wAll))
+      .filter(col("__rn") <= k)
+      .drop("__rk", "__rn")
+  }
+
   /** Snapshot diff: classify rows of `current` vs `previous` into
     * insert / update / archive / unchanged by full outer join on `key`
     * and comparing `fingerprint` (any deterministic Column over the

@@ -114,6 +114,53 @@ object Similarity {
         Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
+  /** Approximate top-k via IVF (inverted-file) coarse quantization:
+    * every `centroidMod`-th corpus vector serves as a deterministic
+    * coarse centroid; corpus vectors assign to their nearest centroid
+    * (the inverted lists), queries probe the `nProbe` nearest
+    * centroids and search only those lists exactly.
+    *
+    * Scale posture: with C ≈ √N centroids the assignment stage costs
+    * N·C dots through a broadcast join (no shuffle of the corpus), the
+    * probe stage Q·C, and the search stage Q·nProbe·(N/C) — all three
+    * stay codegen'd ArrayDot scans, and the candidate join shuffles on
+    * the centroid id (bounded fan-out, like the LSH bucket join). A
+    * production variant would learn centroids with k-means; sampling
+    * keeps the operator self-contained and deterministic, which is
+    * what the recall spec pins down.
+    */
+  def knnIvf(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             centroidMod: Long = 37L, nProbe: Int = 4): DataFrame = {
+    val unit = normalized(corpus, idCol, vecCol).localCheckpoint()
+    val centroids = broadcast(
+      unit.filter(col("id") % centroidMod === 0)
+        .select(col("id").as("cid"), col("unit").as("cvec")))
+    def nearest(df: DataFrame, n: Int, outId: String): DataFrame =
+      Relational.topKPerGroup(
+        df.crossJoin(centroids)
+          .withColumn("cdot", Vectors.dot(col("unit"), col("cvec"))),
+        Seq(col("id")), Seq(col("cdot").desc, col("cid").asc), n, "__cr")
+        .select(col("id").as(outId), col("cid"))
+    // Inverted lists: corpus vector -> its single nearest centroid.
+    val lists = nearest(unit, 1, "neighbor_id")
+      .join(unit.select(col("id").as("neighbor_id"), col("unit").as("cv")),
+            "neighbor_id")
+    // Queries probe nProbe lists.
+    val qUnit = normalized(queries, idCol, vecCol)
+    val probes = nearest(qUnit, nProbe, "query_id")
+      .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")),
+            "query_id")
+    val scored = probes.join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
+      // No dedup needed: every corpus vector lives in exactly one list,
+      // so (query, neighbor) pairs are already unique across probes.
+      .select("query_id", "neighbor_id", "cosine")
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
     * zero vectors pass through unchanged (cosine 0 downstream). */
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Relational, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group A (continued) — round-2 relational additions: as-of join and
+  * diversity-capped top-k, the two ranking/alignment shapes the
+  * reference needs beyond plain windows (related-collections caps
+  * results per type; event alignment is the standard enrichment join
+  * for time-keyed training data).
+  */
+object GroupA3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // a21: as-of join — each purchase event picks up the user's latest
+    // click at-or-before it. One shuffle on user_id (union + running
+    // window), no range join.
+    "a21_asof_join" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("es"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("es"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("es").as("click_es"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select("user_id", "click_es", "click_id")
+      Relational.asofJoin(purchases, clicks, "user_id", "es", "click_es",
+          rightTiebreak = Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("es"),
+          col("asof.click_id").as("click_id"),
+          col("asof.click_es").as("click_es"))
+    }),
+
+    // a22: diversity-capped top-k — a customer's 5 largest orders, at
+    // most 2 per order status (precompute_related.py's per-type cap).
+    "a22_diverse_topk" -> ((s, d) =>
+      Relational.diverseTopK(
+        Tables(s, d, "orders")
+          .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"),
+        Seq(col("o_custkey")), col("o_orderstatus"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 5, perKind = 2)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a21_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             cast(floor(epoch(ts)) AS bigint) AS es, event_type
+        |           FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, es
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, es AS click_es, max(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, p.es, c.click_id, c.click_es
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.es >= c.click_es""".stripMargin,
+
+    "a22_diverse_topk" ->
+      """WITH r1 AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM r1 WHERE rk <= 2)
+        |SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+        |FROM r2 WHERE rn <= 5""".stripMargin,
+  )
+}

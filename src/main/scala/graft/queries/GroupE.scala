@@ -25,6 +25,10 @@ object GroupE {
     "e2_knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(queriesSet(s, d), emb(s, d),
         "vec_id", "embedding", k = 10)),
+
+    "e3_knn_ivf" -> ((s, d) =>
+      Similarity.knnIvf(queriesSet(s, d), emb(s, d),
+        "vec_id", "embedding", k = 10)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -104,6 +104,15 @@ object GroupF {
           md5(concat_ws("|",
             array_sort(array_distinct(Text.shingles(col("toks"), 3)))))
             .as("fingerprint"))),
+
+    // f5: deterministic stratified sampling — md5-bucketed keep/drop
+    // with per-language rates (en 50%, rest 20%); reproducible across
+    // engines/partitionings, no RNG. Narrow filter, zero shuffles.
+    "f5_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables(s, d, "documents"), col("doc_id"), col("lang"),
+        rates = Map("en" -> 50), defaultRate = 20)
+        .select("doc_id", "lang")),
   )
 
   private val duckToks =
@@ -150,6 +159,11 @@ object GroupF {
              }.mkString(" ")}
          |       ELSE 'und' END AS guess
          |FROM sc""".stripMargin,
+
+    "f5_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 100 <
+        |      CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
 
     "f4_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, $duckToks AS words FROM documents),

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Relational, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-2 operator additions: as-of join, diversity-capped top-k,
+  * IVF ANN recall, deterministic stratified sampling.
+  */
+class RelationalExtSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, 8L, 100.0), (1L, 10L, 101.0), (1L, 20L, 102.0),
+      (2L, 9L, 200.0)).toDF("k", "qts", "px")
+    val out = Relational.asofJoin(trades, quotes, "k", "ts", "qts")
+      .select($"trade", $"asof.px").as[(String, Option[Double])].collect().toMap
+    assert(out("t1").contains(101.0), "equal timestamps match (inclusive)")
+    assert(out("t2").contains(102.0))
+    assert(out("t3").isEmpty, "no quote at-or-before ts=5")
+  }
+
+  test("asofJoin resolves right-side ties by the largest tiebreak") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "name")
+    val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("k", "rts", "rid")
+    val got = Relational.asofJoin(l, r, "k", "ts", "rts", rightTiebreak = Seq("rid"))
+      .select($"asof.rid").as[Long].head()
+    assert(got == 9L)
+  }
+
+  test("diverseTopK caps per-kind rows inside each group's top-k") {
+    val df = Seq(
+      // group 1: six rows, four of kind A with the best scores.
+      (1L, "A", 100.0, 1L), (1L, "A", 90.0, 2L), (1L, "A", 80.0, 3L),
+      (1L, "A", 70.0, 4L), (1L, "B", 60.0, 5L), (1L, "C", 50.0, 6L))
+      .toDF("g", "kind", "score", "id")
+    val got = Relational.diverseTopK(df, Seq($"g"), $"kind",
+        Seq($"score".desc, $"id".asc), k = 3, perKind = 2)
+      .select($"id").as[Long].collect().toSet
+    // A's top-2 (ids 1,2) survive the cap; id 3,4 are cut; B (5) fills
+    // the third slot.
+    assert(got == Set(1L, 2L, 5L))
+  }
+
+  test("ivf knn achieves reasonable recall vs exact knn") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.knnBruteForce(qs, emb, "vec_id", "embedding", 10))
+    val approx = topSets(Similarity.knnIvf(qs, emb, "vec_id", "embedding", 10))
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val docs = Tables(spark, sfDir, "documents")
+    val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 50), 20).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(docs.repartition(7), col("doc_id"), col("lang"),
+      Map("en" -> 50), 20).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same sample regardless of partitioning")
+    // Rate sanity on the biggest stratum: en keep-rate near 50%.
+    val en = docs.filter(col("lang") === "en")
+    val kept = Sampling.stratifiedSample(en, col("doc_id"), col("lang"),
+      Map("en" -> 50), 20).count().toDouble / en.count()
+    assert(kept > 0.3 && kept < 0.7, s"en keep rate $kept")
+  }
+}
