@@ -20,6 +20,15 @@ object GraftExtensions {
   private type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def oneArg(name: String, usage: String,
+                     build: Expression => Expression): Descriptor =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[ArrayDot].getName, name, usage),
+      { args =>
+        require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+        build(args.head)
+      })
+
   private def twoArg(name: String, usage: String,
                      build: (Expression, Expression) => Expression): Descriptor =
     (FunctionIdentifier(name),
@@ -32,7 +41,13 @@ object GraftExtensions {
   val descriptors: Seq[Descriptor] = Seq(
     twoArg("graft_dot",
       "graft_dot(a, b) - dot product of two float/double arrays",
-      ArrayDot(_, _)))
+      ArrayDot(_, _)),
+    oneArg("graft_keccak256",
+      "graft_keccak256(expr) - Keccak-256 digest (Ethereum padding) of a string/binary",
+      graft.functions.expr.Keccak256(_)),
+    oneArg("graft_namehash",
+      "graft_namehash(name) - EIP-137 ENS namehash of a dotted name",
+      graft.functions.expr.Namehash(_)))
 
   /** Idempotently register the functions on an existing session. */
   def register(spark: SparkSession): Unit = descriptors.foreach {

@@ -1,0 +1,20 @@
+package graft.functions
+
+import graft.functions.expr.{Keccak256, Namehash}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Column wrappers for graft's native digest expressions. */
+object Hashes {
+
+  /** Keccak-256 (Ethereum variant) of a string/binary column, as a
+    * 32-byte binary. */
+  def keccak256(c: Column): Column =
+    ColumnBridge.column(Keccak256(ColumnBridge.expression(c)))
+
+  /** EIP-137 ENS namehash of a dotted name column, as a 32-byte
+    * binary. (reference: collection-templates
+    * scripts/prepare_collections2.py:116.) */
+  def namehash(c: Column): Column =
+    ColumnBridge.column(Namehash(ColumnBridge.expression(c)))
+}

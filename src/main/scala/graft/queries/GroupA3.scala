@@ -44,6 +44,18 @@ object GroupA3 {
         Seq(col("o_custkey")), col("o_orderstatus"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         k = 5, perKind = 2)),
+
+    // a23: ENS namehash of every curated part name — the reference
+    // stamps members with namehash(curated + ".eth")
+    // (prepare_collections2.py:116). Native keccak expression; no
+    // DuckDB keccak exists, so the driver records rows-only and the
+    // EIP-137 test vectors pin correctness in KeccakSpec.
+    "a23_namehash" -> ((s, d) =>
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        hex(graft.functions.Hashes.namehash(
+          concat(regexp_replace(lower(col("p_name")), "[^a-z0-9]+", "-"),
+            lit(".eth")))).as("namehash"))),
   )
 
   val oracles: Map[String, String] = Map(
