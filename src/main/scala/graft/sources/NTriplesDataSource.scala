@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for N-triples dumps: `spark.read.format("ntriples")
+  * .load(path)` → (subject, predicate, obj, obj_is_uri), with URI
+  * prefixes cleaned to local names exactly like
+  * [[NTriples.parse]]. Transparent gzip via the Hadoop codec factory —
+  * the reference's inlets are grep-filtered *.gz dumps
+  * (collection-templates Makefile:17, scripts/create_kv.py).
+  *
+  * Scale posture: one input partition per file (dump shards are
+  * many-file; gzip is not splittable anyway), readers stream line by
+  * line with no buffering of the file, and column pruning is pushed
+  * into the reader (a `select(subject)` never materializes the other
+  * fields). The Column-level [[NTriples.parse]] over `spark.read.text`
+  * remains the fully codegen'd alternative when lines are already
+  * decompressed; this format is the turnkey path.
+  */
+class NTriplesDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ntriples"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NTriplesTable.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NTriplesTable(properties.getOrDefault("path", ""))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object NTriplesTable {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("subject", StringType),
+    StructField("predicate", StringType),
+    StructField("obj", StringType),
+    StructField("obj_is_uri", BooleanType)))
+}
+
+class NTriplesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"ntriples:$path"
+  override def schema(): StructType = NTriplesTable.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NTriplesScanBuilder(Option(options.get("path")).getOrElse(path))
+}
+
+class NTriplesScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = NTriplesTable.fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new NTriplesScan(path, required)
+}
+
+class NTriplesScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files = ArrayBuffer.empty[FileStatus]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        files += f
+    }
+    files.sortBy(_.getPath.toString)
+      .map(f => NTriplesPartition(f.getPath.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NTriplesReaderFactory(required.fieldNames)
+}
+
+case class NTriplesPartition(file: String) extends InputPartition
+
+class NTriplesReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NTriplesReader(partition.asInstanceOf[NTriplesPartition].file, fields)
+}
+
+/** Streams one file line by line; parses with the same grammar as
+  * [[NTriples.parse]]; emits only the pruned columns. Malformed lines
+  * are skipped (the Column parser surfaces them as empty subjects —
+  * a file reader has no use for them). */
+class NTriplesReader(file: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val lineRe = "^<([^>]+)> <([^>]+)> (.+) \\.$".r
+  private val localRe = "([^/#]+)$".r.unanchored
+  private val uriRe = "^<([^>]+)>$".r
+  private val litRe = "^\"([^\"]*)\"".r.unanchored
+
+  private val reader = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val raw = fs.open(p)
+    val codec = new CompressionCodecFactory(new Configuration()).getCodec(p)
+    val in = if (codec != null) codec.createInputStream(raw) else raw
+    new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+  }
+
+  private var current: InternalRow = _
+
+  private def local(uri: String): String =
+    localRe.findFirstMatchIn(uri).map(_.group(1)).getOrElse(uri)
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      line match {
+        case lineRe(s, p, o) =>
+          val (obj, isUri) = o match {
+            case uriRe(u) => (local(u), true)
+            case litRe(v) => (v, false)
+            case other => (other, false)
+          }
+          val vals = fields.map {
+            case "subject" => UTF8String.fromString(local(s))
+            case "predicate" => UTF8String.fromString(local(p))
+            case "obj" => UTF8String.fromString(obj)
+            case "obj_is_uri" => java.lang.Boolean.valueOf(isUri)
+          }
+          current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+          return true
+        case _ => // malformed: skip
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
