@@ -1,11 +1,17 @@
 package graft.functions
 
-import graft.functions.expr.{Keccak256, Namehash}
+import graft.functions.expr.{Keccak256, Namehash, SimhashAgg}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** Column wrappers for graft's native digest expressions. */
 object Hashes {
+
+  /** SimHash aggregate over a bigint feature-hash column: one typed
+    * 64-counter buffer instead of 64 declarative sum columns. */
+  def simhash(featureHash: Column): Column =
+    ColumnBridge.column(
+      SimhashAgg(ColumnBridge.expression(featureHash)).toAggregateExpression())
 
   /** Keccak-256 (Ethereum variant) of a string/binary column, as a
     * 32-byte binary. */

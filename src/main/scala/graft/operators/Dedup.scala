@@ -166,23 +166,17 @@ object Dedup {
     * small vocabularies) hashes to 64 bits; each bit position
     * accumulates +1/-1 across features (term frequency = weight, as in
     * Charikar's scheme); the sign vector is the fingerprint. The 64
-    * per-bit sums are one grouped aggregation. Output: (id, fp long). */
+    * per-bit counters live in ONE custom typed aggregate
+    * ([[graft.functions.expr.SimhashAgg]]) — map-side combinable, 512
+    * bytes of buffer per group — instead of 64 declarative sum
+    * columns. Output: (id, fp long). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int = 3): DataFrame = {
-    val tok = docs
+                          shingleN: Int = 3): DataFrame =
+    docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(Text.shingles(col("toks"), shingleN)).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$i")
-    }
-    val fp = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    tok.groupBy("id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), fp.as("fp"))
-  }
+      .groupBy("id")
+      .agg(graft.functions.Hashes.simhash(xxhash64(col("token"))).as("fp"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` ≤ 6,
     * Manku-style combined-band blocking (Detecting Near-Duplicates for

@@ -96,6 +96,27 @@ object Relational {
       .drop("__rk", "__rn")
   }
 
+  /** Skew-safe inner equi-join by key salting: each probe-side row
+    * gets a deterministic salt in [0, saltFactor) (hash of the whole
+    * row, so exact-duplicate rows co-locate but everything else
+    * spreads), the build side is replicated across all salt values,
+    * and the join keys on (key, salt) — a single hot key fans out over
+    * `saltFactor` reducers instead of one.
+    *
+    * AQE's skew-join handles most sort-merge skew on its own; reach
+    * for this when a key is so hot one task still overflows (the
+    * replicated side must be the smaller one — replication costs
+    * `saltFactor` ×).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Snapshot diff: classify rows of `current` vs `previous` into
     * insert / update / archive / unchanged by full outer join on `key`
     * and comparing `fingerprint` (any deterministic Column over the

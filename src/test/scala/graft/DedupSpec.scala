@@ -60,6 +60,24 @@ class DedupSpec extends GraftSuite {
     assert(capped.count() < uncapped.count())
   }
 
+  test("SimhashAgg matches the declarative 64-sum formulation") {
+    import graft.functions.Text
+    val tok = docs
+      .select(col("doc_id").as("id"), Text.tokens(col("text")).as("toks"))
+      .select(col("id"), explode(Text.shingles(col("toks"), 1)).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i") }
+    val fpExpr = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val declarative = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fpExpr.as("fp")).as[(Long, Long)].collect().toMap
+    val typed = Dedup.simhashFingerprints(docs, "doc_id", "text", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(typed == declarative)
+  }
+
   test("prefix-filtered jaccard join returns exactly the count-join pairs") {
     val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
       .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet

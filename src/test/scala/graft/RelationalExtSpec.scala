@@ -58,6 +58,18 @@ class RelationalExtSpec extends GraftSuite {
     assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
 
+  test("saltedJoin equals the plain inner join on skewed keys") {
+    // 10k rows of one hot key + a spread tail, joined to a small dim.
+    val probe = spark.range(10000).select(
+      when($"id" < 9000, lit(7L)).otherwise($"id" % 50).as("k"), $"id".as("payload"))
+    val build = Seq((7L, "hot"), (3L, "cold"), (11L, "cool")).toDF("k", "attr")
+    val expected = probe.join(build, "k")
+      .select($"k", $"payload", $"attr").as[(Long, Long, String)].collect().toSet
+    val salted = Relational.saltedJoin(probe, build, "k", saltFactor = 8)
+      .select($"k", $"payload", $"attr").as[(Long, Long, String)].collect().toSet
+    assert(salted == expected)
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val docs = Tables(spark, sfDir, "documents")
     val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
