@@ -36,6 +36,35 @@ object Sessions {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").cast("long").as("window_es"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: drop repeats of `idCols` arriving within
+    * the watermark horizon (state for an id is evicted once the
+    * watermark passes its event time — bounded state, unlike a global
+    * dropDuplicates). The streaming face of Dedup.exactGroups. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks in the `joinWindow` before it. Both sides carry
+    * watermarks so the join state is evicted once no counterpart can
+    * arrive — the continuously-running analogue of the batch as-of
+    * enrichment (Relational.asofJoin). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       joinWindow: String = "30 minutes",
+                       watermarkDelay: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS click_ts")
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id AS p_user", "event_id AS purchase_id", "ts AS purchase_ts")
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts >= purchase_ts - interval $joinWindow""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Gap-based sessionizer (streaming g1): one open-session state per
     * user, closed and emitted when a new event arrives more than
     * `gapSec` after the session end, or when the event-time watermark

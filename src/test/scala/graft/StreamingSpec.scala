@@ -78,6 +78,51 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val out = Sessions.dedupStream(events, Seq("event_id"), "10 minutes")
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(100)), (2L, ts(110)), (1L, ts(120)))
+      query.processAllAvailable()
+      input.addData((1L, ts(130)), (3L, ts(140)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally query.stop()
+  }
+
+  test("stream-stream click attribution joins within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val pdf = purchases.toDF().toDF("user_id", "event_id", "ts")
+    val out = Sessions.clickAttribution(cdf, pdf, "30 minutes", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L, ts(1000)), (1L, 101L, ts(1500)), (2L, 102L, ts(1000)))
+      purchases.addData((1L, 200L, ts(2000)))
+      query.processAllAvailable()
+      // Advance watermarks so results flush.
+      clicks.addData((9L, 900L, ts(100000)))
+      purchases.addData((9L, 901L, ts(100000)))
+      query.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      // Purchase 200 attributes to BOTH of user 1's clicks within 30
+      // minutes (100 at t=1000, 101 at t=1500); user 2's click never.
+      assert(rows.contains((200L, 100L)) && rows.contains((200L, 101L)),
+        s"got $rows")
+      assert(!rows.exists(_._2 == 102L))
+    } finally query.stop()
+  }
+
   test("watermarked tumbling counts aggregate closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
