@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Graph, Relational}
+import org.apache.spark.sql.functions._
+
+/** Randomized checks against brute-force in-memory references — the
+  * operators whose edge cases (cycles, ties, empty matches) are
+  * easiest to get wrong. Fixed seeds keep every run reproducible; each
+  * property runs a handful of small random instances.
+  */
+class PropertySpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private def refClosure(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+    var c = edges
+    var grown = true
+    while (grown) {
+      val next = c ++ (for ((a, b) <- c; (b2, d) <- c if b == b2) yield (a, d))
+      grown = next.size != c.size
+      c = next
+    }
+    c
+  }
+
+  test("transitive closure matches brute-force on random graphs (cycles included)") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val edges = List.fill(rnd.nextInt(40) + 1) {
+        val s = rnd.nextInt(13).toLong
+        var d = rnd.nextInt(13).toLong
+        if (d == s) d = (s + 1) % 13
+        (s, d)
+      }
+      val want = refClosure(edges.toSet)
+      val df = edges.toDF("src", "dst")
+      val got = Graph.transitiveClosure(df, maxIter = 20)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"seed=$seed semi-naive")
+      val doubled = Graph.transitiveClosureDoubling(df, maxIter = 20)
+        .as[(Long, Long)].collect().toSet
+      assert(doubled == want, s"seed=$seed doubling")
+    }
+  }
+
+  test("asofJoin matches brute-force latest-at-or-before on random series") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      def series(n: Int) = List.fill(n)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
+      val lefts = series(rnd.nextInt(30) + 1).distinctBy(r => (r._1, r._2, r._3))
+      val rights = series(rnd.nextInt(30))
+      val rightBest = rights.groupBy(r => (r._1, r._2))
+        .view.mapValues(_.map(_._3).max).toMap
+      val expected = lefts.map { case (k, t, id) =>
+        val cand = rightBest.filter { case ((rk, rt), _) => rk == k && rt <= t }
+        (k, t, id) -> (if (cand.isEmpty) None
+                       else Some(cand.maxBy { case ((_, rt), rid) => (rt, rid) }._2))
+      }.toMap
+      val got = Relational.asofJoin(
+          lefts.toDF("k", "ts", "lid"), rights.toDF("k", "rts", "rid"),
+          "k", "ts", "rts", rightTiebreak = Seq("rid"))
+        .select($"k", $"ts", $"lid", $"asof.rid")
+        .as[(Long, Long, Long, Option[Long])].collect()
+      assert(got.length == lefts.length, s"seed=$seed row preservation")
+      got.foreach { case (k, t, id, m) =>
+        assert(m == expected((k, t, id)),
+          s"seed=$seed row ($k,$t,$id): got $m want ${expected((k, t, id))}")
+      }
+    }
+  }
+
+  test("diverseTopK equals the greedy capped scan on random rows") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(200 + seed)
+      val rows = List.fill(rnd.nextInt(50) + 1)(
+        (rnd.nextInt(3).toLong, Seq("a", "b", "c")(rnd.nextInt(3)),
+          rnd.nextInt(50).toDouble, rnd.nextLong(10000)))
+        .distinctBy(_._4)
+      val got = Relational.diverseTopK(rows.toDF("g", "kind", "score", "id"),
+          Seq($"g"), $"kind", Seq($"score".desc, $"id".asc), k = 4, perKind = 2)
+        .select($"g", $"kind", $"id").as[(Long, String, Long)].collect()
+      got.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 4) }
+      got.groupBy(r => (r._1, r._2)).foreach { case (_, rs) => assert(rs.length <= 2) }
+      // Greedy reference: scan score-descending, take while kind cap
+      // unmet, stop at k — equivalent to cap-then-top-k because the
+      // global and within-kind orders agree.
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(r => (-r._3, r._4))
+        val taken = scala.collection.mutable.Map.empty[String, Int]
+        sorted.iterator.filter { r =>
+          val c = taken.getOrElse(r._2, 0)
+          if (c < 2) { taken(r._2) = c + 1; true } else false
+        }.take(4).map(r => (g, r._2, r._4)).toList
+      }.toSet
+      assert(got.toSet == expected, s"seed=$seed")
+    }
+  }
+}
