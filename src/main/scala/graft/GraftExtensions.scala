@@ -20,19 +20,19 @@ object GraftExtensions {
   private type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  private def oneArg(name: String, usage: String,
+  private def oneArg(name: String, usage: String, implClass: Class[_],
                      build: Expression => Expression): Descriptor =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[ArrayDot].getName, name, usage),
+      new ExpressionInfo(implClass.getName, name, usage),
       { args =>
         require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
         build(args.head)
       })
 
-  private def twoArg(name: String, usage: String,
+  private def twoArg(name: String, usage: String, implClass: Class[_],
                      build: (Expression, Expression) => Expression): Descriptor =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[ArrayDot].getName, name, usage),
+      new ExpressionInfo(implClass.getName, name, usage),
       { args =>
         require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
         build(args.head, args(1))
@@ -41,12 +41,14 @@ object GraftExtensions {
   val descriptors: Seq[Descriptor] = Seq(
     twoArg("graft_dot",
       "graft_dot(a, b) - dot product of two float/double arrays",
-      ArrayDot(_, _)),
+      classOf[ArrayDot], ArrayDot(_, _)),
     oneArg("graft_keccak256",
       "graft_keccak256(expr) - Keccak-256 digest (Ethereum padding) of a string/binary",
+      classOf[graft.functions.expr.Keccak256],
       graft.functions.expr.Keccak256(_)),
     oneArg("graft_namehash",
       "graft_namehash(name) - EIP-137 ENS namehash of a dotted name",
+      classOf[graft.functions.expr.Namehash],
       graft.functions.expr.Namehash(_)))
 
   /** Idempotently register the functions on an existing session. */

@@ -91,7 +91,10 @@ object Dedup {
         .withColumn("pos", row_number().over(w))
         .withColumn("n_sh", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("id")))
-        .filter(col("pos") <= col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1)
+        // ceil guarded against float noise: 0.1 * 30 = 3.0000000000000004
+      // must still ceil to 3, not 4 (an over-long ceil shortens the
+      // prefix below the guarantee and silently drops boundary pairs).
+      .filter(col("pos") <= col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)) + 1)
         .select("shingle", "id")
       val cands = prefix.select(col("shingle"), col("id").as("id_a"))
         .join(prefix.select(col("shingle"), col("id").as("id_b")), "shingle")

@@ -76,7 +76,17 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              numTables: Int = 16, bitsPerTable: Int = 5, dim: Int = -1,
              seed: Long = 42L): DataFrame = {
-    val dataDim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // Derive the embedding dimension from the first non-null vector;
+    // an empty (or all-null) corpus short-circuits to an empty result
+    // instead of failing on head().
+    val dimRow = corpus.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull).head(1)
+    if (dimRow.isEmpty) {
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    }
+    val dataDim = dimRow.head.getInt(0)
     require(dim <= 0 || dim == dataDim,
       s"knnLsh dim = $dim does not match the embedding dimension $dataDim")
     val ps = planes(numTables, bitsPerTable, dataDim, seed)
@@ -136,6 +146,10 @@ object Similarity {
     val centroids = broadcast(
       unit.filter(col("id") % centroidMod === 0)
         .select(col("id").as("cid"), col("unit").as("cvec")))
+    require(centroids.head(1).nonEmpty,
+      s"knnIvf: no centroids — no corpus id is divisible by $centroidMod " +
+        "(ids must be numeric and cover multiples of centroidMod; " +
+        "lower centroidMod or remap ids)")
     def nearest(df: DataFrame, n: Int, outId: String): DataFrame =
       Relational.topKPerGroup(
         df.crossJoin(centroids)

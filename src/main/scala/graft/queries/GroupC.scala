@@ -79,7 +79,7 @@ object GroupC {
          |  regexp_extract(p_uri, '([^/#]+)$$', 1) AS predicate,
          |  CASE WHEN starts_with(o_raw, '<')
          |       THEN regexp_extract(regexp_extract(o_raw, '^<([^>]+)>$$', 1), '([^/#]+)$$', 1)
-         |       ELSE regexp_extract(o_raw, '^"([^"]*)"', 1) END AS obj,
+         |       ELSE regexp_extract(o_raw, '^"((?:[^"\\\\]|\\\\.)*)"', 1) END AS obj,
          |  starts_with(o_raw, '<') AS obj_is_uri
          |FROM parsed
          |WHERE regexp_extract(s_uri, '([^/#]+)$$', 1) <> ''""".stripMargin,

@@ -27,24 +27,26 @@ object EsBulk {
     */
   def bulkLines(ops: DataFrame, index: String, idCol: String,
                 opCol: String, payload: Column): DataFrame = {
-    val action = when(col(opCol) === "insert",
-        concat(lit(s"""{"index":{"_index":"$index","_id":""""),
-          col(idCol).cast("string"), lit("\"}}")))
-      .otherwise(
-        concat(lit(s"""{"update":{"_index":"$index","_id":""""),
-          col(idCol).cast("string"), lit("\"}}")))
+    // Action lines render through to_json so ids (arbitrary user
+    // strings in ENS-land) and the index name are escaped correctly.
+    def action(op: String): Column = to_json(struct(
+      struct(lit(index).as("_index"), col(idCol).cast("string").as("_id")).as(op)))
+    val act = when(col(opCol) === "insert", action("index"))
+      .otherwise(action("update"))
     val doc = when(col(opCol) === "insert", to_json(payload))
-      .when(col(opCol) === "update",
-        concat(lit("""{"doc":"""), to_json(payload), lit("}")))
+      .when(col(opCol) === "update", to_json(struct(payload.as("doc"))))
       .otherwise(lit("""{"doc":{"archived":true}}"""))
     ops.filter(col(opCol).isin("insert", "update", "archive"))
-      .select(concat(action, lit("\n"), doc).as("value"))
+      .select(concat(act, lit("\n"), doc).as("value"))
   }
 
-  /** Write bulk files for a batch diff. */
+  /** Write bulk files for a batch diff. `files > 0` coalesces to that
+    * many output files; the default keeps the upstream partitioning
+    * (one file per partition — the scalable path). */
   def write(ops: DataFrame, index: String, idCol: String, opCol: String,
-            payload: Column, path: String, files: Int = 1): Unit =
-    bulkLines(ops, index, idCol, opCol, payload)
-      .repartition(files)
+            payload: Column, path: String, files: Int = 0): Unit = {
+    val lines = bulkLines(ops, index, idCol, opCol, payload)
+    (if (files > 0) lines.repartition(files) else lines)
       .write.mode("overwrite").text(path)
+  }
 }

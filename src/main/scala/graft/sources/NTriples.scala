@@ -23,9 +23,10 @@ object NTriples {
   /** Parse a column of N-triples lines into
     * (subject, predicate, obj, obj_is_uri); subject/predicate are
     * prefix-cleaned to their local names; URI objects likewise, literal
-    * objects keep the lexical form (language tags / datatypes dropped,
-    * as in the reference's `clean`). Malformed lines yield empty
-    * subjects and can be filtered by the caller.
+    * objects keep the lexical form — backslash escape sequences
+    * (\" \\ \n …) included verbatim, language tags / datatypes
+    * dropped, as in the reference's `clean`. Malformed lines yield
+    * empty subjects and can be filtered by the caller.
     */
   def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val raw = col(lineCol)
@@ -35,7 +36,9 @@ object NTriples {
       uriLocal(regexp_extract(raw, lineRe, 1)).as("subject"),
       uriLocal(regexp_extract(raw, lineRe, 2)).as("predicate"),
       when(isUri, uriLocal(regexp_extract(objRaw, "^<([^>]+)>$", 1)))
-        .otherwise(regexp_extract(objRaw, "^\"([^\"]*)\"", 1)).as("obj"),
+        // Escape-aware literal body: a quote only terminates the
+        // literal when not preceded by a backslash escape.
+        .otherwise(regexp_extract(objRaw, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1)).as("obj"),
       isUri.as("obj_is_uri"))
   }
 }

@@ -72,13 +72,34 @@ class NTriplesScanBuilder(path: String)
   override def build(): Scan = new NTriplesScan(path, required)
 }
 
+/** The session's Hadoop configuration, made serializable by writing
+  * it through Hadoop's own Writable form — executors need the
+  * spark.hadoop.* keys (object-store credentials, endpoints) that a
+  * bare `new Configuration()` would drop. */
+class HadoopConfBytes(@transient conf: Configuration) extends Serializable {
+  private val bytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    conf.write(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+  def value: Configuration = {
+    val c = new Configuration(false)
+    c.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    c
+  }
+}
+
 class NTriplesScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private def sessionConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(sessionConf)
     val files = ArrayBuffer.empty[FileStatus]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
@@ -92,34 +113,36 @@ class NTriplesScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NTriplesReaderFactory(required.fieldNames)
+    new NTriplesReaderFactory(required.fieldNames, new HadoopConfBytes(sessionConf))
 }
 
 case class NTriplesPartition(file: String) extends InputPartition
 
-class NTriplesReaderFactory(fields: Array[String])
+class NTriplesReaderFactory(fields: Array[String], conf: HadoopConfBytes)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NTriplesReader(partition.asInstanceOf[NTriplesPartition].file, fields)
+    new NTriplesReader(partition.asInstanceOf[NTriplesPartition].file, fields,
+      conf.value)
 }
 
 /** Streams one file line by line; parses with the same grammar as
   * [[NTriples.parse]]; emits only the pruned columns. Malformed lines
   * are skipped (the Column parser surfaces them as empty subjects —
   * a file reader has no use for them). */
-class NTriplesReader(file: String, fields: Array[String])
+class NTriplesReader(file: String, fields: Array[String],
+                     hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val lineRe = "^<([^>]+)> <([^>]+)> (.+) \\.$".r
   private val localRe = "([^/#]+)$".r.unanchored
   private val uriRe = "^<([^>]+)>$".r
-  private val litRe = "^\"([^\"]*)\"".r.unanchored
+  private val litRe = "^\"((?:[^\"\\\\]|\\\\.)*)\"".r.unanchored
 
   private val reader = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     val raw = fs.open(p)
-    val codec = new CompressionCodecFactory(new Configuration()).getCodec(p)
+    val codec = new CompressionCodecFactory(hadoopConf).getCodec(p)
     val in = if (codec != null) codec.createInputStream(raw) else raw
     new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
   }

@@ -11,8 +11,13 @@ case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 /** A closed session emitted by the sessionizer. */
 case class SessionOut(user_id: Long, start_es: Long, end_es: Long, n_events: Long)
 
-/** Open-session state carried between micro-batches. */
+/** One open session; the sessionizer state is the list of a user's
+  * open sessions (plural: late events above the watermark may reopen
+  * or create sessions earlier than the newest one). */
 case class SessionState(start_es: Long, end_es: Long, n_events: Long)
+
+/** Sessionizer state: open sessions, kept start-ascending. */
+case class SessionizerState(open: List[SessionState])
 
 /** Structured Streaming counterparts of the Group G batch queries —
   * same column logic, incremental execution. (Reference analogue: the
@@ -65,53 +70,49 @@ object Sessions {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
-  /** Gap-based sessionizer (streaming g1): one open-session state per
-    * user, closed and emitted when a new event arrives more than
-    * `gapSec` after the session end, or when the event-time watermark
-    * passes end + gap (timeout path). Emits Append-mode rows, so the
-    * sink only ever sees finalized sessions.
+  /** Gap-based sessionizer (streaming g1): state holds the user's OPEN
+    * sessions (a list — late events above the watermark may land
+    * before the newest session and must not corrupt it); every batch
+    * merges events and existing sessions as intervals with the gap
+    * rule, then emits exactly the sessions whose gap horizon
+    * (end + gap) the watermark has passed — those can never change
+    * again. Append-mode: the sink only ever sees finalized sessions.
     */
   def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800L,
                  watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionizerState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[SessionEvent],
-         state: GroupState[SessionState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            // Watermark passed end + gap: the open session is final.
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.start_es, s.end_es, s.n_events))
-          } else {
-            // Events within a micro-batch arrive unordered; sort by
-            // event time (+ id tiebreak) before folding into sessions.
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val es = e.ts.getTime / 1000L
-              open match {
-                case Some(s) if es - s.end_es <= gapSec =>
-                  open = Some(SessionState(s.start_es, math.max(s.end_es, es),
-                    s.n_events + 1))
-                case Some(s) =>
-                  closed += SessionOut(userId, s.start_es, s.end_es, s.n_events)
-                  open = Some(SessionState(es, es, 1L))
-                case None =>
-                  open = Some(SessionState(es, es, 1L))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // Time out once the watermark passes the session's gap
-              // horizon — that's when no earlier event can still arrive.
-              state.setTimeoutTimestamp((s.end_es + gapSec) * 1000L)
-            }
-            closed.result().iterator
+         state: GroupState[SessionizerState]) =>
+          val prior = state.getOption.map(_.open).getOrElse(Nil)
+          val fresh = batch.map { e =>
+            val es = e.ts.getTime / 1000L
+            SessionState(es, es, 1L)
+          }.toList
+          // Interval merge under the gap rule (sort by start; a session
+          // starting within gap of the previous end merges into it).
+          val merged = (prior ++ fresh).sortBy(s => (s.start_es, s.end_es))
+            .foldLeft(List.empty[SessionState]) {
+              case (acc @ (last :: rest), s) if s.start_es - last.end_es <= gapSec =>
+                SessionState(last.start_es, math.max(last.end_es, s.end_es),
+                  last.n_events + s.n_events) :: rest
+              case (acc, s) => s :: acc
+            }.reverse
+          // Finalize every session the watermark has sealed.
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val (done, live) = merged.partition(_.end_es + gapSec <= wmSec)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionizerState(live))
+            // Wake when the earliest live horizon passes (strictly
+            // above the current watermark by construction).
+            state.setTimeoutTimestamp((live.map(_.end_es).min + gapSec) * 1000L)
           }
+          done.iterator.map(s =>
+            SessionOut(userId, s.start_es, s.end_es, s.n_events))
       }
   }
 }

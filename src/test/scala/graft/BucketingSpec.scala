@@ -16,6 +16,18 @@ class BucketingSpec extends GraftSuite {
   test("bucketed fact-fact join plans with zero exchanges") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    // The in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist; clear them so CREATE never sees a
+    // stale location.
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    for (t <- Seq("li_b", "ord_b")) {
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

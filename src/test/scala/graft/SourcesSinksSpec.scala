@@ -19,6 +19,7 @@ class SourcesSinksSpec extends GraftSuite {
     """<http://www.wikidata.org/entity/Q42> <http://schema.org/name> "Douglas Adams"@en .""",
     """<http://www.wikidata.org/entity/Q42> <http://www.wikidata.org/prop/direct/P31> <http://www.wikidata.org/entity/Q5> .""",
     "garbage line",
+    """<http://www.wikidata.org/entity/Q7> <http://schema.org/motto> "say \"hi\" there" .""",
     """<http://www.wikidata.org/entity/Q1> <http://schema.org/description> "the universe" .""")
 
   private def writeSample(gzip: Boolean): String = {
@@ -37,12 +38,14 @@ class SourcesSinksSpec extends GraftSuite {
     assert(got == Set(
       ("Q42", "name", "Douglas Adams", false),
       ("Q42", "P31", "Q5", true),
+      // Escaped quotes stay in the lexical form, un-truncated.
+      ("Q7", "motto", """say \"hi\" there""", false),
       ("Q1", "description", "the universe", false)))
   }
 
   test("format(ntriples) reads gzip transparently") {
     val n = spark.read.format("ntriples").load(writeSample(gzip = true)).count()
-    assert(n == 3)
+    assert(n == 4)
   }
 
   test("format(ntriples) prunes columns in the scan") {
@@ -51,7 +54,7 @@ class SourcesSinksSpec extends GraftSuite {
     val scan = df.queryExecution.executedPlan.collectLeaves().head
     assert(scan.output.map(_.name) == Seq("subject"),
       s"scan must emit only the pruned column, got ${scan.output}")
-    assert(df.as[String].collect().sorted.toSeq == Seq("Q1", "Q42", "Q42"))
+    assert(df.as[String].collect().sorted.toSeq == Seq("Q1", "Q42", "Q42", "Q7"))
   }
 
   test("v2 source agrees with the Column-level parser") {

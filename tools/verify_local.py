@@ -25,7 +25,10 @@ def sort_key(x):
     if x is None:
         return (True, "")
     if isinstance(x, float):
-        return (False, f"{x:.9g}" if math.isfinite(x) else str(x))
+        # Rounded one order coarser than the comparison tolerance so
+        # tolerance-equal values cannot straddle a rounding boundary
+        # into different sort positions.
+        return (False, f"{x:.6g}" if math.isfinite(x) else str(x))
     return (False, str(x))
 
 
