@@ -78,6 +78,38 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("late cross-batch events merge backwards or form their own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = Sessions.sessionize(input.toDS(), gapSec = 100L,
+      watermarkDelay = "2 hours") // generous watermark: late events stay valid
+    val query = out.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1 opens session [1000, 1000].
+      input.addData(SessionEvent(1L, 1L, ts(1000)))
+      query.processAllAvailable()
+      // Batch 2 delivers: a late event at 950 (within gap of the open
+      // session's start — must merge backwards, start becomes 950), and
+      // two late events at 500/560 (own gap-chained session far before
+      // the open one).
+      input.addData(SessionEvent(1L, 2L, ts(950)),
+        SessionEvent(1L, 3L, ts(500)), SessionEvent(1L, 4L, ts(560)))
+      query.processAllAvailable()
+      // Push the watermark far ahead so everything flushes.
+      input.addData(SessionEvent(2L, 9L, ts(20000)))
+      query.processAllAvailable()
+      input.addData(SessionEvent(2L, 10L, ts(40000)))
+      query.processAllAvailable()
+      val rows = spark.table("late_out").as[SessionOut]
+        .collect().filter(_.user_id == 1L).toSet
+      assert(rows.contains(SessionOut(1L, 500L, 560L, 2L)),
+        s"late events should gap-chain into their own session, got $rows")
+      assert(rows.contains(SessionOut(1L, 950L, 1000L, 2L)),
+        s"late event within gap of start should merge backwards, got $rows")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
