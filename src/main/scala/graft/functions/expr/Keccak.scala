@@ -150,10 +150,9 @@ case class Keccak256(child: Expression) extends UnaryExpression {
     case BinaryType => KeccakUtil.keccak256(v.asInstanceOf[Array[Byte]])
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val util = KeccakUtil.getClass.getName.stripSuffix("$") + ".MODULE$"
-    defineCodeGen(ctx, ev, c => s"$util.keccak256($c)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Static forwarder on the mirror class — valid Java in codegen.
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.KeccakUtil.keccak256($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -175,10 +174,8 @@ case class Namehash(child: Expression) extends UnaryExpression {
   override def nullSafeEval(v: Any): Any =
     KeccakUtil.namehash(v.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val util = KeccakUtil.getClass.getName.stripSuffix("$") + ".MODULE$"
-    defineCodeGen(ctx, ev, c => s"$util.namehash($c)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.KeccakUtil.namehash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.functions.Hashes
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composed collection pipeline — the reference end-to-end
+  * (collection-templates: parse → validate members against the type
+  * hierarchy → enrich/rank → merge same-name collections → shape the
+  * final documents), as one library call over the individual
+  * operators. Each stage is the same DataFrame transformation the
+  * standalone queries exercise, so the whole flow stays one Catalyst
+  * plan (plus the closure's iterative jobs) and inherits their scale
+  * posture: closure joins iterate on checkpoints, the member join
+  * broadcasts when entities are dim-sized, ranking runs through the
+  * WindowGroupLimit pushdown, and the final aggregation is map-side
+  * combinable.
+  */
+object Collections {
+
+  /** Build enriched collections.
+    *
+    * @param members     (collectionCol, memberCol, scoreCol) membership
+    *                    edges — reference: parsed wiki-dump rows.
+    * @param entities    (memberCol, nameCol, typeCol) member metadata —
+    *                    reference: db1/db5 KV maps.
+    * @param collections (collectionCol, nameCol, requiredTypeCol) —
+    *                    reference: list/category seeds.
+    * @param typeEdges   (src, dst) subclass edges — reference: db2.
+    * @param topK        members kept per collection (rank-ordered).
+    *
+    * Output: one row per distinct collection NAME (same-name
+    * collections merged, reference filter_duplicates.py): stable id =
+    * min collection id, summed counts, rank-ordered top-k member
+    * names, valid/invalid counts (filter_articles2.py keeps both), and
+    * the EIP-137 namehash stamp (prepare_collections2.py:116).
+    */
+  def build(members: DataFrame, entities: DataFrame, collections: DataFrame,
+            typeEdges: DataFrame, topK: Int = 10): DataFrame = {
+    val closure = Graph.transitiveClosureDoubling(
+      typeEdges.select(col("src"), col("dst")))
+
+    val typed = members
+      .join(entities, "member_id")
+      .join(collections, "collection_id")
+    val validated = Graph.validateReachable(
+      typed, closure, "member_type", "required_type")
+
+    // Rank valid members per collection; keep top-k names in order.
+    val ranked = Relational.topKPerGroup(
+      validated.filter(col("valid")),
+      Seq(col("collection_id")),
+      Seq(col("score").desc, col("member_id").asc), topK, "rank")
+    val topMembers = ranked.groupBy("collection_id")
+      .agg(transform(array_sort(collect_list(struct(col("rank"), col("member_name")))),
+        s => s.getField("member_name")).as("top_members"))
+
+    val counts = validated.groupBy("collection_id")
+      .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
+           sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"),
+           max(col("score")).as("rank"))
+
+    collections.select("collection_id", "collection_name")
+      .join(counts, "collection_id")
+      .join(topMembers, Seq("collection_id"), "left")
+      // Merge collections sharing a name (filter_duplicates.py):
+      // min stable id, summed counts, max rank, best member list.
+      .groupBy(col("collection_name"))
+      .agg(min(col("collection_id")).as("stable_id"),
+           sum(col("valid_cnt")).as("valid_cnt"),
+           sum(col("invalid_cnt")).as("invalid_cnt"),
+           max(col("rank")).as("rank"),
+           max_by(col("top_members"), col("rank")).as("top_members"))
+      .withColumn("namehash",
+        hex(Hashes.namehash(concat(col("collection_name"), lit(".eth")))))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Collections, Relational}
+import graft.sinks.EsBulk
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline: the composed Collections.build over testdata
+  * playing the reference's roles (lineitem = membership edges, part =
+  * entities, orders = collection seeds, the part-key binary tree =
+  * type hierarchy), then snapshot-diffed and rendered as ES bulk ops —
+  * the full reference flow in one test.
+  */
+class PipelineSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private lazy val members = Tables(spark, sfDir, "lineitem").select(
+    col("l_orderkey").as("collection_id"),
+    col("l_partkey").as("member_id"),
+    col("l_extendedprice").as("score"))
+
+  private lazy val entities = Tables(spark, sfDir, "part").select(
+    col("p_partkey").as("member_id"),
+    col("p_name").as("member_name"),
+    col("p_partkey").as("member_type"))
+
+  // ~1 name per 10 collections → plenty of same-name merges.
+  private lazy val collections = Tables(spark, sfDir, "orders").select(
+    col("o_orderkey").as("collection_id"),
+    concat(lit("col-"), (col("o_orderkey") % 100).cast("string"))
+      .as("collection_name"),
+    (col("o_orderkey") % 30 + 2).as("required_type"))
+
+  private lazy val typeEdges = Tables(spark, sfDir, "part")
+    .filter(col("p_partkey") >= 2)
+    .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
+
+  private lazy val built =
+    Collections.build(members, entities, collections, typeEdges, topK = 5)
+      .localCheckpoint()
+
+  test("pipeline produces one merged row per collection name") {
+    val names = built.select("collection_name").as[String].collect()
+    assert(names.nonEmpty)
+    assert(names.length == names.distinct.length, "names must be unique after merge")
+  }
+
+  test("valid/invalid counts total the membership rows") {
+    val total = built.agg(sum($"valid_cnt" + $"invalid_cnt")).as[Long].head()
+    val expected = members.join(collections, "collection_id")
+      .join(entities, "member_id").count()
+    assert(total == expected)
+  }
+
+  test("top member lists are bounded and namehashes well-formed") {
+    assert(built.filter(size($"top_members") > 5).count() == 0)
+    assert(built.filter(length($"namehash") =!= 64).count() == 0)
+    // Deterministic: same name → same hash, across recomputations.
+    val again = Collections.build(members, entities, collections, typeEdges, 5)
+      .select("collection_name", "namehash").as[(String, String)].collect().toMap
+    built.select("collection_name", "namehash").as[(String, String)].collect()
+      .foreach { case (n, h) => assert(again(n) == h) }
+  }
+
+  test("diff + es bulk closes the loop on the reference flow") {
+    // "Previous snapshot": the same build with a perturbed rank, so some
+    // documents change, some match, and dropped names archive.
+    val prev = built.filter($"stable_id" % 3 =!= 0)
+      .withColumn("rank", $"rank" + 1.0)
+    val ops = Relational.diffSnapshots(
+      built, prev, "collection_name",
+      xxhash64(col("rank"), col("valid_cnt")))
+    val lines = EsBulk.bulkLines(
+      ops.join(built, Seq("collection_name"), "left"),
+      "collections", "collection_name", "op",
+      struct(col("valid_cnt"), col("rank"))).as[String].collect()
+    assert(lines.nonEmpty)
+    // Names missing from prev re-insert; rank-perturbed ones update;
+    // nothing archives (prev ⊂ current here).
+    val expectInserts = built.filter($"stable_id" % 3 === 0).count()
+    assert(lines.count(_.contains("\"archived\":true")) == 0)
+    assert(lines.count(_.startsWith("{\"index\"")) == expectInserts,
+      "names missing from prev must re-insert")
+    assert(lines.forall(l => l.split("\n").length == 2))
+  }
+}
