@@ -48,6 +48,16 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("a21: asof join costs exactly its two keyed shuffles, filters pushed") {
+    val p = plan("a21_asof_join")
+    // One exchange for the right-side (user, ts) dedup agg, one for the
+    // union + running-window on user — and nothing else (no range join,
+    // no per-row probe, no extra distribution).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("EqualTo(event_type,purchase)"), "purchase filter must reach the scan")
+    assert(p.contains("EqualTo(event_type,click)"), "click filter must reach the scan")
+  }
+
   test("a4: allowlist filter stays a LEFT SEMI broadcast join") {
     val p = plan("a4_semijoin_allowlist")
     assert(p.contains("LeftSemi"), p)
