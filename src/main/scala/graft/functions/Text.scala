@@ -35,4 +35,21 @@ object Text {
     * token column. HOT-PATH CAVEAT: see [[shingles]] — prefer
     * projecting [[tokens]] first wherever row counts are large. */
   def wordShingles(text: Column, n: Int): Column = shingles(tokens(text), n)
+
+  /** PII patterns (shared verbatim with SQL oracles — plain RE2/Java
+    * syntax, no lookarounds). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phoneRe = "\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}"
+
+  /** Redact emails, dotted-quad IPs, and international-format phone
+    * numbers with typed placeholders — the standard pre-export scrub
+    * of a training-data pipeline. Pure regexp_replace chain (narrow,
+    * codegen'd, no shuffle). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+        lit(ipRe), lit("<IP>")),
+      lit(phoneRe), lit("<PHONE>"))
 }

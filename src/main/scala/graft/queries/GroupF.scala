@@ -105,6 +105,17 @@ object GroupF {
             array_sort(array_distinct(Text.shingles(col("toks"), 3)))))
             .as("fingerprint"))),
 
+    // f6: PII scrubbing — the redaction pass every training-data
+    // pipeline runs before exporting text (Text.scrubPii) plus
+    // per-kind match counts on the original text.
+    "f6_pii_scrub" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        Text.scrubPii(col("text")).as("scrubbed"),
+        regexp_count(col("text"), lit(Text.emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(Text.ipRe)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(Text.phoneRe)).cast("long").as("n_phones"))),
+
     // f5: deterministic stratified sampling — md5-bucketed keep/drop
     // with per-language rates (en 50%, rest 20%); reproducible across
     // engines/partitionings, no RNG. Narrow filter, zero shuffles.
@@ -114,6 +125,12 @@ object GroupF {
         rates = Map("en" -> 50), defaultRate = 20)
         .select("doc_id", "lang")),
   )
+
+  // PII patterns shared verbatim with the DuckDB oracles (both
+  // engines take RE2/Java-compatible syntax here).
+  private val emailRe = Text.emailRe
+  private val ipRe = Text.ipRe
+  private val phoneRe = Text.phoneRe
 
   private val duckToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"
@@ -159,6 +176,18 @@ object GroupF {
              }.mkString(" ")}
          |       ELSE 'und' END AS guess
          |FROM sc""".stripMargin,
+
+    "f6_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |      '$ipRe', '<IP>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+         |  cast(len(regexp_extract_all(text, '$emailRe')) AS bigint) AS n_emails,
+         |  cast(len(regexp_extract_all(text, '$ipRe')) AS bigint) AS n_ips,
+         |  cast(len(regexp_extract_all(text, '$phoneRe')) AS bigint) AS n_phones
+         |FROM documents""".stripMargin,
 
     "f5_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -41,6 +41,18 @@ class TextEventsSpec extends GraftSuite {
     assert(groups == 0, "same text hashed to different fingerprints")
   }
 
+  test("f6: planted PII is scrubbed, clean text untouched") {
+    import graft.functions.Text
+    val df = Seq(
+      "contact me at jane.doe+x@example.co.uk or +1-555-123-4567",
+      "server 192.168.0.1 responded; backup at 10.0.0.255",
+      "no pii here, just words").toDF("text")
+    val out = df.select(Text.scrubPii($"text").as("s")).as[String].collect()
+    assert(out(0) == "contact me at <EMAIL> or <PHONE>")
+    assert(out(1) == "server <IP> responded; backup at <IP>")
+    assert(out(2) == "no pii here, just words")
+  }
+
   test("g1: sessions of one user never overlap and respect the gap") {
     val s = SparkEntry.queries("g1_sessionize")(spark, sfDir)
     // Consecutive sessions per user must be separated by > 1800s.
