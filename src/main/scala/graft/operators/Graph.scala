@@ -105,6 +105,48 @@ object Graph {
     closure
   }
 
+  /** Reachability restricted to a target set: all (src, dst) with dst
+    * ∈ `targets` and a path src →* dst — semi-naive BFS growing
+    * BACKWARD from the targets, so work is proportional to the
+    * targets' ancestor cone, never the full closure. This is the
+    * 100 TB shape of the reference's validation (filter_articles2.py
+    * checks paths to ONE collection type per member; a query's
+    * distinct target set is tiny, so materializing the whole
+    * subclass closure — O(V·depth) pairs — is pure waste).
+    *
+    * `targets` must have a single column named `dst`.
+    */
+  def reachableTo(edges: DataFrame, targets: DataFrame,
+                  maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val seed = targets.select(col("dst")).distinct()
+    // Pairs at distance 1 into the target set.
+    var reach = e.join(seed, "dst").select(col("src"), col("dst"))
+      .localCheckpoint()
+    var frontier = reach
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // Walk one hop backward: predecessors of the current frontier.
+      val grown = e.select(col("src").as("g_src"), col("dst").as("g_dst"))
+        .join(frontier.select(col("src").as("f_src"), col("dst").as("f_dst")),
+              col("g_dst") === col("f_src"))
+        .select(col("g_src").as("src"), col("f_dst").as("dst"))
+        .distinct()
+        .join(reach, Seq("src", "dst"), "left_anti")
+        .localCheckpoint()
+      if (grown.isEmpty) done = true
+      else {
+        reach = reach.union(grown).localCheckpoint()
+        frontier = grown
+        iter += 1
+      }
+    }
+    if (!done) log.warn(s"reachableTo stopped at maxIter = $maxIter with a " +
+      "non-empty frontier — result is incomplete; raise maxIter")
+    reach
+  }
+
   /** Reachability validation (filter_articles2.py main loop): a member
     * row is valid iff its `typeCol` node reaches the row's `targetCol`
     * node (or equals it). Returns the input plus a boolean `valid`.

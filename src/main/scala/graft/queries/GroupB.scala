@@ -39,13 +39,18 @@ object GroupB {
     // b2: member-valid-iff-reachable + per-collection valid/invalid
     // counts (filter_articles2.py keeps both). Members are lineitem
     // rows typed by l_partkey; each order demands an ancestor type.
+    // Reachability is computed ONLY toward the ~30 distinct required
+    // types (Graph.reachableTo) — the targets' ancestor cone, never
+    // the full closure; at 100 TB that asymmetry is what makes
+    // validation feasible.
     "b2_validate_members" -> ((s, d) => {
-      val closure = Graph.transitiveClosureDoubling(edges(s, d))
       val members = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(Tables(s, d, "orders")
                 .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("required")),
               col("l_orderkey") === col("o_orderkey"))
+      val closure = Graph.reachableTo(edges(s, d),
+        members.select(col("required").as("dst")))
       Graph.validateReachable(members, closure, "l_partkey", "required")
         .groupBy("o_orderkey")
         .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),

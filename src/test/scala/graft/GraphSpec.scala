@@ -37,6 +37,27 @@ class GraphSpec extends GraftSuite {
       pairs(Graph.transitiveClosure(edges)))
   }
 
+  test("reachableTo equals the target-filtered full closure") {
+    // Binary-tree edges over sf0.001 part keys, targets 2..31 — the
+    // exact shape b2 runs; seeded backward BFS must agree with the
+    // full closure restricted to those destinations.
+    val edges = Tables(spark, sfDir, "part")
+      .filter($"p_partkey" >= 2)
+      .selectExpr("p_partkey AS src", "p_partkey DIV 2 AS dst")
+    val targets = spark.range(2, 32).select($"id".as("dst"))
+    val full = pairs(Graph.transitiveClosureDoubling(edges)
+      .join(targets, "dst").select("src", "dst"))
+    assert(pairs(Graph.reachableTo(edges, targets)) === full)
+    assert(full.nonEmpty)
+  }
+
+  test("reachableTo handles cycles and disconnected targets") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("src", "dst")
+    val targets = Seq(Tuple1(1L), Tuple1(9L)).toDF("dst")
+    assert(pairs(Graph.reachableTo(edges, targets)) ===
+      Set((2L, 1L), (1L, 1L)))
+  }
+
   test("validateReachable marks reachable, equal, and unreachable") {
     val closure = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
     val members = Seq((10L, 1L, 3L), (11L, 1L, 1L), (12L, 3L, 1L))
