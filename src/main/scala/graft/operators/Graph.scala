@@ -115,10 +115,17 @@ object Graph {
     * subclass closure — O(V·depth) pairs — is pure waste).
     *
     * `targets` must have a single column named `dst`.
+    *
+    * `uniquePaths = true` — same precondition and payoff as
+    * [[transitiveClosure]]: on a tree/forest edge set no (src, dst)
+    * pair can be rediscovered, so each round drops the dedup
+    * `distinct` + anti-join (two shuffles) and is a single join.
     */
   def reachableTo(edges: DataFrame, targets: DataFrame,
-                  maxIter: Int = 30): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+                  maxIter: Int = 30,
+                  uniquePaths: Boolean = false): DataFrame = {
+    val raw = edges.select(col("src"), col("dst"))
+    val e = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
     val seed = targets.select(col("dst")).distinct()
     // Pairs at distance 1 into the target set.
     var reach = e.join(seed, "dst").select(col("src"), col("dst"))
@@ -128,13 +135,14 @@ object Graph {
     var done = false
     while (!done && iter < maxIter) {
       // Walk one hop backward: predecessors of the current frontier.
-      val grown = e.select(col("src").as("g_src"), col("dst").as("g_dst"))
+      val hop = e.select(col("src").as("g_src"), col("dst").as("g_dst"))
         .join(frontier.select(col("src").as("f_src"), col("dst").as("f_dst")),
               col("g_dst") === col("f_src"))
         .select(col("g_src").as("src"), col("f_dst").as("dst"))
-        .distinct()
-        .join(reach, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
+      val grown =
+        (if (uniquePaths) hop
+         else hop.distinct().join(reach, Seq("src", "dst"), "left_anti"))
+          .localCheckpoint()
       if (grown.isEmpty) done = true
       else {
         reach = reach.union(grown).localCheckpoint()

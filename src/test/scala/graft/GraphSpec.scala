@@ -48,6 +48,7 @@ class GraphSpec extends GraftSuite {
     val full = pairs(Graph.transitiveClosureDoubling(edges)
       .join(targets, "dst").select("src", "dst"))
     assert(pairs(Graph.reachableTo(edges, targets)) === full)
+    assert(pairs(Graph.reachableTo(edges, targets, uniquePaths = true)) === full)
     assert(full.nonEmpty)
   }
 
