@@ -20,14 +20,15 @@ object Collections {
 
   /** Build enriched collections.
     *
-    * @param members     (collectionCol, memberCol, scoreCol) membership
-    *                    edges — reference: parsed wiki-dump rows.
-    * @param entities    (memberCol, nameCol, typeCol) member metadata —
-    *                    reference: db1/db5 KV maps.
-    * @param collections (collectionCol, nameCol, requiredTypeCol) —
-    *                    reference: list/category seeds.
-    * @param typeEdges   (src, dst) subclass edges — reference: db2.
-    * @param topK        members kept per collection (rank-ordered).
+    * Required input schemas (exact column names):
+    *  - `members`: (collection_id, member_id, score) — membership
+    *    edges, reference: parsed wiki-dump rows.
+    *  - `entities`: (member_id, member_name, member_type) — member
+    *    metadata, reference: db1/db5 KV maps.
+    *  - `collections`: (collection_id, collection_name, required_type)
+    *    — reference: list/category seeds.
+    *  - `typeEdges`: (src, dst) subclass edges — reference: db2.
+    * @param topK members kept per collection (rank-ordered).
     *
     * Output: one row per distinct collection NAME (same-name
     * collections merged, reference filter_duplicates.py): stable id =
@@ -37,14 +38,20 @@ object Collections {
     */
   def build(members: DataFrame, entities: DataFrame, collections: DataFrame,
             typeEdges: DataFrame, topK: Int = 10): DataFrame = {
-    val closure = Graph.transitiveClosureDoubling(
-      typeEdges.select(col("src"), col("dst")))
+    // Reachability only toward the collections' required types — the
+    // targets' ancestor cone, never the full closure (same asymmetry
+    // the standalone validation query exploits).
+    val closure = Graph.reachableTo(
+      typeEdges.select(col("src"), col("dst")),
+      collections.select(col("required_type").as("dst")))
 
     val typed = members
       .join(entities, "member_id")
       .join(collections, "collection_id")
+    // Materialized once: both aggregations below consume it, and
+    // Catalyst does not dedupe common subplans.
     val validated = Graph.validateReachable(
-      typed, closure, "member_type", "required_type")
+      typed, closure, "member_type", "required_type").localCheckpoint()
 
     // Rank valid members per collection; keep top-k names in order.
     val ranked = Relational.topKPerGroup(
@@ -58,7 +65,10 @@ object Collections {
     val counts = validated.groupBy("collection_id")
       .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
            sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"),
-           max(col("score")).as("rank"))
+           // Rank is scoped to VALID members, so an invalid-only
+           // sibling can never out-rank (and null out) a real member
+           // list in the same-name max_by below.
+           max(when(col("valid"), col("score"))).as("rank"))
 
     collections.select("collection_id", "collection_name")
       .join(counts, "collection_id")

@@ -43,10 +43,13 @@ object Graph {
     val raw = edges.select(col("src"), col("dst"))
     val base = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
     if (uniquePaths && strict) {
-      val multiParent = base.groupBy("dst").count().filter(col("count") > 1).limit(1).count()
+      // Edges run child → parent; duplicate paths require some node
+      // with MORE THAN ONE OUTGOING edge (two parents). Multiple
+      // edges INTO a node are just siblings — legal in any forest.
+      val multiParent = base.groupBy("src").count().filter(col("count") > 1).limit(1).count()
       if (multiParent > 0) throw new IllegalStateException(
         "transitiveClosure(uniquePaths = true) requires a tree/forest edge set, " +
-          "but some dst has more than one parent — rerun with uniquePaths = false")
+          "but some src has more than one parent edge — rerun with uniquePaths = false")
     }
     // Rename once so the iterated self-join never has ambiguous columns.
     val hop = base.select(col("src").as("h_src"), col("dst").as("h_dst"))
@@ -120,12 +123,22 @@ object Graph {
     * [[transitiveClosure]]: on a tree/forest edge set no (src, dst)
     * pair can be rediscovered, so each round drops the dedup
     * `distinct` + anti-join (two shuffles) and is a single join.
+    * Violating the precondition yields DUPLICATE pairs (which inflate
+    * any downstream join fan-out); `strict = true` verifies it up
+    * front and turns the maxIter warning into an exception.
     */
   def reachableTo(edges: DataFrame, targets: DataFrame,
                   maxIter: Int = 30,
-                  uniquePaths: Boolean = false): DataFrame = {
+                  uniquePaths: Boolean = false,
+                  strict: Boolean = false): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
     val e = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
+    if (uniquePaths && strict) {
+      val multiParent = e.groupBy("src").count().filter(col("count") > 1).limit(1).count()
+      if (multiParent > 0) throw new IllegalStateException(
+        "reachableTo(uniquePaths = true) requires a tree/forest edge set, " +
+          "but some src has more than one outgoing edge — rerun with uniquePaths = false")
+    }
     val seed = targets.select(col("dst")).distinct()
     // Pairs at distance 1 into the target set.
     var reach = e.join(seed, "dst").select(col("src"), col("dst"))
@@ -150,8 +163,12 @@ object Graph {
         iter += 1
       }
     }
-    if (!done) log.warn(s"reachableTo stopped at maxIter = $maxIter with a " +
-      "non-empty frontier — result is incomplete; raise maxIter")
+    if (!done) {
+      val msg = s"reachableTo stopped at maxIter = $maxIter with a non-empty " +
+        "frontier — the result is incomplete (deeper chains, or a cycle under " +
+        "uniquePaths = true); raise maxIter"
+      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+    }
     reach
   }
 

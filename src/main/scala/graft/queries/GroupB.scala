@@ -49,10 +49,12 @@ object GroupB {
         .join(Tables(s, d, "orders")
                 .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("required")),
               col("l_orderkey") === col("o_orderkey"))
-      // The k -> k/2 hierarchy is a forest: uniquePaths skips the
-      // per-round dedup shuffles.
+      // Targets come from orders alone — no reason to scan the fact
+      // join just to distinct ~30 values. The k -> k/2 hierarchy is a
+      // forest: uniquePaths skips the per-round dedup shuffles.
       val closure = Graph.reachableTo(edges(s, d),
-        members.select(col("required").as("dst")), uniquePaths = true)
+        Tables(s, d, "orders").select((col("o_orderkey") % 30 + 2).as("dst")),
+        uniquePaths = true)
       Graph.validateReachable(members, closure, "l_partkey", "required")
         .groupBy("o_orderkey")
         .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),

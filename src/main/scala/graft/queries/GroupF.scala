@@ -126,11 +126,9 @@ object GroupF {
         .select("doc_id", "lang")),
   )
 
-  // PII patterns shared verbatim with the DuckDB oracles (both
-  // engines take RE2/Java-compatible syntax here).
-  private val emailRe = Text.emailRe
-  private val ipRe = Text.ipRe
-  private val phoneRe = Text.phoneRe
+  // PII patterns interpolated verbatim into the DuckDB oracles (both
+  // engines take RE2/Java-compatible syntax) — single source in Text.
+  import Text.{emailRe, ipRe, phoneRe}
 
   private val duckToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"

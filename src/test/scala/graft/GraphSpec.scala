@@ -59,6 +59,24 @@ class GraphSpec extends GraftSuite {
       Set((2L, 1L), (1L, 1L)))
   }
 
+  test("strict uniquePaths accepts forests and rejects multi-parent graphs") {
+    // A genuine forest: node 1 has two children — legal.
+    val forest = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("src", "dst")
+    assert(pairs(Graph.transitiveClosure(forest, uniquePaths = true, strict = true)) ===
+      pairs(Graph.transitiveClosure(forest)))
+    assert(pairs(Graph.reachableTo(forest, Seq(Tuple1(1L)).toDF("dst"),
+      uniquePaths = true, strict = true)).nonEmpty)
+    // Node 4 with two parents: multiple paths — must be rejected.
+    val diamond = Seq((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.transitiveClosure(diamond, uniquePaths = true, strict = true)
+    }
+    intercept[IllegalStateException] {
+      Graph.reachableTo(diamond, Seq(Tuple1(1L)).toDF("dst"),
+        uniquePaths = true, strict = true)
+    }
+  }
+
   test("validateReachable marks reachable, equal, and unreachable") {
     val closure = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
     val members = Seq((10L, 1L, 3L), (11L, 1L, 1L), (12L, 3L, 1L))
