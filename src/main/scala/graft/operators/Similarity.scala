@@ -125,31 +125,54 @@ object Similarity {
   }
 
   /** Approximate top-k via IVF (inverted-file) coarse quantization:
-    * every `centroidMod`-th corpus vector serves as a deterministic
-    * coarse centroid; corpus vectors assign to their nearest centroid
-    * (the inverted lists), queries probe the `nProbe` nearest
-    * centroids and search only those lists exactly.
+    * every `centroidMod`-th corpus vector seeds a centroid,
+    * `kmeansIters` Lloyd iterations refine them (assign → per-cluster
+    * spherical mean → renormalize; fully deterministic), then corpus
+    * vectors assign to their nearest centroid (the inverted lists) and
+    * queries probe the `nProbe` nearest centroids, searching only
+    * those lists exactly.
     *
     * Scale posture: with C ≈ √N centroids the assignment stage costs
     * N·C dots through a broadcast join (no shuffle of the corpus), the
     * probe stage Q·C, and the search stage Q·nProbe·(N/C) — all three
     * stay codegen'd ArrayDot scans, and the candidate join shuffles on
-    * the centroid id (bounded fan-out, like the LSH bucket join). A
-    * production variant would learn centroids with k-means; sampling
-    * keeps the operator self-contained and deterministic, which is
-    * what the recall spec pins down.
+    * the centroid id (bounded fan-out, like the LSH bucket join). Each
+    * Lloyd iteration adds one posexplode + (cid, dim) partial-agg
+    * shuffle — the canonical distributed k-means step.
     */
   def knnIvf(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             centroidMod: Long = 37L, nProbe: Int = 4): DataFrame = {
+             centroidMod: Long = 37L, nProbe: Int = 4,
+             kmeansIters: Int = 2): DataFrame = {
     val unit = normalized(corpus, idCol, vecCol).localCheckpoint()
-    val centroids = broadcast(
-      unit.filter(col("id") % centroidMod === 0)
-        .select(col("id").as("cid"), col("unit").as("cvec")))
-    require(centroids.head(1).nonEmpty,
+    val seeds = unit.filter(col("id") % centroidMod === 0)
+      .select(col("id").as("cid"), col("unit").as("cvec"))
+    require(seeds.head(1).nonEmpty,
       s"knnIvf: no centroids — no corpus id is divisible by $centroidMod " +
         "(ids must be numeric and cover multiples of centroidMod; " +
         "lower centroidMod or remap ids)")
+    var centroids = broadcast(seeds)
+    for (_ <- 1 to kmeansIters) {
+      // Assign every vector to its nearest centroid, then move each
+      // centroid to the (renormalized) mean of its cluster. Empty
+      // clusters drop out — harmless, their list would be empty too.
+      val assigned = Relational.topKPerGroup(
+          unit.crossJoin(centroids)
+            .withColumn("cdot", Vectors.dot(col("unit"), col("cvec"))),
+          Seq(col("id")), Seq(col("cdot").desc, col("cid").asc), 1, "__cr")
+        .select(col("cid"), col("unit"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("unit")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean"))
+      val norm = sqrt(aggregate(col("mean"), lit(0.0), (a, x) => a + x * x))
+      centroids = broadcast(means.select(col("cid"),
+        when(norm === 0.0, col("mean"))
+          .otherwise(transform(col("mean"), x => x / norm)).as("cvec"))
+        .localCheckpoint())
+    }
     def nearest(df: DataFrame, n: Int, outId: String): DataFrame =
       Relational.topKPerGroup(
         df.crossJoin(centroids)

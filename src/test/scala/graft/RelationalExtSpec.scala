@@ -55,7 +55,8 @@ class RelationalExtSpec extends GraftSuite {
     val recalls = exact.map { case (q, t) =>
       approx.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.3, s"mean recall@10 = $mean")
+    // 0.52 without refinement, 0.66 with the default 2 Lloyd iters.
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
   test("saltedJoin equals the plain inner join on skewed keys") {
