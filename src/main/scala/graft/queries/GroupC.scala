@@ -54,6 +54,28 @@ object GroupC {
           count(lit(1)).as("n_events"))
     }),
 
+    // c4: SQL-dump INSERT parsing (parse_wiki_dump.py) — lines are
+    // synthesized deterministically from `supplier` (5 tuples per
+    // INSERT, suppkey-ordered; same expression on both engines), then
+    // the real tuple splitter + field extraction run on them.
+    "c4_sqldump_parse" -> ((s, d) => {
+      val tup = concat(lit("("), col("s_suppkey"), lit(",'"), col("s_name"),
+        lit("',"), col("s_nationkey"), lit(")"))
+      val lines = Tables(s, d, "supplier")
+        .select(expr("s_suppkey DIV 5").as("g"),
+          struct(col("s_suppkey"), tup.as("t")).as("st"))
+        .groupBy("g")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("st"))), x => x.getField("t"))).as("body"))
+        .select(concat(lit("INSERT INTO supplier VALUES "), col("body"), lit(";"))
+          .as("value"))
+      val fieldRe = "^(\\d+),'([^']*)',(\\d+)$"
+      graft.sources.SqlDump.tuples(lines).select(
+        regexp_extract(col("tuple"), fieldRe, 1).cast("long").as("suppkey"),
+        regexp_extract(col("tuple"), fieldRe, 2).as("name"),
+        regexp_extract(col("tuple"), fieldRe, 3).cast("long").as("nationkey"))
+    }),
+
     // c3: JSON property extraction + aggregation over it.
     "c3_json_extract" -> ((s, d) => {
       Tables(s, d, "events")
@@ -83,6 +105,20 @@ object GroupC {
          |  starts_with(o_raw, '<') AS obj_is_uri
          |FROM parsed
          |WHERE regexp_extract(s_uri, '([^/#]+)$$', 1) <> ''""".stripMargin,
+
+    "c4_sqldump_parse" ->
+      """WITH lines AS (
+        |  SELECT 'INSERT INTO supplier VALUES ' ||
+        |    string_agg('(' || s_suppkey || ',''' || s_name || ''',' || s_nationkey || ')',
+        |               ',' ORDER BY s_suppkey) || ';' AS value
+        |  FROM supplier GROUP BY s_suppkey // 5),
+        |tu AS (SELECT unnest(regexp_extract_all(value, '\(([^()]*)\)', 1)) AS t
+        |       FROM lines)
+        |SELECT
+        |  cast(regexp_extract(t, '^(\d+),''([^'']*)'',(\d+)$', 1) AS bigint) AS suppkey,
+        |  regexp_extract(t, '^(\d+),''([^'']*)'',(\d+)$', 2) AS name,
+        |  cast(regexp_extract(t, '^(\d+),''([^'']*)'',(\d+)$', 3) AS bigint) AS nationkey
+        |FROM tu""".stripMargin,
 
     "c2_group_entity" ->
       """SELECT user_id,

@@ -68,6 +68,15 @@ class SourcesSinksSpec extends GraftSuite {
     assert(v2 == colParsed)
   }
 
+  test("sql dump tuple splitter handles multi-tuple lines and junk") {
+    val lines = Seq(
+      "INSERT INTO t VALUES (1,'a',10),(2,'b,c',20);",
+      "-- comment, no tuples here",
+      "INSERT INTO t VALUES (3,'d',30);").toDF("value")
+    val got = graft.sources.SqlDump.tuples(lines).as[String].collect().toSet
+    assert(got == Set("1,'a',10", "2,'b,c',20", "3,'d',30"))
+  }
+
   test("es bulk sink renders insert/update/archive wire format") {
     val cur = Seq((1L, "a"), (2L, "b2"), (4L, "d")).toDF("k", "v")
     val prev = Seq((2L, "b"), (3L, "c"), (1L, "a")).toDF("k", "v")
