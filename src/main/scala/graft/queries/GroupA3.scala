@@ -45,6 +45,33 @@ object GroupA3 {
         Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         k = 5, perKind = 2)),
 
+    // a25: related collections by member overlap
+    // (precompute_related.py): collections (orders) sharing members
+    // (parts) pair through the member inverted index — the same
+    // bounded-bucket shape as the shingle dedup, no all-pairs — score
+    // by overlap count and member-set Jaccard, keep each collection's
+    // top-5 by score. Output is symmetric pairs (a < b) to stay
+    // deterministic.
+    "a25_related_collections" -> ((s, d) => {
+      val mem = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+        .distinct().localCheckpoint()
+      val sizes = mem.groupBy("coll").agg(count(lit(1)).as("n"))
+      val shared = mem.select(col("member"), col("coll").as("coll_a"))
+        .join(mem.select(col("member"), col("coll").as("coll_b")), "member")
+        .filter(col("coll_a") < col("coll_b"))
+        .groupBy("coll_a", "coll_b").agg(count(lit(1)).as("overlap"))
+        .join(sizes.select(col("coll").as("coll_a"), col("n").as("na")), "coll_a")
+        .join(sizes.select(col("coll").as("coll_b"), col("n").as("nb")), "coll_b")
+        .withColumn("jaccard", round(col("overlap").cast("double") /
+          (col("na") + col("nb") - col("overlap")), 6))
+      Relational.topKPerGroup(
+        shared.select("coll_a", "coll_b", "overlap", "jaccard"),
+        Seq(col("coll_a")),
+        Seq(col("overlap").desc, col("jaccard").desc, col("coll_b").asc),
+        k = 5, rankCol = "rank")
+    }),
+
     // a23: ENS namehash of every curated part name — the reference
     // stamps members with namehash(curated + ".eth")
     // (prepare_collections2.py:116). Native keccak expression; no
@@ -70,6 +97,26 @@ object GroupA3 {
         |SELECT p.purchase_id, p.user_id, p.es, c.click_id, c.click_es
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.es >= c.click_es""".stripMargin,
+
+    "a25_related_collections" ->
+      """WITH mem AS (SELECT DISTINCT l_orderkey AS coll, l_partkey AS member
+        |             FROM lineitem),
+        |sizes AS (SELECT coll, count(*) AS n FROM mem GROUP BY 1),
+        |shared AS (
+        |  SELECT a.coll AS coll_a, b.coll AS coll_b, count(*) AS overlap
+        |  FROM mem a JOIN mem b USING (member)
+        |  WHERE a.coll < b.coll GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT coll_a, coll_b, overlap,
+        |    round(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard
+        |  FROM shared
+        |  JOIN sizes sa ON sa.coll = coll_a
+        |  JOIN sizes sb ON sb.coll = coll_b)
+        |SELECT coll_a, coll_b, overlap, jaccard, cast(rank AS int) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY coll_a
+        |        ORDER BY overlap DESC, jaccard DESC, coll_b ASC) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     "a22_diverse_topk" ->
       """WITH r1 AS (
