@@ -57,19 +57,24 @@ object GroupA3 {
         .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
         .distinct().localCheckpoint()
       val sizes = mem.groupBy("coll").agg(count(lit(1)).as("n"))
+      // Pair mass is the unavoidable exchange; everything optional
+      // stays AFTER the rank cut: "related" requires overlap ≥ 2
+      // (pairs sharing one incidental member are noise), ranking ties
+      // break on coll_b alone so the size join + jaccard attach to at
+      // most k rows per collection, not to every candidate pair.
       val shared = mem.select(col("member"), col("coll").as("coll_a"))
         .join(mem.select(col("member"), col("coll").as("coll_b")), "member")
         .filter(col("coll_a") < col("coll_b"))
         .groupBy("coll_a", "coll_b").agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 2)
+      Relational.topKPerGroup(shared, Seq(col("coll_a")),
+          Seq(col("overlap").desc, col("coll_b").asc), k = 5, rankCol = "rank")
         .join(sizes.select(col("coll").as("coll_a"), col("n").as("na")), "coll_a")
         .join(sizes.select(col("coll").as("coll_b"), col("n").as("nb")), "coll_b")
-        .withColumn("jaccard", round(col("overlap").cast("double") /
-          (col("na") + col("nb") - col("overlap")), 6))
-      Relational.topKPerGroup(
-        shared.select("coll_a", "coll_b", "overlap", "jaccard"),
-        Seq(col("coll_a")),
-        Seq(col("overlap").desc, col("jaccard").desc, col("coll_b").asc),
-        k = 5, rankCol = "rank")
+        .select(col("coll_a"), col("coll_b"), col("overlap"),
+          round(col("overlap").cast("double") /
+            (col("na") + col("nb") - col("overlap")), 6).as("jaccard"),
+          col("rank"))
     }),
 
     // a23: ENS namehash of every curated part name — the reference
@@ -105,18 +110,19 @@ object GroupA3 {
         |shared AS (
         |  SELECT a.coll AS coll_a, b.coll AS coll_b, count(*) AS overlap
         |  FROM mem a JOIN mem b USING (member)
-        |  WHERE a.coll < b.coll GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT coll_a, coll_b, overlap,
-        |    round(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard
-        |  FROM shared
-        |  JOIN sizes sa ON sa.coll = coll_a
-        |  JOIN sizes sb ON sb.coll = coll_b)
-        |SELECT coll_a, coll_b, overlap, jaccard, cast(rank AS int) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY coll_a
-        |        ORDER BY overlap DESC, jaccard DESC, coll_b ASC) AS rank
-        |      FROM scored)
-        |WHERE rank <= 5""".stripMargin,
+        |  WHERE a.coll < b.coll GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |ranked AS (
+        |  SELECT coll_a, coll_b, overlap, cast(rank AS int) AS rank
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY coll_a
+        |          ORDER BY overlap DESC, coll_b ASC) AS rank
+        |        FROM shared)
+        |  WHERE rank <= 5)
+        |SELECT coll_a, coll_b, overlap,
+        |  round(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard, rank
+        |FROM ranked
+        |JOIN sizes sa ON sa.coll = coll_a
+        |JOIN sizes sb ON sb.coll = coll_b""".stripMargin,
 
     "a22_diverse_topk" ->
       """WITH r1 AS (
