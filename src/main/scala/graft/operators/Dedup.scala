@@ -70,12 +70,8 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol, n, dfCap).localCheckpoint()
     if (!prefixFilter) {
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-      val shared = sh.select(col("shingle"), col("id").as("id_a"))
-        .join(sh.select(col("shingle"), col("id").as("id_b")), "shingle")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("shared"))
-      shared
+      Relational.overlapPairs(sh, "id", "shingle")
+        .withColumnRenamed("overlap", "shared")
         .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
         .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
         .withColumn("jaccard",

@@ -96,6 +96,23 @@ object Relational {
       .drop("__rk", "__rn")
   }
 
+  /** Shared-element pair counting over (id, element) edges — the
+    * inverted-index core under both the n-gram Jaccard dedup and
+    * related-collections ranking: only pairs sharing ≥ 1 element are
+    * ever materialized (join volume Σ df² over elements, bounded
+    * buckets, never all-pairs), and one aggregation counts each
+    * intersection. Returns (id_a, id_b, overlap) with id_a < id_b.
+    */
+  def overlapPairs(edges: DataFrame, idCol: String,
+                   elemCol: String): DataFrame = {
+    val e = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
+    e.select(col("__el"), col("__id").as("id_a"))
+      .join(e.select(col("__el"), col("__id").as("id_b")), "__el")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("overlap"))
+  }
+
   /** Skew-safe inner equi-join by key salting: each probe-side row
     * gets a deterministic salt in [0, saltFactor) (hash of the whole
     * row, so exact-duplicate rows co-locate but everything else

@@ -127,18 +127,23 @@ object Similarity {
   /** Approximate top-k via IVF (inverted-file) coarse quantization:
     * every `centroidMod`-th corpus vector seeds a centroid,
     * `kmeansIters` Lloyd iterations refine them (assign → per-cluster
-    * spherical mean → renormalize; fully deterministic), then corpus
-    * vectors assign to their nearest centroid (the inverted lists) and
-    * queries probe the `nProbe` nearest centroids, searching only
-    * those lists exactly.
+    * spherical mean → renormalize), then corpus vectors assign to
+    * their nearest centroid (the inverted lists) and queries probe
+    * the `nProbe` nearest centroids, searching only those lists
+    * exactly. Means are rounded to 9 dp so summation-order noise in
+    * the distributed average cannot flip near-tie assignments —
+    * deterministic in practice, not bit-for-bit guaranteed.
     *
     * Scale posture: with C ≈ √N centroids the assignment stage costs
-    * N·C dots through a broadcast join (no shuffle of the corpus), the
-    * probe stage Q·C, and the search stage Q·nProbe·(N/C) — all three
-    * stay codegen'd ArrayDot scans, and the candidate join shuffles on
-    * the centroid id (bounded fan-out, like the LSH bucket join). Each
-    * Lloyd iteration adds one posexplode + (cid, dim) partial-agg
-    * shuffle — the canonical distributed k-means step.
+    * N·C dots through a broadcast join, and its argmax is a plain
+    * `max_by` groupBy — map-side combinable, so the exchange carries
+    * N rows, never the N·C candidates. The probe stage is Q·C, the
+    * search stage Q·nProbe·(N/C); all dots are codegen'd ArrayDot
+    * scans and the candidate join shuffles on the centroid id
+    * (bounded fan-out, like the LSH bucket join). Each Lloyd
+    * iteration adds the argmax exchange plus one posexplode +
+    * (cid, dim) partial-agg shuffle — the canonical distributed
+    * k-means step.
     */
   def knnIvf(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
@@ -152,18 +157,20 @@ object Similarity {
         "(ids must be numeric and cover multiples of centroidMod; " +
         "lower centroidMod or remap ids)")
     var centroids = broadcast(seeds)
+    // Nearest-centroid argmax: maximize (cdot, -cid) — deterministic
+    // cid-ascending tie-break — via map-side-combinable max_by.
+    def assign(df: DataFrame): DataFrame =
+      df.crossJoin(centroids)
+        .withColumn("cdot", Vectors.dot(col("unit"), col("cvec")))
+        .groupBy("id")
+        .agg(expr("max_by(cid, struct(cdot, -cid))").as("cid"),
+             first(col("unit")).as("unit"))
     for (_ <- 1 to kmeansIters) {
-      // Assign every vector to its nearest centroid, then move each
-      // centroid to the (renormalized) mean of its cluster. Empty
-      // clusters drop out — harmless, their list would be empty too.
-      val assigned = Relational.topKPerGroup(
-          unit.crossJoin(centroids)
-            .withColumn("cdot", Vectors.dot(col("unit"), col("cvec"))),
-          Seq(col("id")), Seq(col("cdot").desc, col("cid").asc), 1, "__cr")
-        .select(col("cid"), col("unit"))
-      val means = assigned
+      // Move each centroid to the renormalized mean of its cluster.
+      // Empty clusters drop out — harmless, their list would be empty.
+      val means = assign(unit)
         .select(col("cid"), posexplode(col("unit")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid", "pos").agg(round(avg(col("v")), 9).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mean"))
@@ -180,9 +187,8 @@ object Similarity {
         Seq(col("id")), Seq(col("cdot").desc, col("cid").asc), n, "__cr")
         .select(col("id").as(outId), col("cid"))
     // Inverted lists: corpus vector -> its single nearest centroid.
-    val lists = nearest(unit, 1, "neighbor_id")
-      .join(unit.select(col("id").as("neighbor_id"), col("unit").as("cv")),
-            "neighbor_id")
+    val lists = assign(unit)
+      .select(col("id").as("neighbor_id"), col("cid"), col("unit").as("cv"))
     // Queries probe nProbe lists.
     val qUnit = normalized(queries, idCol, vecCol)
     val probes = nearest(qUnit, nProbe, "query_id")

@@ -47,31 +47,31 @@ object GroupA3 {
 
     // a25: related collections by member overlap
     // (precompute_related.py): collections (orders) sharing members
-    // (parts) pair through the member inverted index — the same
-    // bounded-bucket shape as the shingle dedup, no all-pairs — score
-    // by overlap count and member-set Jaccard, keep each collection's
-    // top-5 by score. Output is symmetric pairs (a < b) to stay
-    // deterministic.
+    // (parts) pair through the member inverted index
+    // (Relational.overlapPairs — bounded buckets, no all-pairs), then
+    // EVERY collection ranks ALL its partners (both directions of
+    // each undirected pair) and keeps its top-5. Pair mass is the
+    // unavoidable exchange; everything optional stays AFTER the rank
+    // cut: "related" requires overlap ≥ 2 (one incidental shared
+    // member is noise), ranking ties break on the partner id alone so
+    // the size join + jaccard attach to at most k rows per
+    // collection, not to every candidate pair.
     "a25_related_collections" -> ((s, d) => {
       val mem = Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
         .distinct().localCheckpoint()
       val sizes = mem.groupBy("coll").agg(count(lit(1)).as("n"))
-      // Pair mass is the unavoidable exchange; everything optional
-      // stays AFTER the rank cut: "related" requires overlap ≥ 2
-      // (pairs sharing one incidental member are noise), ranking ties
-      // break on coll_b alone so the size join + jaccard attach to at
-      // most k rows per collection, not to every candidate pair.
-      val shared = mem.select(col("member"), col("coll").as("coll_a"))
-        .join(mem.select(col("member"), col("coll").as("coll_b")), "member")
-        .filter(col("coll_a") < col("coll_b"))
-        .groupBy("coll_a", "coll_b").agg(count(lit(1)).as("overlap"))
+      val undirected = Relational.overlapPairs(mem, "coll", "member")
         .filter(col("overlap") >= 2)
-      Relational.topKPerGroup(shared, Seq(col("coll_a")),
-          Seq(col("overlap").desc, col("coll_b").asc), k = 5, rankCol = "rank")
-        .join(sizes.select(col("coll").as("coll_a"), col("n").as("na")), "coll_a")
-        .join(sizes.select(col("coll").as("coll_b"), col("n").as("nb")), "coll_b")
-        .select(col("coll_a"), col("coll_b"), col("overlap"),
+      val directed = undirected
+        .select(col("id_a").as("coll"), col("id_b").as("related"), col("overlap"))
+        .union(undirected
+          .select(col("id_b").as("coll"), col("id_a").as("related"), col("overlap")))
+      Relational.topKPerGroup(directed, Seq(col("coll")),
+          Seq(col("overlap").desc, col("related").asc), k = 5, rankCol = "rank")
+        .join(sizes.select(col("coll"), col("n").as("na")), "coll")
+        .join(sizes.select(col("coll").as("related"), col("n").as("nb")), "related")
+        .select(col("coll"), col("related"), col("overlap"),
           round(col("overlap").cast("double") /
             (col("na") + col("nb") - col("overlap")), 6).as("jaccard"),
           col("rank"))
@@ -107,22 +107,26 @@ object GroupA3 {
       """WITH mem AS (SELECT DISTINCT l_orderkey AS coll, l_partkey AS member
         |             FROM lineitem),
         |sizes AS (SELECT coll, count(*) AS n FROM mem GROUP BY 1),
-        |shared AS (
+        |und AS (
         |  SELECT a.coll AS coll_a, b.coll AS coll_b, count(*) AS overlap
         |  FROM mem a JOIN mem b USING (member)
         |  WHERE a.coll < b.coll GROUP BY 1, 2
         |  HAVING count(*) >= 2),
+        |dir AS (
+        |  SELECT coll_a AS coll, coll_b AS related, overlap FROM und
+        |  UNION ALL
+        |  SELECT coll_b AS coll, coll_a AS related, overlap FROM und),
         |ranked AS (
-        |  SELECT coll_a, coll_b, overlap, cast(rank AS int) AS rank
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY coll_a
-        |          ORDER BY overlap DESC, coll_b ASC) AS rank
-        |        FROM shared)
+        |  SELECT coll, related, overlap, cast(rank AS int) AS rank
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY coll
+        |          ORDER BY overlap DESC, related ASC) AS rank
+        |        FROM dir)
         |  WHERE rank <= 5)
-        |SELECT coll_a, coll_b, overlap,
+        |SELECT ranked.coll AS coll, ranked.related AS related, overlap,
         |  round(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard, rank
         |FROM ranked
-        |JOIN sizes sa ON sa.coll = coll_a
-        |JOIN sizes sb ON sb.coll = coll_b""".stripMargin,
+        |JOIN sizes sa ON sa.coll = ranked.coll
+        |JOIN sizes sb ON sb.coll = ranked.related""".stripMargin,
 
     "a22_diverse_topk" ->
       """WITH r1 AS (

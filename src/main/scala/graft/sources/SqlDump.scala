@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
 object SqlDump {
 
   /** One row per `(…)` tuple (content without the parens, quotes
-    * preserved) from each INSERT line. */
+    * preserved) from each INSERT line. Non-INSERT lines (CREATE TABLE
+    * column definitions, KEY clauses, comments — all of which contain
+    * parenthesized spans in real dumps) are dropped first. */
   def tuples(lines: DataFrame, lineCol: String = "value"): DataFrame =
-    lines.select(explode(
-      regexp_extract_all(col(lineCol), lit("\\(([^()]*)\\)"), lit(1))).as("tuple"))
+    lines.filter(col(lineCol).startsWith("INSERT "))
+      .select(explode(
+        regexp_extract_all(col(lineCol), lit("\\(([^()]*)\\)"), lit(1))).as("tuple"))
 }

@@ -72,6 +72,8 @@ class SourcesSinksSpec extends GraftSuite {
     val lines = Seq(
       "INSERT INTO t VALUES (1,'a',10),(2,'b,c',20);",
       "-- comment, no tuples here",
+      "CREATE TABLE t (`pl_from` int(8) unsigned NOT NULL DEFAULT '0',",
+      "  KEY pl_namespace (pl_namespace,pl_title)",
       "INSERT INTO t VALUES (3,'d',30);").toDF("value")
     val got = graft.sources.SqlDump.tuples(lines).as[String].collect().toSet
     assert(got == Set("1,'a',10", "2,'b,c',20", "3,'d',30"))
