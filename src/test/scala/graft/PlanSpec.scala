@@ -58,6 +58,14 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("EqualTo(event_type,click)"), "click filter must reach the scan")
   }
 
+  test("a25: overlap ranking runs rank-limit pushdown; size joins broadcast") {
+    val p = plan("a25_related_collections")
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2,
+      s"directed top-5 must prune on both sides of the shuffle\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sizes joins on the ranked survivors should broadcast\n$p")
+  }
+
   test("a4: allowlist filter stays a LEFT SEMI broadcast join") {
     val p = plan("a4_semijoin_allowlist")
     assert(p.contains("LeftSemi"), p)
