@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,9 +16,15 @@ object Bench {
     graft.Tables.all.foreach { t =>
       try graft.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Action: write to the built-in `noop` sink, which consumes every
+    // output row in full. A `count()` action would let Catalyst prune
+    // all columns the count doesn't need, so pure-projection queries
+    // (namehash, tokenizers, PII scrub, ...) would benchmark a scan
+    // instead of the operator under test.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

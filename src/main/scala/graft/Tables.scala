@@ -16,11 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     // reader rejects by default; read it as nanos-since-epoch LongType
-    // and convert to a proper timestamp column here, once.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // and convert to a proper timestamp column here, once. Our own
+    // entry points (Bench/Verify/specs) set this in the session
+    // builder; this fallback covers driver-owned sessions, and only
+    // touches the conf when the value isn't already right (repeated
+    // conf writes would be racy under concurrent query construction).
+    if (!spark.conf.getOption(NanosKey).contains("true"))
+      spark.conf.set(NanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
