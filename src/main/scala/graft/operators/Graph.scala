@@ -19,6 +19,41 @@ object Graph {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Union of per-round increments. Each increment is already
+    * checkpointed, so the union's lineage stays flat (depth 1) without
+    * ever re-materializing the accumulated result — re-checkpointing
+    * the whole closure every round would cost O(total · rounds). */
+  private def unionAll(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ union _)
+
+  /** `(seed, step)` hop sets for a stride-`k` walk: `seed` holds every
+    * pair at distance 1..k (what round 0 discovers), `step` every pair
+    * connected by a path of length exactly k (what each round composes
+    * with). k−1 self-joins, computed once and checkpointed. Any
+    * reachable pair decomposes as (r ≤ k) + q·k, so seeding 1..k and
+    * striding by k covers the full closure in ⌈depth/k⌉ rounds instead
+    * of `depth` — on local mode (and on a busy cluster) per-round job
+    * latency dominates these tiny frontier joins, so fewer, slightly
+    * fatter rounds win. `dedup` (non-forest inputs) inserts a distinct
+    * per composition so path multiplicity can't snowball.
+    */
+  private def strideHops(base: DataFrame, stride: Int,
+                         dedup: Boolean): (DataFrame, DataFrame) = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    if (stride == 1) return (base, base)
+    val right = base.select(col("src").as("h_src"), col("dst").as("h_dst"))
+    var exact = base
+    var seed = base
+    for (_ <- 2 to stride) {
+      val next0 = exact.join(right, exact("dst") === col("h_src"))
+        .select(exact("src"), col("h_dst").as("dst"))
+      val next = if (dedup) next0.distinct() else next0
+      exact = next.localCheckpoint()
+      seed = seed.union(exact)
+    }
+    (seed.localCheckpoint(), exact)
+  }
+
   /** Transitive closure of `edges` (columns `src`, `dst`): every pair
     * (a, b) with a path a → … → b of length ≥ 1. Terminates when a
     * round yields no new pairs, or after `maxIter` rounds (a cycle
@@ -36,10 +71,16 @@ object Graph {
     * per-round `distinct` + anti-join (two extra shuffles) are skipped
     * and each round is a single join. `strict = true` additionally
     * verifies the precondition up front (one cheap aggregation).
+    *
+    * `stride = k` walks k hops per round (see [[strideHops]]):
+    * identical result, ⌈depth/k⌉ sequential rounds. Each round is a
+    * frontier-sized join either way, so total work is flat; what
+    * shrinks is the number of sequential job barriers.
     */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 30,
                         uniquePaths: Boolean = false,
-                        strict: Boolean = false): DataFrame = {
+                        strict: Boolean = false,
+                        stride: Int = 1): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
     val base = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
     if (uniquePaths && strict) {
@@ -51,10 +92,11 @@ object Graph {
         "transitiveClosure(uniquePaths = true) requires a tree/forest edge set, " +
           "but some src has more than one parent edge — rerun with uniquePaths = false")
     }
+    val (seed, step) = strideHops(base, stride, dedup = !uniquePaths)
     // Rename once so the iterated self-join never has ambiguous columns.
-    val hop = base.select(col("src").as("h_src"), col("dst").as("h_dst"))
-    var closure = base
-    var frontier = base
+    val hop = step.select(col("src").as("h_src"), col("dst").as("h_dst"))
+    val increments = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    var frontier = seed
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -63,11 +105,12 @@ object Graph {
         .select(frontier("src"), col("h_dst").as("dst"))
       val novel =
         (if (uniquePaths) grown
-         else grown.distinct().join(closure, Seq("src", "dst"), "left_anti"))
+         else grown.distinct()
+           .join(unionAll(increments.toSeq), Seq("src", "dst"), "left_anti"))
           .localCheckpoint()
       if (novel.isEmpty) done = true
       else {
-        closure = closure.union(novel).localCheckpoint()
+        increments += novel
         frontier = novel
         iter += 1
       }
@@ -78,7 +121,7 @@ object Graph {
         "under uniquePaths = true); raise maxIter"
       if (strict) throw new IllegalStateException(msg) else log.warn(msg)
     }
-    closure
+    unionAll(increments.toSeq)
   }
 
   /** Transitive closure by pointer doubling: after round k the result
@@ -130,7 +173,8 @@ object Graph {
   def reachableTo(edges: DataFrame, targets: DataFrame,
                   maxIter: Int = 30,
                   uniquePaths: Boolean = false,
-                  strict: Boolean = false): DataFrame = {
+                  strict: Boolean = false,
+                  stride: Int = 1): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
     val e = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
     if (uniquePaths && strict) {
@@ -139,26 +183,29 @@ object Graph {
         "reachableTo(uniquePaths = true) requires a tree/forest edge set, " +
           "but some src has more than one outgoing edge — rerun with uniquePaths = false")
     }
-    val seed = targets.select(col("dst")).distinct()
-    // Pairs at distance 1 into the target set.
-    var reach = e.join(seed, "dst").select(col("src"), col("dst"))
+    val (seedHops, step) = strideHops(e, stride, dedup = !uniquePaths)
+    val targetSet = targets.select(col("dst")).distinct()
+    // Pairs at distance 1..stride into the target set.
+    val seed = seedHops.join(targetSet, "dst").select(col("src"), col("dst"))
       .localCheckpoint()
-    var frontier = reach
+    val increments = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    var frontier = seed
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      // Walk one hop backward: predecessors of the current frontier.
-      val hop = e.select(col("src").as("g_src"), col("dst").as("g_dst"))
+      // Walk `stride` hops backward: predecessors of the current frontier.
+      val hop = step.select(col("src").as("g_src"), col("dst").as("g_dst"))
         .join(frontier.select(col("src").as("f_src"), col("dst").as("f_dst")),
               col("g_dst") === col("f_src"))
         .select(col("g_src").as("src"), col("f_dst").as("dst"))
       val grown =
         (if (uniquePaths) hop
-         else hop.distinct().join(reach, Seq("src", "dst"), "left_anti"))
+         else hop.distinct()
+           .join(unionAll(increments.toSeq), Seq("src", "dst"), "left_anti"))
           .localCheckpoint()
       if (grown.isEmpty) done = true
       else {
-        reach = reach.union(grown).localCheckpoint()
+        increments += grown
         frontier = grown
         iter += 1
       }
@@ -169,7 +216,7 @@ object Graph {
         "uniquePaths = true); raise maxIter"
       if (strict) throw new IllegalStateException(msg) else log.warn(msg)
     }
-    reach
+    unionAll(increments.toSeq)
   }
 
   /** Reachability validation (filter_articles2.py main loop): a member

@@ -30,11 +30,14 @@ object GroupB {
 
   val queries: Map[String, Q] = Map(
     // b1: full transitive closure (the reference walks this per-member
-    // with a RocksDB DFS; here the whole closure materializes in
-    // O(log depth) pointer-doubling rounds — the part tree is ~14 deep
-    // at sf0.1, so 4 rounds instead of 14).
+    // with a RocksDB DFS). The k -> k/2 hierarchy is a forest, so
+    // uniquePaths discovers each closure pair exactly once — no
+    // per-round distinct/anti-join — and stride = 4 walks four hops
+    // per round: ~4 frontier joins for the ~14-deep tree instead of
+    // 14 (pointer doubling needs similar rounds but re-distincts the
+    // ENTIRE closure each one; on a forest that's pure waste).
     "b1_closure_iterative" -> ((s, d) =>
-      Graph.transitiveClosureDoubling(edges(s, d))),
+      Graph.transitiveClosure(edges(s, d), uniquePaths = true, stride = 4)),
 
     // b2: member-valid-iff-reachable + per-collection valid/invalid
     // counts (filter_articles2.py keeps both). Members are lineitem
@@ -54,7 +57,7 @@ object GroupB {
       // forest: uniquePaths skips the per-round dedup shuffles.
       val closure = Graph.reachableTo(edges(s, d),
         Tables(s, d, "orders").select((col("o_orderkey") % 30 + 2).as("dst")),
-        uniquePaths = true)
+        uniquePaths = true, stride = 4)
       Graph.validateReachable(members, closure, "l_partkey", "required")
         .groupBy("o_orderkey")
         .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),

@@ -52,6 +52,36 @@ class GraphSpec extends GraftSuite {
     assert(full.nonEmpty)
   }
 
+  test("stride > 1 closures equal the single-hop closure") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val want = pairs(Graph.transitiveClosure(chain))
+    for (k <- 2 to 4)
+      assert(pairs(Graph.transitiveClosure(chain, stride = k)) === want,
+        s"stride $k diverged on the chain")
+    // stride larger than the graph depth: seed alone covers everything.
+    assert(pairs(Graph.transitiveClosure(chain, stride = 7)) === want)
+    // forest fast path with stride
+    assert(pairs(Graph.transitiveClosure(chain, uniquePaths = true, stride = 3)) === want)
+    // diamond (multiple paths) and cycle still converge to the same set
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(pairs(Graph.transitiveClosure(diamond, stride = 2)) ===
+      pairs(Graph.transitiveClosure(diamond)))
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(pairs(Graph.transitiveClosure(cycle, stride = 2)) ===
+      pairs(Graph.transitiveClosure(cycle)))
+  }
+
+  test("stride reachableTo equals single-hop reachableTo (b2 shape)") {
+    val edges = Tables(spark, sfDir, "part")
+      .filter($"p_partkey" >= 2)
+      .selectExpr("p_partkey AS src", "p_partkey DIV 2 AS dst")
+    val targets = spark.range(2, 32).select($"id".as("dst"))
+    val want = pairs(Graph.reachableTo(edges, targets))
+    assert(pairs(Graph.reachableTo(edges, targets, stride = 4)) === want)
+    assert(pairs(Graph.reachableTo(edges, targets, uniquePaths = true, stride = 4)) === want)
+    assert(want.nonEmpty)
+  }
+
   test("reachableTo handles cycles and disconnected targets") {
     val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L)).toDF("src", "dst")
     val targets = Seq(Tuple1(1L), Tuple1(9L)).toDF("dst")
