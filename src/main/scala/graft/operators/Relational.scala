@@ -102,10 +102,22 @@ object Relational {
     * ever materialized (join volume Σ df² over elements, bounded
     * buckets, never all-pairs), and one aggregation counts each
     * intersection. Returns (id_a, id_b, overlap) with id_a < id_b.
+    *
+    * `dfCap > 0` drops elements that appear in more than `dfCap` ids
+    * before pairing (same df-cut as [[Dedup.shingles]]): one
+    * ubiquitous element — the "human"-type category every real
+    * dataset has — otherwise contributes a df² bucket that dwarfs
+    * every other join task. The skew bound becomes Σ min(df, cap)²,
+    * at the declared cost that overlap counts ignore capped elements.
     */
   def overlapPairs(edges: DataFrame, idCol: String,
-                   elemCol: String): DataFrame = {
-    val e = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
+                   elemCol: String, dfCap: Long = 0L): DataFrame = {
+    val e0 = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
+    val e = if (dfCap <= 0L) e0 else {
+      val keep = e0.groupBy("__el").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap).select("__el")
+      e0.join(keep, "__el")
+    }
     e.select(col("__el"), col("__id").as("id_a"))
       .join(e.select(col("__el"), col("__id").as("id_b")), "__el")
       .filter(col("id_a") < col("id_b"))

@@ -56,13 +56,23 @@ object GroupA3 {
     // member is noise), ranking ties break on the partner id alone so
     // the size join + jaccard attach to at most k rows per
     // collection, not to every candidate pair.
+    //
+    // Result contract: overlap is counted over members appearing in
+    // ≤ 40 collections (overlapPairs dfCap) — the skew bound that
+    // keeps one ubiquitous member from creating a quadratic join
+    // bucket at scale. Collection sizes (jaccard denominator) stay
+    // uncapped. The pair set is checkpointed BEFORE the two-direction
+    // union: it is k-rows tiny by then, and the union's branches
+    // would otherwise each recompute the whole pair join (Catalyst
+    // does not dedupe common subplans).
     "a25_related_collections" -> ((s, d) => {
       val mem = Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
         .distinct().localCheckpoint()
       val sizes = mem.groupBy("coll").agg(count(lit(1)).as("n"))
-      val undirected = Relational.overlapPairs(mem, "coll", "member")
+      val undirected = Relational.overlapPairs(mem, "coll", "member", dfCap = 40L)
         .filter(col("overlap") >= 2)
+        .localCheckpoint()
       val directed = undirected
         .select(col("id_a").as("coll"), col("id_b").as("related"), col("overlap"))
         .union(undirected
@@ -107,9 +117,11 @@ object GroupA3 {
       """WITH mem AS (SELECT DISTINCT l_orderkey AS coll, l_partkey AS member
         |             FROM lineitem),
         |sizes AS (SELECT coll, count(*) AS n FROM mem GROUP BY 1),
+        |keep AS (SELECT member FROM mem GROUP BY 1 HAVING count(*) <= 40),
+        |capped AS (SELECT mem.* FROM mem JOIN keep USING (member)),
         |und AS (
         |  SELECT a.coll AS coll_a, b.coll AS coll_b, count(*) AS overlap
-        |  FROM mem a JOIN mem b USING (member)
+        |  FROM capped a JOIN capped b USING (member)
         |  WHERE a.coll < b.coll GROUP BY 1, 2
         |  HAVING count(*) >= 2),
         |dir AS (
