@@ -9,7 +9,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.GroupA.queries ++ graft.queries.GroupA2.queries ++
-      graft.queries.GroupA3.queries ++
+      graft.queries.GroupA3.queries ++ graft.queries.GroupA4.queries ++
       graft.queries.GroupB.queries ++ graft.queries.GroupC.queries ++
       graft.queries.GroupD.queries ++ graft.queries.GroupE.queries ++
       graft.queries.GroupF.queries ++ graft.queries.GroupG.queries
@@ -18,7 +18,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.GroupA.oracles ++ graft.queries.GroupA2.oracles ++
-      graft.queries.GroupA3.oracles ++
+      graft.queries.GroupA3.oracles ++ graft.queries.GroupA4.oracles ++
       graft.queries.GroupB.oracles ++ graft.queries.GroupC.oracles ++
       graft.queries.GroupD.oracles ++ graft.queries.GroupE.oracles ++
       graft.queries.GroupF.oracles ++ graft.queries.GroupG.oracles

@@ -28,6 +28,13 @@ object Collections {
     *  - `collections`: (collection_id, collection_name, required_type)
     *    — reference: list/category seeds.
     *  - `typeEdges`: (src, dst) subclass edges — reference: db2.
+    * @param relations optional (category_id, list_id) edges — the
+    *   P1753/P1754 related-list relation. When present, each category
+    *   with a relation is merged into its list BEFORE the name merge
+    *   (merge_lists_and_categories.py:116-147): its members flow to
+    *   the list (deduped, best score kept) and its seed row is
+    *   dropped, exactly the reference's merge order — relation merge
+    *   first, equal-name merge second.
     * @param topK members kept per collection (rank-ordered).
     *
     * Output: one row per distinct collection NAME (same-name
@@ -37,17 +44,39 @@ object Collections {
     * the EIP-137 namehash stamp (prepare_collections2.py:116).
     */
   def build(members: DataFrame, entities: DataFrame, collections: DataFrame,
-            typeEdges: DataFrame, topK: Int = 10): DataFrame = {
+            typeEdges: DataFrame, topK: Int = 10,
+            relations: Option[DataFrame] = None): DataFrame = {
+    // Relation merge (stage before everything else): remap category
+    // members onto the related list and drop the absorbed category
+    // seed. The relation table is dim-sized → broadcast join; the
+    // member remap is a narrow projection afterwards.
+    val (mem0, coll0) = relations match {
+      case Some(rel0) =>
+        val rel = broadcast(rel0.select(col("category_id"), col("list_id")))
+        val remapped = members
+          .join(rel, members("collection_id") === rel("category_id"), "left")
+          .withColumn("collection_id", coalesce(col("list_id"), col("collection_id")))
+          .drop("category_id", "list_id")
+        // A member present in both the category and its list would
+        // now appear twice — keep the best-scored copy.
+        val deduped = Relational.firstByKey(remapped,
+          Seq(col("collection_id"), col("member_id")), Seq(col("score").desc))
+        val survivors = collections.join(rel,
+          collections("collection_id") === rel("category_id"), "left_anti")
+        (deduped, survivors)
+      case None => (members, collections)
+    }
+
     // Reachability only toward the collections' required types — the
     // targets' ancestor cone, never the full closure (same asymmetry
     // the standalone validation query exploits).
     val closure = Graph.reachableTo(
       typeEdges.select(col("src"), col("dst")),
-      collections.select(col("required_type").as("dst")))
+      coll0.select(col("required_type").as("dst")))
 
-    val typed = members
+    val typed = mem0
       .join(entities, "member_id")
-      .join(collections, "collection_id")
+      .join(coll0, "collection_id")
     // Materialized once: both aggregations below consume it, and
     // Catalyst does not dedupe common subplans.
     val validated = Graph.validateReachable(
@@ -70,7 +99,7 @@ object Collections {
            // list in the same-name max_by below.
            max(when(col("valid"), col("score"))).as("rank"))
 
-    collections.select("collection_id", "collection_name")
+    coll0.select("collection_id", "collection_name")
       .join(counts, "collection_id")
       .join(topMembers, Seq("collection_id"), "left")
       // Merge collections sharing a name (filter_duplicates.py):

@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform pseudo-random bucket in [0, 100) from a key column:
-    * first 8 hex digits of md5, as a number, mod 100. md5 (not
+  /** Uniform pseudo-random bucket in [0, `buckets`) from a key column:
+    * first 8 hex digits of md5, as a number, mod `buckets`. md5 (not
     * xxhash64) so any engine reproduces the bucket — the DuckDB
-    * oracle computes the identical expression.
+    * oracle computes the identical expression. Also the deterministic
+    * stand-in for the reference's id-seeded PRNG picks
+    * (prepare_collections2.py:63 `random.seed(collection.item)`).
     */
-  def hashBucket(key: Column): Column =
+  def hashBucket(key: Column, buckets: Int = 100): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long") % buckets
 
   /** Keep each row iff its hash bucket falls under its stratum's
     * percentage. `rates` maps stratum value → keep-percentage [0,100];

@@ -94,23 +94,8 @@ object Similarity {
     // this would be a persisted/cached intermediate).
     val qUnit = normalized(queries, idCol, vecCol).localCheckpoint()
     val cUnit = normalized(corpus, idCol, vecCol).localCheckpoint()
-    // Bucket rows carry ONLY (id, table, bucket): exploding `numTables`
-    // rows per vector must not duplicate the embedding itself, and the
-    // candidate dedup below then shuffles two longs per row instead of
-    // two full vectors.
-    def bucketIds(unit: DataFrame, idAs: String): DataFrame = {
-      val buckets = ps.zipWithIndex.map { case (tablePlanes, t) =>
-        val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
-          val planeLit = array(p.map(lit): _*)
-          when(Vectors.dot(col("unit"), planeLit) >= 0, lit(1L << j)).otherwise(0L)
-        }.reduce(_ + _)
-        struct(lit(t).as("table"), bucket.as("bucket"))
-      }
-      unit.select(col("id").as(idAs), explode(array(buckets: _*)).as("tb"))
-        .select(col(idAs), col("tb.table"), col("tb.bucket"))
-    }
-    val cands = bucketIds(qUnit, "query_id")
-      .join(bucketIds(cUnit, "neighbor_id"), Seq("table", "bucket"))
+    val cands = bucketIds(qUnit, ps, "query_id")
+      .join(bucketIds(cUnit, ps, "neighbor_id"), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
@@ -122,6 +107,59 @@ object Similarity {
         scored.select("query_id", "neighbor_id", "cosine"),
         Seq(col("query_id")),
         Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** (id, table, bucket) rows for every (vector, table) pair. Bucket
+    * rows carry ONLY ids: exploding `numTables` rows per vector must
+    * not duplicate the embedding itself, so candidate joins shuffle
+    * two longs per row instead of two full vectors. */
+  private def bucketIds(unit: DataFrame, ps: Seq[Seq[Array[Double]]],
+                        idAs: String): DataFrame = {
+    val buckets = ps.zipWithIndex.map { case (tablePlanes, t) =>
+      val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
+        val planeLit = array(p.map(lit): _*)
+        when(Vectors.dot(col("unit"), planeLit) >= 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    unit.select(col("id").as(idAs), explode(array(buckets: _*)).as("tb"))
+      .select(col(idAs), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** Near-dup pairs with cosine ≥ `tau` via LSH candidate generation +
+    * exact re-scoring — the 100 TB path for what [[cosinePairs]] does
+    * all-pairs. Candidates come from hyperplane bucket collisions
+    * (shuffles key on (table, bucket), fan-out bounded by bucket
+    * sizes); every candidate is then scored exactly, so precision is
+    * 1.0 and the only approximation is recall: a true pair at exactly
+    * `tau` collides in ≥ 1 of the `numTables` tables with probability
+    * 1 − (1 − (1 − θ/π)^bits)^tables (θ = arccos τ) — ~0.77 at
+    * τ = 0.35 with the 16 × 5 defaults, rising steeply above τ. The
+    * recall floor vs the exact variant is pinned in SimilarityLshSpec.
+    */
+  def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                     tau: Double, numTables: Int = 16, bitsPerTable: Int = 5,
+                     seed: Long = 42L): DataFrame = {
+    val dimRow = emb.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull).head(1)
+    if (dimRow.isEmpty) {
+      return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
+    }
+    val ps = planes(numTables, bitsPerTable, dimRow.head.getInt(0), seed)
+    val unit = normalized(emb, idCol, vecCol).localCheckpoint()
+    val b = bucketIds(unit, ps, "id")
+    val cands = b.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(b.select(col("table"), col("bucket"), col("id").as("id_b")),
+            Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(unit.select(col("id").as("id_a"), col("unit").as("va")), "id_a")
+      .join(unit.select(col("id").as("id_b"), col("unit").as("vb")), "id_b")
+      .withColumn("cosine", Vectors.dot(col("va"), col("vb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** Approximate top-k via IVF (inverted-file) coarse quantization:

@@ -124,13 +124,24 @@ object GroupA2 {
         .select("p_partkey", "p_brand", "score", "brand_rank")
     }),
 
-    // a17: curate-name string pipeline (functions.py curate_name):
-    // underscores → spaces, strip "List of "/"Category:", upper-first.
+    // a17: curate-name string pipeline (functions.py curate_name +
+    // force_normalize:333-356): underscores → spaces, strip
+    // "List of "/"Category:", ASCII-fold accented Latin (the
+    // unidecode layer), strip punctuation, upper-first. The testdata
+    // has no accents, so odd keys deterministically accent a/e/o
+    // first — the fold must map them back or the oracle catches it.
     "a17_normalize_names" -> ((s, d) => {
       val raw = concat(lit("List_of_"), regexp_replace(col("p_name"), " ", "_"))
       val spaced = regexp_replace(raw, "_", " ")
       val stripped = regexp_replace(regexp_replace(spaced, "^List of ", ""), "^Category:", "")
-      val curated = concat(upper(substring(stripped, 1, 1)), substring(stripped, 2, 1 << 30))
+      val accented = when(col("p_partkey") % 2 === 1,
+        translate(stripped, "aeo", "áéö")).otherwise(stripped)
+      val folded = regexp_replace(
+        translate(accented,
+          "áàâäéèêëíîïóòöôúùüçñ",
+          "aaaaeeeeiiioooouuucn"),
+        "[^a-zA-Z0-9 ]", "")
+      val curated = concat(upper(substring(folded, 1, 1)), substring(folded, 2, 1 << 30))
       Tables(s, d, "part").select(col("p_partkey"), curated.as("name"))
     }),
 
@@ -262,8 +273,19 @@ object GroupA2 {
         |                       '_', ' ', 'g'),
         |        '^List of ', ''),
         |      '^Category:', '') AS s
-        |  FROM part)
-        |SELECT p_partkey, concat(upper(substr(s, 1, 1)), substr(s, 2)) AS name FROM raw""".stripMargin,
+        |  FROM part),
+        |acc AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 2 = 1 THEN translate(s, 'aeo', 'áéö') ELSE s END AS s
+        |  FROM raw),
+        |folded AS (
+        |  SELECT p_partkey,
+        |    regexp_replace(translate(s, 'áàâäéèêëíîïóòöôúùüçñ',
+        |                                'aaaaeeeeiiioooouuucn'),
+        |                   '[^a-zA-Z0-9 ]', '', 'g') AS s
+        |  FROM acc)
+        |SELECT p_partkey, concat(upper(substr(s, 1, 1)), substr(s, 2)) AS name
+        |FROM folded""".stripMargin,
 
     "a18_tokenize_members" ->
       """SELECT DISTINCT doc_id, token FROM (

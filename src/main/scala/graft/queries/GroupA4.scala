@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Relational, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group A (continued) — round-3 additions covering the reference
+  * pipeline stages that had no standalone query yet:
+  *
+  *  - a24: relation-based category→list merge
+  *    (merge_lists_and_categories.py:116-147 merges a category into its
+  *    related list via the explicit P1753/P1754 wikidata relation
+  *    BEFORE falling back to the equal-name merge).
+  *  - a26: deterministic banner/emoji assignment
+  *    (prepare_collections2.py:63-65,120-121 — seeded-PRNG banner
+  *    number and type-priority emoji pick).
+  *  - a27: collection-name log-probability
+  *    (prepare_collections2.py:164, ngrams.sequence_log_probability —
+  *    unigram frequency model over the corpus).
+  *
+  * All three are deterministic over the testdata so DuckDB replays
+  * them exactly: the "random" banner is an md5 bucket (same expression
+  * both engines), the unigram model is derived from the same corpus it
+  * scores, and the relation edge table is derived from part.
+  */
+object GroupA4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // a24: collections = part rows; odd keys play "category", even keys
+    // play "list"; the relation table links category k → list k-1 when
+    // that list exists (the P1753/P1754 edge stand-in). Stage 1 merges
+    // each related category onto its list (the list's name survives);
+    // stage 2 name-merges the survivors — exactly the reference's merge
+    // order. The relation table is dim-sized → broadcast; both
+    // aggregations are map-side combinable.
+    "a24_merge_by_relation" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice").cast("decimal(18,2)").as("rankd"))
+      val rel = p.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey").as("category_id"),
+          (col("p_partkey") - 1).as("list_id"))
+        .join(p.filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey").as("list_id")), "list_id")
+      val grouped = p
+        .join(broadcast(rel), p("p_partkey") === rel("category_id"), "left")
+        .withColumn("gid", coalesce(col("list_id"), col("p_partkey")))
+      val stage1 = grouped.groupBy("gid")
+        .agg(max(when(col("p_partkey") === col("gid"), col("p_name"))).as("name"),
+             sum(col("p_size")).as("size"),
+             max(col("rankd")).as("rankd"),
+             count(lit(1)).as("cnt"))
+      stage1.groupBy("name")
+        .agg(min(col("gid")).as("stable_id"),
+             sum(col("size")).as("total_size"),
+             max(col("rankd")).cast("double").as("rank"),
+             sum(col("cnt")).as("merged_count"))
+    }),
+
+    // a26: banner number = md5 bucket of the collection id (both
+    // engines compute the identical expression — the reference seeds a
+    // PRNG with the item id, which is the same "deterministic hash of
+    // the id" contract); emoji = the globally most frequent of the
+    // collection's types (count desc, name asc), via a broadcast
+    // frequency dim + one rank-1 window.
+    "a26_assign_banner_emoji" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select("o_custkey", "o_orderpriority")
+      val freqs = o.groupBy("o_orderpriority").agg(count(lit(1)).as("freq"))
+      val best = Relational.firstByKey(
+        o.distinct().join(broadcast(freqs), "o_orderpriority"),
+        Seq(col("o_custkey")),
+        Seq(col("freq").desc, col("o_orderpriority").asc))
+      best.select(
+        col("o_custkey"),
+        Sampling.hashBucket(col("o_custkey"), 20).as("banner_number"),
+        col("o_orderpriority").as("top_type"),
+        concat(lit("emoji_"),
+          regexp_replace(lower(col("o_orderpriority")), "[^a-z0-9]+", "_"))
+          .as("emoji"))
+    }),
+
+    // a27: unigram log-probability of each part name under the model
+    // derived from the whole name corpus: p(tok) = cnt/total,
+    // score = Σ ln p. Frequencies are a broadcast dim; each ln is
+    // rounded to 9 dp so both engines sum bit-identical terms (libm
+    // vs JVM last-ulp differences), the sum to 6.
+    "a27_name_logprob" -> ((s, d) => {
+      val toks = Tables(s, d, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      toks.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("p_partkey")
+        .agg(round(sum(round(log(col("cnt").cast("double") / col("total")), 9)), 6)
+               .as("log_prob"),
+             count(lit(1)).as("n_tokens"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a24_merge_by_relation" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_size,
+        |             cast(p_retailprice AS decimal(18,2)) AS rankd FROM part),
+        |rel AS (SELECT c.p_partkey AS category_id, c.p_partkey - 1 AS list_id
+        |        FROM p c JOIN p l ON l.p_partkey = c.p_partkey - 1
+        |        WHERE c.p_partkey % 2 = 1),
+        |g1 AS (SELECT coalesce(r.list_id, p.p_partkey) AS gid,
+        |         max(CASE WHEN p.p_partkey = coalesce(r.list_id, p.p_partkey)
+        |                  THEN p.p_name END) AS name,
+        |         cast(sum(p.p_size) AS bigint) AS size,
+        |         max(rankd) AS rankd, count(*) AS cnt
+        |       FROM p LEFT JOIN rel r ON p.p_partkey = r.category_id
+        |       GROUP BY 1)
+        |SELECT name, min(gid) AS stable_id,
+        |  cast(sum(size) AS bigint) AS total_size,
+        |  cast(max(rankd) AS double) AS rank,
+        |  cast(sum(cnt) AS bigint) AS merged_count
+        |FROM g1 GROUP BY 1""".stripMargin,
+
+    "a26_assign_banner_emoji" ->
+      """WITH cand AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+        |freqs AS (SELECT o_orderpriority, count(*) AS freq FROM orders GROUP BY 1),
+        |best AS (SELECT o_custkey, o_orderpriority FROM (
+        |  SELECT cand.o_custkey, cand.o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY freq DESC, o_orderpriority) AS rn
+        |  FROM cand JOIN freqs USING (o_orderpriority)) WHERE rn = 1)
+        |SELECT o_custkey,
+        |  ('0x' || substr(md5(cast(o_custkey AS varchar)), 1, 8))::BIGINT % 20
+        |    AS banner_number,
+        |  o_orderpriority AS top_type,
+        |  'emoji_' || regexp_replace(lower(o_orderpriority), '[^a-z0-9]+', '_', 'g')
+        |    AS emoji
+        |FROM best""".stripMargin,
+
+    "a27_name_logprob" ->
+      """WITH toks AS (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+        |              FROM part),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |total AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT p_partkey,
+        |  round(sum(round(ln(cnt * 1.0 / total), 9)), 6) AS log_prob,
+        |  count(*) AS n_tokens
+        |FROM toks JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY 1""".stripMargin,
+  )
+}

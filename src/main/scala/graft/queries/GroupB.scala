@@ -63,6 +63,39 @@ object GroupB {
         .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
              sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
     }),
+
+    // b3: validation with a same_as redirect fallback
+    // (filter_articles2.py:35,64-65 — when a member's type has no
+    // subclass path, the DFS retries through the `same_as` redirect).
+    // Redirect table: every 7th part key redirects to its successor —
+    // siblings/cousins in the k -> k/2 tree, so a redirect genuinely
+    // rescues members whose original type misses the required ancestor
+    // but whose redirect target reaches it. One extra broadcast left
+    // join + a second closure probe; valid = reach(type) OR
+    // reach(redirect(type)).
+    "b3_validate_redirects" -> ((s, d) => {
+      val members = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables(s, d, "orders")
+                .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("required")),
+              col("l_orderkey") === col("o_orderkey"))
+      val redirects = Tables(s, d, "part")
+        .filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("r_src"), (col("p_partkey") + 1).as("r_dst"))
+      val withAlt = members
+        .join(broadcast(redirects), col("l_partkey") === col("r_src"), "left")
+      val closure = Graph.reachableTo(edges(s, d),
+        Tables(s, d, "orders").select((col("o_orderkey") % 30 + 2).as("dst")),
+        uniquePaths = true, stride = 4)
+      val v1 = Graph.validateReachable(withAlt, closure, "l_partkey", "required")
+        .withColumnRenamed("valid", "valid_orig")
+      Graph.validateReachable(v1, closure, "r_dst", "required")
+        // a null redirect makes the second probe null, not a rescue
+        .withColumn("valid_any", col("valid_orig") || coalesce(col("valid"), lit(false)))
+        .groupBy("o_orderkey")
+        .agg(sum(when(col("valid_any"), 1L).otherwise(0L)).as("valid_cnt"),
+             sum(when(col("valid_any"), 0L).otherwise(1L)).as("invalid_cnt"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,5 +115,25 @@ object GroupB {
          |  JOIN orders ON l_orderkey = o_orderkey
          |  LEFT JOIN c ON c.src = l_partkey AND c.dst = (o_orderkey % 30 + 2))
          |GROUP BY 1""".stripMargin,
+
+    "b3_validate_redirects" ->
+      s"""WITH RECURSIVE $edgeCte,
+         |red AS (SELECT p_partkey AS r_src, p_partkey + 1 AS r_dst
+         |        FROM part WHERE p_partkey % 7 = 0),
+         |m AS (SELECT o_orderkey, l_partkey, (o_orderkey % 30 + 2) AS required, r_dst
+         |      FROM lineitem
+         |      JOIN orders ON l_orderkey = o_orderkey
+         |      LEFT JOIN red ON l_partkey = r_src),
+         |v AS (SELECT o_orderkey,
+         |        (c1.src IS NOT NULL OR l_partkey = required
+         |         OR (r_dst IS NOT NULL
+         |             AND (c2.src IS NOT NULL OR r_dst = required))) AS valid
+         |      FROM m
+         |      LEFT JOIN c c1 ON c1.src = l_partkey AND c1.dst = required
+         |      LEFT JOIN c c2 ON c2.src = r_dst AND c2.dst = required)
+         |SELECT o_orderkey,
+         |  cast(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS bigint) AS valid_cnt,
+         |  cast(sum(CASE WHEN valid THEN 0 ELSE 1 END) AS bigint) AS invalid_cnt
+         |FROM v GROUP BY 1""".stripMargin,
   )
 }

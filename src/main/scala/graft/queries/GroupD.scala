@@ -29,8 +29,19 @@ object GroupD {
       Dedup.simhashPairs(Tables(s, d, "documents"), "doc_id", "text",
         maxHamming = 6)),
 
+    // d5 is the EXACT all-pairs variant — the validation-scale gate
+    // the LSH path is measured against (and the oracle target, since
+    // DuckDB can replay it). d6 is the same contract at scale:
+    // LSH-bucketed candidates + exact rescore, no all-pairs stage —
+    // the plan to run at 100 TB. Recall floor vs d5 is pinned in
+    // SimilarityLshSpec (rows-only for the driver: hyperplane seeds
+    // are engine-specific).
     "d5_neardup_embedding" -> ((s, d) =>
       Similarity.cosinePairs(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        tau = 0.35)),
+
+    "d6_neardup_embedding_lsh" -> ((s, d) =>
+      Similarity.cosinePairsLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
         tau = 0.35)),
   )
 

@@ -107,6 +107,24 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("redirect fallback rescues members whose redirect target reaches (b3 shape)") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // 4→2, 5→2, 2→1, 3→1: type 3 does NOT reach 2, but its same_as
+    // redirect 3→5 does — the member must be rescued.
+    val edges = Seq((4L, 2L), (5L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val closure = Graph.reachableTo(edges, Seq(Tuple1(2L)).toDF("dst"))
+    val members = Seq((10L, 3L, 2L), (11L, 4L, 2L), (12L, 9L, 2L))
+      .toDF("id", "typ", "target")
+    val redirects = Seq((3L, 5L)).toDF("r_src", "r_dst")
+    val withAlt = members.join(redirects, col("typ") === col("r_src"), "left")
+    val v1 = Graph.validateReachable(withAlt, closure, "typ", "target")
+      .withColumnRenamed("valid", "valid_orig")
+    val got = Graph.validateReachable(v1, closure, "r_dst", "target")
+      .withColumn("valid_any", col("valid_orig") || coalesce(col("valid"), lit(false)))
+      .select("id", "valid_any").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(10L -> true, 11L -> true, 12L -> false))
+  }
+
   test("validateReachable marks reachable, equal, and unreachable") {
     val closure = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
     val members = Seq((10L, 1L, 3L), (11L, 1L, 1L), (12L, 3L, 1L))

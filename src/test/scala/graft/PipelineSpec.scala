@@ -62,6 +62,33 @@ class PipelineSpec extends GraftSuite {
       .foreach { case (n, h) => assert(again(n) == h) }
   }
 
+  test("relation merge absorbs category members into the list before name merge") {
+    // Tiny hand-built case: category 2 relates to list 1; member 100
+    // exists in both with different scores. After the merge the
+    // category seed is gone, its members flow to the list, and the
+    // duplicated member keeps its best score.
+    val m = Seq((1L, 100L, 5.0), (2L, 101L, 7.0), (2L, 100L, 9.0))
+      .toDF("collection_id", "member_id", "score")
+    val e = Seq((100L, "m100", 10L), (101L, "m101", 10L))
+      .toDF("member_id", "member_name", "member_type")
+    val c = Seq((1L, "list", 10L), (2L, "cat", 10L))
+      .toDF("collection_id", "collection_name", "required_type")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val rel = Seq((2L, 1L)).toDF("category_id", "list_id")
+    val out = Collections.build(m, e, c, noEdges, topK = 5, relations = Some(rel))
+      .collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[String]("collection_name") == "list")
+    assert(row.getAs[Long]("stable_id") == 1L)
+    assert(row.getAs[Long]("valid_cnt") == 2L, "100 deduped to best score + 101")
+    assert(row.getAs[scala.collection.Seq[String]]("top_members").toSeq == Seq("m100", "m101"),
+      "score 9.0 copy of m100 must win the dedup and rank first")
+    // Without relations, both seeds survive as separate names.
+    val plain = Collections.build(m, e, c, noEdges, topK = 5)
+    assert(plain.count() == 2)
+  }
+
   test("diff + es bulk closes the loop on the reference flow") {
     // "Previous snapshot": the same build with a perturbed rank, so some
     // documents change, some match, and dropped names archive.

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Similarity
+
+/** cosinePairsLsh (the 100 TB path for d5's contract) has no SQL
+  * oracle — hyperplane seeds are engine-specific — so its guarantee is
+  * pinned here against the exact all-pairs variant on sf0.001:
+  * precision is exactly 1 (every candidate is re-scored with the same
+  * dot product and threshold), recall has a floor.
+  */
+class SimilarityLshSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+
+  test("lsh cosine pairs are an exact-scored subset of the all-pairs result") {
+    val exact = pairs(Similarity.cosinePairs(emb, "vec_id", "embedding", tau = 0.35))
+    val lsh = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding", tau = 0.35))
+    assert(exact.nonEmpty, "testdata must contain cosine>=0.35 pairs")
+    // Precision 1.0: every LSH pair is a true pair with the same score.
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(exact(k) == c, s"score mismatch on $k")
+    }
+    val recall = exact.keys.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.55, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("empty input yields an empty result, not a failure") {
+    assert(Similarity.cosinePairsLsh(
+      emb.filter($"vec_id" < 0), "vec_id", "embedding", tau = 0.5).count() == 0)
+  }
+}
