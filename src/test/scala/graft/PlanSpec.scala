@@ -66,6 +66,27 @@ class PlanSpec extends GraftSuite {
       s"sizes joins on the ranked survivors should broadcast\n$p")
   }
 
+  test("a24/a26/a27: round-3 dims broadcast, no sort-merge fallback") {
+    // a24's relation edges, a26's type-frequency table and a27's
+    // unigram-frequency model are all dim-sized: every join in these
+    // plans must be a broadcast, or at 100 TB the fact side pays a
+    // full shuffle for a lookup table.
+    for (q <- Seq("a24_merge_by_relation", "a26_assign_banner_emoji",
+                  "a27_name_logprob")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q should broadcast its dim\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle a dim join\n$p")
+    }
+  }
+
+  test("d6: lsh pair generation never falls back to a nested loop") {
+    val p = plan("d6_neardup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"), s"d6 must not be all-pairs\n$p")
+    // The bucket self-join keys on (table, bucket) — a real equi-join.
+    assert(p.contains("graft_dot"), s"rescoring should run ArrayDot\n$p")
+  }
+
   test("a4: allowlist filter stays a LEFT SEMI broadcast join") {
     val p = plan("a4_semijoin_allowlist")
     assert(p.contains("LeftSemi"), p)
