@@ -181,13 +181,30 @@ object Similarity {
     * (bounded fan-out, like the LSH bucket join). Each Lloyd
     * iteration adds the argmax exchange plus one posexplode +
     * (cid, dim) partial-agg shuffle — the canonical distributed
-    * k-means step.
+    * k-means step. Beyond ~10⁸ docs (C ≈ √N makes the per-iteration
+    * N·C assignment and the centroid broadcast itself the bottleneck)
+    * fit the centroids on a hash-sample via `fitKeep`/`fitBuckets` —
+    * refinement quality needs a representative sample, not the full
+    * corpus; assignment still covers every vector.
     */
   def knnIvf(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
              centroidMod: Long = 37L, nProbe: Int = 4,
-             kmeansIters: Int = 2): DataFrame = {
+             kmeansIters: Int = 2, fitBuckets: Int = 100,
+             fitKeep: Int = 100): DataFrame = {
     val unit = normalized(corpus, idCol, vecCol).localCheckpoint()
+    // Lloyd refinement may run on a deterministic hash-sample of the
+    // corpus (`fitKeep` of `fitBuckets` md5 buckets of the id — same
+    // bucketing contract as Sampling.hashBucket): per-iteration cost
+    // becomes sample·C dots instead of N·C, which is what keeps the
+    // centroid fit feasible when C ≈ √N grows with the corpus. The
+    // final assignment (inverted lists) always covers the FULL corpus.
+    // Defaults keep the historical exact-fit behavior (keep = 100%).
+    val fitSet =
+      if (fitKeep >= fitBuckets) unit
+      else unit.filter(
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % fitBuckets < fitKeep)
     val seeds = unit.filter(col("id") % centroidMod === 0)
       .select(col("id").as("cid"), col("unit").as("cvec"))
     require(seeds.head(1).nonEmpty,
@@ -206,7 +223,7 @@ object Similarity {
     for (_ <- 1 to kmeansIters) {
       // Move each centroid to the renormalized mean of its cluster.
       // Empty clusters drop out — harmless, their list would be empty.
-      val means = assign(unit)
+      val means = assign(fitSet)
         .select(col("cid"), posexplode(col("unit")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(round(avg(col("v")), 9).as("m"))
         .groupBy("cid")

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *  - a27: collection-name log-probability
   *    (prepare_collections2.py:164, ngrams.sequence_log_probability —
   *    unigram frequency model over the corpus).
+  *  - a28: keyword extraction from redirects
+  *    (prepare_members_names.py — the names of redirect pages pointing
+  *    at a member become its search keywords).
   *
   * All three are deterministic over the testdata so DuckDB replays
   * them exactly: the "random" banner is an md5 bucket (same expression
@@ -98,6 +101,27 @@ object GroupA4 {
                .as("log_prob"),
              count(lit(1)).as("n_tokens"))
     }),
+
+    // a28: members = part keys divisible by 4; every other part key
+    // "redirects" to the member at the floor of its 4-block — its name
+    // becomes one of the member's keywords. Many-to-one collect join:
+    // left join (so keyword-less members survive with an empty list),
+    // sorted-set keywords rendered as a canonical csv string so the
+    // hash compare is dialect-stable. The aggregation is map-side
+    // combinable and keys on the member id — at scale this is one
+    // shuffle of (member, keyword) pairs.
+    "a28_member_keywords" -> ((s, d) => {
+      val p = Tables(s, d, "part").select(col("p_partkey"), col("p_name"))
+      val redirects = p.filter(col("p_partkey") % 4 =!= 0)
+        .select((col("p_partkey") - col("p_partkey") % 4).as("target"),
+          col("p_name").as("kw"))
+      p.filter(col("p_partkey") % 4 === 0)
+        .join(redirects, col("p_partkey") === col("target"), "left")
+        .groupBy("p_partkey")
+        .agg(max(col("p_name")).as("name"),
+             concat_ws(",", sort_array(collect_set(col("kw")))).as("keywords"),
+             countDistinct(col("kw")).as("n_keywords"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,6 +169,17 @@ object GroupA4 {
         |  round(sum(round(ln(cnt * 1.0 / total), 9)), 6) AS log_prob,
         |  count(*) AS n_tokens
         |FROM toks JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY 1""".stripMargin,
+
+    "a28_member_keywords" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part),
+        |red AS (SELECT p_partkey - p_partkey % 4 AS target, p_name AS kw
+        |        FROM p WHERE p_partkey % 4 <> 0)
+        |SELECT p.p_partkey, max(p.p_name) AS name,
+        |  coalesce(string_agg(DISTINCT kw, ',' ORDER BY kw), '') AS keywords,
+        |  count(DISTINCT kw) AS n_keywords
+        |FROM p LEFT JOIN red ON p.p_partkey = red.target
+        |WHERE p.p_partkey % 4 = 0
         |GROUP BY 1""".stripMargin,
   )
 }

@@ -57,6 +57,16 @@ class RelationalExtSpec extends GraftSuite {
     val mean = recalls.sum / recalls.size
     // 0.52 without refinement, 0.66 with the default 2 Lloyd iters.
     assert(mean >= 0.5, s"mean recall@10 = $mean")
+
+    // Sampled Lloyd fit (the >10^8-doc path: refine centroids on half
+    // the corpus, assign everything) must not collapse recall — the
+    // fit needs a representative sample, not every vector.
+    val sampled = topSets(Similarity.knnIvf(qs, emb, "vec_id", "embedding", 10,
+      fitKeep = 50))
+    val sRecalls = exact.map { case (q, t) =>
+      sampled.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+    val sMean = sRecalls.sum / sRecalls.size
+    assert(sMean >= 0.45, s"sampled-fit mean recall@10 = $sMean")
   }
 
   test("saltedJoin equals the plain inner join on skewed keys") {
