@@ -51,8 +51,23 @@ object Collections {
     // seed. The relation table is dim-sized → broadcast join; the
     // member remap is a narrow projection afterwards.
     val (mem0, coll0) = relations match {
-      case Some(rel0) =>
-        val rel = broadcast(rel0.select(col("category_id"), col("list_id")))
+      case Some(relRaw) =>
+        // Only SOUND edges are applied: the target list must exist as
+        // a collection, and must not itself be absorbed as a category
+        // by another edge (a chain A→B, B→C would remap A's members
+        // onto a collection id that no longer survives — they would
+        // silently vanish in the coll0 join below). Unsound edges are
+        // ignored, so their categories stay standalone collections
+        // with members intact. Chains cannot occur in the reference —
+        // an entity is either a list or a category — this guards
+        // malformed inputs.
+        val rel0 = relRaw.select(col("category_id"), col("list_id"))
+        val sound = rel0
+          .join(collections.select(col("collection_id").as("list_id")).distinct(),
+                "list_id")
+          .join(rel0.select(col("category_id").as("list_id")).distinct(),
+                Seq("list_id"), "left_anti")
+        val rel = broadcast(sound.select(col("category_id"), col("list_id")))
         val remapped = members
           .join(rel, members("collection_id") === rel("category_id"), "left")
           .withColumn("collection_id", coalesce(col("list_id"), col("collection_id")))

@@ -35,7 +35,19 @@ object Graph {
     * of `depth` — on local mode (and on a busy cluster) per-round job
     * latency dominates these tiny frontier joins, so fewer, slightly
     * fatter rounds win. `dedup` (non-forest inputs) inserts a distinct
-    * per composition so path multiplicity can't snowball.
+    * per composition so path multiplicity can't snowball, and a final
+    * distinct over the seed union: a pair connected at two different
+    * distances ≤ k (a shortcut edge alongside a longer path) would
+    * otherwise appear once per distance and leak duplicate rows into
+    * the closure's set contract. On a forest every pair has exactly
+    * one path, hence one distance — no cross-distance dedup needed.
+    *
+    * COST CONTRACT: the k−1 self-joins run over the ENTIRE edge set —
+    * O(|E| · k) once, before any target restriction a caller like
+    * [[reachableTo]] applies. That is the right trade when the edge
+    * set is dimension-sized (a type taxonomy walked many times); keep
+    * stride = 1 when the edge set is huge and the target cone tiny,
+    * or the precomposition alone dwarfs the cone walk.
     */
   private def strideHops(base: DataFrame, stride: Int,
                          dedup: Boolean): (DataFrame, DataFrame) = {
@@ -51,7 +63,8 @@ object Graph {
       exact = next.localCheckpoint()
       seed = seed.union(exact)
     }
-    (seed.localCheckpoint(), exact)
+    val seedOut = if (dedup) seed.distinct() else seed
+    (seedOut.localCheckpoint(), exact)
   }
 
   /** Transitive closure of `edges` (columns `src`, `dst`): every pair
@@ -169,6 +182,13 @@ object Graph {
     * Violating the precondition yields DUPLICATE pairs (which inflate
     * any downstream join fan-out); `strict = true` verifies it up
     * front and turns the maxIter warning into an exception.
+    *
+    * `stride > 1` caveat: the k-hop sets are precomposed over the
+    * WHOLE edge set (see [[strideHops]]) — O(|E| · stride) up-front
+    * work that is NOT cone-proportional. Use stride when the edge set
+    * is dimension-sized relative to the members being validated (a
+    * type taxonomy); keep stride = 1 when the edge set is huge and
+    * the target cone small, where cone-proportionality is the point.
     */
   def reachableTo(edges: DataFrame, targets: DataFrame,
                   maxIter: Int = 30,

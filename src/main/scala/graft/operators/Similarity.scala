@@ -76,11 +76,12 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              numTables: Int = 16, bitsPerTable: Int = 5, dim: Int = -1,
              seed: Long = 42L): DataFrame = {
-    // Derive the embedding dimension from the first non-null vector;
-    // an empty (or all-null) corpus short-circuits to an empty result
-    // instead of failing on head().
-    val dimRow = corpus.select(size(col(vecCol)).as("d"))
-      .filter(col("d").isNotNull).head(1)
+    // Derive the embedding dimension from the first non-null vector
+    // (the null filter must run BEFORE size(): under non-ANSI defaults
+    // size(null) is -1, not null); an empty (or all-null) corpus
+    // short-circuits to an empty result instead of failing on head().
+    val dimRow = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head(1)
     if (dimRow.isEmpty) {
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"),
@@ -140,8 +141,9 @@ object Similarity {
   def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                      tau: Double, numTables: Int = 16, bitsPerTable: Int = 5,
                      seed: Long = 42L): DataFrame = {
-    val dimRow = emb.select(size(col(vecCol)).as("d"))
-      .filter(col("d").isNotNull).head(1)
+    // Null filter before size(): non-ANSI size(null) is -1, not null.
+    val dimRow = emb.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head(1)
     if (dimRow.isEmpty) {
       return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cosine")).limit(0)
@@ -194,17 +196,15 @@ object Similarity {
              fitKeep: Int = 100): DataFrame = {
     val unit = normalized(corpus, idCol, vecCol).localCheckpoint()
     // Lloyd refinement may run on a deterministic hash-sample of the
-    // corpus (`fitKeep` of `fitBuckets` md5 buckets of the id — same
-    // bucketing contract as Sampling.hashBucket): per-iteration cost
+    // corpus (`fitKeep` of `fitBuckets` Sampling.hashBucket buckets
+    // of the id): per-iteration cost
     // becomes sample·C dots instead of N·C, which is what keeps the
     // centroid fit feasible when C ≈ √N grows with the corpus. The
     // final assignment (inverted lists) always covers the FULL corpus.
     // Defaults keep the historical exact-fit behavior (keep = 100%).
     val fitSet =
       if (fitKeep >= fitBuckets) unit
-      else unit.filter(
-        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % fitBuckets < fitKeep)
+      else unit.filter(Sampling.hashBucket(col("id"), fitBuckets) < fitKeep)
     val seeds = unit.filter(col("id") % centroidMod === 0)
       .select(col("id").as("cid"), col("unit").as("cvec"))
     require(seeds.head(1).nonEmpty,

@@ -107,6 +107,21 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("stride closure has no duplicate rows when a shortcut edge coexists with a longer path") {
+    // (1,3) is connected at distance 1 (shortcut) AND distance 2
+    // (1→2→3): the stride-2 seed must dedup across hop distances or
+    // the pair leaks twice into the returned closure.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    for (stride <- Seq(2, 3)) {
+      val c = Graph.transitiveClosure(edges, stride = stride)
+      assert(c.count() === c.distinct().count(),
+        s"stride=$stride closure must be a set")
+      val r = Graph.reachableTo(edges, Seq(Tuple1(3L)).toDF("dst"), stride = stride)
+      assert(r.count() === r.distinct().count(),
+        s"stride=$stride reachableTo must be a set")
+    }
+  }
+
   test("redirect fallback rescues members whose redirect target reaches (b3 shape)") {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     // 4→2, 5→2, 2→1, 3→1: type 3 does NOT reach 2, but its same_as

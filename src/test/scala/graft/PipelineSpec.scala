@@ -89,6 +89,27 @@ class PipelineSpec extends GraftSuite {
     assert(plain.count() == 2)
   }
 
+  test("unsound relation edges are ignored, not silently member-dropping") {
+    // Chain: category 3 → list 2, category 2 → list 1. Edge 3→2 is
+    // unsound (its target is itself absorbed); applying it would remap
+    // 3's members onto the vanished collection 2 and lose them. It
+    // must be ignored: 3 stays standalone, 2→1 still applies. A
+    // dangling edge (4→99, no such list) is likewise ignored.
+    val m = Seq((1L, 100L, 5.0), (2L, 101L, 7.0), (3L, 102L, 9.0), (4L, 103L, 1.0))
+      .toDF("collection_id", "member_id", "score")
+    val e = Seq((100L, "m100", 10L), (101L, "m101", 10L),
+      (102L, "m102", 10L), (103L, "m103", 10L))
+      .toDF("member_id", "member_name", "member_type")
+    val c = Seq((1L, "list", 10L), (2L, "cat2", 10L), (3L, "cat3", 10L), (4L, "cat4", 10L))
+      .toDF("collection_id", "collection_name", "required_type")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val rel = Seq((3L, 2L), (2L, 1L), (4L, 99L)).toDF("category_id", "list_id")
+    val out = Collections.build(m, e, c, noEdges, topK = 5, relations = Some(rel))
+      .select("collection_name", "valid_cnt").as[(String, Long)].collect().toMap
+    assert(out === Map("list" -> 2L, "cat3" -> 1L, "cat4" -> 1L),
+      "2's members flow to list; 3 and 4 stay standalone with members intact")
+  }
+
   test("diff + es bulk closes the loop on the reference flow") {
     // "Previous snapshot": the same build with a perturbed rank, so some
     // documents change, some match, and dropped names archive.

@@ -31,6 +31,19 @@ class SimilarityLshSpec extends GraftSuite {
     assert(recall >= 0.55, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("null embeddings neither crash the dim probe nor corrupt pairs") {
+    // Non-ANSI size(null) is -1: if the dim probe saw the null row
+    // first it would build zero-length hyperplanes and degenerate to
+    // bucket-0 all-pairs. Null vectors must be ignored throughout.
+    val df = Seq(
+      (1L, Some(Seq(1.0, 0.0))), (2L, Some(Seq(1.0, 0.0))),
+      (0L, Option.empty[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val got = pairs(Similarity.cosinePairsLsh(df, "vec_id", "embedding", tau = 0.5))
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === 1.0)
+  }
+
   test("empty input yields an empty result, not a failure") {
     assert(Similarity.cosinePairsLsh(
       emb.filter($"vec_id" < 0), "vec_id", "embedding", tau = 0.5).count() == 0)
