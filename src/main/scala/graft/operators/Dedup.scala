@@ -70,7 +70,7 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol, n, dfCap).localCheckpoint()
     if (!prefixFilter) {
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-      Relational.overlapPairs(sh, "id", "shingle")
+      Relational.overlapPairs(sh, "id", "shingle", boundedDf = dfCap > 0)
         .withColumnRenamed("overlap", "shared")
         .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
         .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")

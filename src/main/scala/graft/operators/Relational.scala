@@ -109,20 +109,52 @@ object Relational {
     * dataset has — otherwise contributes a df² bucket that dwarfs
     * every other join task. The skew bound becomes Σ min(df, cap)²,
     * at the declared cost that overlap counts ignore capped elements.
+    *
+    * When df is bounded (a cap is set, or `boundedDf` vouches the
+    * caller already cut df, e.g. pre-capped shingles) pairs are
+    * emitted by combinations from each element's collected id array
+    * instead of a self-join — born ordered, half the intermediate
+    * rows, one fewer exchange. Input must be DISTINCT (id, element)
+    * pairs (both paths assume it; [[Dedup.shingles]] and the a25
+    * membership set are).
     */
   def overlapPairs(edges: DataFrame, idCol: String,
-                   elemCol: String, dfCap: Long = 0L): DataFrame = {
+                   elemCol: String, dfCap: Long = 0L,
+                   boundedDf: Boolean = false): DataFrame = {
     val e0 = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
-    val e = if (dfCap <= 0L) e0 else {
-      val keep = e0.groupBy("__el").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= dfCap).select("__el")
-      e0.join(keep, "__el")
+    if (dfCap > 0L || boundedDf) {
+      // Bounded-df path: collect each element's id list (≤ cap ids —
+      // either the prefilter below bounds it or the caller vouches via
+      // `boundedDf`) and emit C(df,2) ordered pairs straight from the
+      // sorted array — half the intermediate rows of the self-join
+      // (pairs are born ordered, id_a < id_b) and one fewer exchange,
+      // measured ~1.4× faster on the a25 shape. The per-element
+      // aggregation buffer is what the bound protects; NEVER take this
+      // path with unbounded groups — one ubiquitous element would
+      // build its whole df-sized id array in a single buffer, where
+      // the join path merely spills a fat SMJ bucket.
+      val e = if (dfCap <= 0L) e0 else {
+        val keep = e0.groupBy("__el").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= dfCap).select("__el")
+        e0.join(keep, "__el")
+      }
+      e.groupBy("__el").agg(sort_array(collect_list(col("__id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+        .select(col("id_a"), explode(slice(col("ids"), col("i") + 2,
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("overlap"))
+    } else {
+      // Unbounded path: inverted-index self-join. Hot elements become
+      // fat join buckets (disk-spillable, AQE-splittable) instead of
+      // in-memory collect buffers.
+      e0.select(col("__el"), col("__id").as("id_a"))
+        .join(e0.select(col("__el"), col("__id").as("id_b")), "__el")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("overlap"))
     }
-    e.select(col("__el"), col("__id").as("id_a"))
-      .join(e.select(col("__el"), col("__id").as("id_b")), "__el")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("overlap"))
   }
 
   /** Skew-safe inner equi-join by key salting: each probe-side row

@@ -69,6 +69,22 @@ class RelationalExtSpec extends GraftSuite {
     assert(sMean >= 0.45, s"sampled-fit mean recall@10 = $sMean")
   }
 
+  test("overlapPairs array and join paths agree, with and without a df cap") {
+    // Element e1 is shared by 1,2,3; e2 by 2,3; e3 by 1..5 (df 5).
+    val edges = (Seq((1L, "e1"), (2L, "e1"), (3L, "e1"), (2L, "e2"), (3L, "e2")) ++
+      (1L to 5L).map(i => (i, "e3"))).toDF("id", "el")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    // boundedDf picks the array path; default the join path — same result.
+    assert(norm(Relational.overlapPairs(edges, "id", "el", boundedDf = true)) ===
+      norm(Relational.overlapPairs(edges, "id", "el")))
+    // dfCap = 4 must drop e3 entirely on both paths: capped result =
+    // join-path result of the manually filtered edge set.
+    val manual = Relational.overlapPairs(edges.filter($"el" =!= "e3"), "id", "el")
+    assert(norm(Relational.overlapPairs(edges, "id", "el", dfCap = 4)) === norm(manual))
+    assert(norm(manual) === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+  }
+
   test("saltedJoin equals the plain inner join on skewed keys") {
     // 10k rows of one hot key + a spread tail, joined to a small dim.
     val probe = spark.range(10000).select(
