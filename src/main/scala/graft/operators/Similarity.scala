@@ -95,8 +95,11 @@ object Similarity {
     // this would be a persisted/cached intermediate).
     val qUnit = normalized(queries, idCol, vecCol).localCheckpoint()
     val cUnit = normalized(corpus, idCol, vecCol).localCheckpoint()
-    val cands = bucketIds(qUnit, ps, "query_id")
-      .join(bucketIds(cUnit, ps, "neighbor_id"), Seq("table", "bucket"))
+    // Checkpointed for the same plan-size reason as cosinePairsLsh:
+    // each bucketIds subplan carries the full plane-literal tree.
+    val cands = bucketIds(qUnit, ps, "query_id").localCheckpoint()
+      .join(bucketIds(cUnit, ps, "neighbor_id").localCheckpoint(),
+            Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
@@ -150,7 +153,12 @@ object Similarity {
     }
     val ps = planes(numTables, bitsPerTable, dimRow.head.getInt(0), seed)
     val unit = normalized(emb, idCol, vecCol).localCheckpoint()
-    val b = bucketIds(unit, ps, "id")
+    // Checkpoint the bucket ids before self-joining: the bucketing
+    // expression embeds numTables × bits × dim plane literals, and
+    // referencing it on both join sides would double an already huge
+    // plan (codegen/analysis cost, not data cost — the bucket set
+    // itself is 3 longs per (vector, table)).
+    val b = bucketIds(unit, ps, "id").localCheckpoint()
     val cands = b.select(col("table"), col("bucket"), col("id").as("id_a"))
       .join(b.select(col("table"), col("bucket"), col("id").as("id_b")),
             Seq("table", "bucket"))
