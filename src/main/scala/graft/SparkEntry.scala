@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed pipeline — every stage of the reference
+    * flow in one plan — is the strongest single smoke signal. */
   def entry(spark: SparkSession): DataFrame =
-    queries("a1_agg_stats")(spark, "/root/testdata/sf0.001")
+    queries("p1_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -12,7 +14,8 @@ object SparkEntry {
       graft.queries.GroupA3.queries ++ graft.queries.GroupA4.queries ++
       graft.queries.GroupB.queries ++ graft.queries.GroupC.queries ++
       graft.queries.GroupD.queries ++ graft.queries.GroupE.queries ++
-      graft.queries.GroupF.queries ++ graft.queries.GroupG.queries
+      graft.queries.GroupF.queries ++ graft.queries.GroupG.queries ++
+      graft.queries.GroupP.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +24,6 @@ object SparkEntry {
       graft.queries.GroupA3.oracles ++ graft.queries.GroupA4.oracles ++
       graft.queries.GroupB.oracles ++ graft.queries.GroupC.oracles ++
       graft.queries.GroupD.oracles ++ graft.queries.GroupE.oracles ++
-      graft.queries.GroupF.oracles ++ graft.queries.GroupG.oracles
+      graft.queries.GroupF.oracles ++ graft.queries.GroupG.oracles ++
+      graft.queries.GroupP.oracles
 }

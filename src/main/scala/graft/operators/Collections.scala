@@ -114,17 +114,31 @@ object Collections {
            // list in the same-name max_by below.
            max(when(col("valid"), col("score"))).as("rank"))
 
-    coll0.select("collection_id", "collection_name")
+    val joined = coll0.select("collection_id", "collection_name")
       .join(counts, "collection_id")
       .join(topMembers, Seq("collection_id"), "left")
-      // Merge collections sharing a name (filter_duplicates.py):
-      // min stable id, summed counts, max rank, best member list.
-      .groupBy(col("collection_name"))
+      // Valid-less collections carry an empty member list, not null —
+      // keeps the merged pick and any downstream rendering total.
+      .withColumn("top_members",
+        coalesce(col("top_members"), array().cast("array<string>")))
+    // Best member list per name picked DETERMINISTICALLY by
+    // (rank desc nulls last, collection id asc) — a max_by on rank
+    // alone breaks ties (and handles all-null ranks) arbitrarily,
+    // which would make the merged output run-dependent.
+    val best = Relational.firstByKey(
+      joined.select(col("collection_name"), col("rank"),
+        col("collection_id"), col("top_members")),
+      Seq(col("collection_name")),
+      Seq(col("rank").desc_nulls_last, col("collection_id").asc))
+      .select(col("collection_name"), col("top_members"))
+    // Merge collections sharing a name (filter_duplicates.py):
+    // min stable id, summed counts, max rank, best member list.
+    joined.groupBy(col("collection_name"))
       .agg(min(col("collection_id")).as("stable_id"),
            sum(col("valid_cnt")).as("valid_cnt"),
            sum(col("invalid_cnt")).as("invalid_cnt"),
-           max(col("rank")).as("rank"),
-           max_by(col("top_members"), col("rank")).as("top_members"))
+           max(col("rank")).as("rank"))
+      .join(best, "collection_name")
       .withColumn("namehash",
         hex(Hashes.namehash(concat(col("collection_name"), lit(".eth")))))
   }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Collections
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group P — the composed pipeline as ONE oracled query: relation
+  * merge → type validation through the subclass cone → per-collection
+  * ranking/top-k → same-name merge. This is the reference's whole
+  * batch flow (merge_lists_and_categories.py → filter_articles2.py →
+  * prepare_collections2.py → filter_duplicates.py) end-to-end, so the
+  * driver's DuckDB compare certifies pipeline-level parity, not just
+  * per-operator parity.
+  *
+  * Testdata roles (same mapping as PipelineSpec): lineitem plays
+  * membership edges, part plays entities AND the k → k/2 type tree,
+  * orders plays collection seeds (name = "col-" + key%100 → ~100-way
+  * same-name merges), odd order keys play categories related to the
+  * even key below them (the P1753/P1754 stand-in). The namehash column
+  * is dropped here — DuckDB has no keccak; it stays covered by a23 and
+  * the EIP-137 vectors.
+  */
+object GroupP {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "p1_pipeline" -> ((s, d) => {
+      val members = Tables(s, d, "lineitem").select(
+        col("l_orderkey").as("collection_id"),
+        col("l_partkey").as("member_id"),
+        col("l_extendedprice").as("score"))
+      val entities = Tables(s, d, "part").select(
+        col("p_partkey").as("member_id"),
+        col("p_name").as("member_name"),
+        col("p_partkey").as("member_type"))
+      val collections = Tables(s, d, "orders").select(
+        col("o_orderkey").as("collection_id"),
+        concat(lit("col-"), (col("o_orderkey") % 100).cast("string"))
+          .as("collection_name"),
+        (col("o_orderkey") % 30 + 2).as("required_type"))
+      val typeEdges = Tables(s, d, "part")
+        .filter(col("p_partkey") >= 2)
+        .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
+      val relations = collections.filter(col("collection_id") % 2 === 1)
+        .select(col("collection_id").as("category_id"),
+          (col("collection_id") - 1).as("list_id"))
+        .join(collections.select(col("collection_id").as("list_id")), "list_id")
+        .select("category_id", "list_id")
+      Collections.build(members, entities, collections, typeEdges,
+          topK = 5, relations = Some(relations))
+        .select(col("collection_name"), col("stable_id"),
+          col("valid_cnt"), col("invalid_cnt"),
+          round(col("rank"), 6).as("rank"),
+          concat_ws(",", col("top_members")).as("top_members"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_pipeline" ->
+      """WITH RECURSIVE
+        |e AS (SELECT p_partkey AS src, p_partkey // 2 AS dst
+        |      FROM part WHERE p_partkey >= 2),
+        |c AS (SELECT src, dst FROM e
+        |      UNION
+        |      SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src),
+        |coll AS (SELECT o_orderkey AS collection_id,
+        |           'col-' || CAST(o_orderkey % 100 AS varchar) AS collection_name,
+        |           (o_orderkey % 30 + 2) AS required_type
+        |         FROM orders),
+        |rel AS (SELECT cat.collection_id AS category_id,
+        |               cat.collection_id - 1 AS list_id
+        |        FROM coll cat JOIN coll l ON l.collection_id = cat.collection_id - 1
+        |        WHERE cat.collection_id % 2 = 1),
+        |coll0 AS (SELECT * FROM coll
+        |          WHERE collection_id NOT IN (SELECT category_id FROM rel)),
+        |mem0 AS (SELECT coalesce(r.list_id, m.collection_id) AS collection_id,
+        |                m.member_id, max(m.score) AS score
+        |         FROM (SELECT l_orderkey AS collection_id, l_partkey AS member_id,
+        |                      l_extendedprice AS score FROM lineitem) m
+        |         LEFT JOIN rel r ON m.collection_id = r.category_id
+        |         GROUP BY 1, 2),
+        |typed AS (SELECT mem0.collection_id, mem0.member_id, mem0.score,
+        |                 p.p_name AS member_name, p.p_partkey AS member_type,
+        |                 c0.collection_name, c0.required_type
+        |          FROM mem0
+        |          JOIN part p ON mem0.member_id = p.p_partkey
+        |          JOIN coll0 c0 ON mem0.collection_id = c0.collection_id),
+        |v AS (SELECT typed.*,
+        |        (member_type = required_type OR cc.src IS NOT NULL) AS valid
+        |      FROM typed LEFT JOIN c cc
+        |        ON cc.src = member_type AND cc.dst = required_type),
+        |ranked AS (SELECT collection_id, member_name,
+        |             row_number() OVER (PARTITION BY collection_id
+        |                                ORDER BY score DESC, member_id) AS rnk
+        |           FROM v WHERE valid),
+        |topm AS (SELECT collection_id,
+        |           string_agg(member_name, ',' ORDER BY rnk) AS top_csv
+        |         FROM ranked WHERE rnk <= 5 GROUP BY 1),
+        |counts AS (SELECT collection_id,
+        |             sum(CASE WHEN valid THEN 1 ELSE 0 END) AS valid_cnt,
+        |             sum(CASE WHEN valid THEN 0 ELSE 1 END) AS invalid_cnt,
+        |             max(CASE WHEN valid THEN score END) AS rank
+        |           FROM v GROUP BY 1),
+        |joined AS (SELECT c0.collection_name, c0.collection_id, counts.valid_cnt,
+        |             counts.invalid_cnt, counts.rank,
+        |             coalesce(topm.top_csv, '') AS top_csv
+        |           FROM coll0 c0
+        |           JOIN counts ON c0.collection_id = counts.collection_id
+        |           LEFT JOIN topm ON c0.collection_id = topm.collection_id),
+        |best AS (SELECT collection_name, top_csv FROM (
+        |           SELECT collection_name, top_csv,
+        |             row_number() OVER (PARTITION BY collection_name
+        |                ORDER BY rank DESC NULLS LAST, collection_id) AS rn
+        |           FROM joined) WHERE rn = 1)
+        |SELECT j.collection_name,
+        |  min(j.collection_id) AS stable_id,
+        |  cast(sum(j.valid_cnt) AS bigint) AS valid_cnt,
+        |  cast(sum(j.invalid_cnt) AS bigint) AS invalid_cnt,
+        |  round(max(j.rank), 6) AS rank,
+        |  max(b.top_csv) AS top_members
+        |FROM joined j JOIN best b ON j.collection_name = b.collection_name
+        |GROUP BY 1""".stripMargin,
+  )
+}
