@@ -121,24 +121,26 @@ object Collections {
       // keeps the merged pick and any downstream rendering total.
       .withColumn("top_members",
         coalesce(col("top_members"), array().cast("array<string>")))
-    // Best member list per name picked DETERMINISTICALLY by
-    // (rank desc nulls last, collection id asc) — a max_by on rank
-    // alone breaks ties (and handles all-null ranks) arbitrarily,
-    // which would make the merged output run-dependent.
-    val best = Relational.firstByKey(
-      joined.select(col("collection_name"), col("rank"),
-        col("collection_id"), col("top_members")),
-      Seq(col("collection_name")),
-      Seq(col("rank").desc_nulls_last, col("collection_id").asc))
-      .select(col("collection_name"), col("top_members"))
-    // Merge collections sharing a name (filter_duplicates.py):
-    // min stable id, summed counts, max rank, best member list.
-    joined.groupBy(col("collection_name"))
+    // Merge collections sharing a name (filter_duplicates.py): min
+    // stable id, summed counts, max rank, best member list. The best
+    // list is picked DETERMINISTICALLY by (rank desc nulls last,
+    // collection id asc) — a max_by on rank alone breaks ties (and
+    // all-null ranks) arbitrarily. The pick is a window flag consumed
+    // by max_by in the SAME pass (exactly one flagged row per name,
+    // so the max_by has no ties): no join back, so `joined` is read
+    // once, and a null collection_name still forms a merge group —
+    // window and groupBy both key nulls together where an equi-join
+    // back would silently drop the row.
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("collection_name")
+      .orderBy(col("rank").desc_nulls_last, col("collection_id").asc)
+    joined.withColumn("__best", row_number().over(wBest) === 1)
+      .groupBy(col("collection_name"))
       .agg(min(col("collection_id")).as("stable_id"),
            sum(col("valid_cnt")).as("valid_cnt"),
            sum(col("invalid_cnt")).as("invalid_cnt"),
-           max(col("rank")).as("rank"))
-      .join(best, "collection_name")
+           max(col("rank")).as("rank"),
+           max_by(col("top_members"), col("__best").cast("int")).as("top_members"))
       .withColumn("namehash",
         hex(Hashes.namehash(concat(col("collection_name"), lit(".eth")))))
   }

@@ -116,12 +116,16 @@ object Relational {
     * instead of a self-join — born ordered, half the intermediate
     * rows, one fewer exchange. Input must be DISTINCT (id, element)
     * pairs (both paths assume it; [[Dedup.shingles]] and the a25
-    * membership set are).
+    * membership set are). Null elements are dropped up front: an
+    * equi-join never matches them, and without the filter the array
+    * path's groupBy would collect all null-element ids into one
+    * group and the two paths would disagree.
     */
   def overlapPairs(edges: DataFrame, idCol: String,
                    elemCol: String, dfCap: Long = 0L,
                    boundedDf: Boolean = false): DataFrame = {
     val e0 = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
+      .filter(col("__el").isNotNull)
     if (dfCap > 0L || boundedDf) {
       // Bounded-df path: collect each element's id list (≤ cap ids —
       // either the prefilter below bounds it or the caller vouches via

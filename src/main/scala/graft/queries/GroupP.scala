@@ -24,31 +24,42 @@ import org.apache.spark.sql.functions._
 object GroupP {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The testdata role-mapping, exposed so PipelineSpec exercises the
+    * exact projections the oracled query runs (one definition — the
+    * spec and the oracle can't silently desynchronize). */
+  def membersOf(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem").select(
+      col("l_orderkey").as("collection_id"),
+      col("l_partkey").as("member_id"),
+      col("l_extendedprice").as("score"))
+  def entitiesOf(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part").select(
+      col("p_partkey").as("member_id"),
+      col("p_name").as("member_name"),
+      col("p_partkey").as("member_type"))
+  def collectionsOf(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders").select(
+      col("o_orderkey").as("collection_id"),
+      concat(lit("col-"), (col("o_orderkey") % 100).cast("string"))
+        .as("collection_name"),
+      (col("o_orderkey") % 30 + 2).as("required_type"))
+  def typeEdgesOf(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part")
+      .filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
+  def relationsOf(s: SparkSession, d: String): DataFrame = {
+    val c = collectionsOf(s, d)
+    c.filter(col("collection_id") % 2 === 1)
+      .select(col("collection_id").as("category_id"),
+        (col("collection_id") - 1).as("list_id"))
+      .join(c.select(col("collection_id").as("list_id")), "list_id")
+      .select("category_id", "list_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "p1_pipeline" -> ((s, d) => {
-      val members = Tables(s, d, "lineitem").select(
-        col("l_orderkey").as("collection_id"),
-        col("l_partkey").as("member_id"),
-        col("l_extendedprice").as("score"))
-      val entities = Tables(s, d, "part").select(
-        col("p_partkey").as("member_id"),
-        col("p_name").as("member_name"),
-        col("p_partkey").as("member_type"))
-      val collections = Tables(s, d, "orders").select(
-        col("o_orderkey").as("collection_id"),
-        concat(lit("col-"), (col("o_orderkey") % 100).cast("string"))
-          .as("collection_name"),
-        (col("o_orderkey") % 30 + 2).as("required_type"))
-      val typeEdges = Tables(s, d, "part")
-        .filter(col("p_partkey") >= 2)
-        .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
-      val relations = collections.filter(col("collection_id") % 2 === 1)
-        .select(col("collection_id").as("category_id"),
-          (col("collection_id") - 1).as("list_id"))
-        .join(collections.select(col("collection_id").as("list_id")), "list_id")
-        .select("category_id", "list_id")
-      Collections.build(members, entities, collections, typeEdges,
-          topK = 5, relations = Some(relations))
+      Collections.build(membersOf(s, d), entitiesOf(s, d), collectionsOf(s, d),
+          typeEdgesOf(s, d), topK = 5, relations = Some(relationsOf(s, d)))
         .select(col("collection_name"), col("stable_id"),
           col("valid_cnt"), col("invalid_cnt"),
           round(col("rank"), 6).as("rank"),

@@ -14,26 +14,12 @@ class PipelineSpec extends GraftSuite {
   private val ss = SparkTestBase.spark
   import ss.implicits._
 
-  private lazy val members = Tables(spark, sfDir, "lineitem").select(
-    col("l_orderkey").as("collection_id"),
-    col("l_partkey").as("member_id"),
-    col("l_extendedprice").as("score"))
-
-  private lazy val entities = Tables(spark, sfDir, "part").select(
-    col("p_partkey").as("member_id"),
-    col("p_name").as("member_name"),
-    col("p_partkey").as("member_type"))
-
-  // ~1 name per 10 collections → plenty of same-name merges.
-  private lazy val collections = Tables(spark, sfDir, "orders").select(
-    col("o_orderkey").as("collection_id"),
-    concat(lit("col-"), (col("o_orderkey") % 100).cast("string"))
-      .as("collection_name"),
-    (col("o_orderkey") % 30 + 2).as("required_type"))
-
-  private lazy val typeEdges = Tables(spark, sfDir, "part")
-    .filter(col("p_partkey") >= 2)
-    .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
+  // The exact role-mapping the oracled p1_pipeline query runs —
+  // defined once on GroupP so spec and oracle cannot desynchronize.
+  private lazy val members = graft.queries.GroupP.membersOf(spark, sfDir)
+  private lazy val entities = graft.queries.GroupP.entitiesOf(spark, sfDir)
+  private lazy val collections = graft.queries.GroupP.collectionsOf(spark, sfDir)
+  private lazy val typeEdges = graft.queries.GroupP.typeEdgesOf(spark, sfDir)
 
   private lazy val built =
     Collections.build(members, entities, collections, typeEdges, topK = 5)
