@@ -36,6 +36,12 @@ object Collections {
     *   dropped, exactly the reference's merge order — relation merge
     *   first, equal-name merge second.
     * @param topK members kept per collection (rank-ordered).
+    * @param closureStride hops walked per reachability round (see
+    *   [[Graph.reachableTo]]). The default 4 assumes `typeEdges` is
+    *   dimension-sized (a type taxonomy — the reference's subclass_of
+    *   graph), where precomposing 4-hop edge sets is cheap and cuts
+    *   the sequential round count 4×; pass 1 if the edge set is huge
+    *   relative to the target cone.
     *
     * Output: one row per distinct collection NAME (same-name
     * collections merged, reference filter_duplicates.py): stable id =
@@ -45,7 +51,8 @@ object Collections {
     */
   def build(members: DataFrame, entities: DataFrame, collections: DataFrame,
             typeEdges: DataFrame, topK: Int = 10,
-            relations: Option[DataFrame] = None): DataFrame = {
+            relations: Option[DataFrame] = None,
+            closureStride: Int = 4): DataFrame = {
     // Relation merge (stage before everything else): remap category
     // members onto the related list and drop the absorbed category
     // seed. The relation table is dim-sized → broadcast join; the
@@ -87,7 +94,8 @@ object Collections {
     // the standalone validation query exploits).
     val closure = Graph.reachableTo(
       typeEdges.select(col("src"), col("dst")),
-      coll0.select(col("required_type").as("dst")))
+      coll0.select(col("required_type").as("dst")),
+      stride = closureStride)
 
     val typed = mem0
       .join(entities, "member_id")
