@@ -35,6 +35,31 @@ class MediaSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("decodeImageStats really decodes PNGs and nulls non-images") {
+    // Solid-color PNGs rendered with the same JDK codec the decoder
+    // uses: decode must recover exact dimensions and channel means.
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(4, 3, 0xff0000), "image"),      // solid red
+      (2L, png(2, 5, 0x00ff00), "image"),      // solid green
+      (3L, "not an image".getBytes("UTF-8"), "audio"))
+    val df = rows.toDF("id", "media", "kind")
+    val out = Media.decodeImageStats(df)
+      .select($"id", $"img_width", $"img_height", $"mean_rgb")
+      .as[(Long, Option[Int], Option[Int], Option[Seq[Float]])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((Some(4), Some(3), Some(Seq(1f, 0f, 0f)))))
+    assert(out(2L) == ((Some(2), Some(5), Some(Seq(0f, 1f, 0f)))))
+    assert(out(3L) == ((None, None, None)), "non-image payloads must null out")
+  }
+
   test("frameSample emits every Nth frame with non-empty bytes") {
     val frames = Media.frameSample(media.filter($"meta.kind" === "video"), everyN = 2)
     assert(frames.filter($"frame_no" % 2 =!= 0).count() == 0)
