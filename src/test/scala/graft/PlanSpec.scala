@@ -87,6 +87,18 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("graft_dot"), s"rescoring should run ArrayDot\n$p")
   }
 
+  test("p1: composed pipeline prunes the unused namehash and never nests loops") {
+    val p = plan("p1_pipeline")
+    // p1 selects every build output EXCEPT namehash — if pruning works
+    // through the 9-stage composition, the keccak expression must not
+    // appear anywhere in the executed plan.
+    assert(!p.contains("graft_namehash") && !p.contains("keccak"),
+      s"unused namehash must be pruned out of the composed pipeline\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim-sized joins (relation edges, closure probes) should broadcast\n$p")
+  }
+
   test("a4: allowlist filter stays a LEFT SEMI broadcast join") {
     val p = plan("a4_semijoin_allowlist")
     assert(p.contains("LeftSemi"), p)
