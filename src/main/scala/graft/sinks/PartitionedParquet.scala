@@ -1,0 +1,48 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Layout-conscious partitioned parquet output — the write side of the
+  * 100 TB posture. A naive `df.write.partitionBy(...)` lets EVERY task
+  * hold a writer into EVERY hive partition it sees rows for: with T
+  * tasks and P partitions that is up to T × P output files (the
+  * classic small-file explosion) and T × P open writers' worth of
+  * memory. Clustering rows by partition key first bounds both.
+  *
+  * (The reference materializes JSONL between stages —
+  * collection-templates Makefile/airflow dags — so output hygiene is
+  * an engine responsibility here, not an afterthought.)
+  */
+object PartitionedParquet {
+
+  /** Write `df` under `path` hive-partitioned by `partitionCols`:
+    *
+    *  - rows are clustered on (partition cols, deterministic salt in
+    *    [0, filesPerPartition)) so each hive partition is produced by
+    *    at most `filesPerPartition` tasks → at most that many files
+    *    (plus `maxRecordsPerFile` roll-overs, which bound the other
+    *    extreme — one giant file);
+    *  - within each task rows sort by (partition cols, `sortCols`) so
+    *    writers open one partition at a time and column runs compress
+    *    (rank-ordered members, time-ordered events);
+    *  - the salt is a hash of the whole row, not `rand()`: re-running
+    *    the write produces byte-identical layout.
+    */
+  def write(df: DataFrame, path: String, partitionCols: Seq[String],
+            sortCols: Seq[String] = Nil, filesPerPartition: Int = 4,
+            maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)),
+      lit(filesPerPartition.toLong)).as("__file_salt")
+    df.withColumn("__file_salt", salt)
+      .repartition((partitionCols :+ "__file_salt").map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .drop("__file_salt")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+}
