@@ -70,6 +70,25 @@ object Sessions {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Incremental type-validation counts — the streaming face of the
+    * pipeline's filter_articles2 stage (batch: b2/Collections.build).
+    * A stream of typed membership rows joins the STATIC subclass
+    * closure — a stream-static join costs no streaming state; the
+    * batch side broadcasts or shuffles like any dim — through the
+    * same [[graft.operators.Graph.validateReachable]] the batch path
+    * uses, then maintains per-collection valid/invalid counts (update
+    * mode; running totals, the aggregation state is one row per
+    * collection). New members arriving on the stream update their
+    * collection's counts without recomputing anything batch-side.
+    */
+  def validatedCounts(members: DataFrame, closure: DataFrame,
+                      typeCol: String = "member_type",
+                      targetCol: String = "required_type"): DataFrame =
+    graft.operators.Graph.validateReachable(members, closure, typeCol, targetCol)
+      .groupBy(col("collection_id"))
+      .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
+           sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
+
   /** Gap-based sessionizer (streaming g1): state holds the user's OPEN
     * sessions (a list — late events above the watermark may land
     * before the newest session and must not corrupt it); every batch

@@ -177,4 +177,36 @@ class StreamingSpec extends GraftSuite {
       assert(rows.contains((0L, "view", 1L)), s"got $rows")
     } finally query.stop()
   }
+
+  test("stream-static validated counts update incrementally across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // Static closure: 4→2, 2→1 (so 4 reaches 2 and 1; 3 reaches nothing).
+    val closure = graft.operators.Graph.transitiveClosure(
+      Seq((4L, 2L), (2L, 1L)).toDF("src", "dst"))
+    // Stream rows: (collection_id, member_type, required_type).
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = Sessions.validatedCounts(
+      input.toDF().toDF("collection_id", "member_type", "required_type"), closure)
+    val query = out.writeStream.format("memory").queryName("vc_out")
+      .outputMode("update").start()
+    // Update mode appends one row per changed key per batch; totals
+    // only grow, so the latest state is the max-total row (no reliance
+    // on collect order).
+    def counts(): Map[Long, (Long, Long)] =
+      spark.table("vc_out").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rs) =>
+          k -> rs.map(r => (r._2, r._3)).maxBy(t => t._1 + t._2) }
+    try {
+      input.addData((10L, 4L, 1L), (10L, 3L, 1L), (20L, 2L, 2L))
+      query.processAllAvailable()
+      val c1 = spark.table("vc_out").as[(Long, Long, Long)].collect().toSet
+      assert(c1 == Set((10L, 1L, 1L), (20L, 1L, 0L)), s"got $c1")
+      // Batch 2: one more valid member for 10 — running totals update.
+      input.addData((10L, 2L, 1L))
+      query.processAllAvailable()
+      val c2 = counts()
+      assert(c2(10L) == ((2L, 1L)), s"got $c2")
+      assert(c2(20L) == ((1L, 0L)), s"got $c2")
+    } finally query.stop()
+  }
 }
