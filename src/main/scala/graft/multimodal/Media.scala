@@ -80,10 +80,12 @@ object Media {
     * back to [[decodeFeatures]].
     *
     * Same scale posture as decodeFeatures: partition-local map, no
-    * shuffle, codec setup amortized per JVM by ImageIO's reader
-    * caching. The per-pixel getRGB walk is the simple correct form; a
-    * throughput-critical decoder would read the raster buffer
-    * directly (and that swap stays inside this one function).
+    * shuffle; decoding reads the in-memory bytes directly (a
+    * MemoryCacheImageInputStream — ImageIO's default wrapper would
+    * spool every payload to a tmpdir file first). The per-pixel
+    * getRGB walk is the simple correct form; a throughput-critical
+    * decoder would read the raster buffer directly (and that swap
+    * stays inside this one function).
     */
   def decodeImageStats(df: DataFrame): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -94,9 +96,20 @@ object Media {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
+        // MemoryCacheImageInputStream: ImageIO's default stream wrapper
+        // spools every payload to a tmpdir file before decoding (one
+        // disk write + create/delete per row); the bytes are already
+        // in memory. NonFatal, not just IOException: JDK decoders
+        // throw CMMException / ArrayIndexOutOfBounds / IllegalArgument
+        // on corrupt-but-recognized payloads, and the contract is
+        // "unparseable yields nulls", never a dead task.
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
           val w = img.getWidth

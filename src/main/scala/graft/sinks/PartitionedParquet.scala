@@ -33,8 +33,28 @@ object PartitionedParquet {
             sortCols: Seq[String] = Nil, filesPerPartition: Int = 4,
             maxRecordsPerFile: Long = 5000000L): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)),
-      lit(filesPerPartition.toLong)).as("__file_salt")
+    require(df.columns.distinct.length == df.columns.length,
+      s"duplicate column names (common after joins) make the salt ambiguous: " +
+        df.columns.diff(df.columns.distinct).mkString(", "))
+    require(!df.columns.contains("__file_salt"),
+      "input already has a __file_salt column; rename it before writing")
+    // Salt from the hashable columns only — xxhash64 rejects MapType
+    // (map ordering is undefined), and partition cols alone would be
+    // constant within a partition. Parquet-writable inputs whose every
+    // non-partition column is a map still cluster by partition cols.
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = df.schema.fields
+      .filter(f => !hasMap(f.dataType)).map(f => col(f.name))
+    val salt =
+      (if (hashable.isEmpty) lit(0L)
+       else pmod(xxhash64(struct(hashable.toSeq: _*)), lit(filesPerPartition.toLong)))
+        .as("__file_salt")
     df.withColumn("__file_salt", salt)
       .repartition((partitionCols :+ "__file_salt").map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)

@@ -80,6 +80,14 @@ object Sessions {
     * mode; running totals, the aggregation state is one row per
     * collection). New members arriving on the stream update their
     * collection's counts without recomputing anything batch-side.
+    *
+    * DURABILITY: the static side is re-read every micro-batch for the
+    * lifetime of the query. Graph closure outputs are unions of
+    * `localCheckpoint` blocks — executor-local, NOT recomputable — so
+    * for a production stream materialize the closure durably first
+    * (write to storage and re-read, or persist with replication); a
+    * lost executor otherwise fails the next micro-batch with an
+    * unrecoverable missing-block error.
     */
   def validatedCounts(members: DataFrame, closure: DataFrame,
                       typeCol: String = "member_type",

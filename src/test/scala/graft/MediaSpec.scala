@@ -49,7 +49,8 @@ class MediaSpec extends GraftSuite {
     val rows = Seq(
       (1L, png(4, 3, 0xff0000), "image"),      // solid red
       (2L, png(2, 5, 0x00ff00), "image"),      // solid green
-      (3L, "not an image".getBytes("UTF-8"), "audio"))
+      (3L, "not an image".getBytes("UTF-8"), "audio"),
+      (4L, null.asInstanceOf[Array[Byte]], "missing"))   // null payload
     val df = rows.toDF("id", "media", "kind")
     val out = Media.decodeImageStats(df)
       .select($"id", $"img_width", $"img_height", $"mean_rgb")
@@ -58,6 +59,7 @@ class MediaSpec extends GraftSuite {
     assert(out(1L) == ((Some(4), Some(3), Some(Seq(1f, 0f, 0f)))))
     assert(out(2L) == ((Some(2), Some(5), Some(Seq(0f, 1f, 0f)))))
     assert(out(3L) == ((None, None, None)), "non-image payloads must null out")
+    assert(out(4L) == ((None, None, None)), "null payloads must null out, not crash")
   }
 
   test("frameSample emits every Nth frame with non-empty bytes") {
