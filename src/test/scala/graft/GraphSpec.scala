@@ -122,6 +122,49 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("property: closures match an in-memory BFS oracle on random DAGs, all strides") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 6) {
+      // Random DAG: edges only src > dst, so acyclic by construction;
+      // nodes 1..20, ~2 outgoing edges each (multi-parent allowed).
+      val edgePairs = (2 to 20).flatMap { s =>
+        Seq.fill(rnd.nextInt(3))((s.toLong, (rnd.nextInt(s - 1) + 1).toLong))
+      }.distinct
+      if (edgePairs.nonEmpty) {
+        // Independent oracle: BFS closure over the collected edge set.
+        val adj = edgePairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        def reach(n: Long): Set[Long] = {
+          var seen = Set.empty[Long]
+          var frontier = adj.getOrElse(n, Set.empty)
+          while (frontier.nonEmpty) {
+            seen ++= frontier
+            frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          }
+          seen
+        }
+        val want = edgePairs.map(_._1).distinct
+          .flatMap(s => reach(s).map(d => (s, d))).toSet
+        val edges = edgePairs.toDF("src", "dst")
+        for (stride <- Seq(1, 2, 4)) {
+          val got = Graph.transitiveClosure(edges, stride = stride)
+            .as[(Long, Long)].collect()
+          assert(got.length === got.distinct.length,
+            s"trial $trial stride $stride: closure emitted duplicates")
+          assert(got.toSet === want, s"trial $trial stride $stride")
+          val targets = want.map(_._2).take(3)
+          if (targets.nonEmpty) {
+            val r = Graph.reachableTo(edges, targets.toSeq.toDF("dst"),
+              stride = stride).as[(Long, Long)].collect()
+            assert(r.length === r.distinct.length,
+              s"trial $trial stride $stride: reachableTo emitted duplicates")
+            assert(r.toSet === want.filter(p => targets.contains(p._2)),
+              s"trial $trial stride $stride reachableTo")
+          }
+        }
+      }
+    }
+  }
+
   test("redirect fallback rescues members whose redirect target reaches (b3 shape)") {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     // 4→2, 5→2, 2→1, 3→1: type 3 does NOT reach 2, but its same_as

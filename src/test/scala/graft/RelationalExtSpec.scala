@@ -85,6 +85,36 @@ class RelationalExtSpec extends GraftSuite {
     assert(norm(manual) === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
   }
 
+  test("property: overlapPairs paths match an in-memory oracle on random edge sets") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(12).toLong, s"e${rnd.nextInt(8)}")).distinct
+      val cap = 1 + rnd.nextInt(6)
+      // Oracle: count shared elements per ordered pair, with and
+      // without the df cut, straight from the in-memory set.
+      def oracle(capped: Boolean): Map[(Long, Long), Long] = {
+        val kept = if (!capped) edges else {
+          val df = edges.groupBy(_._2).view.mapValues(_.size).toMap
+          edges.filter(e => df(e._2) <= cap)
+        }
+        kept.groupBy(_._2).values.flatMap { grp =>
+          val ids = grp.map(_._1).sorted
+          for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+        }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }
+      def run(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+        df.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val in = edges.toDF("id", "el")
+      assert(run(Relational.overlapPairs(in, "id", "el")) === oracle(false),
+        s"trial $trial join path")
+      assert(run(Relational.overlapPairs(in, "id", "el", boundedDf = true)) ===
+        oracle(false), s"trial $trial array path")
+      assert(run(Relational.overlapPairs(in, "id", "el", dfCap = cap)) ===
+        oracle(true), s"trial $trial capped path (cap=$cap)")
+    }
+  }
+
   test("saltedJoin equals the plain inner join on skewed keys") {
     // 10k rows of one hot key + a spread tail, joined to a small dim.
     val probe = spark.range(10000).select(
