@@ -25,6 +25,10 @@ class PipelineSpec extends GraftSuite {
     Collections.build(members, entities, collections, typeEdges, topK = 5)
       .localCheckpoint()
 
+  test("driver entry contract: rows > 0 on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("pipeline produces one merged row per collection name") {
     val names = built.select("collection_name").as[String].collect()
     assert(names.nonEmpty)
