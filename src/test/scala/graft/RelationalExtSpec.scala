@@ -85,6 +85,61 @@ class RelationalExtSpec extends GraftSuite {
     assert(norm(manual) === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
   }
 
+  test("property: asofJoin matches an in-memory oracle on random events") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // Random left probes and right updates over a few keys; ts
+      // collisions (incl. right-right at equal ts) happen on purpose.
+      val lefts = (1 to 40).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong, i.toLong))
+      val rights = (1 to 25).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong, i.toLong * 100))
+      val want = lefts.map { case (k, ts, id) =>
+        // Latest right at-or-before; ties broken by the largest rv.
+        val cands = rights.filter(r => r._1 == k && r._2 <= ts)
+        val best = if (cands.isEmpty) None
+          else Some(cands.maxBy(r => (r._2, r._3))._3)
+        (id, best)
+      }.toMap
+      val got = Relational.asofJoin(
+          lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts", "rv"),
+          key = "k", leftTs = "ts", rightTs = "ts", rightTiebreak = Seq("rv"))
+        .selectExpr("lid", "asof.rv AS rv")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("property: diverseTopK matches an in-memory oracle on random rows") {
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 60).map(i =>
+        (rnd.nextInt(3).toLong, s"kind${rnd.nextInt(4)}",
+          rnd.nextInt(30).toDouble, i.toLong))
+      val (k, perKind) = (4, 2)
+      val want = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        // Walk score-desc (id-asc ties); admit while the row's kind
+        // has quota and the group has room.
+        val quota = scala.collection.mutable.Map.empty[String, Int]
+        grp.sortBy(r => (-r._3, r._4)).iterator
+          .filter { r =>
+            val used = quota.getOrElse(r._2, 0)
+            used < perKind && { quota(r._2) = used + 1; true }
+          }
+          // NOTE: quota consumed only by ADMITTED rows — matches the
+          // operator's two-window (per-kind rank then global rank)
+          // semantics because per-kind rank is computed first.
+          .take(k).map(_._4).toList
+      }.toSet
+      val got = Relational.diverseTopK(
+          rows.toDF("g", "kind", "score", "id"),
+          Seq(col("g")), col("kind"),
+          Seq(col("score").desc, col("id").asc), k = k, perKind = perKind)
+        .select("id").as[Long].collect().toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("property: overlapPairs paths match an in-memory oracle on random edge sets") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 5) {
