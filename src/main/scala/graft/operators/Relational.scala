@@ -173,6 +173,40 @@ object Relational {
     * replicated side must be the smaller one — replication costs
     * `saltFactor` ×).
     */
+  /** Range (interval) join: every (point, interval) pair with
+    * `start ≤ point ≤ end`, optionally key-scoped by `eqKeys`. Spark
+    * plans a bare BETWEEN join predicate as a broadcast-nested-loop /
+    * cartesian — quadratic and undistributable. Here both sides map
+    * onto fixed-width buckets of the value axis (intervals explode to
+    * every bucket they overlap, points to exactly one), the join keys
+    * on (eqKeys, bucket) — an ordinary shuffled equi-join with
+    * bounded fan-out — and the exact BETWEEN filter runs after. A
+    * point's bucket is unique, so each qualifying pair is produced
+    * exactly once: no dedup pass.
+    *
+    * `bucketSize` tunes the trade: interval replication is
+    * ⌈len/bucketSize⌉ + 1 rows, while a too-large bucket degrades the
+    * post-join filter selectivity. Pick it near the typical interval
+    * length. Long-tail intervals (≫ bucketSize) are the skew to
+    * watch: their replication count is the one unbounded quantity —
+    * cap them upstream or raise bucketSize.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, startCol: String, endCol: String,
+                bucketSize: Long, eqKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol).cast("double") / bucketSize).cast("long"))
+    val i = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(startCol).cast("double") / bucketSize).cast("long"),
+        floor(col(endCol).cast("double") / bucketSize).cast("long"))))
+    p.join(i, Seq("__bucket") ++ eqKeys)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val salted = probe.withColumn("__salt",

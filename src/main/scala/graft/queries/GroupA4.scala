@@ -122,6 +122,24 @@ object GroupA4 {
              concat_ws(",", sort_array(collect_set(col("kw")))).as("keywords"),
              countDistinct(col("kw")).as("n_keywords"))
     }),
+
+    // a29: range (interval) join — each part's price point matched to
+    // every order-derived interval covering it, via the bucketized
+    // equi-join (Relational.rangeJoin; a bare BETWEEN join predicate
+    // would plan as a nested loop). Aggregated per point so the
+    // compare stays compact; floor() on both engines (Spark's
+    // double→bigint cast truncates, DuckDB's rounds — floor agrees).
+    "a29_range_join" -> ((s, d) => {
+      val pts = Tables(s, d, "part")
+        .select(col("p_partkey"), floor(col("p_retailprice")).as("v"))
+      val ivals = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("iid"),
+          (lit(900) + col("o_orderkey") % 1100).as("s"))
+        .withColumn("e", col("s") + 40)
+      Relational.rangeJoin(pts, ivals, "v", "s", "e", bucketSize = 64L)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_intervals"), min(col("iid")).as("min_iid"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +187,17 @@ object GroupA4 {
         |  round(sum(round(ln(cnt * 1.0 / total), 9)), 6) AS log_prob,
         |  count(*) AS n_tokens
         |FROM toks JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY 1""".stripMargin,
+
+    "a29_range_join" ->
+      """SELECT p.p_partkey,
+        |  count(*) AS n_intervals,
+        |  min(i.iid) AS min_iid
+        |FROM (SELECT p_partkey, floor(p_retailprice) AS v FROM part) p
+        |JOIN (SELECT o_orderkey AS iid,
+        |             900 + o_orderkey % 1100 AS s,
+        |             900 + o_orderkey % 1100 + 40 AS e FROM orders) i
+        |  ON p.v >= i.s AND p.v <= i.e
         |GROUP BY 1""".stripMargin,
 
     "a28_member_keywords" ->

@@ -140,6 +140,48 @@ class RelationalExtSpec extends GraftSuite {
     }
   }
 
+  test("property: rangeJoin matches the naive between-join on random intervals") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 5) {
+      val points = (1 to 50).map(i => (i.toLong, rnd.nextInt(200).toLong))
+      val intervals = (1 to 20).map { i =>
+        val s = rnd.nextInt(200).toLong
+        (i.toLong + 1000, s, s + rnd.nextInt(40).toLong)
+      }
+      val want = (for {
+        (pid, v) <- points
+        (iid, s, e) <- intervals
+        if v >= s && v <= e
+      } yield (pid, iid)).toSet
+      for (bucketSize <- Seq(1L, 7L, 64L, 1000L)) {
+        val got = Relational.rangeJoin(
+            points.toDF("pid", "v"), intervals.toDF("iid", "s", "e"),
+            pointCol = "v", startCol = "s", endCol = "e", bucketSize = bucketSize)
+          .select("pid", "iid").as[(Long, Long)].collect()
+        assert(got.length === got.distinct.length,
+          s"trial $trial bucket $bucketSize: duplicate pairs")
+        assert(got.toSet === want, s"trial $trial bucket $bucketSize")
+      }
+    }
+  }
+
+  test("rangeJoin plans as an equi-join, not a nested loop") {
+    val points = spark.range(100).selectExpr("id AS pid", "id * 3 AS v")
+    val intervals = spark.range(30)
+      .selectExpr("id AS iid", "id * 10 AS s", "id * 10 + 15 AS e")
+    val plan = Relational.rangeJoin(points, intervals,
+      "v", "s", "e", bucketSize = 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must bucket into an equi-join\n$plan")
+    // Negative-valued axes bucket correctly too (floor, not int-div).
+    val negP = Seq((1L, -7L)).toDF("pid", "v")
+    val negI = Seq((9L, -10L, -5L)).toDF("iid", "s", "e")
+    val hit = Relational.rangeJoin(negP, negI, "v", "s", "e", bucketSize = 4)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(hit === Set((1L, 9L)))
+  }
+
   test("property: overlapPairs paths match an in-memory oracle on random edge sets") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 5) {
