@@ -173,6 +173,15 @@ object Relational {
     * replicated side must be the smaller one — replication costs
     * `saltFactor` ×).
     */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Range (interval) join: every (point, interval) pair with
     * `start ≤ point ≤ end`, optionally key-scoped by `eqKeys`. Spark
     * plans a bare BETWEEN join predicate as a broadcast-nested-loop /
@@ -187,33 +196,33 @@ object Relational {
     * `bucketSize` tunes the trade: interval replication is
     * ⌈len/bucketSize⌉ + 1 rows, while a too-large bucket degrades the
     * post-join filter selectivity. Pick it near the typical interval
-    * length. Long-tail intervals (≫ bucketSize) are the skew to
-    * watch: their replication count is the one unbounded quantity —
-    * cap them upstream or raise bucketSize.
+    * length. An interval spanning more than `maxBucketsPerInterval`
+    * buckets (a corrupt bound, or an open-ended sentinel like
+    * end = Long.MaxValue) fails the task with a clear message rather
+    * than letting sequence() attempt a billion-element array — cap
+    * such intervals upstream or raise `bucketSize`.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
-                bucketSize: Long, eqKeys: Seq[String] = Nil): DataFrame = {
+                bucketSize: Long, eqKeys: Seq[String] = Nil,
+                maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val startB = floor(col(startCol).cast("double") / bucketSize).cast("long")
+    val endB = floor(col(endCol).cast("double") / bucketSize).cast("long")
+    val guardedEnd = when(endB - startB < lit(maxBucketsPerInterval), endB)
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval spans >= $maxBucketsPerInterval buckets " +
+          s"of size $bucketSize (start="), col(startCol).cast("string"),
+        lit(", end="), col(endCol).cast("string"),
+        lit("); cap the interval or raise bucketSize"))).cast("long"))
     val p = points.withColumn("__bucket",
       floor(col(pointCol).cast("double") / bucketSize).cast("long"))
     val i = intervals
       .filter(col(startCol) <= col(endCol))
-      .withColumn("__bucket", explode(sequence(
-        floor(col(startCol).cast("double") / bucketSize).cast("long"),
-        floor(col(endCol).cast("double") / bucketSize).cast("long"))))
+      .withColumn("__bucket", explode(sequence(startB, guardedEnd)))
     p.join(i, Seq("__bucket") ++ eqKeys)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
-  }
-
-  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-                 saltFactor: Int): DataFrame = {
-    val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(saltFactor)).cast("int"))
-    val replicated = build.withColumn("__salt",
-      explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
   /** Snapshot diff: classify rows of `current` vs `previous` into

@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   *  - a28: keyword extraction from redirects
   *    (prepare_members_names.py — the names of redirect pages pointing
   *    at a member become its search keywords).
+  *  - a29: range/interval join through Relational.rangeJoin's
+  *    bucketized equi-join (generalizes the reference's score/QRank
+  *    banding joins; a bare BETWEEN join would plan as a nested loop).
   *
-  * All three are deterministic over the testdata so DuckDB replays
-  * them exactly: the "random" banner is an md5 bucket (same expression
+  * All are deterministic over the testdata so DuckDB replays them
+  * exactly: the "random" banner is an md5 bucket (same expression
   * both engines), the unigram model is derived from the same corpus it
-  * scores, and the relation edge table is derived from part.
+  * scores, and the relation/redirect/interval tables are derived from
+  * part and orders.
   */
 object GroupA4 {
   type Q = (SparkSession, String) => DataFrame

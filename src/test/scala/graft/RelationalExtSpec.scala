@@ -143,20 +143,24 @@ class RelationalExtSpec extends GraftSuite {
   test("property: rangeJoin matches the naive between-join on random intervals") {
     val rnd = new scala.util.Random(5)
     for (trial <- 1 to 5) {
-      val points = (1 to 50).map(i => (i.toLong, rnd.nextInt(200).toLong))
+      // Each row also carries a scope key so eqKeys is exercised:
+      // pairs must share the key AND overlap on the value axis.
+      val points = (1 to 50).map(i =>
+        (i.toLong, rnd.nextInt(200).toLong, rnd.nextInt(3).toLong))
       val intervals = (1 to 20).map { i =>
         val s = rnd.nextInt(200).toLong
-        (i.toLong + 1000, s, s + rnd.nextInt(40).toLong)
+        (i.toLong + 1000, s, s + rnd.nextInt(40).toLong, rnd.nextInt(3).toLong)
       }
       val want = (for {
-        (pid, v) <- points
-        (iid, s, e) <- intervals
-        if v >= s && v <= e
+        (pid, v, pk) <- points
+        (iid, s, e, ik) <- intervals
+        if pk == ik && v >= s && v <= e
       } yield (pid, iid)).toSet
       for (bucketSize <- Seq(1L, 7L, 64L, 1000L)) {
         val got = Relational.rangeJoin(
-            points.toDF("pid", "v"), intervals.toDF("iid", "s", "e"),
-            pointCol = "v", startCol = "s", endCol = "e", bucketSize = bucketSize)
+            points.toDF("pid", "v", "k"), intervals.toDF("iid", "s", "e", "k"),
+            pointCol = "v", startCol = "s", endCol = "e",
+            bucketSize = bucketSize, eqKeys = Seq("k"))
           .select("pid", "iid").as[(Long, Long)].collect()
         assert(got.length === got.distinct.length,
           s"trial $trial bucket $bucketSize: duplicate pairs")
@@ -180,6 +184,13 @@ class RelationalExtSpec extends GraftSuite {
     val hit = Relational.rangeJoin(negP, negI, "v", "s", "e", bucketSize = 4)
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(hit === Set((1L, 9L)))
+    // A sentinel open-ended interval fails loudly instead of letting
+    // sequence() attempt a billion-element bucket array.
+    val openI = Seq((7L, 0L, Long.MaxValue / 2)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      Relational.rangeJoin(negP, openI, "v", "s", "e", bucketSize = 4).count()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("property: overlapPairs paths match an in-memory oracle on random edge sets") {
