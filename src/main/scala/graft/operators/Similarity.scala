@@ -140,6 +140,10 @@ object Similarity {
     * 1 − (1 − (1 − θ/π)^bits)^tables (θ = arccos τ) — ~0.77 at
     * τ = 0.35 with the 16 × 5 defaults, rising steeply above τ. The
     * recall floor vs the exact variant is pinned in SimilarityLshSpec.
+    * At corpus scale, grow `bitsPerTable` with the corpus — target
+    * bucket sizes of a few hundred (bits ≈ log2(N / targetBucket)) so
+    * candidate volume stays Σ bucket²-bounded — and buy recall back
+    * with `numTables`, which scales cost linearly, not quadratically.
     */
   def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                      tau: Double, numTables: Int = 16, bitsPerTable: Int = 5,
