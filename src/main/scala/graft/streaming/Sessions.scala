@@ -19,6 +19,12 @@ case class SessionState(start_es: Long, end_es: Long, n_events: Long)
 /** Sessionizer state: open sessions, kept start-ascending. */
 case class SessionizerState(open: List[SessionState])
 
+/** A document version on the sync stream: id + content fingerprint. */
+case class DocVersion(doc_id: String, fingerprint: String)
+
+/** A change operation emitted by [[Sessions.changeOps]]. */
+case class ChangeOp(doc_id: String, op: String)
+
 /** Structured Streaming counterparts of the Group G batch queries —
   * same column logic, incremental execution. (Reference analogue: the
   * reference recomputes collections from full dumps on an Airflow
@@ -96,6 +102,48 @@ object Sessions {
       .groupBy(col("collection_id"))
       .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
            sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
+
+  /** The streaming face of the ES sync: a stream of (doc, content
+    * fingerprint) versions becomes insert / update change ops by
+    * comparing each arrival to the per-id state of the last emitted
+    * fingerprint — the continuous analogue of
+    * [[graft.operators.Relational.diffSnapshots]] + [[graft.sinks
+    * .EsBulk]] (the reference recomputes the full snapshot diff per
+    * Airflow run; this emits the same ops as changes arrive).
+    * Unchanged re-publications emit nothing. Archive ops are NOT
+    * expressible on a pure arrival stream (absence is not an event) —
+    * the periodic batch diff stays the authority for deletions.
+    *
+    * State: one fingerprint per doc id, forever (no watermark — a doc
+    * may legitimately update years later). At a 10⁹-doc id space that
+    * is executor-sharded KV state, the same durability class as the
+    * sessionizer's; bound it operationally (state-store TTL, or
+    * periodic full batch re-sync) rather than with a correctness-
+    * breaking timeout here.
+    */
+  def changeOps(docs: Dataset[DocVersion]): Dataset[ChangeOp] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[String, ChangeOp](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, versions: Iterator[DocVersion], state: GroupState[String]) =>
+          // Batches are unordered within a micro-batch; the LAST
+          // distinct fingerprint (iterator order) wins the batch, the
+          // op kind depends only on whether state existed before.
+          val last = versions.map(_.fingerprint).toSeq.lastOption
+          last match {
+            case None => Iterator.empty
+            case Some(fp) =>
+              val prior = state.getOption
+              state.update(fp)
+              prior match {
+                case None => Iterator.single(ChangeOp(id, "insert"))
+                case Some(p) if p != fp => Iterator.single(ChangeOp(id, "update"))
+                case _ => Iterator.empty
+              }
+          }
+      }
+  }
 
   /** Gap-based sessionizer (streaming g1): state holds the user's OPEN
     * sessions (a list — late events above the watermark may land

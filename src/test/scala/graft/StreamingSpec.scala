@@ -178,6 +178,31 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("changeOps emits insert/update only on fingerprint change") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.DocVersion]
+    val out = Sessions.changeOps(input.toDS())
+    val query = out.writeStream.format("memory").queryName("ops_out")
+      .outputMode("append").start()
+    def ops(): Seq[(String, String)] =
+      spark.table("ops_out").as[(String, String)].collect().toSeq
+    try {
+      import graft.streaming.DocVersion
+      input.addData(DocVersion("a", "f1"), DocVersion("b", "f1"))
+      query.processAllAvailable()
+      assert(ops().sorted == Seq(("a", "insert"), ("b", "insert")))
+      // a unchanged (silent), b changed (update), c new (insert).
+      input.addData(DocVersion("a", "f1"), DocVersion("b", "f2"), DocVersion("c", "f9"))
+      query.processAllAvailable()
+      assert(ops().sorted == Seq(("a", "insert"), ("b", "insert"),
+        ("b", "update"), ("c", "insert")))
+      // Re-publication of the same content stays silent.
+      input.addData(DocVersion("b", "f2"))
+      query.processAllAvailable()
+      assert(ops().count(_ == ("b", "update")) == 1)
+    } finally query.stop()
+  }
+
   test("stream-static validated counts update incrementally across batches") {
     implicit val sqlCtx = spark.sqlContext
     // Static closure: 4→2, 2→1 (so 4 reaches 2 and 1; 3 reaches nothing).
