@@ -61,6 +61,20 @@ object GroupG {
              sum(col("k")).as("k_sum"),
              avg(col("k")).as("k_avg"))
     }),
+
+    // g4: 15-minute windows HOPPING every 5 minutes — each event lands
+    // in 3 overlapping windows (the native window(col, len, slide)
+    // grouping; Structured Streaming shares the shape). The oracle
+    // replays the fan-out with a 3-offset unnest: window starts are
+    // the slide-aligned marks in (es - 900, es].
+    "g4_hopping_counts" -> ((s, d) => {
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("window_es"),
+                col("event_type"), col("n"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +105,17 @@ object GroupG {
         |  cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS k_sum,
         |  avg(cast(json_extract_string(props, '$.k') AS bigint)) AS k_avg
         |FROM events GROUP BY 1""".stripMargin,
+
+    "g4_hopping_counts" ->
+      """WITH e AS (
+        |  SELECT event_type, cast(floor(epoch(ts)) AS bigint) AS es FROM events),
+        |fan AS (
+        |  SELECT event_type,
+        |    (es // 300 - o) * 300 AS window_es, es
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS o))
+        |SELECT window_es, event_type, count(*) AS n
+        |FROM fan
+        |WHERE es >= window_es AND es < window_es + 900
+        |GROUP BY 1, 2""".stripMargin,
   )
 }
