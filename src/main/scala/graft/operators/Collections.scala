@@ -151,5 +151,9 @@ object Collections {
            max_by(col("top_members"), col("__best").cast("int")).as("top_members"))
       .withColumn("namehash",
         hex(Hashes.namehash(concat(col("collection_name"), lit(".eth")))))
+      // Deterministic banner pick stamped on the final document
+      // (prepare_collections2.py:63-65 seeds a PRNG with the item id;
+      // the engine contract is "deterministic hash of the stable id").
+      .withColumn("banner_number", Sampling.hashBucket(col("stable_id"), 20))
   }
 }

@@ -63,7 +63,8 @@ object GroupP {
         .select(col("collection_name"), col("stable_id"),
           col("valid_cnt"), col("invalid_cnt"),
           round(col("rank"), 6).as("rank"),
-          concat_ws(",", col("top_members")).as("top_members"))
+          concat_ws(",", col("top_members")).as("top_members"),
+          col("banner_number"))
     }),
   )
 
@@ -129,7 +130,9 @@ object GroupP {
         |  cast(sum(j.valid_cnt) AS bigint) AS valid_cnt,
         |  cast(sum(j.invalid_cnt) AS bigint) AS invalid_cnt,
         |  round(max(j.rank), 6) AS rank,
-        |  max(b.top_csv) AS top_members
+        |  max(b.top_csv) AS top_members,
+        |  ('0x' || substr(md5(cast(min(j.collection_id) AS varchar)), 1, 8))::BIGINT
+        |    % 20 AS banner_number
         |FROM joined j JOIN best b ON j.collection_name = b.collection_name
         |GROUP BY 1""".stripMargin,
   )
