@@ -19,8 +19,10 @@ case class SessionState(start_es: Long, end_es: Long, n_events: Long)
 /** Sessionizer state: open sessions, kept start-ascending. */
 case class SessionizerState(open: List[SessionState])
 
-/** A document version on the sync stream: id + content fingerprint. */
-case class DocVersion(doc_id: String, fingerprint: String)
+/** A document version on the sync stream: id + content fingerprint +
+  * a monotone sequence (publish time / offset) that makes "latest
+  * version in a batch" well-defined — shuffle iterator order is not. */
+case class DocVersion(doc_id: String, fingerprint: String, seq: Long)
 
 /** A change operation emitted by [[Sessions.changeOps]]. */
 case class ChangeOp(doc_id: String, op: String)
@@ -127,20 +129,23 @@ object Sessions {
       .flatMapGroupsWithState[String, ChangeOp](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: String, versions: Iterator[DocVersion], state: GroupState[String]) =>
-          // Batches are unordered within a micro-batch; the LAST
-          // distinct fingerprint (iterator order) wins the batch, the
-          // op kind depends only on whether state existed before.
-          val last = versions.map(_.fingerprint).toSeq.lastOption
-          last match {
-            case None => Iterator.empty
-            case Some(fp) =>
-              val prior = state.getOption
-              state.update(fp)
-              prior match {
-                case None => Iterator.single(ChangeOp(id, "insert"))
-                case Some(p) if p != fp => Iterator.single(ChangeOp(id, "update"))
-                case _ => Iterator.empty
-              }
+          // Single O(1)-memory pass; the highest-seq version wins the
+          // batch (iterator order is shuffle order, not event order),
+          // fingerprint as a deterministic tie-break on equal seq.
+          var best: DocVersion = null
+          versions.foreach { v =>
+            if (best == null || v.seq > best.seq ||
+                (v.seq == best.seq && v.fingerprint > best.fingerprint)) best = v
+          }
+          if (best == null) Iterator.empty
+          else {
+            val prior = state.getOption
+            if (prior.contains(best.fingerprint)) Iterator.empty // no state I/O
+            else {
+              state.update(best.fingerprint)
+              if (prior.isEmpty) Iterator.single(ChangeOp(id, "insert"))
+              else Iterator.single(ChangeOp(id, "update"))
+            }
           }
       }
   }

@@ -188,18 +188,27 @@ class StreamingSpec extends GraftSuite {
       spark.table("ops_out").as[(String, String)].collect().toSeq
     try {
       import graft.streaming.DocVersion
-      input.addData(DocVersion("a", "f1"), DocVersion("b", "f1"))
+      input.addData(DocVersion("a", "f1", 1L), DocVersion("b", "f1", 1L))
       query.processAllAvailable()
       assert(ops().sorted == Seq(("a", "insert"), ("b", "insert")))
       // a unchanged (silent), b changed (update), c new (insert).
-      input.addData(DocVersion("a", "f1"), DocVersion("b", "f2"), DocVersion("c", "f9"))
+      input.addData(DocVersion("a", "f1", 2L), DocVersion("b", "f2", 2L),
+        DocVersion("c", "f9", 2L))
       query.processAllAvailable()
       assert(ops().sorted == Seq(("a", "insert"), ("b", "insert"),
         ("b", "update"), ("c", "insert")))
       // Re-publication of the same content stays silent.
-      input.addData(DocVersion("b", "f2"))
+      input.addData(DocVersion("b", "f2", 3L))
       query.processAllAvailable()
       assert(ops().count(_ == ("b", "update")) == 1)
+      // Two same-batch versions: the highest seq wins, so state holds
+      // f4 and a later f4 re-publication is silent.
+      input.addData(DocVersion("d", "f3", 10L), DocVersion("d", "f4", 11L))
+      query.processAllAvailable()
+      assert(ops().count(_._1 == "d") == 1)
+      input.addData(DocVersion("d", "f4", 12L))
+      query.processAllAvailable()
+      assert(ops().count(_._1 == "d") == 1, "re-publishing the batch winner must be silent")
     } finally query.stop()
   }
 
