@@ -36,6 +36,16 @@ class PartitionedParquetSpec extends GraftSuite {
       val want = docs.as[(Long, String, Int)].collect().toSet
       assert(back == want)
 
+      // The layout pays off at read time: a partition-key filter must
+      // prune to the one matching directory (partition pruning visible
+      // in the scan, no full-table read).
+      val pruned = spark.read.parquet(out.getAbsolutePath).filter($"shard" === 3)
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+        s"partition filter must reach the scan\n$scan")
+      assert(pruned.count() ==
+        docs.filter($"shard" === 3).count())
+
       // Deterministic salt → rerun produces the identical layout.
       val firstLayout = shards.map(d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
