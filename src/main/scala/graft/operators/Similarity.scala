@@ -219,10 +219,24 @@ object Similarity {
       else unit.filter(Sampling.hashBucket(col("id"), fitBuckets) < fitKeep)
     val seeds = unit.filter(col("id") % centroidMod === 0)
       .select(col("id").as("cid"), col("unit").as("cvec"))
-    require(seeds.head(1).nonEmpty,
+    // One job covers both guards: existence (require below) and the
+    // broadcast-size warning — C vectors of `dim` doubles ship to
+    // every executor each Lloyd round, and past ~100M cells (≈800 MB)
+    // that broadcast is the bottleneck; say so before a cluster
+    // discovers it the hard way.
+    val seedStats = seeds.agg(count(lit(1)), max(size(col("cvec")))).head
+    require(seedStats.getLong(0) > 0,
       s"knnIvf: no centroids — no corpus id is divisible by $centroidMod " +
         "(ids must be numeric and cover multiples of centroidMod; " +
         "lower centroidMod or remap ids)")
+    locally {
+      val c = seedStats.getLong(0)
+      val dim = seedStats.getInt(1).toLong
+      if (c * dim > 100000000L)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"knnIvf: broadcasting $c centroids x $dim dims (~${c * dim * 8 / (1 << 20)} MB) " +
+            "per Lloyd round; raise centroidMod or fit on a sample (fitKeep)")
+    }
     var centroids = broadcast(seeds)
     // Nearest-centroid argmax: maximize (cdot, -cid) — deterministic
     // cid-ascending tie-break — via map-side-combinable max_by.
