@@ -30,11 +30,15 @@ object Collections {
     *  - `typeEdges`: (src, dst) subclass edges — reference: db2.
     * @param relations optional (category_id, list_id) edges — the
     *   P1753/P1754 related-list relation. When present, each category
-    *   with a relation is merged into its list BEFORE the name merge
-    *   (merge_lists_and_categories.py:116-147): its members flow to
-    *   the list (deduped, best score kept) and its seed row is
-    *   dropped, exactly the reference's merge order — relation merge
-    *   first, equal-name merge second.
+    *   with a relation is merged into its FIRST related list (smallest
+    *   list id — the reference merges into one list and stops,
+    *   merge_lists_and_categories.py: `for ... merge_collections(...);
+    *   break`) BEFORE the name merge: its members flow to the list
+    *   (deduped, best score kept), its seed row is dropped, and the
+    *   surviving collection keeps the LEAST of the merged ids as its
+    *   id (merge_collections takes `min(category.item, list.item)` as
+    *   the stable id — everything keyed on the id downstream, namehash
+    *   ordering and banner seeding included, follows that min).
     * @param topK members kept per collection (rank-ordered).
     * @param closureStride hops walked per reachability round (see
     *   [[Graph.reachableTo]]). The default 4 assumes `typeEdges` is
@@ -57,8 +61,9 @@ object Collections {
     // members onto the related list and drop the absorbed category
     // seed. The relation table is dim-sized → broadcast join; the
     // member remap is a narrow projection afterwards.
-    val (mem0, coll0) = relations match {
+    val (mem1, coll0) = relations match {
       case Some(relRaw) =>
+        val rel0 = relRaw.select(col("category_id"), col("list_id"))
         // Only SOUND edges are applied: the target list must exist as
         // a collection, and must not itself be absorbed as a category
         // by another edge (a chain A→B, B→C would remap A's members
@@ -68,26 +73,51 @@ object Collections {
         // with members intact. Chains cannot occur in the reference —
         // an entity is either a list or a category — this guards
         // malformed inputs.
-        val rel0 = relRaw.select(col("category_id"), col("list_id"))
-        val sound = rel0
+        val soundAll = rel0
           .join(collections.select(col("collection_id").as("list_id")).distinct(),
                 "list_id")
           .join(rel0.select(col("category_id").as("list_id")).distinct(),
                 Seq("list_id"), "left_anti")
-        val rel = broadcast(sound.select(col("category_id"), col("list_id")))
-        val remapped = members
-          .join(rel, members("collection_id") === rel("category_id"), "left")
-          .withColumn("collection_id", coalesce(col("list_id"), col("collection_id")))
-          .drop("category_id", "list_id")
-        // A member present in both the category and its list would
-        // now appear twice — keep the best-scored copy.
-        val deduped = Relational.firstByKey(remapped,
-          Seq(col("collection_id"), col("member_id")), Seq(col("score").desc))
-        val survivors = collections.join(rel,
-          collections("collection_id") === rel("category_id"), "left_anti")
-        (deduped, survivors)
+        // A category with several sound edges merges into only its
+        // FIRST related list — the reference collects the related
+        // lists that exist and breaks after the first merge
+        // (merge_lists_and_categories.py: `for ... merge_collections
+        // (...); break`). Deterministic pick: smallest list id.
+        // Without this cut a multi-edge category would fan its members
+        // into EVERY related list and double-count them.
+        val sound = Relational.firstByKey(soundAll,
+          Seq(col("category_id")), Seq(col("list_id").asc))
+        // The surviving collection takes the LEAST id among the list
+        // and every category it absorbs (merge_collections keeps
+        // min(category.item, list.item) at each merge), so both the
+        // absorbed categories AND the list itself remap onto new_id.
+        val merged = sound.groupBy("list_id")
+          .agg(min(col("category_id")).as("__min_cat"))
+          .select(col("list_id"),
+            least(col("list_id"), col("__min_cat")).as("new_id"))
+        val remap = broadcast(
+          sound.join(merged, "list_id")
+            .select(col("category_id").as("old_id"), col("new_id"))
+            .unionByName(merged.select(col("list_id").as("old_id"), col("new_id"))))
+        val remappedMem = members
+          .join(remap, members("collection_id") === remap("old_id"), "left")
+          .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))
+          .drop("old_id", "new_id")
+        val survivors = collections
+          .join(broadcast(sound.select(col("category_id"))),
+                collections("collection_id") === col("category_id"), "left_anti")
+          .join(remap, col("collection_id") === remap("old_id"), "left")
+          .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))
+          .drop("old_id", "new_id")
+        (remappedMem, survivors)
       case None => (members, collections)
     }
+    // Membership rows can repeat — a member present in both a category
+    // and its list post-remap, or duplicated edges in the raw input —
+    // keep the best-scored copy. Unconditional: the same input must
+    // yield the same counts whether or not a relation table is passed.
+    val mem0 = Relational.firstByKey(mem1,
+      Seq(col("collection_id"), col("member_id")), Seq(col("score").desc))
 
     // Reachability only toward the collections' required types — the
     // targets' ancestor cone, never the full closure (same asymmetry

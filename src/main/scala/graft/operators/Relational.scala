@@ -207,19 +207,39 @@ object Relational {
                 bucketSize: Long, eqKeys: Seq[String] = Nil,
                 maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
-    val startB = floor(col(startCol).cast("double") / bucketSize).cast("long")
-    val endB = floor(col(endCol).cast("double") / bucketSize).cast("long")
-    val guardedEnd = when(endB - startB < lit(maxBucketsPerInterval), endB)
+    // Integral values bucket via exact long floor-division: a
+    // cast("double") rounds |v| >= 2^53 (nanosecond-epoch longs), so
+    // bucket ids near boundaries shift off their documented value —
+    // containment survived only because double rounding is monotone,
+    // a property nothing asserted. (v - pmod(v, b)) is an exact
+    // multiple of b, so the `div` truncation equals floor division
+    // for negatives too. Fractional types keep the double path (they
+    // are within double precision by construction). Integral inputs
+    // within bucketSize of Long.MinValue would wrap — no real value
+    // axis lives there.
+    import org.apache.spark.sql.types._
+    def withBucket(df: DataFrame, c: String, out: String): DataFrame =
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          df.withColumn("__v", col(c).cast("long"))
+            .withColumn(out,
+              expr(s"(__v - pmod(__v, ${bucketSize}L)) div ${bucketSize}L"))
+            .drop("__v")
+        case _ =>
+          df.withColumn(out, floor(col(c).cast("double") / bucketSize).cast("long"))
+      }
+    val p = withBucket(points, pointCol, "__bucket")
+    val iB = withBucket(withBucket(intervals.filter(col(startCol) <= col(endCol)),
+      startCol, "__sb"), endCol, "__eb")
+    val guardedEnd = when(col("__eb") - col("__sb") < lit(maxBucketsPerInterval),
+        col("__eb"))
       .otherwise(raise_error(concat(
         lit(s"rangeJoin: interval spans >= $maxBucketsPerInterval buckets " +
           s"of size $bucketSize (start="), col(startCol).cast("string"),
         lit(", end="), col(endCol).cast("string"),
         lit("); cap the interval or raise bucketSize"))).cast("long"))
-    val p = points.withColumn("__bucket",
-      floor(col(pointCol).cast("double") / bucketSize).cast("long"))
-    val i = intervals
-      .filter(col(startCol) <= col(endCol))
-      .withColumn("__bucket", explode(sequence(startB, guardedEnd)))
+    val i = iB.withColumn("__bucket", explode(sequence(col("__sb"), guardedEnd)))
+      .drop("__sb", "__eb")
     p.join(i, Seq("__bucket") ++ eqKeys)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")

@@ -36,26 +36,40 @@ object GroupA4 {
 
   val queries: Map[String, Q] = Map(
     // a24: collections = part rows; odd keys play "category", even keys
-    // play "list"; the relation table links category k → list k-1 when
-    // that list exists (the P1753/P1754 edge stand-in). Stage 1 merges
-    // each related category onto its list (the list's name survives);
-    // stage 2 name-merges the survivors — exactly the reference's merge
-    // order. The relation table is dim-sized → broadcast; both
-    // aggregations are map-side combinable.
+    // play "list"; categories k ≡ 1 (mod 4) relate to list k+1 and
+    // k ≡ 3 (mod 4) to list k-1 (the P1753/P1754 edge stand-in), so a
+    // list ℓ ≡ 2 (mod 4) absorbs BOTH neighbours and — like the
+    // reference's merge_collections, which keeps min(category.item,
+    // list.item) — survives under the LEAST merged id (ℓ-1, a category
+    // id smaller than the list's). Stage 1 merges each related
+    // category onto its list (the list's NAME survives, the min id
+    // wins); stage 2 name-merges the survivors — exactly the
+    // reference's merge order. The remap table is dim-sized →
+    // broadcast; both aggregations are map-side combinable.
     "a24_merge_by_relation" -> ((s, d) => {
       val p = Tables(s, d, "part")
         .select(col("p_partkey"), col("p_name"), col("p_size"),
           col("p_retailprice").cast("decimal(18,2)").as("rankd"))
-      val rel = p.filter(col("p_partkey") % 2 === 1)
+      val cats = p.filter(col("p_partkey") % 4 === 1)
         .select(col("p_partkey").as("category_id"),
-          (col("p_partkey") - 1).as("list_id"))
-        .join(p.filter(col("p_partkey") % 2 === 0)
-          .select(col("p_partkey").as("list_id")), "list_id")
+          (col("p_partkey") + 1).as("list_id"))
+        .unionByName(p.filter(col("p_partkey") % 4 === 3)
+          .select(col("p_partkey").as("category_id"),
+            (col("p_partkey") - 1).as("list_id")))
+      val rel = cats.join(p.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey").as("list_id")), "list_id")
+      val merged = rel.groupBy("list_id")
+        .agg(min(col("category_id")).as("mc"))
+        .select(col("list_id"), least(col("list_id"), col("mc")).as("new_id"))
+      val remap = rel.join(merged, "list_id")
+        .select(col("category_id").as("old_id"), col("new_id"))
+        .unionByName(merged.select(col("list_id").as("old_id"), col("new_id")))
       val grouped = p
-        .join(broadcast(rel), p("p_partkey") === rel("category_id"), "left")
-        .withColumn("gid", coalesce(col("list_id"), col("p_partkey")))
+        .join(broadcast(remap), p("p_partkey") === col("old_id"), "left")
+        .withColumn("gid", coalesce(col("new_id"), col("p_partkey")))
       val stage1 = grouped.groupBy("gid")
-        .agg(max(when(col("p_partkey") === col("gid"), col("p_name"))).as("name"),
+        .agg(coalesce(max(when(col("p_partkey") % 2 === 0, col("p_name"))),
+               max(col("p_name"))).as("name"),
              sum(col("p_size")).as("size"),
              max(col("rankd")).as("rankd"),
              count(lit(1)).as("cnt"))
@@ -69,16 +83,25 @@ object GroupA4 {
     // a26: banner number = md5 bucket of the collection id (both
     // engines compute the identical expression — the reference seeds a
     // PRNG with the item id, which is the same "deterministic hash of
-    // the id" contract); emoji = the globally most frequent of the
-    // collection's types (count desc, name asc), via a broadcast
-    // frequency dim + one rank-1 window.
+    // the id" contract); emoji = the RAREST of the collection's types
+    // (the reference's get_emoji sorts types ASCENDING by emoji count
+    // and takes the first, with types missing from the emoji table
+    // sorting last via sys.maxsize — prepare_collections2.py:120), via
+    // a broadcast frequency dim + one rank-1 window. The frequency dim
+    // deliberately omits the globally most frequent type, so the
+    // missing-sorts-last branch is exercised by the oracle too: a
+    // collection whose ONLY type is the omitted one still gets it.
     "a26_assign_banner_emoji" -> ((s, d) => {
       val o = Tables(s, d, "orders").select("o_custkey", "o_orderpriority")
-      val freqs = o.groupBy("o_orderpriority").agg(count(lit(1)).as("freq"))
-      val best = Relational.firstByKey(
-        o.distinct().join(broadcast(freqs), "o_orderpriority"),
-        Seq(col("o_custkey")),
+      val freqsAll = o.groupBy("o_orderpriority").agg(count(lit(1)).as("freq"))
+      val top1 = Relational.firstByKey(freqsAll, Seq(lit(1)),
         Seq(col("freq").desc, col("o_orderpriority").asc))
+        .select("o_orderpriority")
+      val freqs = freqsAll.join(top1, Seq("o_orderpriority"), "left_anti")
+      val best = Relational.firstByKey(
+        o.distinct().join(broadcast(freqs), Seq("o_orderpriority"), "left"),
+        Seq(col("o_custkey")),
+        Seq(col("freq").asc_nulls_last, col("o_orderpriority").asc))
       best.select(
         col("o_custkey"),
         Sampling.hashBucket(col("o_custkey"), 20).as("banner_number"),
@@ -150,15 +173,24 @@ object GroupA4 {
     "a24_merge_by_relation" ->
       """WITH p AS (SELECT p_partkey, p_name, p_size,
         |             cast(p_retailprice AS decimal(18,2)) AS rankd FROM part),
-        |rel AS (SELECT c.p_partkey AS category_id, c.p_partkey - 1 AS list_id
+        |rel AS (SELECT c.p_partkey AS category_id, c.p_partkey + 1 AS list_id
+        |        FROM p c JOIN p l ON l.p_partkey = c.p_partkey + 1
+        |        WHERE c.p_partkey % 4 = 1 AND l.p_partkey % 2 = 0
+        |        UNION ALL
+        |        SELECT c.p_partkey, c.p_partkey - 1
         |        FROM p c JOIN p l ON l.p_partkey = c.p_partkey - 1
-        |        WHERE c.p_partkey % 2 = 1),
-        |g1 AS (SELECT coalesce(r.list_id, p.p_partkey) AS gid,
-        |         max(CASE WHEN p.p_partkey = coalesce(r.list_id, p.p_partkey)
-        |                  THEN p.p_name END) AS name,
+        |        WHERE c.p_partkey % 4 = 3 AND l.p_partkey % 2 = 0),
+        |merged AS (SELECT list_id, least(list_id, min(category_id)) AS new_id
+        |           FROM rel GROUP BY 1),
+        |remap AS (SELECT category_id AS old_id, new_id
+        |          FROM rel JOIN merged USING (list_id)
+        |          UNION ALL SELECT list_id, new_id FROM merged),
+        |g1 AS (SELECT coalesce(r.new_id, p.p_partkey) AS gid,
+        |         coalesce(max(CASE WHEN p.p_partkey % 2 = 0 THEN p.p_name END),
+        |                  max(p.p_name)) AS name,
         |         cast(sum(p.p_size) AS bigint) AS size,
         |         max(rankd) AS rankd, count(*) AS cnt
-        |       FROM p LEFT JOIN rel r ON p.p_partkey = r.category_id
+        |       FROM p LEFT JOIN remap r ON p.p_partkey = r.old_id
         |       GROUP BY 1)
         |SELECT name, min(gid) AS stable_id,
         |  cast(sum(size) AS bigint) AS total_size,
@@ -168,12 +200,17 @@ object GroupA4 {
 
     "a26_assign_banner_emoji" ->
       """WITH cand AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
-        |freqs AS (SELECT o_orderpriority, count(*) AS freq FROM orders GROUP BY 1),
+        |freqs_all AS (SELECT o_orderpriority, count(*) AS freq
+        |              FROM orders GROUP BY 1),
+        |top1 AS (SELECT o_orderpriority FROM freqs_all
+        |         ORDER BY freq DESC, o_orderpriority LIMIT 1),
+        |freqs AS (SELECT * FROM freqs_all WHERE o_orderpriority NOT IN
+        |            (SELECT o_orderpriority FROM top1)),
         |best AS (SELECT o_custkey, o_orderpriority FROM (
         |  SELECT cand.o_custkey, cand.o_orderpriority,
         |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY freq DESC, o_orderpriority) AS rn
-        |  FROM cand JOIN freqs USING (o_orderpriority)) WHERE rn = 1)
+        |                       ORDER BY freq ASC NULLS LAST, o_orderpriority) AS rn
+        |  FROM cand LEFT JOIN freqs USING (o_orderpriority)) WHERE rn = 1)
         |SELECT o_custkey,
         |  ('0x' || substr(md5(cast(o_custkey AS varchar)), 1, 8))::BIGINT % 20
         |    AS banner_number,

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * Testdata roles (same mapping as PipelineSpec): lineitem plays
   * membership edges, part plays entities AND the k → k/2 type tree,
   * orders plays collection seeds (name = "col-" + key%100 → ~100-way
-  * same-name merges), odd order keys play categories related to the
-  * even key below them (the P1753/P1754 stand-in). The namehash column
+  * same-name merges), and the relation table (see [[relationsOf]])
+  * exercises least-id survival, multi-edge first-pick and the chain
+  * guard (the P1753/P1754 stand-in). The namehash column
   * is dropped here — DuckDB has no keccak; it stays covered by a23 and
   * the EIP-137 vectors.
   */
@@ -47,12 +48,26 @@ object GroupP {
     Tables(s, d, "part")
       .filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
+  /** Relation edges exercising every branch of the merge semantics
+    * through the DuckDB gate: odd keys k → list k-1 (the plain
+    * category→list edge), keys ≡ 0 (mod 4) → list k+2 (a CATEGORY id
+    * smaller than its list's — the surviving id must be the least,
+    * and the odd edge pointing AT such a key becomes unsound, hitting
+    * the chain guard), and keys ≡ 1 (mod 8) get a second edge → k+1
+    * (a multi-edge category: its k-1 edge is unsound, so the pick
+    * must fall to the sound k+1 edge — sound-filter-then-pick, the
+    * reference's `related_lists` are pre-filtered to existing lists). */
   def relationsOf(s: SparkSession, d: String): DataFrame = {
     val c = collectionsOf(s, d)
-    c.filter(col("collection_id") % 2 === 1)
-      .select(col("collection_id").as("category_id"),
-        (col("collection_id") - 1).as("list_id"))
-      .join(c.select(col("collection_id").as("list_id")), "list_id")
+    val cid = col("collection_id")
+    val odd = c.filter(cid % 2 === 1)
+      .select(cid.as("category_id"), (cid - 1).as("list_id"))
+    val quad = c.filter(cid % 4 === 0)
+      .select(cid.as("category_id"), (cid + 2).as("list_id"))
+    val extra = c.filter(cid % 8 === 1)
+      .select(cid.as("category_id"), (cid + 1).as("list_id"))
+    odd.unionByName(quad).unionByName(extra)
+      .join(c.select(cid.as("list_id")), "list_id")
       .select("category_id", "list_id")
   }
 
@@ -80,17 +95,35 @@ object GroupP {
         |           'col-' || CAST(o_orderkey % 100 AS varchar) AS collection_name,
         |           (o_orderkey % 30 + 2) AS required_type
         |         FROM orders),
-        |rel AS (SELECT cat.collection_id AS category_id,
-        |               cat.collection_id - 1 AS list_id
-        |        FROM coll cat JOIN coll l ON l.collection_id = cat.collection_id - 1
-        |        WHERE cat.collection_id % 2 = 1),
-        |coll0 AS (SELECT * FROM coll
-        |          WHERE collection_id NOT IN (SELECT category_id FROM rel)),
-        |mem0 AS (SELECT coalesce(r.list_id, m.collection_id) AS collection_id,
+        |rel0 AS (SELECT cat.collection_id AS category_id,
+        |                cat.collection_id - 1 AS list_id
+        |         FROM coll cat JOIN coll l ON l.collection_id = cat.collection_id - 1
+        |         WHERE cat.collection_id % 2 = 1
+        |         UNION ALL
+        |         SELECT cat.collection_id, cat.collection_id + 2
+        |         FROM coll cat JOIN coll l ON l.collection_id = cat.collection_id + 2
+        |         WHERE cat.collection_id % 4 = 0
+        |         UNION ALL
+        |         SELECT cat.collection_id, cat.collection_id + 1
+        |         FROM coll cat JOIN coll l ON l.collection_id = cat.collection_id + 1
+        |         WHERE cat.collection_id % 8 = 1),
+        |sound AS (SELECT category_id, min(list_id) AS list_id FROM rel0
+        |          WHERE list_id NOT IN (SELECT category_id FROM rel0)
+        |          GROUP BY 1),
+        |merged AS (SELECT list_id, least(list_id, min(category_id)) AS new_id
+        |           FROM sound GROUP BY 1),
+        |remap AS (SELECT category_id AS old_id, new_id
+        |          FROM sound JOIN merged USING (list_id)
+        |          UNION ALL SELECT list_id, new_id FROM merged),
+        |coll0 AS (SELECT coalesce(r.new_id, c.collection_id) AS collection_id,
+        |                 c.collection_name, c.required_type
+        |          FROM coll c LEFT JOIN remap r ON c.collection_id = r.old_id
+        |          WHERE c.collection_id NOT IN (SELECT category_id FROM sound)),
+        |mem0 AS (SELECT coalesce(r.new_id, m.collection_id) AS collection_id,
         |                m.member_id, max(m.score) AS score
         |         FROM (SELECT l_orderkey AS collection_id, l_partkey AS member_id,
         |                      l_extendedprice AS score FROM lineitem) m
-        |         LEFT JOIN rel r ON m.collection_id = r.category_id
+        |         LEFT JOIN remap r ON m.collection_id = r.old_id
         |         GROUP BY 1, 2),
         |typed AS (SELECT mem0.collection_id, mem0.member_id, mem0.score,
         |                 p.p_name AS member_name, p.p_partkey AS member_type,

@@ -35,11 +35,80 @@ class PipelineSpec extends GraftSuite {
     assert(names.length == names.distinct.length, "names must be unique after merge")
   }
 
-  test("valid/invalid counts total the membership rows") {
+  test("valid/invalid counts total the deduped membership rows") {
     val total = built.agg(sum($"valid_cnt" + $"invalid_cnt")).as[Long].head()
-    val expected = members.join(collections, "collection_id")
+    // build() dedups (collection_id, member_id) unconditionally —
+    // repeated membership edges count once, relations or not.
+    val expected = members.select("collection_id", "member_id").distinct()
+      .join(collections, "collection_id")
       .join(entities, "member_id").count()
     assert(total == expected)
+  }
+
+  test("duplicate membership rows dedup identically with and without relations") {
+    // ADVICE r3: the same input must yield the same counts whether the
+    // relation stage is engaged (even vacuously) or not.
+    val m = Seq((1L, 100L, 5.0), (1L, 100L, 9.0), (1L, 101L, 7.0))
+      .toDF("collection_id", "member_id", "score")
+    val e = Seq((100L, "m100", 10L), (101L, "m101", 10L))
+      .toDF("member_id", "member_name", "member_type")
+    val c = Seq((1L, "list", 10L)).toDF("collection_id", "collection_name", "required_type")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val emptyRel = Seq.empty[(Long, Long)].toDF("category_id", "list_id")
+    val without = Collections.build(m, e, c, noEdges, topK = 5)
+      .select("collection_name", "valid_cnt", "invalid_cnt").collect()
+    val withEmpty = Collections.build(m, e, c, noEdges, topK = 5,
+      relations = Some(emptyRel))
+      .select("collection_name", "valid_cnt", "invalid_cnt").collect()
+    assert(without.toSeq == withEmpty.toSeq)
+    assert(without.head.getAs[Long]("valid_cnt") == 2L,
+      "the duplicated member 100 must count once")
+  }
+
+  test("surviving collection id is the LEAST of the merged ids") {
+    // ADVICE r3 (medium): the reference's merge_collections keeps
+    // min(category.item, list.item) — a category with a SMALLER id
+    // than its list must donate its id to the merged collection, and
+    // everything keyed on the id (banner seed) must follow.
+    val m = Seq((7L, 100L, 5.0), (3L, 101L, 7.0))
+      .toDF("collection_id", "member_id", "score")
+    val e = Seq((100L, "m100", 10L), (101L, "m101", 10L))
+      .toDF("member_id", "member_name", "member_type")
+    val c = Seq((7L, "list", 10L), (3L, "cat", 10L))
+      .toDF("collection_id", "collection_name", "required_type")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val rel = Seq((3L, 7L)).toDF("category_id", "list_id")
+    val out = Collections.build(m, e, c, noEdges, topK = 5, relations = Some(rel))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("collection_name") == "list",
+      "the list's name survives")
+    assert(out.head.getAs[Long]("stable_id") == 3L,
+      "the category's smaller id survives")
+    val expectedBanner = Seq(3L).toDF("stable_id")
+      .select(graft.operators.Sampling.hashBucket(col("stable_id"), 20).as("b"))
+      .as[Long].head()
+    assert(out.head.getAs[Long]("banner_number") == expectedBanner,
+      "banner seeding keys on the surviving (least) id")
+  }
+
+  test("multi-edge category merges into only its first sound list") {
+    // ADVICE r3: a category related to several lists merges into ONE
+    // (the reference breaks after the first merge) — smallest list id
+    // among the SOUND edges; members must not double-count across
+    // lists.
+    val m = Seq((1L, 100L, 5.0), (2L, 101L, 7.0), (9L, 102L, 9.0))
+      .toDF("collection_id", "member_id", "score")
+    val e = Seq((100L, "m100", 10L), (101L, "m101", 10L), (102L, "m102", 10L))
+      .toDF("member_id", "member_name", "member_type")
+    val c = Seq((1L, "listA", 10L), (2L, "listB", 10L), (9L, "cat", 10L))
+      .toDF("collection_id", "collection_name", "required_type")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val rel = Seq((9L, 2L), (9L, 1L)).toDF("category_id", "list_id")
+    val out = Collections.build(m, e, c, noEdges, topK = 5, relations = Some(rel))
+      .select("collection_name", "valid_cnt").as[(String, Long)].collect().toMap
+    assert(out === Map("listA" -> 2L, "listB" -> 1L),
+      "9's member lands in listA (smallest sound list id) only")
   }
 
   test("top member lists are bounded and namehashes well-formed") {

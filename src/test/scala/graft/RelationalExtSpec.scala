@@ -193,6 +193,25 @@ class RelationalExtSpec extends GraftSuite {
     assert(ex.getMessage != null)
   }
 
+  test("rangeJoin buckets exactly beyond 2^53 (no double rounding)") {
+    // Nanosecond-epoch-sized longs: a double cast rounds these, so the
+    // ADVICE r3 fix computes integral buckets with exact long
+    // arithmetic. Points sit at exact bucket boundaries around 2^60
+    // where double rounding is coarsest (spacing 128 at this
+    // magnitude); the matched set must be exact, joined on exact
+    // bucket ids, and the exact BETWEEN filter must keep/drop
+    // off-by-one values correctly.
+    val base = 1L << 60
+    val pts = Seq((1L, base), (2L, base + 1), (3L, base + 999),
+      (4L, base + 1000), (5L, base - 1)).toDF("pid", "v")
+    val ivals = Seq((10L, base, base + 999)).toDF("iid", "s", "e")
+    for (bucketSize <- Seq(3L, 1000L, 4096L)) {
+      val got = Relational.rangeJoin(pts, ivals, "v", "s", "e", bucketSize)
+        .select("pid").as[Long].collect().toSet
+      assert(got === Set(1L, 2L, 3L), s"bucketSize $bucketSize")
+    }
+  }
+
   test("property: overlapPairs paths match an in-memory oracle on random edge sets") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 5) {
