@@ -10,6 +10,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // collect_list/collect_set aggregations (ObjectHashAggregate)
+      // fall back to SORT-based aggregation after 128 distinct keys
+      // per task by default — a full sort of every group-by-collect
+      // query. Group counts here are ~10^4 per task with small array
+      // buffers; keep them hashing.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,6 +46,12 @@ object Collections {
     *   graph), where precomposing 4-hop edge sets is cheap and cuts
     *   the sequential round count 4×; pass 1 if the edge set is huge
     *   relative to the target cone.
+    * @param closureUniquePaths pass true iff `typeEdges` is a
+    *   tree/forest (every type has at most one parent): each closure
+    *   round then skips its dedup distinct + anti-join — two shuffles
+    *   per round (see [[Graph.reachableTo]]). The reference's
+    *   subclass_of graph is a general DAG, so this defaults to false;
+    *   violating the precondition yields duplicate closure pairs.
     *
     * Output: one row per distinct collection NAME (same-name
     * collections merged, reference filter_duplicates.py): stable id =
@@ -56,7 +62,8 @@ object Collections {
   def build(members: DataFrame, entities: DataFrame, collections: DataFrame,
             typeEdges: DataFrame, topK: Int = 10,
             relations: Option[DataFrame] = None,
-            closureStride: Int = 4): DataFrame = {
+            closureStride: Int = 4,
+            closureUniquePaths: Boolean = false): DataFrame = {
     // Relation merge (stage before everything else): remap category
     // members onto the related list and drop the absorbed category
     // seed. The relation table is dim-sized → broadcast join; the
@@ -82,11 +89,11 @@ object Collections {
         // FIRST related list — the reference collects the related
         // lists that exist and breaks after the first merge
         // (merge_lists_and_categories.py: `for ... merge_collections
-        // (...); break`). Deterministic pick: smallest list id.
-        // Without this cut a multi-edge category would fan its members
-        // into EVERY related list and double-count them.
-        val sound = Relational.firstByKey(soundAll,
-          Seq(col("category_id")), Seq(col("list_id").asc))
+        // (...); break`). Deterministic pick: smallest list id — a
+        // map-side-combinable min, not a rank window (the edge row IS
+        // (category_id, list_id), nothing else to carry).
+        val sound = soundAll.groupBy("category_id")
+          .agg(min(col("list_id")).as("list_id"))
         // The surviving collection takes the LEAST id among the list
         // and every category it absorbs (merge_collections keeps
         // min(category.item, list.item) at each merge), so both the
@@ -95,10 +102,15 @@ object Collections {
           .agg(min(col("category_id")).as("__min_cat"))
           .select(col("list_id"),
             least(col("list_id"), col("__min_cat")).as("new_id"))
+        // remap and the survivor seed set feed several consumers below
+        // (member remap, survivor remap, closure targets, the final
+        // join) and Catalyst does not dedupe common subplans — one
+        // materialization each, both dim-sized.
         val remap = broadcast(
           sound.join(merged, "list_id")
             .select(col("category_id").as("old_id"), col("new_id"))
-            .unionByName(merged.select(col("list_id").as("old_id"), col("new_id"))))
+            .unionByName(merged.select(col("list_id").as("old_id"), col("new_id")))
+            .localCheckpoint())
         val remappedMem = members
           .join(remap, members("collection_id") === remap("old_id"), "left")
           .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))
@@ -109,6 +121,7 @@ object Collections {
           .join(remap, col("collection_id") === remap("old_id"), "left")
           .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))
           .drop("old_id", "new_id")
+          .localCheckpoint()
         (remappedMem, survivors)
       case None => (members, collections)
     }
@@ -116,8 +129,12 @@ object Collections {
     // and its list post-remap, or duplicated edges in the raw input —
     // keep the best-scored copy. Unconditional: the same input must
     // yield the same counts whether or not a relation table is passed.
-    val mem0 = Relational.firstByKey(mem1,
-      Seq(col("collection_id"), col("member_id")), Seq(col("score").desc))
+    // A plain max-aggregation, not a rank window: the members contract
+    // is exactly (collection_id, member_id, score), so "best row" ≡
+    // max score, and the groupBy combines map-side while a window
+    // would shuffle-and-sort every raw edge.
+    val mem0 = mem1.groupBy("collection_id", "member_id")
+      .agg(max(col("score")).as("score"))
 
     // Reachability only toward the collections' required types — the
     // targets' ancestor cone, never the full closure (same asymmetry
@@ -125,7 +142,8 @@ object Collections {
     val closure = Graph.reachableTo(
       typeEdges.select(col("src"), col("dst")),
       coll0.select(col("required_type").as("dst")),
-      stride = closureStride)
+      stride = closureStride,
+      uniquePaths = closureUniquePaths)
 
     val typed = mem0
       .join(entities, "member_id")

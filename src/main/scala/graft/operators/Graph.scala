@@ -239,6 +239,62 @@ object Graph {
     unionAll(increments.toSeq)
   }
 
+  /** Connected components of an undirected pair set — the cluster
+    * resolution step after any near-dup pair generator (exact, n-gram
+    * Jaccard, MinHash, SimHash, embedding cosine): pairs only say
+    * "these two match", dedup needs each document's CLUSTER so exactly
+    * one canonical survivor is kept per group (A~B plus B~C must
+    * collapse to ONE keeper, which pairwise dedup alone gets wrong).
+    * Returns (id, component) for every id appearing in `pairs`, with
+    * component = the smallest id in the cluster — the min-id keeper
+    * convention [[Dedup.exactGroups]] already uses. Ids must be an
+    * integral type (the convergence check sums them).
+    *
+    * Min-label propagation: every node starts as its own label; each
+    * round pulls the minimum label across edges (one shuffle join +
+    * one map-side-combinable min) and convergence is a single scalar
+    * aggregate — labels only ever decrease, so the label sum is
+    * strictly monotone until fixpoint; no per-row diff join. Round
+    * count = cluster diameter, which for near-dup clusters is small
+    * (dup groups are near-cliques); `maxIter` guards adversarial
+    * chains with the same warn/strict contract as the closures above.
+    * (For graphs with continent-sized components and hub skew, the
+    * alternating large-star/small-star variant halves diameter per
+    * round — not needed for dedup-shaped inputs.)
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25,
+                          strict: Boolean = false): DataFrame = {
+    val e0 = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var labels = und.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val pulled = und.join(labels, und("b") === labels("id"))
+        .select(und("a").as("id"), col("comp"))
+      val next = labels.union(pulled)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      labels = next
+      if (nextSum.compareTo(prevSum) == 0) done = true
+      else { prevSum = nextSum; iter += 1 }
+    }
+    if (!done) {
+      val msg = s"connectedComponents stopped at maxIter = $maxIter before " +
+        "convergence — labels are incomplete (a component with diameter > " +
+        "maxIter); raise maxIter"
+      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+    }
+    labels
+  }
+
   /** Reachability validation (filter_articles2.py main loop): a member
     * row is valid iff its `typeCol` node reaches the row's `targetCol`
     * node (or equals it). Returns the input plus a boolean `valid`.

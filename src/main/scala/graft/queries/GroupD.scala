@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Group D — deduplication over the `documents` / `embeddings` tables:
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -43,6 +44,18 @@ object GroupD {
     "d6_neardup_embedding_lsh" -> ((s, d) =>
       Similarity.cosinePairsLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
         tau = 0.35)),
+
+    // d7: pair → CLUSTER resolution. Near-dup pairs alone cannot drive
+    // dedup (A~B, B~C must keep ONE canonical doc, but neither pair
+    // says so): connected components over the d2 Jaccard pairs assign
+    // every matched doc its cluster, component = min doc id = the
+    // keeper. DuckDB replays it with a recursive reachability CTE.
+    "d7_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
+        "doc_id", "text", n = 3, tau = 0.5)
+      Graph.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,6 +80,27 @@ object GroupD {
         |  round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
         |FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
         |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5""".stripMargin,
+
+    "d7_dedup_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
+        |       FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |          WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |r AS (SELECT a AS id, a AS reach FROM und
+        |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a)
+        |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
 
     "d5_neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -124,6 +124,24 @@ object GroupF {
         Tables(s, d, "documents"), col("doc_id"), col("lang"),
         rates = Map("en" -> 50), defaultRate = 20)
         .select("doc_id", "lang")),
+
+    // f7: per-language token-count distribution — the corpus-shape
+    // monitoring every curation pipeline keeps (length cutoffs,
+    // truncation budgets key off these quantiles). Exact interpolated
+    // percentiles here because they are oracle-able (DuckDB
+    // quantile_cont shares the (n-1)p interpolation); the 100 TB form
+    // is the same groupBy with approx_percentile (mergeable t-digest
+    // partial aggs, no per-group sort) — drift vs exact is pinned in
+    // TextEventsSpec.
+    "f7_token_percentiles" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(expr("percentile(n_tokens, 0.5D)"), 6).as("p50"),
+             round(expr("percentile(n_tokens, 0.95D)"), 6).as("p95"),
+             round(expr("percentile(n_tokens, 0.99D)"), 6).as("p99"),
+             max(col("n_tokens")).as("max_tokens"))),
   )
 
   // PII patterns interpolated verbatim into the DuckDB oracles (both
@@ -200,5 +218,15 @@ object GroupF {
          |           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingles
          |       FROM w)
          |SELECT doc_id, md5(array_to_string(shingles, '|')) AS fingerprint FROM sh""".stripMargin,
+
+    "f7_token_percentiles" ->
+      s"""WITH t AS (SELECT lang,
+         |             cast(len($duckToks) AS bigint) AS n_tokens FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+         |  round(quantile_cont(n_tokens, 0.95), 6) AS p95,
+         |  round(quantile_cont(n_tokens, 0.99), 6) AS p99,
+         |  max(n_tokens) AS max_tokens
+         |FROM t GROUP BY 1""".stripMargin,
   )
 }

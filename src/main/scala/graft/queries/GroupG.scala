@@ -63,17 +63,29 @@ object GroupG {
     }),
 
     // g4: 15-minute windows HOPPING every 5 minutes — each event lands
-    // in 3 overlapping windows (the native window(col, len, slide)
-    // grouping; Structured Streaming shares the shape). The oracle
-    // replays the fan-out with a 3-offset unnest: window starts are
-    // the slide-aligned marks in (es - 900, es].
+    // in 3 overlapping windows. Two-level aggregation instead of the
+    // native window(col, len, slide) fan-out: events first collapse
+    // onto their 5-minute slide bucket (ONE narrow map-side-combinable
+    // agg over the full table — no 3× row expansion before the big
+    // shuffle), then the tiny (bucket × type) table fans each bucket
+    // to the 3 windows containing it and re-sums. Identical result —
+    // a 15m/5m window is exactly 3 whole slide buckets — but the
+    // expensive aggregation runs once over N rows instead of 3N. At
+    // 100 TB the fan-out input is window-count-sized, not event-sized.
+    // (Structured Streaming keeps the native window() shape —
+    // streaming/Sessions.scala — which is required for watermarking.)
     "g4_hopping_counts" -> ((s, d) => {
-      Tables(s, d, "events")
-        .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"),
+      val slide = 300L
+      val pre = Tables(s, d, "events")
+        .groupBy((floor(col("ts").cast("double") / slide).cast("long") * slide)
+                   .as("bucket_es"),
                  col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").cast("long").as("window_es"),
-                col("event_type"), col("n"))
+        .agg(count(lit(1)).as("bn"))
+      pre.select(col("event_type"), col("bn"),
+          explode(array((0 to 2).map(o => col("bucket_es") - o * slide): _*))
+            .as("window_es"))
+        .groupBy("window_es", "event_type")
+        .agg(sum(col("bn")).as("n"))
     }),
   )
 

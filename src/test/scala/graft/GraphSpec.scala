@@ -183,6 +183,49 @@ class GraphSpec extends GraftSuite {
     assert(got === Map(10L -> true, 11L -> true, 12L -> false))
   }
 
+  test("connectedComponents labels chains, cliques and singleton pairs") {
+    // Two components: a chain 1-2-3-4 (diameter 3, multiple rounds)
+    // and the pair 10-11; self-loops and duplicate edges are noise.
+    val p = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 10L), (5L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(p)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents strict throws when maxIter is too small") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, maxIter = 2, strict = true).count()
+    }
+  }
+
+  test("property: connectedComponents matches an in-memory union-find") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 4) {
+      val n = 30
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // Union-find oracle.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val present = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val want = present.map(v => v -> {
+        // canonical = min node of the component among PRESENT nodes
+        val r = find(v.toInt)
+        present.filter(u => find(u.toInt) == r).min
+      }).toMap
+      val got = Graph.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("validateReachable marks reachable, equal, and unreachable") {
     val closure = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
     val members = Seq((10L, 1L, 3L), (11L, 1L, 1L), (12L, 3L, 1L))

