@@ -51,6 +51,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // Clean heap per query (untimed): without it a collect-heavy
+      // predecessor taxes its successor with major-GC debt and the
+      // per-query numbers smear run to run.
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

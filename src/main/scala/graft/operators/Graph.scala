@@ -245,10 +245,11 @@ object Graph {
     * "these two match", dedup needs each document's CLUSTER so exactly
     * one canonical survivor is kept per group (A~B plus B~C must
     * collapse to ONE keeper, which pairwise dedup alone gets wrong).
-    * Returns (id, component) for every id appearing in `pairs`, with
-    * component = the smallest id in the cluster — the min-id keeper
-    * convention [[Dedup.exactGroups]] already uses. Ids must be an
-    * integral type (the convergence check sums them).
+    * Returns (id, component) for every id appearing in a non-self
+    * pair (self-pairs carry no cluster information and are dropped),
+    * with component = the smallest id in the cluster — the min-id
+    * keeper convention [[Dedup.exactGroups]] already uses. Ids must
+    * be an integral type (the convergence check sums them).
     *
     * Min-label propagation: every node starts as its own label; each
     * round pulls the minimum label across edges (one shuffle join +
@@ -265,16 +266,22 @@ object Graph {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25,
                           strict: Boolean = false): DataFrame = {
-    val e0 = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    // Materialize the pair set before mirroring it: the union consumes
+    // e0 twice and the upstream pair generator (an LSH pipeline, a
+    // Jaccard join) would otherwise execute twice.
+    val e0 = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var labels = und.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    // Empty pair set → empty label set (sum() would be NULL): done.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var iter = 0
-    var done = false
+    var done = labels.isEmpty
     while (!done && iter < maxIter) {
       val pulled = und.join(labels, und("b") === labels("id"))
         .select(und("a").as("id"), col("comp"))

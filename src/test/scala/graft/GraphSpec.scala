@@ -194,6 +194,13 @@ class GraphSpec extends GraftSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents of an empty or self-pair-only set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Graph.connectedComponents(empty).count() === 0)
+    val selfOnly = Seq((3L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.connectedComponents(selfOnly).count() === 0)
+  }
+
   test("connectedComponents strict throws when maxIter is too small") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
