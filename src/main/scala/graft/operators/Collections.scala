@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Collections {
 
+  /** (old_id → new_id) remap for a relation merge, from one SOUND
+    * edge per category (columns `category_id`, `list_id`): the
+    * surviving collection id per list is least(list_id, min
+    * category_id) — the reference's merge_collections keeps
+    * min(category.item, list.item) at each merge — and BOTH the
+    * absorbed categories and the list itself map onto it. One
+    * definition shared by [[build]] and the standalone
+    * a24_merge_by_relation query so the merge semantics cannot
+    * drift between them.
+    */
+  def mergeRemap(soundEdges: DataFrame): DataFrame = {
+    val merged = soundEdges.groupBy("list_id")
+      .agg(min(col("category_id")).as("__min_cat"))
+      .select(col("list_id"),
+        least(col("list_id"), col("__min_cat")).as("new_id"))
+    soundEdges.join(merged, "list_id")
+      .select(col("category_id").as("old_id"), col("new_id"))
+      .unionByName(merged.select(col("list_id").as("old_id"), col("new_id")))
+  }
+
   /** Build enriched collections.
     *
     * Required input schemas (exact column names):
@@ -94,23 +114,11 @@ object Collections {
         // (category_id, list_id), nothing else to carry).
         val sound = soundAll.groupBy("category_id")
           .agg(min(col("list_id")).as("list_id"))
-        // The surviving collection takes the LEAST id among the list
-        // and every category it absorbs (merge_collections keeps
-        // min(category.item, list.item) at each merge), so both the
-        // absorbed categories AND the list itself remap onto new_id.
-        val merged = sound.groupBy("list_id")
-          .agg(min(col("category_id")).as("__min_cat"))
-          .select(col("list_id"),
-            least(col("list_id"), col("__min_cat")).as("new_id"))
         // remap and the survivor seed set feed several consumers below
         // (member remap, survivor remap, closure targets, the final
         // join) and Catalyst does not dedupe common subplans — one
         // materialization each, both dim-sized.
-        val remap = broadcast(
-          sound.join(merged, "list_id")
-            .select(col("category_id").as("old_id"), col("new_id"))
-            .unionByName(merged.select(col("list_id").as("old_id"), col("new_id")))
-            .localCheckpoint())
+        val remap = broadcast(mergeRemap(sound).localCheckpoint())
         val remappedMem = members
           .join(remap, members("collection_id") === remap("old_id"), "left")
           .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))

@@ -213,25 +213,37 @@ object Relational {
     // containment survived only because double rounding is monotone,
     // a property nothing asserted. (v - pmod(v, b)) is an exact
     // multiple of b, so the `div` truncation equals floor division
-    // for negatives too. Fractional types keep the double path (they
-    // are within double precision by construction). Integral inputs
-    // within bucketSize of Long.MinValue would wrap — no real value
-    // axis lives there.
+    // for negatives too. The exact path applies only when ALL THREE
+    // value columns are integral: mixing an exact-bucketed side with
+    // a double-bucketed side would let the two sides disagree on a
+    // bucket id beyond 2^53 and silently drop a matching pair, so a
+    // join with any fractional column keeps every side on the same
+    // monotone double function. Integral inputs within bucketSize of
+    // Long.MinValue would wrap — no real value axis lives there.
     import org.apache.spark.sql.types._
+    def integral(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val allIntegral = integral(points, pointCol) &&
+      integral(intervals, startCol) && integral(intervals, endCol)
     def withBucket(df: DataFrame, c: String, out: String): DataFrame =
-      df.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          df.withColumn("__v", col(c).cast("long"))
-            .withColumn(out,
-              expr(s"(__v - pmod(__v, ${bucketSize}L)) div ${bucketSize}L"))
-            .drop("__v")
-        case _ =>
-          df.withColumn(out, floor(col(c).cast("double") / bucketSize).cast("long"))
-      }
+      if (allIntegral)
+        df.withColumn("__v", col(c).cast("long"))
+          .withColumn(out,
+            expr(s"(__v - pmod(__v, ${bucketSize}L)) div ${bucketSize}L"))
+          .drop("__v")
+      else
+        df.withColumn(out, floor(col(c).cast("double") / bucketSize).cast("long"))
     val p = withBucket(points, pointCol, "__bucket")
     val iB = withBucket(withBucket(intervals.filter(col(startCol) <= col(endCol)),
       startCol, "__sb"), endCol, "__eb")
-    val guardedEnd = when(col("__eb") - col("__sb") < lit(maxBucketsPerInterval),
+    // Span check in double: a full-axis sentinel interval at
+    // bucketSize 1 would overflow long subtraction (MaxValue -
+    // MinValue wraps negative and would slip past the guard).
+    val guardedEnd = when(
+        col("__eb").cast("double") - col("__sb").cast("double")
+          < lit(maxBucketsPerInterval.toDouble),
         col("__eb"))
       .otherwise(raise_error(concat(
         lit(s"rangeJoin: interval spans >= $maxBucketsPerInterval buckets " +

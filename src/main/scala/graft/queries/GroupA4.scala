@@ -58,12 +58,10 @@ object GroupA4 {
             (col("p_partkey") - 1).as("list_id")))
       val rel = cats.join(p.filter(col("p_partkey") % 2 === 0)
         .select(col("p_partkey").as("list_id")), "list_id")
-      val merged = rel.groupBy("list_id")
-        .agg(min(col("category_id")).as("mc"))
-        .select(col("list_id"), least(col("list_id"), col("mc")).as("new_id"))
-      val remap = rel.join(merged, "list_id")
-        .select(col("category_id").as("old_id"), col("new_id"))
-        .unionByName(merged.select(col("list_id").as("old_id"), col("new_id")))
+      // Same least-id merge semantics as Collections.build, one
+      // definition (a24 skips the sound-edge guard by construction:
+      // lists are even keys, categories odd — no chains possible).
+      val remap = graft.operators.Collections.mergeRemap(rel)
       val grouped = p
         .join(broadcast(remap), p("p_partkey") === col("old_id"), "left")
         .withColumn("gid", coalesce(col("new_id"), col("p_partkey")))

@@ -53,7 +53,9 @@ object GroupD {
     "d7_dedup_components" -> ((s, d) => {
       val pairs = Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
         "doc_id", "text", n = 3, tau = 0.5)
-      Graph.connectedComponents(pairs)
+      // strict: this query is oracle-gated — an early maxIter stop
+      // must fail loud, never return silently-incomplete labels.
+      Graph.connectedComponents(pairs, strict = true)
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
   )

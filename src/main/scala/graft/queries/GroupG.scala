@@ -77,6 +77,11 @@ object GroupG {
     "g4_hopping_counts" -> ((s, d) => {
       val slide = 300L
       val pre = Tables(s, d, "events")
+        // A null timestamp belongs to no window — the native window()
+        // path drops it via its containment predicate and the oracle
+        // via WHERE es >= window_es; match them, or null-ts rows
+        // would surface as a spurious tripled NULL-window row.
+        .filter(col("ts").isNotNull)
         .groupBy((floor(col("ts").cast("double") / slide).cast("long") * slide)
                    .as("bucket_es"),
                  col("event_type"))

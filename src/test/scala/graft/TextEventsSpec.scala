@@ -69,9 +69,15 @@ class TextEventsSpec extends GraftSuite {
       .select($"lang", $"p50", $"ap50".cast("double"), $"p95", $"ap95".cast("double"))
       .as[(String, Double, Double, Double, Double)].collect()
     assert(joined.nonEmpty)
+    // approx_percentile returns an actual data value while percentile
+    // interpolates between order statistics, so the gap scales with
+    // the local spacing of the distribution — bound it relatively,
+    // not by a fixed count.
     joined.foreach { case (lang, p50, ap50, p95, ap95) =>
-      assert(math.abs(p50 - ap50) <= 1.0, s"$lang p50 drift: exact $p50 approx $ap50")
-      assert(math.abs(p95 - ap95) <= 1.0, s"$lang p95 drift: exact $p95 approx $ap95")
+      assert(math.abs(p50 - ap50) <= math.max(2.0, 0.1 * p50),
+        s"$lang p50 drift: exact $p50 approx $ap50")
+      assert(math.abs(p95 - ap95) <= math.max(2.0, 0.1 * p95),
+        s"$lang p95 drift: exact $p95 approx $ap95")
     }
   }
 
