@@ -26,6 +26,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
 
+  /** The corpus after near-dup removal: every document whose id is a
+    * non-keeper member of some pair-cluster is dropped; cluster =
+    * [[Graph.connectedComponents]] over `pairs`, keeper = the min id.
+    * This is the step the pair generators exist for — the actual
+    * training-set cut. One anti-join of the corpus against the
+    * non-keeper id set (components are pair-count-sized, dim-like
+    * next to the corpus; the anti-join shuffles on the id, or
+    * broadcasts when the dup set is small enough for AQE to see it).
+    */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    strict: Boolean = true): DataFrame = {
+    val losers = Graph.connectedComponents(pairs, strict = strict)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Distinct (id, shingle) pairs, optionally dropping shingles whose
     * document frequency exceeds `dfCap` (0 = keep all). */
   def shingles(docs: DataFrame, idCol: String, textCol: String,

@@ -58,6 +58,16 @@ object GroupD {
       Graph.connectedComponents(pairs, strict = true)
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
+
+    // d8: the actual training-set cut — the corpus with every
+    // non-keeper member of a near-dup cluster removed (keeper = min
+    // id per component). d7 labels the clusters; this consumes them.
+    "d8_dedup_canonical" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      Dedup.keepCanonical(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +113,29 @@ object GroupD {
         |r AS (SELECT a AS id, a AS reach FROM und
         |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a)
         |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
+
+    "d8_dedup_canonical" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
+        |       FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |          WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |r AS (SELECT a AS id, a AS reach FROM und
+        |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a),
+        |losers AS (SELECT id FROM r GROUP BY id HAVING min(reach) <> id)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "d5_neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -87,6 +87,19 @@ class DedupSpec extends GraftSuite {
     assert(pref == naive)
   }
 
+  test("keepCanonical keeps one doc per cluster and every untouched doc") {
+    // Chain 1~2, 2~3 is ONE cluster (keeper 1); 7~8 another (keeper
+    // 7); 5 is untouched. Pairwise dropping would wrongly keep 3
+    // (its only pair partner 2 loses to 1) — the component view
+    // must not.
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"), (7L, "f"), (8L, "g"))
+      .toDF("doc_id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(corpus, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L, 7L))
+  }
+
   test("lsh knn achieves reasonable recall vs exact knn") {
     val emb = Tables(spark, sfDir, "embeddings")
     val qs = emb.filter(col("vec_id") % 50 === 0)
