@@ -117,6 +117,23 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("g4: hopping windows aggregate the event table once, fan-out after") {
+    val p = plan("g4_hopping_counts")
+    // The native window() slide path Expands every event 3× BEFORE the
+    // big aggregation; the two-level form must not — one full-table
+    // agg (exchange 1), then the tiny bucket table explodes into its
+    // 3 covering windows and re-aggregates (exchange 2).
+    assert(!p.contains("Expand"), s"events must not be tripled pre-agg\n$p")
+    assert(p.contains("Generate explode"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("f7: percentile scan reads only lang and text") {
+    val p = plan("f7_token_percentiles")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>") ||
+      p.contains("ReadSchema: struct<lang:string,text:string>"), p)
+  }
+
   test("a4: allowlist filter stays a LEFT SEMI broadcast join") {
     val p = plan("a4_semijoin_allowlist")
     assert(p.contains("LeftSemi"), p)
