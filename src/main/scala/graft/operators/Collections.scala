@@ -189,22 +189,22 @@ object Collections {
     // stable id, summed counts, max rank, best member list. The best
     // list is picked DETERMINISTICALLY by (rank desc nulls last,
     // collection id asc) — a max_by on rank alone breaks ties (and
-    // all-null ranks) arbitrarily. The pick is a window flag consumed
-    // by max_by in the SAME pass (exactly one flagged row per name,
-    // so the max_by has no ties): no join back, so `joined` is read
-    // once, and a null collection_name still forms a merge group —
-    // window and groupBy both key nulls together where an equi-join
-    // back would silently drop the row.
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy("collection_name")
-      .orderBy(col("rank").desc_nulls_last, col("collection_id").asc)
-    joined.withColumn("__best", row_number().over(wBest) === 1)
-      .groupBy(col("collection_name"))
+    // all-null ranks) arbitrarily, so the ordering is encoded as a
+    // composite max_by key: (rank with nulls as -∞, negated id).
+    // Struct comparison is lexicographic and the id makes the key
+    // unique, so the pick happens INSIDE the one name-keyed
+    // aggregation — no rank window, no extra sort pass, map-side
+    // combinable like every other agg here, and a null
+    // collection_name still forms a merge group (groupBy keys nulls
+    // together where a join back would drop the row).
+    joined.groupBy(col("collection_name"))
       .agg(min(col("collection_id")).as("stable_id"),
            sum(col("valid_cnt")).as("valid_cnt"),
            sum(col("invalid_cnt")).as("invalid_cnt"),
            max(col("rank")).as("rank"),
-           max_by(col("top_members"), col("__best").cast("int")).as("top_members"))
+           max_by(col("top_members"),
+             struct(coalesce(col("rank"), lit(Double.NegativeInfinity)).as("r"),
+                    (-col("collection_id")).as("negid"))).as("top_members"))
       .withColumn("namehash",
         hex(Hashes.namehash(concat(col("collection_name"), lit(".eth")))))
       // Deterministic banner pick stamped on the final document
