@@ -110,43 +110,59 @@ object Relational {
     * every other join task. The skew bound becomes Σ min(df, cap)²,
     * at the declared cost that overlap counts ignore capped elements.
     *
-    * When df is bounded (a cap is set, or `boundedDf` vouches the
-    * caller already cut df, e.g. pre-capped shingles) pairs are
-    * emitted by combinations from each element's collected id array
-    * instead of a self-join — born ordered, half the intermediate
-    * rows, one fewer exchange. Input must be DISTINCT (id, element)
-    * pairs (both paths assume it; [[Dedup.shingles]] and the a25
-    * membership set are). Null elements are dropped up front: an
-    * equi-join never matches them, and without the filter the array
-    * path's groupBy would collect all null-element ids into one
-    * group and the two paths would disagree.
+    * `boundedDf = true` opts into the collected-array pair generator:
+    * pairs are emitted by combinations from each element's collected
+    * id array instead of a self-join — born ordered, half the
+    * intermediate rows, one fewer exchange. It wins at moderate
+    * volume, but its pair construction runs through interpreted
+    * higher-order functions and boxed structs, and a K×-data probe
+    * measured it degrading super-linearly under memory pressure where
+    * the self-join (codegen'd SMJ + spillable aggregation) stayed
+    * near-linear — so a dfCap alone keeps the JOIN path (cap as a
+    * pre-filter) and the array path is an explicit caller choice for
+    * dimension-scale inputs (e.g. capped shingle corpora). Input must
+    * be DISTINCT (id, element) pairs (both paths assume it;
+    * [[Dedup.shingles]] and the a25 membership set are). Null
+    * elements are dropped up front: an equi-join never matches them,
+    * and without the filter the array path's groupBy would collect
+    * all null-element ids into one group and the two paths would
+    * disagree.
     */
   def overlapPairs(edges: DataFrame, idCol: String,
                    elemCol: String, dfCap: Long = 0L,
                    boundedDf: Boolean = false): DataFrame = {
-    val e0 = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
+    val e0raw = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
       .filter(col("__el").isNotNull)
-    if (dfCap > 0L || boundedDf) {
-      // Bounded-df path: collect each element's id list (≤ cap ids —
-      // either the prefilter below bounds it or the caller vouches via
-      // `boundedDf`) and emit C(df,2) ordered pairs straight from the
-      // sorted array — half the intermediate rows of the self-join
-      // (pairs are born ordered, id_a < id_b) and one fewer exchange,
-      // measured ~1.4× faster on the a25 shape. The per-element
+    val e0 = if (dfCap <= 0L) e0raw else {
+      val keep = e0raw.groupBy("__el").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap).select("__el")
+      e0raw.join(keep, "__el")
+    }
+    if (boundedDf) {
+      // Bounded-df path: collect each element's id list (the caller
+      // vouches the bound, usually alongside a dfCap prefilter) and
+      // emit C(df,2) ordered pairs straight from the sorted array —
+      // half the intermediate rows of the self-join (pairs are born
+      // ordered, id_a < id_b) and one fewer exchange. The per-element
       // aggregation buffer is what the bound protects; NEVER take this
       // path with unbounded groups — one ubiquitous element would
       // build its whole df-sized id array in a single buffer, where
       // the join path merely spills a fat SMJ bucket.
-      val e = if (dfCap <= 0L) e0 else {
-        val keep = e0.groupBy("__el").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= dfCap).select("__el")
-        e0.join(keep, "__el")
-      }
-      e.groupBy("__el").agg(sort_array(collect_list(col("__id"))).as("ids"))
+      // Pairs are built INSIDE one array expression and exploded once:
+      // the earlier posexplode-then-slice formulation carried the full
+      // ids array on every exploded row (Σ df³ bytes of row copies —
+      // measured 19× wall-time at 4× data), where this emits df²/2
+      // pair structs per element and each exploded row carries only
+      // its pair.
+      e0.groupBy("__el").agg(sort_array(collect_list(col("__id"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
-        .select(col("id_a"), explode(slice(col("ids"), col("i") + 2,
-          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
+        .select(explode(flatten(transform(
+            sequence(lit(0), size(col("ids")) - 2),
+            i => transform(
+              slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+              y => struct(col("ids")(i).as("id_a"), y.as("id_b"))))))
+          .as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("overlap"))
     } else {

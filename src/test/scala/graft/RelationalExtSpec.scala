@@ -238,7 +238,9 @@ class RelationalExtSpec extends GraftSuite {
       assert(run(Relational.overlapPairs(in, "id", "el", boundedDf = true)) ===
         oracle(false), s"trial $trial array path")
       assert(run(Relational.overlapPairs(in, "id", "el", dfCap = cap)) ===
-        oracle(true), s"trial $trial capped path (cap=$cap)")
+        oracle(true), s"trial $trial capped join path (cap=$cap)")
+      assert(run(Relational.overlapPairs(in, "id", "el", dfCap = cap,
+        boundedDf = true)) === oracle(true), s"trial $trial capped array path (cap=$cap)")
     }
   }
 
