@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.GroupA3.queries ++ graft.queries.GroupA4.queries ++
       graft.queries.GroupB.queries ++ graft.queries.GroupC.queries ++
       graft.queries.GroupD.queries ++ graft.queries.GroupE.queries ++
-      graft.queries.GroupF.queries ++ graft.queries.GroupG.queries ++
+      graft.queries.GroupF.queries ++ graft.queries.GroupF2.queries ++
+      graft.queries.GroupG.queries ++
       graft.queries.GroupP.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,6 +25,7 @@ object SparkEntry {
       graft.queries.GroupA3.oracles ++ graft.queries.GroupA4.oracles ++
       graft.queries.GroupB.oracles ++ graft.queries.GroupC.oracles ++
       graft.queries.GroupD.oracles ++ graft.queries.GroupE.oracles ++
-      graft.queries.GroupF.oracles ++ graft.queries.GroupG.oracles ++
+      graft.queries.GroupF.oracles ++ graft.queries.GroupF2.oracles ++
+      graft.queries.GroupG.oracles ++
       graft.queries.GroupP.oracles
 }

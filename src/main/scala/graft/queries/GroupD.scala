@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, Graph, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Group D — deduplication over the `documents` / `embeddings` tables:
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -57,6 +57,34 @@ object GroupD {
       // must fail loud, never return silently-incomplete labels.
       Graph.connectedComponents(pairs, strict = true)
         .select(col("id").as("doc_id"), col("comp").as("component"))
+    }),
+
+    // d9: benchmark decontamination — the OTHER cut every training
+    // pipeline must make: drop (or flag) corpus docs sharing n-gram
+    // content with an evaluation/benchmark set. Benchmark = every
+    // 20th doc (deterministic stand-in for the eval suite); for each
+    // remaining doc, count how many of its distinct 3-gram shingles
+    // appear anywhere in the benchmark shingle set. One broadcast-
+    // joinable dim (benchmark shingle sets are tiny by construction
+    // at any corpus scale) + one keyed agg — no all-pairs, and the
+    // corpus side is touched exactly once.
+    "d9_decontaminate" -> ((s, d) => {
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.Text.shingles(col("toks"), 3)))
+            .as("shingle"))
+      val bench = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("shingle")).distinct()
+        .withColumn("hit", lit(1L))
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_shingles"), 6)
+            .as("contamination"))
     }),
 
     // d8: the actual training-set cut — the corpus with every
@@ -136,6 +164,24 @@ object GroupD {
         |losers AS (SELECT id FROM r GROUP BY id HAVING min(reach) <> id)
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    "d9_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
+        |       FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM w),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+        |SELECT doc_id,
+        |  count(*) AS n_shingles,
+        |  cast(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hits,
+        |  round(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 6) AS contamination
+        |FROM sh LEFT JOIN bench USING (shingle)
+        |WHERE doc_id % 20 <> 0
+        |GROUP BY 1""".stripMargin,
 
     "d5_neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group F (cont.) — corpus-level text ops a training-data pipeline
+  * runs between scoring and export: TF-IDF term extraction, context-
+  * window chunking, repetition signals. (Reference analogue: keyword
+  * extraction + ngram log-probability in collection-templates
+  * scripts/prepare_members_names.py / prepare_collections2.py,
+  * generalized from names to document content — same engine shapes:
+  * explode → keyed agg → broadcast model join.)
+  *
+  * All three stay exact-oracled: the math is integer counts plus
+  * IEEE-double `ln`/division with explicit operation order, so DuckDB
+  * reproduces every bit before the final round(…, 6).
+  */
+object GroupF2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  val queries: Map[String, Q] = Map(
+    // f8: per-document top-3 terms by TF-IDF — the classic keyword
+    // extraction every corpus pipeline ships (search keywords, topic
+    // tags). One explode + two keyed aggs; the document-frequency
+    // model and corpus size are dimension-sized and broadcast into
+    // the scoring join, so at 100 TB this is: one shuffle on
+    // (doc, term), one on term, then map-side math + a per-doc
+    // window over data already partitioned by doc.
+    "f8_tfidf" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf already has one row per (doc, term): df is a plain count.
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf").cast("double") * log(col("n_docs") / col("df_t")), 6)
+            .as("score"))
+      // Rank on the ROUNDED score so both engines order identically;
+      // term asc breaks ties deterministically (terms are unique per
+      // doc, so the full ordering is total).
+      Relational.topKPerGroup(scored, Seq(col("doc_id")),
+        Seq(col("score").desc, col("term").asc), 3)
+    }),
+
+    // f9: context-window chunking — split each document into
+    // overlapping token windows (size 50, stride 40), the shape every
+    // LLM ingestion pipeline needs before embedding/packing. Purely
+    // narrow: stage tokens, explode the window starts, slice. Zero
+    // shuffles, codegen'd end to end; at 100 TB this is a single
+    // embarrassingly-parallel pass whose output is ~(n/stride)× the
+    // input rows — the explode happens after column pruning, so only
+    // the token array fans out.
+    "f9_chunk_windows" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .filter(col("n") > 0)
+        // sequence(0, n-1, stride) = every chunk start < n.
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(ChunkStride))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          slice(col("toks"), col("col") + 1, lit(ChunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+    }),
+
+    // f10: repetition signals (the Gopher/C4-style quality cuts):
+    // fraction of all word-bigrams taken by the most frequent bigram,
+    // same for trigrams, plus the duplicate-token fraction. High
+    // values = boilerplate/spam. Shuffles on (doc, gram) only — group
+    // cardinality is bounded by document length, embarrassingly
+    // parallel across docs, no cross-document state at all.
+    "f10_repetition" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      def topFrac(n: Int): DataFrame =
+        docs.select(col("doc_id"), explode(Text.shingles(col("toks"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+            .as(s"top${n}gram_frac"))
+      val base = docs.select(col("doc_id"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6))
+          .as("dup_token_frac"))
+      // Docs shorter than n words have no n-grams → left join, 0.0.
+      base.join(topFrac(2), Seq("doc_id"), "left")
+        .join(topFrac(3), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_token_frac"),
+          coalesce(col("top2gram_frac"), lit(0.0)).as("top2gram_frac"),
+          coalesce(col("top3gram_frac"), lit(0.0)).as("top3gram_frac"))
+    }),
+  )
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"
+
+  /** DuckDB 3-gram shingle list from a `words` list column (mirrors
+    * Text.shingles word-joined-by-space form). */
+  private def duckGrams(n: Int): String = {
+    val parts = (0 until n).map(i => s"words[i+$i]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len(words) - ${n - 1}, 0)), i -> $parts)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "f8_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |n AS (SELECT cast(count(*) AS double) AS n_docs FROM t),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY 1),
+         |scored AS (SELECT doc_id, term, tf,
+         |             round(tf * 1.0 * ln(n_docs / df_t), 6) AS score
+         |           FROM tfc JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT * FROM (
+         |  SELECT doc_id, term, tf, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, term ASC) AS rn
+         |  FROM scored) WHERE rn <= 3""".stripMargin,
+
+    "f9_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n,
+         |         unnest(generate_series(0, n - 1, $ChunkStride)) AS start
+         |       FROM d),
+         |c AS (SELECT doc_id, start // $ChunkStride AS chunk_idx,
+         |        list_slice(toks, start + 1, least(start + $ChunkSize, n)) AS chunk
+         |      FROM st)
+         |SELECT doc_id, chunk_idx,
+         |  cast(len(chunk) AS bigint) AS chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+         |FROM c""".stripMargin,
+
+    "f10_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS words FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${duckGrams(2)}) AS g FROM t),
+         |g3 AS (SELECT doc_id, unnest(${duckGrams(3)}) AS g FROM t),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |f2 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top2gram_frac
+         |       FROM c2 GROUP BY 1),
+         |f3 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top3gram_frac
+         |       FROM c3 GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |           CASE WHEN len(words) = 0 THEN 0.0
+         |                ELSE round(1.0 - len(list_distinct(words)) * 1.0 / len(words), 6)
+         |           END AS dup_token_frac
+         |         FROM t)
+         |SELECT doc_id, dup_token_frac,
+         |  coalesce(top2gram_frac, 0.0) AS top2gram_frac,
+         |  coalesce(top3gram_frac, 0.0) AS top3gram_frac
+         |FROM base LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)""".stripMargin,
+  )
+}

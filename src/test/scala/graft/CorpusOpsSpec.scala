@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-4 corpus operators (f8 TF-IDF,
+  * f9 chunking, f10 repetition signals, d9 decontamination) beyond
+  * the driver's DuckDB oracle gate: invariants that must hold on any
+  * input, checked on sf0.001.
+  */
+class CorpusOpsSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  test("f8: at most 3 terms per doc, scores non-increasing in rank") {
+    val out = SparkEntry.queries("f8_tfidf")(spark, sfDir).cache()
+    try {
+      val over = out.groupBy("doc_id").count().filter($"count" > 3).count()
+      assert(over == 0, "more than k terms for some doc")
+      // rank 1's score >= rank 2's >= rank 3's within every doc
+      val bad = out.as[(Long, String, Long, Double, Int)]
+        .groupByKey(_._1).flatMapGroups { (_, rows) =>
+          val sorted = rows.toSeq.sortBy(_._5)
+          if (sorted.sliding(2).exists { case Seq(a, b) => a._4 < b._4; case _ => false })
+            Iterator(1) else Iterator.empty
+        }.count()
+      assert(bad == 0, "score increased with rank inside a doc")
+    } finally out.unpersist()
+  }
+
+  test("f8: a corpus-ubiquitous term never outranks a distinctive one") {
+    // Every doc contains filler word 'a' (df = N → idf = 0); any term
+    // with df < N and tf >= 1 scores strictly higher.
+    val out = SparkEntry.queries("f8_tfidf")(spark, sfDir)
+    val zeroScoreRanked1 = out.filter($"rn" === 1 && $"score" <= 0.0).count()
+    // rank-1 term can only score 0 if EVERY term of the doc is ubiquitous
+    // — possible for degenerate docs, but then all its scores are 0.
+    val contradiction = out.filter($"rn" === 1 && $"score" <= 0.0)
+      .join(out.filter($"score" > 0.0).select($"doc_id").distinct(), "doc_id")
+      .count()
+    assert(contradiction == 0,
+      s"a zero-idf term ranked first over a positive-score term ($zeroScoreRanked1 rank-1 zeros)")
+  }
+
+  test("f9: chunks tile the token array — sizes and coverage") {
+    val out = SparkEntry.queries("f9_chunk_windows")(spark, sfDir).cache()
+    try {
+      // every chunk holds 1..50 tokens
+      assert(out.filter($"chunk_tokens" < 1 || $"chunk_tokens" > 50).count() == 0)
+      // chunk indexes are dense 0..k-1 per doc
+      val dense = out.groupBy("doc_id")
+        .agg(count(lit(1)).as("k"), max($"chunk_idx").as("mx"), min($"chunk_idx").as("mn"))
+        .filter($"mn" =!= 0 || $"mx" =!= $"k" - 1).count()
+      assert(dense == 0, "chunk_idx not dense from 0")
+      // exact size law: chunk i holds min(50, n - 40*i) tokens, and
+      // every tokenized doc appears with ceil(n/40)-ish chunk count
+      // (floor((n-1)/40) + 1)
+      val toks = Tables(spark, sfDir, "documents")
+        .select($"doc_id", graft.functions.Text.tokens($"text").as("toks"))
+        .select($"doc_id", size($"toks").cast("long").as("n"))
+        .filter($"n" > 0)
+      val bad = out.join(toks, "doc_id")
+        .filter($"chunk_tokens" =!= least(lit(50L), $"n" - lit(40L) * $"chunk_idx"))
+        .count()
+      assert(bad == 0, "chunk size law broken")
+      val kBad = out.groupBy("doc_id").agg(count(lit(1)).as("k"))
+        .join(toks, "doc_id")
+        .filter($"k" =!= expr("(n - 1) DIV 40 + 1")).count()
+      assert(kBad == 0, "chunk count law broken")
+    } finally out.unpersist()
+  }
+
+  test("f10: fractions bounded; a constant-text doc maxes out") {
+    val out = SparkEntry.queries("f10_repetition")(spark, sfDir)
+    val bad = out.filter(
+      $"dup_token_frac" < 0 || $"dup_token_frac" >= 1 ||
+      $"top2gram_frac" < 0 || $"top2gram_frac" > 1 ||
+      $"top3gram_frac" < 0 || $"top3gram_frac" > 1).count()
+    assert(bad == 0)
+    // direct unit check on crafted docs through the same query shape:
+    // "x x x x x" is pure repetition (top2 frac 1.0, dup frac 0.8);
+    // all-distinct text has dup frac 0 and bigram frac 1/(n-1)
+    val docs = Seq((1L, "x x x x x"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val toks = docs.select($"doc_id", graft.functions.Text.tokens($"text").as("toks"))
+    val g2 = toks.select($"doc_id", explode(graft.functions.Text.shingles($"toks", 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg((max($"c").cast("double") / sum($"c")).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(g2(1L) == 1.0 && math.abs(g2(2L) - 0.25) < 1e-9)
+  }
+
+  test("d9: benchmark docs excluded; hits bounded by shingles; a planted copy is flagged") {
+    val out = SparkEntry.queries("d9_decontaminate")(spark, sfDir).cache()
+    try {
+      assert(out.filter($"doc_id" % 20 === 0).count() == 0, "benchmark doc in output")
+      assert(out.filter($"n_hits" > $"n_shingles" || $"n_hits" < 0).count() == 0)
+      assert(out.filter($"contamination" < 0 || $"contamination" > 1).count() == 0)
+      // exact duplicates of a benchmark doc must be fully contaminated:
+      // doc texts repeat in this corpus (d1 finds exact groups), so any
+      // non-benchmark doc sharing a benchmark doc's full text has
+      // contamination 1.0
+      val docs = Tables(spark, sfDir, "documents").select($"doc_id", md5($"text").as("h"))
+      val benchHashes = docs.filter($"doc_id" % 20 === 0).select($"h").distinct()
+      val copies = docs.filter($"doc_id" % 20 =!= 0)
+        .join(benchHashes, "h").select($"doc_id")
+      val nCopies = copies.count()
+      val flagged = out.join(copies, "doc_id").filter($"contamination" === 1.0).count()
+      assert(flagged == nCopies,
+        s"$nCopies exact benchmark copies but only $flagged fully flagged")
+    } finally out.unpersist()
+  }
+}
