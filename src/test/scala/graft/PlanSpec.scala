@@ -139,4 +139,31 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("Broadcast"), p)
   }
+
+  test("f9: chunking is a single narrow pass — no exchange at all") {
+    val p = plan("f9_chunk_windows")
+    assert(!p.contains("Exchange"),
+      s"chunking must stay embarrassingly parallel (zero shuffles)\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("f8: tf-idf scoring joins broadcast the df model and corpus size") {
+    val p = plan("f8_tfidf")
+    // The (term → df) model and the 1-row corpus count are dims next
+    // to the (doc, term) fact: both must broadcast, and the per-doc
+    // top-3 must run the rank-limit pushdown.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row corpus count joins as a broadcast nested loop\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df model must not shuffle the fact side\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p)
+  }
+
+  test("d9: the benchmark shingle set broadcasts into the corpus join") {
+    val p = plan("d9_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles are dim-sized and must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
