@@ -92,6 +92,26 @@ object GroupG {
         .groupBy("window_es", "event_type")
         .agg(sum(col("bn")).as("n"))
     }),
+
+    // g5: distinct users per hourly window × event type — the standard
+    // audience/reach aggregate. Written as the TWO-LEVEL exact form
+    // (collapse to (window, type, user) first, then count groups):
+    // both stages are map-side-combinable, so nothing ever holds a
+    // per-group distinct set — the shape that survives 100 TB, unlike
+    // a single-pass count_distinct (Expand-planned) or a per-group
+    // hash set. The same groupBy with approx_count_distinct (HLL,
+    // fixed-size mergeable sketch) is the declared form when exact
+    // counts aren't required — drift pinned in TextEventsSpec.
+    "g5_window_distinct" -> ((s, d) => {
+      Tables(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy((floor(col("ts").cast("double") / 3600).cast("long") * 3600)
+                   .as("window_es"),
+                 col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("en"))
+        .groupBy("window_es", "event_type")
+        .agg(count(lit(1)).as("n_users"), sum(col("en")).as("n_events"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,6 +142,18 @@ object GroupG {
         |  cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS k_sum,
         |  avg(cast(json_extract_string(props, '$.k') AS bigint)) AS k_avg
         |FROM events GROUP BY 1""".stripMargin,
+
+    "g5_window_distinct" ->
+      """WITH e AS (
+        |  SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS window_es,
+        |    event_type, user_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT window_es, event_type, user_id, count(*) AS en
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT window_es, event_type, count(*) AS n_users,
+        |  cast(sum(en) AS bigint) AS n_events
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "g4_hopping_counts" ->
       """WITH e AS (

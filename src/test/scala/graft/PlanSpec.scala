@@ -166,4 +166,35 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffled dim join") {
+    // At 100 TB a dim too big to broadcast still shouldn't cost the
+    // fact side a full shuffle of non-matching rows: Spark's runtime
+    // bloom filter (InjectRuntimeFilter) builds a bloom_filter_agg on
+    // the filtered dim and plants might_contain() on the fact scan.
+    // Local parquet is below the default application-side threshold,
+    // so the spec lowers it to prove the rewrite fires for our
+    // fact-dim join shape under sort-merge conditions.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables(spark, sfDir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val pt = Tables(spark, sfDir, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey"))
+      val p = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"runtime bloom filter must be injected on the fact side\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
 }

@@ -105,4 +105,26 @@ class TextEventsSpec extends GraftSuite {
     val total = Tables(spark, sfDir, "events").count()
     assert(g2.agg(sum("n")).as[Long].head() == total)
   }
+
+  test("g5: approx_count_distinct tracks the exact user counts (the HLL form)") {
+    // The oracled g5 is the two-level exact form; when exact counts
+    // aren't required the same groupBy runs approx_count_distinct —
+    // a fixed-size mergeable HLL sketch, one aggregation pass. Pin the
+    // drift so swapping is a config decision, not a semantics change:
+    // rsd 0.02 must stay within 5% of exact on every window.
+    val exact = SparkEntry.queries("g5_window_distinct")(spark, sfDir)
+    val approx = Tables(spark, sfDir, "events")
+      .filter($"ts".isNotNull)
+      .groupBy((floor($"ts".cast("double") / 3600).cast("long") * 3600)
+                 .as("window_es"), $"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("ap"))
+    val joined = exact.join(approx, Seq("window_es", "event_type"))
+      .select($"n_users".cast("double"), $"ap".cast("double"))
+      .as[(Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (n, ap) =>
+      assert(math.abs(n - ap) <= math.max(1.0, 0.05 * n),
+        s"HLL drift: exact $n approx $ap")
+    }
+  }
 }
