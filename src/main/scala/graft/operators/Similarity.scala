@@ -285,6 +285,33 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
+  /** Per-vector int8 scalar quantization — the 4× storage cut every
+    * embedding store takes before ANN serving (float32 → uint8 per
+    * dimension, per-vector min/max calibration). Returns (id, mn, mx,
+    * q array<int>): q_i = floor((x_i − mn) · 255 / (mx − mn)) clamped
+    * to [0, 255]; dequantize as mn + (q_i + 0.5) · (mx − mn)/255 for
+    * ≤ half-step error. Constant vectors (mx = mn) quantize to all 0.
+    *
+    * Narrow, zero-shuffle, codegen-friendly: min/max are native array
+    * ops and the transform reads staged min/max columns (interpreted
+    * HOF lambdas re-evaluate captured expressions per element — the
+    * §4 staging rule). All arithmetic is plain IEEE double with fixed
+    * operation order, so independent engines reproduce q bit-exactly.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .select(col("id"), col("mn"), col("mx"),
+        when(col("mx") === col("mn"),
+          transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => greatest(lit(0.0), least(
+              floor((x - col("mn")) * 255.0 / (col("mx") - col("mn"))),
+              lit(255.0))).cast("int")))
+          .as("q"))
+
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
     * zero vectors pass through unchanged (cosine 0 downstream). */
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -29,6 +29,19 @@ object GroupE {
     "e3_knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(queriesSet(s, d), emb(s, d),
         "vec_id", "embedding", k = 10)),
+
+    // e4: int8 scalar quantization — the 4× embedding-storage cut
+    // before ANN serving. Exact-oracled: fixed-order IEEE double
+    // arithmetic + floor reproduces q bit-identically in DuckDB. The
+    // quantized array is emitted as a canonical csv string (the
+    // driver's hash compare needs a dialect-stable form); mn/mx round
+    // to 6 for display only.
+    "e4_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")
+        .select(col("id").as("vec_id"),
+          org.apache.spark.sql.functions.round(col("mn"), 6).as("mn"),
+          org.apache.spark.sql.functions.round(col("mx"), 6).as("mx"),
+          org.apache.spark.sql.functions.concat_ws(",", col("q")).as("q_csv"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -45,5 +58,15 @@ object GroupE {
         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    "e4_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+        |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+        |  array_to_string(list_transform(v, x ->
+        |    cast(CASE WHEN mx = mn THEN 0
+        |         ELSE greatest(0.0, least(floor((x - mn) * 255.0 / (mx - mn)), 255.0))
+        |         END AS int)), ',') AS q_csv
+        |FROM m""".stripMargin,
   )
 }

@@ -48,4 +48,34 @@ class SimilarityLshSpec extends GraftSuite {
     assert(Similarity.cosinePairsLsh(
       emb.filter($"vec_id" < 0), "vec_id", "embedding", tau = 0.5).count() == 0)
   }
+
+  test("int8 quantization: range, constant vectors, half-step dequant error") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").cache()
+    try {
+      // every code in [0, 255]
+      assert(q.filter(exists(col("q"), c => c < 0 || c > 255)).count() == 0)
+      // dequantized value mn + (q+0.5)·step stays within step/2 + ulp
+      // of the original for every dimension (step = (mx-mn)/255)
+      val step = (col("mx") - col("mn")) / 255.0
+      val err = q
+        .join(emb.select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")), "id")
+        .filter(col("mx") =!= col("mn"))
+        .select(col("id"), col("mn"), step.as("st"),
+          arrays_zip(col("v"), col("q")).as("z"))
+        .select(col("id"),
+          size(filter(col("z"), z =>
+            abs(z.getField("v") - (col("mn") + (z.getField("q") + 0.5) * col("st")))
+              > col("st") * 0.5 + lit(1e-9))).as("n_bad"))
+        .agg(sum(col("n_bad"))).head().getLong(0)
+      assert(err == 0, s"$err dimensions outside the half-step bound")
+      // constant vector quantizes to all zeros
+      val const = Similarity.quantizeInt8(
+        Seq((1L, Seq(2.5, 2.5, 2.5))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+        .select(explode(col("q"))).as[Int].collect()
+      assert(const.toSeq == Seq(0, 0, 0))
+    } finally q.unpersist()
+  }
 }
