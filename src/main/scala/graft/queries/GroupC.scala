@@ -76,6 +76,34 @@ object GroupC {
         regexp_extract(col("tuple"), fieldRe, 3).cast("long").as("nationkey"))
     }),
 
+    // c5: CSV inlet parsing (the reference's third inlet format —
+    // QRank and suggestable-domains CSVs, Makefile inlets) via the
+    // native from_csv: schema-on-read with quoted fields (the name
+    // carries an embedded comma) and PERMISSIVE malformed-row
+    // handling — every 13th row ships a non-numeric balance, which
+    // must null the field and surface the raw line in the corrupt
+    // column, never kill the job. Lines are synthesized
+    // deterministically from `customer` (same expression both
+    // engines); the thing under test is the parse.
+    "c5_csv_parse" -> ((s, d) => {
+      val bal = col("c_acctbal").cast("decimal(12,2)").cast("string")
+      val lines = Tables(s, d, "customer")
+        .select(concat(
+          col("c_custkey"), lit(",\""), col("c_name"), lit(", Ltd\","),
+          col("c_mktsegment"), lit(","),
+          when(col("c_custkey") % 13 === 0, lit("oops")).otherwise(bal))
+          .as("value"))
+      lines
+        .select(col("value"), from_csv(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "custkey LONG, name STRING, seg STRING, bal DECIMAL(12,2), _corrupt STRING"),
+          Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+        .select(col("r.custkey"), col("r.name"), col("r.seg"),
+          col("r.bal").cast("double").as("bal"),
+          col("r._corrupt").isNotNull.as("malformed"))
+    }),
+
     // c3: JSON property extraction + aggregation over it.
     "c3_json_extract" -> ((s, d) => {
       Tables(s, d, "events")
@@ -127,6 +155,24 @@ object GroupC {
         |  min_by(value, event_id) FILTER (WHERE event_type = 'purchase') AS first_purchase,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "c5_csv_parse" ->
+      """WITH lines AS (
+        |  SELECT c_custkey || ',"' || c_name || ', Ltd",' || c_mktsegment || ',' ||
+        |    CASE WHEN c_custkey % 13 = 0 THEN 'oops'
+        |         ELSE cast(cast(c_acctbal AS decimal(12,2)) AS varchar) END AS value
+        |  FROM customer),
+        |p AS (
+        |  SELECT value,
+        |    regexp_extract(value, '^(\d+),"([^"]*)",([^,]*),(.*)$', 1) AS k,
+        |    regexp_extract(value, '^(\d+),"([^"]*)",([^,]*),(.*)$', 2) AS name,
+        |    regexp_extract(value, '^(\d+),"([^"]*)",([^,]*),(.*)$', 3) AS seg,
+        |    regexp_extract(value, '^(\d+),"([^"]*)",([^,]*),(.*)$', 4) AS balraw
+        |  FROM lines)
+        |SELECT cast(k AS bigint) AS custkey, name, seg,
+        |  cast(try_cast(balraw AS decimal(12,2)) AS double) AS bal,
+        |  (try_cast(balraw AS decimal(12,2)) IS NULL) AS malformed
+        |FROM p""".stripMargin,
 
     "c3_json_extract" ->
       """SELECT event_type,

@@ -60,20 +60,11 @@ object GroupF2 {
     // embarrassingly-parallel pass whose output is ~(n/stride)× the
     // input rows — the explode happens after column pruning, so only
     // the token array fans out.
-    "f9_chunk_windows" -> ((s, d) => {
-      Tables(s, d, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-        .filter(col("n") > 0)
-        // sequence(0, n-1, stride) = every chunk start < n.
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(0), col("n") - 1, lit(ChunkStride))))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-          slice(col("toks"), col("col") + 1, lit(ChunkSize)).as("chunk"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("chunk")).cast("long").as("chunk_tokens"),
-          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-    }),
+    "f9_chunk_windows" -> ((s, d) =>
+      graft.operators.Corpus.chunkWindows(Tables(s, d, "documents"),
+          "doc_id", "text", ChunkSize, ChunkStride)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))),
 
     // f10: repetition signals (the Gopher/C4-style quality cuts):
     // fraction of all word-bigrams taken by the most frequent bigram,

@@ -96,4 +96,30 @@ class PropertySpec extends GraftSuite {
       assert(got.toSet == expected, s"seed=$seed")
     }
   }
+
+  test("chunkWindows equals the in-memory sliding cut on random docs") {
+    import graft.operators.Corpus
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(300 + seed)
+      val size = rnd.nextInt(6) + 2        // 2..7
+      val stride = rnd.nextInt(size) + 1   // 1..size (overlap or tiling)
+      val docs = (0 until rnd.nextInt(12) + 1).map { id =>
+        val n = rnd.nextInt(20) // 0..19 tokens, 0 exercises the drop
+        (id.toLong, List.fill(n)(s"w${rnd.nextInt(9)}").mkString(" "))
+      }
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toList
+        if (toks.isEmpty) Nil
+        else (0 until toks.length by stride).zipWithIndex.map { case (start, i) =>
+          (id, i.toLong, toks.slice(start, start + size))
+        }
+      }.toSet
+      val got = Corpus.chunkWindows(docs.toDF("doc_id", "text"),
+          "doc_id", "text", size, stride)
+        .select($"id", $"chunk_idx", $"chunk")
+        .as[(Long, Long, Seq[String])].collect()
+        .map { case (a, b, c) => (a, b, c.toList) }.toSet
+      assert(got == expected, s"seed=$seed size=$size stride=$stride")
+    }
+  }
 }
