@@ -165,9 +165,33 @@ object GroupA4 {
         .groupBy("p_partkey")
         .agg(count(lit(1)).as("n_intervals"), min(col("iid")).as("min_iid"))
     }),
+
+    // a30: multi-granularity stats in ONE pass — CUBE over
+    // (event_type, cohort) computes the per-cell, both per-margin and
+    // grand-total aggregates the reference derives in separate
+    // passes/dicts (stats_members_type.py keeps per-type AND total
+    // counters). grouping_id() disambiguates a real NULL key from an
+    // aggregated-away one; Spark plans cube as one Expand + single
+    // aggregation (map-side combinable), not 4 scans.
+    "a30_cube_stats" -> ((s, d) => {
+      Tables(s, d, "events")
+        .select(col("event_type"), (col("user_id") % 10).as("cohort"),
+          col("value"))
+        .cube(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+          grouping_id().as("gid"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "a30_cube_stats" ->
+      """SELECT event_type, cohort, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS value_sum,
+        |  cast(GROUPING(event_type, cohort) AS bigint) AS gid
+        |FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events)
+        |GROUP BY CUBE (event_type, cohort)""".stripMargin,
+
     "a24_merge_by_relation" ->
       """WITH p AS (SELECT p_partkey, p_name, p_size,
         |             cast(p_retailprice AS decimal(18,2)) AS rankd FROM part),

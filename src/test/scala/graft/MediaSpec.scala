@@ -62,6 +62,42 @@ class MediaSpec extends GraftSuite {
     assert(out(4L) == ((None, None, None)), "null payloads must null out, not crash")
   }
 
+  test("decodeAudioStats really decodes WAV PCM and nulls non-audio") {
+    // A 440 Hz full-scale sine written with the same JDK codec the
+    // decoder reads: format metadata must round-trip exactly and the
+    // RMS must land at amplitude/sqrt(2).
+    def wav(hz: Double, amp: Double, rate: Float, nSamples: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until nSamples)
+        bb.putShort((math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toShort)
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(440, 1.0, 8000f, 8000)),            // 1 s full-scale sine
+      (2L, wav(100, 0.5, 16000f, 4000)),           // quieter, other rate
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val out = Media.decodeAudioStats(rows.toDF("id", "media"))
+      .select($"id", $"sample_rate", $"n_channels", $"n_samples", $"rms")
+      .as[(Long, Option[Float], Option[Int], Option[Long], Option[Float])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L)._1.contains(8000f) && out(1L)._2.contains(1) &&
+      out(1L)._3.contains(8000L))
+    assert(math.abs(out(1L)._4.get - 1.0 / math.sqrt(2)) < 0.01,
+      s"full-scale sine RMS ${out(1L)._4}")
+    assert(math.abs(out(2L)._4.get - 0.5 / math.sqrt(2)) < 0.01,
+      s"half-scale sine RMS ${out(2L)._4}")
+    assert(out(3L) == ((None, None, None, None)), "non-audio must null out")
+    assert(out(4L) == ((None, None, None, None)), "null payload must null out")
+  }
+
   test("frameSample emits every Nth frame with non-empty bytes") {
     val frames = Media.frameSample(media.filter($"meta.kind" === "video"), everyN = 2)
     assert(frames.filter($"frame_no" % 2 =!= 0).count() == 0)
