@@ -1,14 +1,76 @@
 package graft.operators
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Corpus-shaping operators for training-data pipelines (chunking —
-  * more to grow here as the export surface widens). Kept separate from
-  * [[Dedup]]/[[Similarity]]: these transform documents, not identify
-  * them. */
+/** Corpus-shaping operators for training-data pipelines: chunking,
+  * TF-IDF keyword extraction, benchmark decontamination. Kept separate
+  * from [[Dedup]]/[[Similarity]]: these transform or score documents,
+  * not identify duplicates. */
 object Corpus {
+
+  /** Per-document top-`k` terms by TF-IDF (tf · ln(N/df), whitespace
+    * tokens). Output: (id, term, tf, score, rn) ordered by rounded
+    * score desc then term asc (a total order — terms are unique per
+    * doc — so results are deterministic and cross-engine stable).
+    *
+    * Scale shape: one shuffle on (doc, term) for tf, one on term for
+    * the document-frequency model; the model and the 1-row corpus
+    * count are dimension-sized and BROADCAST into the scoring join;
+    * the per-doc top-k runs through the WindowGroupLimit pushdown on
+    * data already partitioned by doc. Nothing holds per-doc state
+    * beyond the window's k rows.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("toks"))
+    val n = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = base.select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, term): df is a plain count.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf").cast("double") * log(col("n_docs") / col("df_t")), 6)
+          .as("score"))
+    Relational.topKPerGroup(scored, Seq(col("id")),
+      Seq(col("score").desc, col("term").asc), k)
+  }
+
+  /** Benchmark decontamination signal: for every document NOT in the
+    * benchmark set (`isBench` over the id column), the count and
+    * fraction of its distinct word-`n`-gram shingles that appear
+    * anywhere in the benchmark documents. Output: (id, n_shingles,
+    * n_hits, contamination); documents with fewer than `n` tokens
+    * have no shingles and produce no row.
+    *
+    * Scale shape: benchmark shingle sets are tiny by construction at
+    * any corpus scale (eval suites don't grow with the crawl), so the
+    * distinct benchmark side BROADCASTS into one left join over the
+    * corpus shingles, followed by one keyed aggregation — the corpus
+    * is touched exactly once and nothing is all-pairs.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, isBench: Column): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(Text.shingles(col("toks"), n))).as("shingle"))
+    val bench = sh.filter(isBench)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(!isBench)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+           coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
 
   /** Overlapping token-window chunks: each document's token array is
     * cut into windows of `size` tokens starting every `stride` tokens

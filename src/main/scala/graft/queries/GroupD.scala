@@ -68,24 +68,12 @@ object GroupD {
     // joinable dim (benchmark shingle sets are tiny by construction
     // at any corpus scale) + one keyed agg — no all-pairs, and the
     // corpus side is touched exactly once.
-    "d9_decontaminate" -> ((s, d) => {
-      val sh = Tables(s, d, "documents")
-        .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          explode(array_distinct(graft.functions.Text.shingles(col("toks"), 3)))
-            .as("shingle"))
-      val bench = sh.filter(col("doc_id") % 20 === 0)
-        .select(col("shingle")).distinct()
-        .withColumn("hit", lit(1L))
-      sh.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(bench), Seq("shingle"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-             coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
-        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
-          round(col("n_hits").cast("double") / col("n_shingles"), 6)
-            .as("contamination"))
-    }),
+    "d9_decontaminate" -> ((s, d) =>
+      graft.operators.Corpus.contamination(
+          Tables(s, d, "documents"), "doc_id", "text", n = 3,
+          isBench = col("id") % 20 === 0)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_hits"),
+          col("contamination"))),
 
     // d8: the actual training-set cut — the corpus with every
     // non-keeper member of a near-dup cluster removed (keeper = min

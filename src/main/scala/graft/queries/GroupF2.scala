@@ -32,25 +32,14 @@ object GroupF2 {
     // the scoring join, so at 100 TB this is: one shuffle on
     // (doc, term), one on term, then map-side math + a per-doc
     // window over data already partitioned by doc.
-    "f8_tfidf" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // tf already has one row per (doc, term): df is a plain count.
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-      val scored = tf.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("term"), col("tf"),
-          round(col("tf").cast("double") * log(col("n_docs") / col("df_t")), 6)
-            .as("score"))
-      // Rank on the ROUNDED score so both engines order identically;
-      // term asc breaks ties deterministically (terms are unique per
-      // doc, so the full ordering is total).
-      Relational.topKPerGroup(scored, Seq(col("doc_id")),
-        Seq(col("score").desc, col("term").asc), 3)
-    }),
+    // Ranking happens on the ROUNDED score so both engines order
+    // identically; term asc breaks ties deterministically (terms are
+    // unique per doc, so the ordering is total).
+    "f8_tfidf" -> ((s, d) =>
+      graft.operators.Corpus.tfidfTopTerms(
+          Tables(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("score"), col("rn"))),
 
     // f9: context-window chunking — split each document into
     // overlapping token windows (size 50, stride 40), the shape every

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{Collections, Graph, Relational}
+import graft.operators.{Collections, Corpus, Graph, Relational}
 import graft.queries.GroupP
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -119,6 +119,37 @@ object ScaleProbe {
         entities, c, edges, topK = 5, closureUniquePaths = true)
     report("p1 build",
       noop(pipeline(li, orders)), noop(pipeline(liK, ordersK)))
+
+    // Corpus ops: duplicating documents K× is fine HERE (unlike the
+    // pair-generating dedup family) — tfidf/contamination never pair
+    // documents, so copies only multiply rows: tf rows ×K, df ×K,
+    // shingle join ×K. The probe measures exactly the keyed-agg +
+    // broadcast-join scaling that matters.
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val docsK = scaled(docs, Seq("doc_id"))
+    report("f8 tfidf",
+      noop(Corpus.tfidfTopTerms(docs, "doc_id", "text", 3)),
+      noop(Corpus.tfidfTopTerms(docsK, "doc_id", "text", 3)))
+    report("d9 contamination",
+      noop(Corpus.contamination(docs, "doc_id", "text", 3, col("id") % 20 === 0)),
+      noop(Corpus.contamination(docsK, "doc_id", "text", 3, col("id") % 20 === 0)))
+
+    // g5 shape: two-level exact distinct (shifted user ids multiply
+    // the per-window distinct-user count — the audience-grows
+    // direction; both aggregation levels should scale on rows).
+    val ev = Tables(spark, sfDir, "events")
+      .select("user_id", "event_type", "ts").filter(col("ts").isNotNull)
+      .localCheckpoint()
+    val evK = scaled(ev, Seq("user_id"))
+    def windowDistinct(e: DataFrame): DataFrame =
+      e.groupBy((floor(col("ts").cast("double") / 3600).cast("long") * 3600)
+            .as("window_es"), col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("en"))
+        .groupBy("window_es", "event_type")
+        .agg(count(lit(1)).as("n_users"), sum(col("en")).as("n_events"))
+    report("g5 window-distinct",
+      noop(windowDistinct(ev)), noop(windowDistinct(evK)))
 
     spark.stop()
   }
