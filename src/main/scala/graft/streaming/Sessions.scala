@@ -49,6 +49,25 @@ object Sessions {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").cast("long").as("window_es"), col("event_type"), col("n"))
 
+  /** Approximate distinct users per tumbling window × event type
+    * (streaming g5): watermark + event-time window with
+    * approx_count_distinct — the HLL sketch is a fixed-size mergeable
+    * aggregation buffer, so per-window state stays bounded no matter
+    * how many distinct users a window sees (an exact streaming
+    * distinct would hold every id in state until eviction). The batch
+    * query keeps the two-level exact form; this is the form that runs
+    * unbounded. */
+  def windowDistinctUsers(events: DataFrame,
+                          windowLength: String = "1 hour",
+                          watermarkDelay: String = "30 minutes",
+                          rsd: Double = 0.02): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("window_es"), col("event_type"),
+        col("n_users"), col("n_events"))
+
   /** Streaming exact dedup: drop repeats of `idCols` arriving within
     * the watermark horizon (state for an id is evicted once the
     * watermark passes its event time — bounded state, unlike a global

@@ -178,6 +178,36 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("windowed distinct users emit exact small-cardinality HLL counts") {
+    // Streaming face of g5: per-window approx_count_distinct. At the
+    // cardinalities a spec can drive, the HLL sketch is exact — the
+    // claim here is the windowing/watermark plumbing and that the
+    // count is DISTINCT (repeat users collapse), not the sketch error
+    // (that bound is pinned against batch in TextEventsSpec).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val events = input.toDF().toDF("ts", "event_type", "user_id")
+    val out = Sessions.windowDistinctUsers(events, "1 hour", "5 minutes")
+    val query = out.writeStream.format("memory").queryName("wdu_out")
+      .outputMode("append").start()
+    try {
+      // Window [0, 3600): user 1 clicks twice, user 2 once.
+      input.addData((ts(0), "click", 1L), (ts(10), "click", 1L),
+        (ts(100), "click", 2L), (ts(200), "view", 2L))
+      query.processAllAvailable()
+      // Advance the watermark past 3600, then flush under it.
+      input.addData((ts(9000), "click", 9L))
+      query.processAllAvailable()
+      input.addData((ts(9001), "view", 9L))
+      query.processAllAvailable()
+      val rows = spark.table("wdu_out")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(rows.contains((0L, "click", 2L, 3L)),
+        s"click window must count 2 DISTINCT users over 3 events, got $rows")
+      assert(rows.contains((0L, "view", 1L, 1L)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("changeOps emits insert/update only on fingerprint change") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[graft.streaming.DocVersion]
