@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Collections
+import graft.functions.Text
+import graft.operators.{Collections, Corpus, Dedup, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,6 +84,43 @@ object GroupP {
           round(col("rank"), 6).as("rank"),
           concat_ws(",", col("top_members")).as("top_members"),
           col("banner_number"))
+    }),
+
+    // p2: the TRAINING-DATA pipeline composed end-to-end, one oracled
+    // plan — the documents-side analogue of p1: quality/language gate
+    // (f2/f3 shapes) → near-dup cluster cut (d2+d7+d8 machinery) →
+    // benchmark decontamination (d9) → deterministic stratified
+    // sample (f5) → chunk accounting (f9's law). Order matters and is
+    // part of the contract: the gate runs FIRST (cheap narrow filters
+    // shrink everything downstream — dedup pairs are quadratic-ish in
+    // corpus size, so gating before pairing is the scale decision),
+    // dedup runs on the gated corpus, contamination is measured
+    // against the benchmark slice of the FULL corpus (eval sets don't
+    // get quality-gated away), and the sample cut runs last so kept
+    // rates compose predictably.
+    "p2_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("text"), Text.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val gated = toks.filter(
+        col("lang") === "en" && col("n_tokens") >= 10 &&
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+            length(col("text")) <= 0.3 &&
+          col("doc_id") % 20 =!= 0) // benchmark docs are never trainable
+      val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text",
+        n = 3, tau = 0.5)
+      val kept = Dedup.keepCanonical(gated, pairs, "doc_id")
+      val cont = Corpus.contamination(docs, "doc_id", "text", n = 3,
+        isBench = col("id") % 20 === 0)
+      val clean = kept
+        .join(cont.select(col("id").as("doc_id"), col("contamination")),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("contamination"), lit(0.0)) < 0.5)
+      Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
+          rates = Map("en" -> 50), defaultRate = 20)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("(n_tokens - 1) DIV 40 + 1").as("n_chunks"))
     }),
   )
 
@@ -171,5 +209,51 @@ object GroupP {
         |    % 20 AS banner_number
         |FROM joined j JOIN best b ON j.collection_name = b.collection_name
         |GROUP BY 1""".stripMargin,
+
+    "p2_corpus_pipeline" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, lang, source, text,
+        |          list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
+        |        FROM documents),
+        |g AS (SELECT doc_id, source, words, cast(len(words) AS bigint) AS n_tokens
+        |      FROM tok
+        |      WHERE lang = 'en' AND len(words) >= 10
+        |        AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+        |              / len(text) <= 0.3
+        |        AND doc_id % 20 <> 0),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |       FROM g),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |          FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |          WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |r AS (SELECT a AS id, a AS reach FROM und
+        |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a),
+        |losers AS (SELECT id FROM r GROUP BY id HAVING min(reach) <> id),
+        |shall AS (SELECT DISTINCT doc_id,
+        |            unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+        |                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |          FROM tok),
+        |bench AS (SELECT DISTINCT shingle FROM shall WHERE doc_id % 20 = 0),
+        |cont AS (SELECT doc_id,
+        |           round(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |                 * 1.0 / count(*), 6) AS contamination
+        |         FROM shall LEFT JOIN bench USING (shingle)
+        |         WHERE doc_id % 20 <> 0
+        |         GROUP BY 1)
+        |SELECT g.doc_id, g.source, g.n_tokens,
+        |  cast((g.n_tokens - 1) // 40 + 1 AS bigint) AS n_chunks
+        |FROM g
+        |LEFT JOIN cont ON g.doc_id = cont.doc_id
+        |WHERE g.doc_id NOT IN (SELECT id FROM losers)
+        |  AND coalesce(cont.contamination, 0) < 0.5
+        |  AND ('0x' || substr(md5(cast(g.doc_id AS varchar)), 1, 8))::BIGINT % 100 < 50""".stripMargin,
   )
 }

@@ -88,6 +88,26 @@ class CorpusOpsSpec extends GraftSuite {
     assert(g2(1L) == 1.0 && math.abs(g2(2L) - 0.25) < 1e-9)
   }
 
+  test("p2: every pipeline gate provably held on the output") {
+    val out = SparkEntry.queries("p2_corpus_pipeline")(spark, sfDir).cache()
+    try {
+      assert(out.count() > 0, "pipeline must keep some documents")
+      // benchmark docs never survive
+      assert(out.filter($"doc_id" % 20 === 0).count() == 0)
+      // the sample cut held (md5-bucket < 50 for en)
+      assert(out.filter(
+        graft.operators.Sampling.hashBucket($"doc_id") >= 50).count() == 0)
+      // token floor and the chunk law
+      assert(out.filter($"n_tokens" < 10).count() == 0)
+      assert(out.filter($"n_chunks" =!= expr("(n_tokens - 1) DIV 40 + 1")).count() == 0)
+      // no kept doc is a near-dup loser: any two kept docs with equal
+      // text would be an uncollapsed exact-dup cluster
+      val texts = out.join(Tables(spark, sfDir, "documents"), "doc_id")
+        .groupBy(md5($"text")).count().filter($"count" > 1).count()
+      assert(texts == 0, "exact duplicates survived the cluster cut")
+    } finally out.unpersist()
+  }
+
   test("d9: benchmark docs excluded; hits bounded by shingles; a planted copy is flagged") {
     val out = SparkEntry.queries("d9_decontaminate")(spark, sfDir).cache()
     try {
