@@ -161,11 +161,15 @@ object Media {
               new java.io.ByteArrayInputStream(bytes))
             try {
               val fmt = ais.getFormat
+              // NOT_SPECIFIED (-1) containers (e.g. AU with the
+              // unknown-size header field) still decode fine — the RMS
+              // walk reads the stream, never the declared length, so
+              // only n_samples goes null for them.
               val nFrames = ais.getFrameLength
               val pcm16 =
                 fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
                   fmt.getSampleSizeInBits == 16
-              val rms: Any = if (!pcm16 || nFrames <= 0) null else {
+              val rms: Any = if (!pcm16) null else {
                 val data = ais.readAllBytes()
                 val buf = java.nio.ByteBuffer.wrap(data).order(
                   if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN

@@ -41,11 +41,12 @@ object Corpus {
   }
 
   /** Benchmark decontamination signal: for every document NOT in the
-    * benchmark set (`isBench` over the id column), the count and
-    * fraction of its distinct word-`n`-gram shingles that appear
-    * anywhere in the benchmark documents. Output: (id, n_shingles,
-    * n_hits, contamination); documents with fewer than `n` tokens
-    * have no shingles and produce no row.
+    * benchmark set (`isBench`, evaluated against the CALLER's columns
+    * — e.g. `col("doc_id") % 20 === 0`), the count and fraction of
+    * its distinct word-`n`-gram shingles that appear anywhere in the
+    * benchmark documents. Output: (id, n_shingles, n_hits,
+    * contamination); documents with fewer than `n` tokens have no
+    * shingles and produce no row.
     *
     * Scale shape: benchmark shingle sets are tiny by construction at
     * any corpus scale (eval suites don't grow with the crawl), so the
@@ -55,14 +56,17 @@ object Corpus {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, isBench: Column): DataFrame = {
+    // isBench is resolved HERE, against the caller's schema — before
+    // any rename — so callers filter on their own column names.
     val sh = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
+      .select(col(idCol).as("id"), isBench.as("__bench"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("__bench"),
         explode(array_distinct(Text.shingles(col("toks"), n))).as("shingle"))
-    val bench = sh.filter(isBench)
+    val bench = sh.filter(col("__bench"))
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))
-    sh.filter(!isBench)
+    sh.filter(!col("__bench"))
       .join(broadcast(bench), Seq("shingle"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),

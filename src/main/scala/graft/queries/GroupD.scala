@@ -71,7 +71,7 @@ object GroupD {
     "d9_decontaminate" -> ((s, d) =>
       graft.operators.Corpus.contamination(
           Tables(s, d, "documents"), "doc_id", "text", n = 3,
-          isBench = col("id") % 20 === 0)
+          isBench = col("doc_id") % 20 === 0)
         .select(col("id").as("doc_id"), col("n_shingles"), col("n_hits"),
           col("contamination"))),
 

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
 object GroupF2 {
   type Q = (SparkSession, String) => DataFrame
 
-  private val ChunkSize = 50
-  private val ChunkStride = 40
+  // Shared with p2's chunk accounting (GroupP) — one definition, so
+  // tuning the window can't silently desynchronize the two laws.
+  private[queries] val ChunkSize = 50
+  private[queries] val ChunkStride = 40
 
   val queries: Map[String, Q] = Map(
     // f8: per-document top-3 terms by TF-IDF — the classic keyword

@@ -111,8 +111,16 @@ object GroupP {
       val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text",
         n = 3, tau = 0.5)
       val kept = Dedup.keepCanonical(gated, pairs, "doc_id")
-      val cont = Corpus.contamination(docs, "doc_id", "text", n = 3,
-        isBench = col("id") % 20 === 0)
+      // Contamination is per-doc independent, so it only needs to be
+      // MEASURED on docs that can still survive — the gated corpus —
+      // against the benchmark slice of the FULL corpus (eval sets are
+      // never quality-gated away). Feeding the whole corpus here would
+      // re-scan exactly the majority the gate just discarded.
+      val contInput = docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 20 === 0)
+        .unionByName(gated.select(col("doc_id"), col("text")))
+      val cont = Corpus.contamination(contInput, "doc_id", "text", n = 3,
+        isBench = col("doc_id") % 20 === 0)
       val clean = kept
         .join(cont.select(col("id").as("doc_id"), col("contamination")),
           Seq("doc_id"), "left")
@@ -120,7 +128,7 @@ object GroupP {
       Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
           rates = Map("en" -> 50), defaultRate = 20)
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          expr("(n_tokens - 1) DIV 40 + 1").as("n_chunks"))
+          expr(s"(n_tokens - 1) DIV ${GroupF2.ChunkStride} + 1").as("n_chunks"))
     }),
   )
 
@@ -211,14 +219,14 @@ object GroupP {
         |GROUP BY 1""".stripMargin,
 
     "p2_corpus_pipeline" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |tok AS (SELECT doc_id, lang, source, text,
-        |          list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
+        |          list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS words
         |        FROM documents),
         |g AS (SELECT doc_id, source, words, cast(len(words) AS bigint) AS n_tokens
         |      FROM tok
         |      WHERE lang = 'en' AND len(words) >= 10
-        |        AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+        |        AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
         |              / len(text) <= 0.3
         |        AND doc_id % 20 <> 0),
         |sh AS (SELECT DISTINCT doc_id,
@@ -249,7 +257,7 @@ object GroupP {
         |         WHERE doc_id % 20 <> 0
         |         GROUP BY 1)
         |SELECT g.doc_id, g.source, g.n_tokens,
-        |  cast((g.n_tokens - 1) // 40 + 1 AS bigint) AS n_chunks
+        |  cast((g.n_tokens - 1) // ${GroupF2.ChunkStride} + 1 AS bigint) AS n_chunks
         |FROM g
         |LEFT JOIN cont ON g.doc_id = cont.doc_id
         |WHERE g.doc_id NOT IN (SELECT id FROM losers)

@@ -132,8 +132,8 @@ object ScaleProbe {
       noop(Corpus.tfidfTopTerms(docs, "doc_id", "text", 3)),
       noop(Corpus.tfidfTopTerms(docsK, "doc_id", "text", 3)))
     report("d9 contamination",
-      noop(Corpus.contamination(docs, "doc_id", "text", 3, col("id") % 20 === 0)),
-      noop(Corpus.contamination(docsK, "doc_id", "text", 3, col("id") % 20 === 0)))
+      noop(Corpus.contamination(docs, "doc_id", "text", 3, col("doc_id") % 20 === 0)),
+      noop(Corpus.contamination(docsK, "doc_id", "text", 3, col("doc_id") % 20 === 0)))
 
     // g5 shape: two-level exact distinct (shifted user ids multiply
     // the per-window distinct-user count — the audience-grows

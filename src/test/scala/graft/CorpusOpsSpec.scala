@@ -97,9 +97,21 @@ class CorpusOpsSpec extends GraftSuite {
       // the sample cut held (md5-bucket < 50 for en)
       assert(out.filter(
         graft.operators.Sampling.hashBucket($"doc_id") >= 50).count() == 0)
-      // token floor and the chunk law
-      assert(out.filter($"n_tokens" < 10).count() == 0)
-      assert(out.filter($"n_chunks" =!= expr("(n_tokens - 1) DIV 40 + 1")).count() == 0)
+      // token floor and the chunk law, both against INDEPENDENTLY
+      // re-tokenized counts (asserting n_chunks from the output's own
+      // n_tokens would be a tautology — any tokenizer bug upstream
+      // would pass it by construction)
+      val fresh = Tables(spark, sfDir, "documents")
+        .select($"doc_id",
+          size(graft.functions.Text.tokens($"text")).cast("long").as("m"))
+      val j = out.join(fresh, "doc_id").cache()
+      try {
+        assert(j.count() == out.count(), "output doc missing from source")
+        assert(j.filter($"n_tokens" =!= $"m").count() == 0,
+          "pipeline n_tokens drifted from a fresh tokenization")
+        assert(j.filter($"m" < 10).count() == 0)
+        assert(j.filter($"n_chunks" =!= expr("(m - 1) DIV 40 + 1")).count() == 0)
+      } finally j.unpersist()
       // no kept doc is a near-dup loser: any two kept docs with equal
       // text would be an uncollapsed exact-dup cluster
       val texts = out.join(Tables(spark, sfDir, "documents"), "doc_id")

@@ -98,6 +98,26 @@ class MediaSpec extends GraftSuite {
     assert(out(4L) == ((None, None, None, None)), "null payload must null out")
   }
 
+  test("decodeAudioStats: unknown-length AU still yields RMS (n_samples null)") {
+    // AU header with the 0xFFFFFFFF unknown-size field: the container
+    // reports frame length NOT_SPECIFIED but the PCM16 stream decodes
+    // fine — the RMS walk must not be gated on the declared length.
+    val nSamples = 4000
+    val bb = java.nio.ByteBuffer.allocate(24 + nSamples * 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(0xFFFFFFFF)
+      .putInt(3 /* 16-bit linear PCM */).putInt(8000).putInt(1)
+    for (i <- 0 until nSamples)
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toShort)
+    val out = Media.decodeAudioStats(Seq((1L, bb.array())).toDF("id", "media"))
+      .select($"sample_rate", $"n_channels", $"n_samples", $"rms")
+      .as[(Option[Float], Option[Int], Option[Long], Option[Float])].head()
+    assert(out._1.contains(8000f) && out._2.contains(1))
+    assert(out._3.isEmpty, s"unknown container length must yield null n_samples, got ${out._3}")
+    assert(out._4.isDefined && math.abs(out._4.get - 1.0 / math.sqrt(2)) < 0.01,
+      s"RMS must still be computed, got ${out._4}")
+  }
+
   test("frameSample emits every Nth frame with non-empty bytes") {
     val frames = Media.frameSample(media.filter($"meta.kind" === "video"), everyN = 2)
     assert(frames.filter($"frame_no" % 2 =!= 0).count() == 0)
