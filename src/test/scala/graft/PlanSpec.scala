@@ -167,6 +167,50 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // SURVEY §5 claims "AQE skew handling" for fact-fact joins — prove
+    // the rewrite actually fires on this session's Spark: a 90%-hot
+    // key lands one shuffle partition far over the skew threshold and
+    // the executed adaptive plan must show the partition split
+    // (SortMergeJoin(skew=true) reading an AQEShuffleRead skewed).
+    // Thresholds are lowered because local test data is tiny; the
+    // mechanism, not the defaults, is under test.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(500000).select(
+        when(col("id") % 10 < 9, lit(1L)).otherwise(col("id") % 1000 + 2).as("k"),
+        col("id").as("v"))
+      val right = spark.range(2000).select((col("id") % 1100).as("k"), col("id").as("w"))
+      val j = left.join(right, "k")
+      val qe = j.queryExecution
+      // Execute THIS QueryExecution so its adaptive plan finalizes —
+      // a .count()/.write would run a different plan instance.
+      qe.executedPlan.execute().count()
+      val p = qe.executedPlan.toString
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+        s"AQE must split the hot partition\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffled dim join") {
     // At 100 TB a dim too big to broadcast still shouldn't cost the
     // fact side a full shuffle of non-matching rows: Spark's runtime
