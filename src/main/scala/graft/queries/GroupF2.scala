@@ -57,6 +57,25 @@ object GroupF2 {
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))),
 
+    // f11: character-level Shannon entropy (nats) — the third classic
+    // quality cut (after length/ratio gates and repetition): binary
+    // junk and encoding garbage score high, keyboard-mash and
+    // single-char spam score low. Identity used on both engines:
+    // H = ln N − (Σ c·ln c)/N over per-char counts c, so one keyed
+    // agg per (doc, char) then one per doc — both map-side
+    // combinable, no per-doc state beyond the running sums.
+    "f11_char_entropy" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).cast("double").as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_chars"),
+             sum(col("c")).cast("long").as("n_chars"),
+             round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+               .as("char_entropy"))
+    }),
+
     // f10: repetition signals (the Gopher/C4-style quality cuts):
     // fraction of all word-bigrams taken by the most frequent bigram,
     // same for trigrams, plus the duplicate-token fraction. High
@@ -125,6 +144,17 @@ object GroupF2 {
          |  cast(len(chunk) AS bigint) AS chunk_tokens,
          |  md5(array_to_string(chunk, ' ')) AS chunk_hash
          |FROM c""".stripMargin,
+
+    "f11_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        |            FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*)::DOUBLE AS c
+        |       FROM ch WHERE len(ch) > 0 GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  count(*) AS n_distinct_chars,
+        |  cast(sum(c) AS bigint) AS n_chars,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS char_entropy
+        |FROM cc GROUP BY 1""".stripMargin,
 
     "f10_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS words FROM documents),

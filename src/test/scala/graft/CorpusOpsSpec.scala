@@ -88,6 +88,26 @@ class CorpusOpsSpec extends GraftSuite {
     assert(g2(1L) == 1.0 && math.abs(g2(2L) - 0.25) < 1e-9)
   }
 
+  test("f11: entropy bounded by ln(alphabet); constant text scores zero") {
+    val out = SparkEntry.queries("f11_char_entropy")(spark, sfDir)
+    // 0 <= H <= ln(distinct chars), with slack for float round-off
+    val bad = out.filter($"char_entropy" < -1e-6 ||
+      $"char_entropy" > log($"n_distinct_chars".cast("double")) + 1e-6).count()
+    assert(bad == 0, "entropy outside [0, ln |alphabet|]")
+    // direct unit values through the same query shape
+    val docs = Seq((1L, "aaaa"), (2L, "ab")).toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter(length($"ch") > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("doc_id")
+      .agg((log(sum($"c")) - sum($"c" * log($"c")) / sum($"c")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L)) < 1e-12, s"constant text must score 0, got ${got(1L)}")
+    assert(math.abs(got(2L) - math.log(2)) < 1e-12,
+      s"two equiprobable chars must score ln 2, got ${got(2L)}")
+  }
+
   test("p2: every pipeline gate provably held on the output") {
     val out = SparkEntry.queries("p2_corpus_pipeline")(spark, sfDir).cache()
     try {
