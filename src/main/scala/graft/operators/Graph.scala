@@ -60,11 +60,16 @@ object Graph {
       val next0 = exact.join(right, exact("dst") === col("h_src"))
         .select(exact("src"), col("h_dst").as("dst"))
       val next = if (dedup) next0.distinct() else next0
-      exact = next.localCheckpoint()
+      // NOT checkpointed per level: `base` is already materialized, so
+      // re-deriving level i inside level i+1's plan and the seed union
+      // costs i extra dim-sized joins — cheaper than the sequential
+      // job barrier an eager localCheckpoint per level inserts
+      // (stride−1 of them, each a full driver round-trip).
+      exact = next
       seed = seed.union(exact)
     }
     val seedOut = if (dedup) seed.distinct() else seed
-    (seedOut.localCheckpoint(), exact)
+    (seedOut.localCheckpoint(), exact.localCheckpoint())
   }
 
   /** Transitive closure of `edges` (columns `src`, `dst`): every pair
