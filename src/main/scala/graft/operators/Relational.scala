@@ -292,4 +292,29 @@ object Relational {
           .when(col("cur_fp") =!= col("prev_fp"), lit("update"))
           .otherwise(lit("unchanged")).as("op"))
   }
+
+  /** Apply snapshot-diff operations to a previous state — the
+    * state-materialization half of incremental sync (the reference's
+    * apply_operations.py executes [[diffSnapshots]]-shaped ops against
+    * ES; this is the engine-side equivalent that produces the
+    * post-sync snapshot). `ops` must be (key, op) with op ∈
+    * insert/update/archive/unchanged over the FULL key space (what
+    * diffSnapshots emits): unchanged keys keep their `previous` row,
+    * insert/update keys take their `current` row, archived keys drop.
+    *
+    * Round-trip law (pinned in RelationalExtSpec):
+    * `applySnapshotOps(prev, cur, diffSnapshots(cur, prev, k, fp), k)`
+    * equals `cur` exactly. Two LEFT SEMI joins against the op table —
+    * key-partitioned, no row wider than its source, and `ops` is
+    * consumed twice (checkpoint it if its lineage is expensive).
+    */
+  def applySnapshotOps(previous: DataFrame, current: DataFrame,
+                       ops: DataFrame, key: String): DataFrame = {
+    val o = ops.select(col(key), col("op"))
+    previous.join(o.filter(col("op") === "unchanged").drop("op"),
+        Seq(key), "left_semi")
+      .unionByName(
+        current.join(o.filter(col("op").isin("insert", "update")).drop("op"),
+          Seq(key), "left_semi"))
+  }
 }

@@ -166,6 +166,28 @@ object GroupA4 {
         .agg(count(lit(1)).as("n_intervals"), min(col("iid")).as("min_iid"))
     }),
 
+    // a31: apply snapshot-diff ops back onto the previous state — the
+    // other half of a13's incremental sync (reference:
+    // apply_operations.py executes the op stream against ES; the
+    // engine materializes the post-sync snapshot). Same synthetic
+    // snapshots as a13, so the reconstructed state must equal the
+    // current snapshot exactly — the round-trip is ALSO pinned as a
+    // spec; the oracle proves the op-application semantics
+    // independently.
+    "a31_apply_ops" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val prev = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("fp"))
+      val cur = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, dec(col("o_totalprice")) + dec(lit(10)))
+            .otherwise(dec(col("o_totalprice"))).as("fp"))
+      val ops = Relational.diffSnapshots(cur, prev, "o_orderkey", col("fp"))
+      Relational.applySnapshotOps(prev, cur, ops, "o_orderkey")
+        .select(col("o_orderkey"), col("fp").cast("double").as("fp"))
+    }),
+
     // a30: multi-granularity stats in ONE pass — CUBE over
     // (event_type, cohort) computes the per-cell, both per-margin and
     // grand-total aggregates the reference derives in separate
@@ -185,6 +207,29 @@ object GroupA4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "a31_apply_ops" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, cast(o_totalprice AS decimal(18,2)) AS fp
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |         THEN cast(o_totalprice AS decimal(18,2)) + cast(10 AS decimal(18,2))
+        |         ELSE cast(o_totalprice AS decimal(18,2)) END AS fp
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT coalesce(cur.o_orderkey, prev.o_orderkey) AS k,
+        |    cur.fp AS cfp, prev.fp AS pfp,
+        |    CASE WHEN prev.fp IS NULL THEN 'insert'
+        |         WHEN cur.fp IS NULL THEN 'archive'
+        |         WHEN cur.fp <> prev.fp THEN 'update'
+        |         ELSE 'unchanged' END AS op
+        |  FROM cur FULL OUTER JOIN prev ON cur.o_orderkey = prev.o_orderkey)
+        |SELECT k AS o_orderkey, cast(pfp AS double) AS fp FROM d WHERE op = 'unchanged'
+        |UNION ALL
+        |SELECT k AS o_orderkey, cast(cfp AS double) AS fp FROM d
+        |WHERE op IN ('insert', 'update')""".stripMargin,
+
     "a30_cube_stats" ->
       """SELECT event_type, cohort, count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS value_sum,

@@ -256,6 +256,24 @@ class RelationalExtSpec extends GraftSuite {
     assert(salted == expected)
   }
 
+  test("property: applySnapshotOps round-trips diffSnapshots on random snapshots") {
+    // apply(prev, cur, diff(cur, prev)) == cur, exactly — for any pair
+    // of states, including disjoint, identical, and fp-flip cases.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(400 + seed)
+      def snap() = (0 until rnd.nextInt(40) + 1)
+        .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(4).toLong))
+        .distinctBy(_._1)
+      val prevRows = snap(); val curRows = snap()
+      val prev = prevRows.toDF("k", "fp")
+      val cur = curRows.toDF("k", "fp")
+      val ops = Relational.diffSnapshots(cur, prev, "k", col("fp"))
+      val got = Relational.applySnapshotOps(prev, cur, ops, "k")
+        .as[(Long, Long)].collect().toSet
+      assert(got == curRows.toSet, s"seed=$seed: got $got want ${curRows.toSet}")
+    }
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val docs = Tables(spark, sfDir, "documents")
     val a = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
