@@ -58,11 +58,15 @@ object Corpus {
                     n: Int, isBench: Column): DataFrame = {
     // isBench is resolved HERE, against the caller's schema — before
     // any rename — so callers filter on their own column names.
+    // Materialized once: the bench and corpus branches below would
+    // otherwise each re-scan and re-tokenize the input (Catalyst does
+    // not share common subplans) — same rule as Dedup.ngramJaccardPairs.
     val sh = docs
       .select(col(idCol).as("id"), isBench.as("__bench"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("__bench"),
         explode(array_distinct(Text.shingles(col("toks"), n))).as("shingle"))
+      .localCheckpoint()
     val bench = sh.filter(col("__bench"))
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))

@@ -282,14 +282,20 @@ object Relational {
     */
   def diffSnapshots(current: DataFrame, previous: DataFrame,
                     key: String, fingerprint: Column): DataFrame = {
-    val cur = current.select(col(key).as("k"), fingerprint.as("cur_fp"))
-    val prev = previous.select(col(key).as("k"), fingerprint.as("prev_fp"))
+    // Row PRESENCE is tracked by explicit markers, not fingerprint
+    // nullness — a present row with a NULL fingerprint must classify
+    // as update/unchanged (null-safe compare), never as a phantom
+    // insert/archive that would drop it from applySnapshotOps.
+    val cur = current.select(col(key).as("k"), fingerprint.as("cur_fp"),
+      lit(true).as("__cur"))
+    val prev = previous.select(col(key).as("k"), fingerprint.as("prev_fp"),
+      lit(true).as("__prev"))
     cur.join(prev, Seq("k"), "full_outer")
       .select(
         col("k").as(key),
-        when(col("prev_fp").isNull, lit("insert"))
-          .when(col("cur_fp").isNull, lit("archive"))
-          .when(col("cur_fp") =!= col("prev_fp"), lit("update"))
+        when(col("__prev").isNull, lit("insert"))
+          .when(col("__cur").isNull, lit("archive"))
+          .when(!(col("cur_fp") <=> col("prev_fp")), lit("update"))
           .otherwise(lit("unchanged")).as("op"))
   }
 

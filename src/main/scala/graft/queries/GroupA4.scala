@@ -183,7 +183,11 @@ object GroupA4 {
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 7 === 0, dec(col("o_totalprice")) + dec(lit(10)))
             .otherwise(dec(col("o_totalprice"))).as("fp"))
+      // Checkpointed: applySnapshotOps consumes ops twice and the
+      // full-outer diff join should not execute twice (the operator's
+      // own doc contract).
       val ops = Relational.diffSnapshots(cur, prev, "o_orderkey", col("fp"))
+        .localCheckpoint()
       Relational.applySnapshotOps(prev, cur, ops, "o_orderkey")
         .select(col("o_orderkey"), col("fp").cast("double").as("fp"))
     }),

@@ -261,15 +261,19 @@ class RelationalExtSpec extends GraftSuite {
     // of states, including disjoint, identical, and fp-flip cases.
     for (seed <- 1 to 6) {
       val rnd = new scala.util.Random(400 + seed)
+      // Null fingerprints included: a present row with a NULL fp must
+      // round-trip too (regression: fp-nullness once masqueraded as
+      // row absence and 'archived' live rows).
       def snap() = (0 until rnd.nextInt(40) + 1)
-        .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(4).toLong))
+        .map(_ => (rnd.nextInt(25).toLong,
+          if (rnd.nextInt(5) == 0) Option.empty[Long] else Some(rnd.nextInt(4).toLong)))
         .distinctBy(_._1)
       val prevRows = snap(); val curRows = snap()
       val prev = prevRows.toDF("k", "fp")
       val cur = curRows.toDF("k", "fp")
       val ops = Relational.diffSnapshots(cur, prev, "k", col("fp"))
       val got = Relational.applySnapshotOps(prev, cur, ops, "k")
-        .as[(Long, Long)].collect().toSet
+        .as[(Long, Option[Long])].collect().toSet
       assert(got == curRows.toSet, s"seed=$seed: got $got want ${curRows.toSet}")
     }
   }
