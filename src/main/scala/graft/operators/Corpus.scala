@@ -80,6 +80,45 @@ object Corpus {
           .as("contamination"))
   }
 
+  /** Span-level duplication signal — the n-gram-granular form of
+    * exact-substring dedup (the approach popularized by Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022: duplicated SPANS matter even when whole documents
+    * aren't near-dups). For every document: the count of its n-gram
+    * occurrences (multiplicity kept — a gram repeated inside one doc
+    * counts every time) whose gram text appears at least
+    * `minOccurrences` times corpus-wide, and the fraction of gram
+    * positions so covered. Documents shorter than `n` tokens have no
+    * grams and produce no row.
+    *
+    * Scale shape: one map-side-combinable occurrence count per gram,
+    * then a semi-join of the gram stream against the ≥threshold gram
+    * set — both shuffles key on the gram (high cardinality; on real
+    * text most spans are unique, so the hot set is the small side).
+    * Nothing is all-pairs and no suffix structure is materialized:
+    * this trades the suffix array's arbitrary-length guarantee for
+    * fixed-n detection that runs as two keyed aggregations.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, minOccurrences: Long = 2L): DataFrame = {
+    // Materialized once: totals, the hot-gram set and the dup counts
+    // all read it (Catalyst does not share common subplans).
+    val grams = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(Text.shingles(col("toks"), n)).as("gram"))
+      .localCheckpoint()
+    val tot = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences).select("gram")
+    val dup = grams.join(hot, Seq("gram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("dup_fraction"))
+  }
+
   /** Overlapping token-window chunks: each document's token array is
     * cut into windows of `size` tokens starting every `stride` tokens
     * (stride < size ⇒ overlap of size − stride). Output: (id,

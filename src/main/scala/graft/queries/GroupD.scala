@@ -68,6 +68,17 @@ object GroupD {
     // joinable dim (benchmark shingle sets are tiny by construction
     // at any corpus scale) + one keyed agg — no all-pairs, and the
     // corpus side is touched exactly once.
+    // d10: span-level duplication — the n-gram-granular exact-substring
+    // signal (duplicated spans matter even when documents aren't
+    // doc-level near-dups; complements d2/d3/d4's whole-document
+    // verdicts). 3-grams here because the synthetic docs are short;
+    // real corpora run 50-gram spans, same plan.
+    "d10_dup_spans" -> ((s, d) =>
+      graft.operators.Corpus.dupSpans(
+          Tables(s, d, "documents"), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"),
+          col("dup_fraction"))),
+
     "d9_decontaminate" -> ((s, d) =>
       graft.operators.Corpus.contamination(
           Tables(s, d, "documents"), "doc_id", "text", n = 3,
@@ -152,6 +163,23 @@ object GroupD {
         |losers AS (SELECT id FROM r GROUP BY id HAVING min(reach) <> id)
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    "d10_dup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
+        |       FROM documents),
+        |gr AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
+        |       FROM w),
+        |hot AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
+        |dup AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN hot USING (gram)
+        |        GROUP BY 1)
+        |SELECT doc_id, tot.n_grams,
+        |  coalesce(dup.n_dup, 0) AS n_dup,
+        |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
+        |FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin,
 
     "d9_decontaminate" ->
       """WITH w AS (SELECT doc_id,

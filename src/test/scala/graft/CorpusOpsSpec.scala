@@ -108,6 +108,23 @@ class CorpusOpsSpec extends GraftSuite {
       s"two equiprobable chars must score ln 2, got ${got(2L)}")
   }
 
+  test("d10: planted cross-doc span flagged, unique text scores zero") {
+    import graft.operators.Corpus
+    // doc 1 and 2 share the span "p q r" (one 3-gram); doc 3 is all
+    // unique; doc 4 repeats its own gram twice (within-doc dup counts).
+    val docs = Seq(
+      (1L, "a b p q r c d"), (2L, "x y p q r z w"),
+      (3L, "k l m n o"), (4L, "s t u s t u")).toDF("doc_id", "text")
+    val out = Corpus.dupSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((5L, 1L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((5L, 1L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((3L, 0L)), s"unique doc must score 0: ${out(3L)}")
+    // "s t u s t u": grams = [stu, tus, ust, stu] → "s t u" twice
+    assert(out(4L) == ((4L, 2L)), s"within-doc repeat: ${out(4L)}")
+  }
+
   test("p2: every pipeline gate provably held on the output") {
     val out = SparkEntry.queries("p2_corpus_pipeline")(spark, sfDir).cache()
     try {
