@@ -14,26 +14,34 @@ object Text {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles from a PRE-TOKENIZED array column; empty
-    * array when the document has fewer than n words. (Reference
-    * analogue: the document fingerprints behind related-collection
-    * search — collection-templates research/related-collections.)
+    * array when the document has fewer than n words (or the array is
+    * null). (Reference analogue: the document fingerprints behind
+    * related-collection search — collection-templates
+    * research/related-collections.)
     *
-    * `toks` must be a plain column reference (project `tokens(text)`
-    * into its own column first): higher-order functions are evaluated
-    * interpreted, so any expression captured inside the lambda is
-    * re-evaluated PER ELEMENT — embedding the tokenizer here would
-    * re-run the regex split once per shingle, turning shingling
-    * quadratic in document length.
+    * Native codegen expression ([[graft.functions.expr.WordShingles]])
+    * since round 4: the earlier higher-order-function formulation ran
+    * interpreted and re-evaluated any expression captured in the
+    * lambda PER ELEMENT (the §4 staging trap). The native form
+    * evaluates its child once per ROW, so shingling no longer
+    * requires pre-staging the token column — though staging remains
+    * the rule for the remaining HOF consumers of `toks`.
     */
   def shingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expr.WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
+
+  /** The pre-round-4 higher-order-function formulation — kept ONLY as
+    * the independent reference the WordShingles parity spec checks
+    * against. Interpreted; do not use in operators. */
+  private[graft] def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** One-shot tokenizer + shingler, for contexts that cannot stage a
-    * token column. HOT-PATH CAVEAT: see [[shingles]] — prefer
-    * projecting [[tokens]] first wherever row counts are large. */
+  /** One-shot tokenizer + shingler. */
   def wordShingles(text: Column, n: Int): Column = shingles(tokens(text), n)
 
   /** PII patterns (shared verbatim with SQL oracles — plain RE2/Java

@@ -108,6 +108,32 @@ class CorpusOpsSpec extends GraftSuite {
       s"two equiprobable chars must score ln 2, got ${got(2L)}")
   }
 
+  test("WordShingles: native codegen shingling matches the HOF formulation exactly") {
+    import graft.functions.Text
+    // Random token arrays including null arrays, null elements, empty
+    // arrays and arrays shorter than n — the full contract surface.
+    val rnd = new scala.util.Random(500)
+    val rows: Seq[Option[Seq[Option[String]]]] = (0 until 300).map { _ =>
+      if (rnd.nextInt(10) == 0) None
+      else Some((0 until rnd.nextInt(8)).map { _ =>
+        if (rnd.nextInt(12) == 0) Option.empty[String]
+        else Some(s"t${rnd.nextInt(5)}")
+      })
+    }
+    val df = rows.toDF("toks")
+    for (n <- 1 to 4) {
+      val got = df.select(Text.shingles($"toks", n).as("s"))
+        .as[Seq[String]].collect().toSeq
+      val want = df.select(Text.shinglesHof($"toks", n).as("s"))
+        .as[Seq[String]].collect().toSeq
+      assert(got == want, s"n=$n: native and HOF shingles diverge")
+    }
+    // and the native expression really is in the plan (not a fallback)
+    val plan = df.select(Text.shingles($"toks", 3)).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("graft_shingles"), plan)
+  }
+
   test("d10: planted cross-doc span flagged, unique text scores zero") {
     import graft.operators.Corpus
     // doc 1 and 2 share the span "p q r" (one 3-gram); doc 3 is all
