@@ -49,7 +49,15 @@ object GraftExtensions {
     oneArg("graft_namehash",
       "graft_namehash(name) - EIP-137 ENS namehash of a dotted name",
       classOf[graft.functions.expr.Namehash],
-      graft.functions.expr.Namehash(_)))
+      graft.functions.expr.Namehash(_)),
+    twoArg("graft_shingles",
+      "graft_shingles(tokens, n) - word n-gram shingles of a string array (n a literal int)",
+      classOf[graft.functions.expr.WordShingles],
+      (toks, n) => {
+        require(n.foldable && n.dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_shingles: n must be an integer literal")
+        graft.functions.expr.WordShingles(toks, n.eval().asInstanceOf[Int])
+      }))
 
   /** Idempotently register the functions on an existing session. */
   def register(spark: SparkSession): Unit = descriptors.foreach {

@@ -68,4 +68,16 @@ class ArrayDotSpec extends GraftSuite {
       .as[Double].head()
     assert(out == 11.0)
   }
+
+  test("graft_shingles is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_shingles(array('a', 'b', 'c', 'd'), 3) AS s")
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+    // short array → empty, never null
+    val short = spark.sql("SELECT graft_shingles(array('a'), 3) AS s")
+      .as[Seq[String]].head()
+    assert(short == Seq.empty)
+  }
 }
