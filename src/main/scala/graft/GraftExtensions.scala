@@ -56,7 +56,10 @@ object GraftExtensions {
       (toks, n) => {
         require(n.foldable && n.dataType == org.apache.spark.sql.types.IntegerType,
           "graft_shingles: n must be an integer literal")
-        graft.functions.expr.WordShingles(toks, n.eval().asInstanceOf[Int])
+        val v = n.eval()
+        require(v != null && v.asInstanceOf[Int] >= 1,
+          "graft_shingles: n must be a non-null integer literal >= 1")
+        graft.functions.expr.WordShingles(toks, v.asInstanceOf[Int])
       }))
 
   /** Idempotently register the functions on an existing session. */

@@ -103,19 +103,25 @@ object Corpus {
                n: Int, minOccurrences: Long = 2L): DataFrame = {
     // Materialized once: totals, the hot-gram set and the dup counts
     // all read it (Catalyst does not share common subplans).
+    // Materialized once, then consumed in ONE pass: a left join
+    // against the hot-gram set with a hit marker feeds a single
+    // per-doc aggregation computing totals and dup counts together
+    // (same shape as [[contamination]]) — a separate totals agg +
+    // outer join would re-scan and re-shuffle the gram stream, the
+    // dominant dataset at corpus scale.
     val grams = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(Text.shingles(col("toks"), n)).as("gram"))
       .localCheckpoint()
-    val tot = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences).select("gram")
-    val dup = grams.join(hot, Seq("gram"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_dup"))
-    tot.join(dup, Seq("id"), "left")
-      .select(col("id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+      .withColumn("hit", lit(1L))
+    grams.join(hot, Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+           coalesce(sum(col("hit")), lit(0L)).as("n_dup"))
+      .select(col("id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6)
           .as("dup_fraction"))
   }
 

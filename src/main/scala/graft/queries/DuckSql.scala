@@ -1,0 +1,26 @@
+package graft.queries
+
+/** Shared DuckDB oracle SQL fragments — ONE definition of the
+  * tokenizer and n-gram constructions, so the oracles of every
+  * shingle/token consumer (d2/d7/d8/d9/d10, f1-f4/f7-f10, p2) cannot
+  * drift from `Text.tokens` / `Text.shingles` independently. Any
+  * change to tokenization parity is made here and in Text, and the
+  * driver's hash gate re-proves every affected oracle.
+  */
+private[queries] object DuckSql {
+
+  /** Whitespace tokens, empties dropped (`Text.tokens` parity). */
+  val toks: String =
+    "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+
+  /** Word n-gram list from a `words` list column (`Text.shingles`
+    * parity: space-joined, len−n+1 grams, 1-based list indexing). */
+  def grams(n: Int): String = {
+    val parts = (0 until n).map(i => s"words[i+$i]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len(words) - ${n - 1}, 0)), i -> $parts)"
+  }
+
+  /** The `w` CTE body both dedup and corpus oracles start from:
+    * (doc_id, words). */
+  val wordsCte: String = s"SELECT doc_id, $toks AS words FROM documents"
+}

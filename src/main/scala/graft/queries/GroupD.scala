@@ -97,6 +97,32 @@ object GroupD {
     }),
   )
 
+  /** Distinct (doc, 3-shingle) CTE chain shared by every Jaccard-based
+    * oracle; gram construction comes from [[DuckSql]] (one definition
+    * next to Text.shingles' parity contract). */
+  private val shingleCte =
+    s"""w AS (${DuckSql.wordsCte}),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${DuckSql.grams(3)}) AS shingle FROM w)""".stripMargin
+
+  /** Jaccard ≥ 0.5 pair CTEs on top of [[shingleCte]] (d2/d7/d8). */
+  private val jaccardCte =
+    s"""$shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)""".stripMargin
+
+  /** Min-label cluster CTEs on top of [[jaccardCte]] (d7/d8). */
+  private val componentCte =
+    s"""$jaccardCte,
+       |pairs AS (SELECT id_a, id_b
+       |          FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+       |          WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |r AS (SELECT a AS id, a AS reach FROM und
+       |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
@@ -104,100 +130,45 @@ object GroupD {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
-        |       FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-        |       FROM w),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
-        |FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-        |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5""".stripMargin,
+      s"""WITH $jaccardCte
+         |SELECT id_a, id_b,
+         |  round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+         |FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+         |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5""".stripMargin,
 
     "d7_dedup_components" ->
-      """WITH RECURSIVE w AS (SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
-        |       FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-        |       FROM w),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b
-        |          FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-        |          WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
-        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |        UNION SELECT id_b, id_a FROM pairs),
-        |r AS (SELECT a AS id, a AS reach FROM und
-        |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a)
-        |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
+      s"""WITH RECURSIVE $componentCte
+         |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
 
     "d8_dedup_canonical" ->
-      """WITH RECURSIVE w AS (SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
-        |       FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-        |       FROM w),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b
-        |          FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-        |          WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
-        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |        UNION SELECT id_b, id_a FROM pairs),
-        |r AS (SELECT a AS id, a AS reach FROM und
-        |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a),
-        |losers AS (SELECT id FROM r GROUP BY id HAVING min(reach) <> id)
-        |SELECT doc_id, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+      s"""WITH RECURSIVE $componentCte,
+         |losers AS (SELECT id FROM r GROUP BY id HAVING min(reach) <> id)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "d10_dup_spans" ->
-      """WITH w AS (SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
-        |       FROM documents),
-        |gr AS (SELECT doc_id,
-        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
-        |       FROM w),
-        |hot AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
-        |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
-        |dup AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN hot USING (gram)
-        |        GROUP BY 1)
-        |SELECT doc_id, tot.n_grams,
-        |  coalesce(dup.n_dup, 0) AS n_dup,
-        |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
-        |FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin,
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |gr AS (SELECT doc_id, unnest(${DuckSql.grams(3)}) AS gram FROM w),
+         |hot AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
+         |dup AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN hot USING (gram)
+         |        GROUP BY 1)
+         |SELECT doc_id, tot.n_grams,
+         |  coalesce(dup.n_dup, 0) AS n_dup,
+         |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
+         |FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin,
 
     "d9_decontaminate" ->
-      """WITH w AS (SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS words
-        |       FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
-        |       FROM w),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
-        |SELECT doc_id,
-        |  count(*) AS n_shingles,
-        |  cast(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hits,
-        |  round(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-        |        / count(*), 6) AS contamination
-        |FROM sh LEFT JOIN bench USING (shingle)
-        |WHERE doc_id % 20 <> 0
-        |GROUP BY 1""".stripMargin,
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+         |SELECT doc_id,
+         |  count(*) AS n_shingles,
+         |  cast(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hits,
+         |  round(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+         |        / count(*), 6) AS contamination
+         |FROM sh LEFT JOIN bench USING (shingle)
+         |WHERE doc_id % 20 <> 0
+         |GROUP BY 1""".stripMargin,
 
     "d5_neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -148,8 +148,8 @@ object GroupF {
   // engines take RE2/Java-compatible syntax) — single source in Text.
   import Text.{emailRe, ipRe, phoneRe}
 
-  private val duckToks =
-    "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"
+  // Shared oracle fragment — single definition in DuckSql.
+  private val duckToks = DuckSql.toks
 
   private def duckCountIn(words: Seq[String]): String =
     s"cast(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS bigint)"

@@ -105,15 +105,9 @@ object GroupF2 {
     }),
   )
 
-  private val duckToks =
-    "list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)"
-
-  /** DuckDB 3-gram shingle list from a `words` list column (mirrors
-    * Text.shingles word-joined-by-space form). */
-  private def duckGrams(n: Int): String = {
-    val parts = (0 until n).map(i => s"words[i+$i]").mkString(" || ' ' || ")
-    s"list_transform(generate_series(1, greatest(len(words) - ${n - 1}, 0)), i -> $parts)"
-  }
+  // Shared oracle fragments — single definition in DuckSql.
+  private val duckToks = DuckSql.toks
+  private def duckGrams(n: Int): String = DuckSql.grams(n)
 
   val oracles: Map[String, String] = Map(
     "f8_tfidf" ->

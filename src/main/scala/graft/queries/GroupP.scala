@@ -221,7 +221,7 @@ object GroupP {
     "p2_corpus_pipeline" ->
       s"""WITH RECURSIVE
         |tok AS (SELECT doc_id, lang, source, text,
-        |          list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS words
+        |          ${DuckSql.toks} AS words
         |        FROM documents),
         |g AS (SELECT doc_id, source, words, cast(len(words) AS bigint) AS n_tokens
         |      FROM tok
@@ -229,9 +229,7 @@ object GroupP {
         |        AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
         |              / len(text) <= 0.3
         |        AND doc_id % 20 <> 0),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |sh AS (SELECT DISTINCT doc_id, unnest(${DuckSql.grams(3)}) AS shingle
         |       FROM g),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -245,9 +243,7 @@ object GroupP {
         |r AS (SELECT a AS id, a AS reach FROM und
         |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a),
         |losers AS (SELECT id FROM r GROUP BY id HAVING min(reach) <> id),
-        |shall AS (SELECT DISTINCT doc_id,
-        |            unnest(list_transform(generate_series(1, greatest(len(words)-2, 0)),
-        |                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        |shall AS (SELECT DISTINCT doc_id, unnest(${DuckSql.grams(3)}) AS shingle
         |          FROM tok),
         |bench AS (SELECT DISTINCT shingle FROM shall WHERE doc_id % 20 = 0),
         |cont AS (SELECT doc_id,

@@ -120,18 +120,30 @@ class CorpusOpsSpec extends GraftSuite {
         else Some(s"t${rnd.nextInt(5)}")
       })
     }
-    val df = rows.toDF("toks")
-    for (n <- 1 to 4) {
-      val got = df.select(Text.shingles($"toks", n).as("s"))
-        .as[Seq[String]].collect().toSeq
-      val want = df.select(Text.shinglesHof($"toks", n).as("s"))
-        .as[Seq[String]].collect().toSeq
-      assert(got == want, s"n=$n: native and HOF shingles diverge")
-    }
-    // and the native expression really is in the plan (not a fallback)
-    val plan = df.select(Text.shingles($"toks", 3)).queryExecution
-      .executedPlan.toString
-    assert(plan.contains("graft_shingles"), plan)
+    // repartition blocks ConvertToLocalRelation from constant-folding
+    // the projection at optimize time (which would run interpreted
+    // eval and collapse to a LocalTableScan — making both the parity
+    // run and any plan assertion vacuous), and fallback=false turns a
+    // broken doGenCode into a hard failure instead of a silent
+    // interpreted fallback.
+    val df = rows.toDF("toks").repartition(3)
+    val c = spark.conf
+    val savedFallback = c.getOption("spark.sql.codegen.fallback")
+    try {
+      c.set("spark.sql.codegen.fallback", "false")
+      for (n <- 1 to 4) {
+        val got = df.select(Text.shingles($"toks", n).as("s"))
+          .as[Seq[String]].collect().toSeq
+        val want = df.select(Text.shinglesHof($"toks", n).as("s"))
+          .as[Seq[String]].collect().toSeq
+        assert(got == want, s"n=$n: native and HOF shingles diverge")
+      }
+      val plan = df.select(Text.shingles($"toks", 3).as("s")).queryExecution
+        .executedPlan.toString
+      assert(plan.contains("graft_shingles") && plan.contains("Project"),
+        s"native expression must survive into a projected plan\n$plan")
+    } finally savedFallback.fold(c.unset("spark.sql.codegen.fallback"))(
+      c.set("spark.sql.codegen.fallback", _))
   }
 
   test("d10: planted cross-doc span flagged, unique text scores zero") {
