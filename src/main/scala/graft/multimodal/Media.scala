@@ -48,7 +48,7 @@ object Media {
   private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val base = scala.util.hashing.MurmurHash3.bytesHash(payload, 42)
     Array.tabulate(dim) { i =>
-      val h = scala.util.hashing.MurmurHash3.productHash((base, i))
+      val h = scala.util.hashing.MurmurHash3.orderedHash(Seq(base, i))
       (h & 0x7fffffff).toFloat / Int.MaxValue
     }
   }

@@ -51,8 +51,8 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightTiebreak: Seq[String] = Nil): DataFrame = {
-    val lStruct = struct(left.columns.map(col): _*)
-    val rStruct = struct(right.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType
     val rType = right.select(rStruct.as("s")).schema("s").dataType
     val lSide = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
@@ -192,7 +192,7 @@ object Relational {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -121,7 +121,7 @@ object Similarity {
                         idAs: String): DataFrame = {
     val buckets = ps.zipWithIndex.map { case (tablePlanes, t) =>
       val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
-        val planeLit = array(p.map(lit): _*)
+        val planeLit = array(p.toIndexedSeq.map(lit): _*)
         when(Vectors.dot(col("unit"), planeLit) >= 0, lit(1L << j)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
@@ -224,7 +224,7 @@ object Similarity {
     // every executor each Lloyd round, and past ~100M cells (≈800 MB)
     // that broadcast is the bottleneck; say so before a cluster
     // discovers it the hard way.
-    val seedStats = seeds.agg(count(lit(1)), max(size(col("cvec")))).head
+    val seedStats = seeds.agg(count(lit(1)), max(size(col("cvec")))).head()
     require(seedStats.getLong(0) > 0,
       s"knnIvf: no centroids — no corpus id is divisible by $centroidMod " +
         "(ids must be numeric and cover multiples of centroidMod; " +
