@@ -59,15 +59,6 @@ object GroupD {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
 
-    // d9: benchmark decontamination — the OTHER cut every training
-    // pipeline must make: drop (or flag) corpus docs sharing n-gram
-    // content with an evaluation/benchmark set. Benchmark = every
-    // 20th doc (deterministic stand-in for the eval suite); for each
-    // remaining doc, count how many of its distinct 3-gram shingles
-    // appear anywhere in the benchmark shingle set. One broadcast-
-    // joinable dim (benchmark shingle sets are tiny by construction
-    // at any corpus scale) + one keyed agg — no all-pairs, and the
-    // corpus side is touched exactly once.
     // d10: span-level duplication — the n-gram-granular exact-substring
     // signal (duplicated spans matter even when documents aren't
     // doc-level near-dups; complements d2/d3/d4's whole-document
@@ -79,6 +70,15 @@ object GroupD {
         .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"),
           col("dup_fraction"))),
 
+    // d9: benchmark decontamination — the OTHER cut every training
+    // pipeline must make: drop (or flag) corpus docs sharing n-gram
+    // content with an evaluation/benchmark set. Benchmark = every
+    // 20th doc (deterministic stand-in for the eval suite); for each
+    // remaining doc, count how many of its distinct 3-gram shingles
+    // appear anywhere in the benchmark shingle set. One broadcast-
+    // joinable dim (benchmark shingle sets are tiny by construction
+    // at any corpus scale) + one keyed agg — no all-pairs, and the
+    // corpus side is touched exactly once.
     "d9_decontaminate" -> ((s, d) =>
       graft.operators.Corpus.contamination(
           Tables(s, d, "documents"), "doc_id", "text", n = 3,
