@@ -192,6 +192,20 @@ object GroupA4 {
         .select(col("o_orderkey"), col("fp").cast("double").as("fp"))
     }),
 
+    // a32: unpivot/melt — the inverse of a19's KV pivot: wide columns
+    // back to (key, metric, value) rows, the shape the reference's ES
+    // sync renders partial-update documents in (update_elasticsearch
+    // .py emits per-field maps). Native `unpivot` — one Expand over
+    // the projection, no shuffle at all.
+    "a32_unpivot" -> ((s, d) => {
+      Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "value")
+    }),
+
     // a30: multi-granularity stats in ONE pass — CUBE over
     // (event_type, cohort) computes the per-cell, both per-margin and
     // grand-total aggregates the reference derives in separate
@@ -211,6 +225,13 @@ object GroupA4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "a32_unpivot" ->
+      """SELECT c_custkey, 'acctbal' AS metric, cast(c_acctbal AS double) AS value
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey' AS metric, cast(c_nationkey AS double) AS value
+        |FROM customer""".stripMargin,
+
     "a31_apply_ops" ->
       """WITH prev AS (
         |  SELECT o_orderkey, cast(o_totalprice AS decimal(18,2)) AS fp
