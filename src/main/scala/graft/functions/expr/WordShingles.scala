@@ -42,6 +42,10 @@ case class WordShingles(tokens: Expression, n: Int)
 
   override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // A literal NULL (SQL `graft_shingles(NULL, 3)`) types as NullType;
+    // the documented contract maps a null array to an empty array, so
+    // it must pass analysis, not fail it.
+    case NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string> input, got ${other.catalogString}")
   }
@@ -75,6 +79,16 @@ case class WordShingles(tokens: Expression, n: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // A NullType child generates an Object-typed value on which the
+    // .numElements() call below would not compile; the result is a
+    // constant empty array, so emit exactly that.
+    if (tokens.dataType == NullType) {
+      val arrCls0 = classOf[GenericArrayData].getName
+      val javaType0 = CodeGenerator.javaType(dataType)
+      return ev.copy(
+        code = code"$javaType0 ${ev.value} = new $arrCls0(new Object[0]);",
+        isNull = FalseLiteral)
+    }
     val childGen = tokens.genCode(ctx)
     val arrCls = classOf[GenericArrayData].getName
     val u8 = classOf[UTF8String].getName

@@ -170,14 +170,29 @@ object Media {
                 fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
                   fmt.getSampleSizeInBits == 16
               val rms: Any = if (!pcm16) null else {
-                val data = ais.readAllBytes()
-                val buf = java.nio.ByteBuffer.wrap(data).order(
-                  if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                // Accumulate in fixed-size read chunks: readAllBytes()
+                // would buffer the WHOLE decoded PCM stream on top of
+                // the binary payload — O(clip length) extra heap per
+                // row. A sample can straddle a chunk boundary, so the
+                // first byte of a split sample carries over.
+                val big = fmt.isBigEndian
+                val chunk = new Array[Byte](8192)
                 var sum = 0.0; var n = 0
-                while (buf.remaining() >= 2) {
-                  val s = buf.getShort.toDouble / 32768.0
-                  sum += s * s; n += 1
+                var b0 = 0; var haveB0 = false
+                var read = ais.read(chunk)
+                while (read > 0) {
+                  var i = 0
+                  while (i < read) {
+                    val b = chunk(i) & 0xff
+                    if (!haveB0) { b0 = b; haveB0 = true }
+                    else {
+                      val v = if (big) (b0 << 8) | b else (b << 8) | b0
+                      val s = v.toShort.toDouble / 32768.0
+                      sum += s * s; n += 1; haveB0 = false
+                    }
+                    i += 1
+                  }
+                  read = ais.read(chunk)
                 }
                 if (n == 0) null else math.sqrt(sum / n).toFloat
               }

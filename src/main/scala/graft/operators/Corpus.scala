@@ -16,11 +16,15 @@ object Corpus {
     * doc — so results are deterministic and cross-engine stable).
     *
     * Scale shape: one shuffle on (doc, term) for tf, one on term for
-    * the document-frequency model; the model and the 1-row corpus
-    * count are dimension-sized and BROADCAST into the scoring join;
-    * the per-doc top-k runs through the WindowGroupLimit pushdown on
-    * data already partitioned by doc. Nothing holds per-doc state
-    * beyond the window's k rows.
+    * the document-frequency model; the 1-row corpus count BROADCASTS
+    * into the scoring join. The df model itself gets NO broadcast
+    * hint: vocabulary grows with the corpus (Heaps' law), so it is
+    * not dimension-sized at 100 TB — AQE broadcasts it when the
+    * runtime size qualifies and falls back to a term-keyed shuffle
+    * join when it doesn't (forcing the hint would OOM the driver on
+    * a web-scale vocabulary). The per-doc top-k runs through the
+    * WindowGroupLimit pushdown on data already partitioned by doc.
+    * Nothing holds per-doc state beyond the window's k rows.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
@@ -31,7 +35,7 @@ object Corpus {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     // tf already has one row per (doc, term): df is a plain count.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("id"), col("term"), col("tf"),
         round(col("tf").cast("double") * log(col("n_docs") / col("df_t")), 6)

@@ -79,5 +79,10 @@ class ArrayDotSpec extends GraftSuite {
     val short = spark.sql("SELECT graft_shingles(array('a'), 3) AS s")
       .as[Seq[String]].head()
     assert(short == Seq.empty)
+    // literal NULL (NullType) must analyze and follow the null-array
+    // contract — empty array, not an analysis error (round-5 ADVICE).
+    val nul = spark.sql("SELECT graft_shingles(NULL, 3) AS s")
+      .as[Seq[String]].head()
+    assert(nul == Seq.empty)
   }
 }
