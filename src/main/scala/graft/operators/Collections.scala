@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Hashes
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -118,7 +119,7 @@ object Collections {
         // (member remap, survivor remap, closure targets, the final
         // join) and Catalyst does not dedupe common subplans — one
         // materialization each, both dim-sized.
-        val remap = broadcast(mergeRemap(sound).localCheckpoint())
+        val remap = broadcast(mergeRemap(sound).cut())
         val remappedMem = members
           .join(remap, members("collection_id") === remap("old_id"), "left")
           .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))
@@ -129,7 +130,7 @@ object Collections {
           .join(remap, col("collection_id") === remap("old_id"), "left")
           .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))
           .drop("old_id", "new_id")
-          .localCheckpoint()
+          .cut()
         (remappedMem, survivors)
       case None => (members, collections)
     }
@@ -159,7 +160,7 @@ object Collections {
     // Materialized once: both aggregations below consume it, and
     // Catalyst does not dedupe common subplans.
     val validated = Graph.validateReachable(
-      typed, closure, "member_type", "required_type").localCheckpoint()
+      typed, closure, "member_type", "required_type").cut()
 
     // Rank valid members per collection; keep top-k names in order.
     val ranked = Relational.topKPerGroup(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Text
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -70,7 +71,7 @@ object Corpus {
         Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("__bench"),
         explode(array_distinct(Text.shingles(col("toks"), n))).as("shingle"))
-      .localCheckpoint()
+      .cut()
     val bench = sh.filter(col("__bench"))
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))
@@ -116,7 +117,7 @@ object Corpus {
     val grams = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(Text.shingles(col("toks"), n)).as("gram"))
-      .localCheckpoint()
+      .cut()
     val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences).select("gram")
       .withColumn("hit", lit(1L))

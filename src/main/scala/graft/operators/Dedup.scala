@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Text
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -84,7 +85,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, dfCap: Long = 0L,
                         prefixFilter: Boolean = false): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n, dfCap).localCheckpoint()
+    val sh = shingles(docs, idCol, textCol, n, dfCap).cut()
     if (!prefixFilter) {
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
       Relational.overlapPairs(sh, "id", "shingle", boundedDf = dfCap > 0)
@@ -153,7 +154,7 @@ object Dedup {
                       minEstJaccard: Double, dfCap: Long = 0L): DataFrame = {
     val numHashes = bands * rows
     val sigs = minhashSignatures(shingles(docs, idCol, textCol, n, dfCap), numHashes)
-      .localCheckpoint()
+      .cut()
     val banded = sigs.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -206,7 +207,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, shingleN: Int = 1): DataFrame = {
     require(maxHamming <= 6, "8-band pairwise blocking guarantees recall only for maxHamming <= 6")
-    val fps = simhashFingerprints(docs, idCol, textCol, shingleN).localCheckpoint()
+    val fps = simhashFingerprints(docs, idCol, textCol, shingleN).cut()
     def band(b: Int): Column =
       shiftrightunsigned(col("fp"), b * 8).bitwiseAND(0xFFL)
     val tables = for { i <- 0 until 8; j <- i + 1 until 8 } yield

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,9 +12,12 @@ import org.apache.spark.sql.functions._
   * Semi-naive iteration: each round joins only the frontier (pairs
   * discovered last round) against the edge set, so work per round is
   * proportional to NEW paths, not the whole closure. Every round is one
-  * shuffle on the join key; `localCheckpoint` truncates lineage so the
-  * plan doesn't grow with iteration count (and AQE re-plans each round
-  * from actual sizes — small frontiers get broadcast automatically).
+  * shuffle on the join key; a [[Checkpoints]] cut truncates lineage so
+  * the plan doesn't grow with iteration count (and AQE re-plans each
+  * round from actual sizes — small frontiers get broadcast
+  * automatically). Cuts default to `localCheckpoint`; set
+  * `spark.graft.checkpointDir` for reliable checkpoints that survive
+  * executor loss — required on clusters with dynamic allocation.
   */
 object Graph {
 
@@ -69,7 +73,7 @@ object Graph {
       seed = seed.union(exact)
     }
     val seedOut = if (dedup) seed.distinct() else seed
-    (seedOut.localCheckpoint(), exact.localCheckpoint())
+    (seedOut.cut(), exact.cut())
   }
 
   /** Transitive closure of `edges` (columns `src`, `dst`): every pair
@@ -100,7 +104,7 @@ object Graph {
                         strict: Boolean = false,
                         stride: Int = 1): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
-    val base = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
+    val base = (if (uniquePaths) raw else raw.distinct()).cut()
     if (uniquePaths && strict) {
       // Edges run child → parent; duplicate paths require some node
       // with MORE THAN ONE OUTGOING edge (two parents). Multiple
@@ -125,7 +129,7 @@ object Graph {
         (if (uniquePaths) grown
          else grown.distinct()
            .join(unionAll(increments.toSeq), Seq("src", "dst"), "left_anti"))
-          .localCheckpoint()
+          .cut()
       if (novel.isEmpty) done = true
       else {
         increments += novel
@@ -152,7 +156,7 @@ object Graph {
     * the frontier approach; pick per workload.
     */
   def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    var closure = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var closure = edges.select(col("src"), col("dst")).distinct().cut()
     var size = closure.count()
     var iter = 0
     var done = false
@@ -160,7 +164,7 @@ object Graph {
       val left = closure.select(col("src"), col("dst").as("mid"))
       val right = closure.select(col("src").as("mid"), col("dst"))
       val doubled = left.join(right, "mid").select(col("src"), col("dst"))
-      closure = closure.union(doubled).distinct().localCheckpoint()
+      closure = closure.union(doubled).distinct().cut()
       val next = closure.count()
       if (next == size) done = true
       size = next
@@ -201,7 +205,7 @@ object Graph {
                   strict: Boolean = false,
                   stride: Int = 1): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
-    val e = (if (uniquePaths) raw else raw.distinct()).localCheckpoint()
+    val e = (if (uniquePaths) raw else raw.distinct()).cut()
     if (uniquePaths && strict) {
       val multiParent = e.groupBy("src").count().filter(col("count") > 1).limit(1).count()
       if (multiParent > 0) throw new IllegalStateException(
@@ -212,7 +216,7 @@ object Graph {
     val targetSet = targets.select(col("dst")).distinct()
     // Pairs at distance 1..stride into the target set.
     val seed = seedHops.join(targetSet, "dst").select(col("src"), col("dst"))
-      .localCheckpoint()
+      .cut()
     val increments = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
     var frontier = seed
     var iter = 0
@@ -227,7 +231,7 @@ object Graph {
         (if (uniquePaths) hop
          else hop.distinct()
            .join(unionAll(increments.toSeq), Seq("src", "dst"), "left_anti"))
-          .localCheckpoint()
+          .cut()
       if (grown.isEmpty) done = true
       else {
         increments += grown
@@ -274,11 +278,11 @@ object Graph {
     // Materialize the pair set before mirroring it: the union consumes
     // e0 twice and the upstream pair generator (an LSH pipeline, a
     // Jaccard join) would otherwise execute twice.
-    val e0 = pairs.select(col(idA).as("a"), col(idB).as("b")).localCheckpoint()
+    val e0 = pairs.select(col(idA).as("a"), col(idB).as("b")).cut()
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().cut()
     var labels = und.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+      .select(col("id"), col("id").as("comp")).cut()
     // Empty pair set → empty label set (sum() would be NULL): done.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -292,7 +296,7 @@ object Graph {
         .select(und("a").as("id"), col("comp"))
       val next = labels.union(pulled)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .cut()
       val nextSum = labelSum(next)
       labels = next
       if (nextSum.compareTo(prevSum) == 0) done = true

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Vectors
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -14,15 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Guard for the two DECLARED all-pairs baselines below: they exist
+    * to validate the LSH/IVF scale paths, and a copy-paste onto a real
+    * corpus would be an O(N²) incident, not a slow query. Above
+    * `maxExactInput` rows the call fails loudly, naming the scale path
+    * to use instead; passing `allowLargeInput = true` is the explicit
+    * "I know this is quadratic" override. One limit-bounded count per
+    * guarded input — a scan that stops at threshold+1 rows, negligible
+    * next to the join it protects. */
+  private def guardAllPairs(df: DataFrame, what: String, op: String,
+                            scalePath: String, allow: Boolean,
+                            threshold: Long): Unit = {
+    if (allow) return
+    val n = df.limit(math.min(threshold + 1, Int.MaxValue.toLong).toInt).count()
+    if (n > threshold) throw new IllegalArgumentException(
+      s"$op: $what has > $threshold rows and the plan is ALL-PAIRS " +
+        s"(exact validation baseline). Use $scalePath at this scale, or pass " +
+        "allowLargeInput = true to run the quadratic plan anyway.")
+  }
+
   /** Exact cosine near-dup pairs (similarity ≥ `tau`). All-pairs by
     * construction — exactness over an inner-product threshold cannot
     * prune without risking misses, so this is the validation-scale
-    * variant; `lshTopK` is the 100 TB path. Vectors are unit-normalized
+    * variant; [[cosinePairsLsh]] is the 100 TB path (and above
+    * `maxExactInput` rows this call refuses to run without
+    * `allowLargeInput = true`). Vectors are unit-normalized
     * once before the self-join so each pair costs one dot product.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                  tau: Double): DataFrame = {
-    val unit = normalized(emb, idCol, vecCol).localCheckpoint()
+                  tau: Double, allowLargeInput: Boolean = false,
+                  maxExactInput: Long = 100000L): DataFrame = {
+    guardAllPairs(emb, "emb", "cosinePairs", "cosinePairsLsh",
+      allowLargeInput, maxExactInput)
+    val unit = normalized(emb, idCol, vecCol).cut()
     val a = unit.select(col("id").as("id_a"), col("unit").as("va"))
     val b = unit.select(col("id").as("id_b"), col("unit").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -32,12 +57,22 @@ object Similarity {
   }
 
   /** Exact top-k cosine neighbors for each query vector: block
-    * nested-loop join + per-query rank window. Ranking uses the cosine
+    * nested-loop join + per-query rank window — cost is |Q|·|C| dot
+    * products, the declared exact baseline the ANN recall specs anchor
+    * on ([[knnLsh]]/[[knnIvf]] are the scale paths; above
+    * `maxExactInput` rows on either side this call refuses to run
+    * without `allowLargeInput = true`). Ranking uses the cosine
     * rounded to 4 decimals with the neighbor id as tiebreak, so the
     * k-set is stable across engines' last-ulp float differences.
     */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame,
-                    idCol: String, vecCol: String, k: Int): DataFrame = {
+                    idCol: String, vecCol: String, k: Int,
+                    allowLargeInput: Boolean = false,
+                    maxExactInput: Long = 100000L): DataFrame = {
+    guardAllPairs(corpus, "corpus", "knnBruteForce", "knnLsh / knnIvf",
+      allowLargeInput, maxExactInput)
+    guardAllPairs(queries, "queries", "knnBruteForce", "knnLsh / knnIvf",
+      allowLargeInput, maxExactInput)
     val q = normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("unit").as("qv"))
     val c = normalized(corpus, idCol, vecCol)
@@ -93,12 +128,12 @@ object Similarity {
     val ps = planes(numTables, bitsPerTable, dataDim, seed)
     // Normalize once, reuse for bucketing and scoring (at cluster scale
     // this would be a persisted/cached intermediate).
-    val qUnit = normalized(queries, idCol, vecCol).localCheckpoint()
-    val cUnit = normalized(corpus, idCol, vecCol).localCheckpoint()
+    val qUnit = normalized(queries, idCol, vecCol).cut()
+    val cUnit = normalized(corpus, idCol, vecCol).cut()
     // Checkpointed for the same plan-size reason as cosinePairsLsh:
     // each bucketIds subplan carries the full plane-literal tree.
-    val cands = bucketIds(qUnit, ps, "query_id").localCheckpoint()
-      .join(bucketIds(cUnit, ps, "neighbor_id").localCheckpoint(),
+    val cands = bucketIds(qUnit, ps, "query_id").cut()
+      .join(bucketIds(cUnit, ps, "neighbor_id").cut(),
             Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
@@ -156,13 +191,13 @@ object Similarity {
         lit(0.0).as("cosine")).limit(0)
     }
     val ps = planes(numTables, bitsPerTable, dimRow.head.getInt(0), seed)
-    val unit = normalized(emb, idCol, vecCol).localCheckpoint()
+    val unit = normalized(emb, idCol, vecCol).cut()
     // Checkpoint the bucket ids before self-joining: the bucketing
     // expression embeds numTables × bits × dim plane literals, and
     // referencing it on both join sides would double an already huge
     // plan (codegen/analysis cost, not data cost — the bucket set
     // itself is 3 longs per (vector, table)).
-    val b = bucketIds(unit, ps, "id").localCheckpoint()
+    val b = bucketIds(unit, ps, "id").cut()
     val cands = b.select(col("table"), col("bucket"), col("id").as("id_a"))
       .join(b.select(col("table"), col("bucket"), col("id").as("id_b")),
             Seq("table", "bucket"))
@@ -206,7 +241,7 @@ object Similarity {
              centroidMod: Long = 37L, nProbe: Int = 4,
              kmeansIters: Int = 2, fitBuckets: Int = 100,
              fitKeep: Int = 100): DataFrame = {
-    val unit = normalized(corpus, idCol, vecCol).localCheckpoint()
+    val unit = normalized(corpus, idCol, vecCol).cut()
     // Lloyd refinement may run on a deterministic hash-sample of the
     // corpus (`fitKeep` of `fitBuckets` Sampling.hashBucket buckets
     // of the id): per-iteration cost
@@ -259,7 +294,7 @@ object Similarity {
       centroids = broadcast(means.select(col("cid"),
         when(norm === 0.0, col("mean"))
           .otherwise(transform(col("mean"), x => x / norm)).as("cvec"))
-        .localCheckpoint())
+        .cut())
     }
     def nearest(df: DataFrame, n: Int, outId: String): DataFrame =
       Relational.topKPerGroup(

@@ -201,6 +201,27 @@ class GraphSpec extends GraftSuite {
     assert(Graph.connectedComponents(selfOnly).count() === 0)
   }
 
+  test("reliable-checkpoint mode: identical results, files land under the dir") {
+    // spark.graft.checkpointDir flips every operator lineage cut from
+    // localCheckpoint (executor blocks — dies with any executor loss)
+    // to reliable checkpoint() on the fault-tolerant FS. Results must
+    // be identical and the files must actually land there.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val want = pairs(Graph.transitiveClosure(edges))
+    spark.conf.set(graft.operators.Checkpoints.confKey, dir.toString)
+    try {
+      assert(pairs(Graph.transitiveClosure(edges, stride = 2)) === want)
+      val cc = Graph.connectedComponents(
+        Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      val files = java.nio.file.Files.walk(dir).filter(
+        java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable mode must write checkpoint files")
+    } finally spark.conf.unset(graft.operators.Checkpoints.confKey)
+  }
+
   test("connectedComponents strict throws when maxIter is too small") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {

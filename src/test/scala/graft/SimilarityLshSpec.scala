@@ -49,6 +49,25 @@ class SimilarityLshSpec extends GraftSuite {
       emb.filter($"vec_id" < 0), "vec_id", "embedding", tau = 0.5).count() == 0)
   }
 
+  test("all-pairs baselines refuse oversized inputs unless explicitly allowed") {
+    // The exact variants are declared validation baselines; above the
+    // threshold they must fail LOUDLY (naming the scale path), never
+    // silently run an O(N^2) plan on a corpus-sized input.
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(emb, "vec_id", "embedding", tau = 0.35,
+        maxExactInput = 10L)
+    }
+    assert(e1.getMessage.contains("cosinePairsLsh"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnBruteForce(emb, emb, "vec_id", "embedding", k = 5,
+        maxExactInput = 10L)
+    }
+    assert(e2.getMessage.contains("knnLsh"))
+    // The override runs the quadratic plan (tiny threshold, same data).
+    assert(Similarity.cosinePairs(emb, "vec_id", "embedding", tau = 0.35,
+      allowLargeInput = true, maxExactInput = 10L).count() > 0)
+  }
+
   test("int8 quantization: range, constant vectors, half-step dequant error") {
     import org.apache.spark.sql.functions._
     val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").cache()
