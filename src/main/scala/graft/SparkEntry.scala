@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.GroupA.queries ++ graft.queries.GroupA2.queries ++
       graft.queries.GroupA3.queries ++ graft.queries.GroupA4.queries ++
       graft.queries.GroupB.queries ++ graft.queries.GroupC.queries ++
+      graft.queries.GroupC2.queries ++
       graft.queries.GroupD.queries ++ graft.queries.GroupE.queries ++
       graft.queries.GroupF.queries ++ graft.queries.GroupF2.queries ++
       graft.queries.GroupG.queries ++
@@ -24,6 +25,7 @@ object SparkEntry {
     graft.queries.GroupA.oracles ++ graft.queries.GroupA2.oracles ++
       graft.queries.GroupA3.oracles ++ graft.queries.GroupA4.oracles ++
       graft.queries.GroupB.oracles ++ graft.queries.GroupC.oracles ++
+      graft.queries.GroupC2.oracles ++
       graft.queries.GroupD.oracles ++ graft.queries.GroupE.oracles ++
       graft.queries.GroupF.oracles ++ graft.queries.GroupF2.oracles ++
       graft.queries.GroupG.oracles ++

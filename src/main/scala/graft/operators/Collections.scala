@@ -19,6 +19,150 @@ import org.apache.spark.sql.functions._
   */
 object Collections {
 
+  /** Rank defaults for externally-curated custom collections
+    * (reference: load_custom_collections.py:113-114 —
+    * DEFAULT_COLLECTION_RANK / DEFAULT_MEMBER_RANK). */
+  val DefaultCollectionRank = 1000000L
+  val DefaultMemberRank = 10000000L
+
+  /** Schema of one custom-collections JSONL line — the externally
+    * curated inlet (reference: load_custom_collections.py, the
+    * custom-collections S3 JSONL): `data` carries the collection
+    * fields and the label list (each label has `normalized_label`
+    * and/or `tokenized_label`), `commands` the curator knobs
+    * (member_rank, collection_rank, sort_labels). `_corrupt` captures
+    * unparseable lines under PERMISSIVE mode. */
+  val customSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "data STRUCT<collection_id: STRING, collection_name: STRING, " +
+        "collection_description: STRING, collection_keywords: ARRAY<STRING>, " +
+        "labels: ARRAY<STRUCT<label: STRING, normalized_label: STRING, " +
+        "tokenized_label: ARRAY<STRING>>>>, " +
+        "commands STRUCT<member_rank: BIGINT, collection_rank: BIGINT, " +
+        "sort_labels: STRING>, " +
+        "_corrupt STRING")
+
+  /** Shape raw custom-collections JSONL lines into one typed row per
+    * collection (reference: prepare_custom_collection,
+    * load_custom_collections.py:184-336):
+    *
+    *  - labels with NEITHER `normalized_label` nor `tokenized_label`
+    *    are skipped (:201-203, counted in `n_skipped`);
+    *  - a missing `normalized_label` defaults to the concatenated
+    *    tokens (:205-206); a missing `tokenized_label` to the
+    *    tokenization of the normalized name (:207-208; the engine
+    *    tokenizes by `[a-z0-9]+` runs — the reference's wordninja
+    *    dictionary split is model-dependent and out of engine scope);
+    *  - `member_rank` / collection `rank` default per the reference
+    *    constants when the curator command is absent (:228, :299);
+    *  - `top_member` is the first member under the curator's
+    *    `sort_labels` order (:234-243): a-z / z-a on the normalized
+    *    name, shortest / longest on token count (normalized name as
+    *    the deterministic tiebreak), input order otherwise;
+    *  - unparseable lines survive as `malformed = true` rows with
+    *    defaults, never kill the job (PERMISSIVE + `_corrupt`).
+    *
+    * Entirely narrow — JSON parse + array higher-order functions, no
+    * explode, ZERO shuffles at any corpus size; member lists are
+    * curator-sized (the reference caps interest at 10k members), so
+    * per-row array work is bounded. Output: (collection_id,
+    * collection_name, n_members, n_skipped, members csv, top_member,
+    * n_tokens_total, member_rank, rank, malformed).
+    */
+  def fromCustom(lines: DataFrame, valueCol: String = "value"): DataFrame = {
+    val parsed = lines.select(from_json(col(valueCol), customSchema,
+      Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+    val labels = col("r.data.labels")
+    def normOf(l: Column): Column =
+      coalesce(l.getField("normalized_label"),
+        array_join(l.getField("tokenized_label"), ""))
+    def ntokOf(l: Column): Column =
+      when(l.getField("tokenized_label").isNotNull,
+        size(l.getField("tokenized_label")).cast("long"))
+        .otherwise(size(regexp_extract_all(
+          lower(l.getField("normalized_label")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long"))
+    val staged = parsed.select(
+      col("r.data.collection_id").as("collection_id"),
+      col("r.data.collection_name").as("collection_name"),
+      when(labels.isNull, lit(0L)).otherwise(size(labels).cast("long"))
+        .as("n_labels"),
+      coalesce(col("r.commands.member_rank"), lit(DefaultMemberRank))
+        .as("member_rank"),
+      coalesce(col("r.commands.collection_rank"), lit(DefaultCollectionRank))
+        .as("rank"),
+      coalesce(col("r.commands.sort_labels"), lit("none")).as("cmd"),
+      col("r._corrupt").isNotNull.as("malformed"),
+      transform(
+        filter(labels, l => l.getField("normalized_label").isNotNull ||
+          l.getField("tokenized_label").isNotNull),
+        (l, i) => struct(normOf(l).as("norm"), ntokOf(l).as("ntok"),
+          i.cast("long").as("ord"))).as("__mem"))
+    val nMembers = when(col("__mem").isNull, lit(0L))
+      .otherwise(size(col("__mem")).cast("long"))
+    // One sortable STRING key per command so the pick is a plain
+    // array_min/array_max over (key, norm) structs — numeric keys
+    // (token counts, input order) zero-pad into the string so string
+    // order equals numeric order; both engines compare identically.
+    val keyed = transform(col("__mem"), m => struct(
+      when(col("cmd") === "shortest",
+        concat(lpad(m.getField("ntok").cast("string"), 10, "0"),
+          m.getField("norm")))
+        .when(col("cmd") === "longest",
+          concat(lpad((lit(1000000000L) - m.getField("ntok")).cast("string"),
+            10, "0"), m.getField("norm")))
+        .when(col("cmd").isin("a-z", "z-a"), m.getField("norm"))
+        .otherwise(lpad(m.getField("ord").cast("string"), 10, "0")).as("k"),
+      m.getField("norm").as("norm")))
+    staged.select(
+      col("collection_id"), col("collection_name"),
+      nMembers.as("n_members"),
+      (col("n_labels") - nMembers).as("n_skipped"),
+      when(col("__mem").isNull, lit(""))
+        .otherwise(array_join(
+          array_sort(transform(col("__mem"), m => m.getField("norm"))), ","))
+        .as("members"),
+      when(nMembers === 0, lit(null).cast("string"))
+        .when(col("cmd") === "z-a", array_max(keyed).getField("norm"))
+        .otherwise(array_min(keyed).getField("norm")).as("top_member"),
+      when(col("__mem").isNull, lit(0L))
+        .otherwise(aggregate(col("__mem"), lit(0L),
+          (a, m) => a + m.getField("ntok"))).as("n_tokens_total"),
+      col("member_rank"), col("rank"), col("malformed"))
+  }
+
+  /** Index update operations for custom collections (reference:
+    * produce_custom_update_operations, load_custom_collections.py:
+    * 371-396 + update_es.py prepare_full_update/prepare_insert): a
+    * collection whose id already exists in the index gets a FULL
+    * `update` op — the custom flow skips the field-level hash diff
+    * ("there are not that many custom collections") — and an unknown
+    * id gets a `create` op. Collections above `maxMembers` are
+    * dropped entirely (both prepare_* return None above 10k members).
+    * Create ids are DETERMINISTIC (`new-` + collection id) where the
+    * reference draws a random id — an engine query must not produce
+    * nondeterministic rows; callers needing opaque ids can hash.
+    *
+    * `custom` is [[fromCustom]] output (or any frame with
+    * collection_id, n_members, rank, malformed); `existing` is the
+    * (collection_id, es_id) index mapping. One equi-join on the id:
+    * the custom side is curator-sized, the index side arbitrarily
+    * large — AQE broadcasts the small side, nothing is driver-side.
+    */
+  def customUpdateOps(custom: DataFrame, existing: DataFrame,
+                      maxMembers: Long = 10000L): DataFrame = {
+    val ex = existing.select(col("collection_id"), col("es_id").as("__es"))
+    custom.filter(!col("malformed") && col("n_members") <= maxMembers)
+      .join(ex, Seq("collection_id"), "left")
+      .select(col("collection_id"),
+        when(col("__es").isNotNull, lit("update")).otherwise(lit("create"))
+          .as("op"),
+        coalesce(col("__es"), concat(lit("new-"), col("collection_id")))
+          .as("es_id"),
+        col("n_members"), col("rank"))
+  }
+
   /** (old_id → new_id) remap for a relation merge, from one SOUND
     * edge per category (columns `category_id`, `list_id`): the
     * surviving collection id per list is least(list_id, min

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Collections
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group C (continued) — the custom-collections ingestion flow, the
+  * one reference DAG with no engine analogue until round 5
+  * (airflow/dags/load_custom_collections.py): externally-curated
+  * collections arrive as JSONL, are shaped into the pipeline's
+  * document form (label defaulting, curator sort commands, rank
+  * defaults — prepare_custom_collection, :184-336), and become index
+  * update operations (create for unknown ids, full update for known
+  * ones — produce_custom_update_operations, :371-396).
+  *
+  * The testdata ships no custom-collections file, so the JSONL LINES
+  * are synthesized deterministically from `customer` (same expression
+  * on both engines — the c1/c4/c5 pattern); the things under test are
+  * [[Collections.fromCustom]] and [[Collections.customUpdateOps]].
+  * Every 13th line is malformed JSON (must surface as a
+  * `malformed` row, never kill the job), every 11th collection has
+  * only skippable labels, labels alternate which of
+  * normalized/tokenized they carry (both defaulting directions), and
+  * the curator commands cycle through all five sort orders plus
+  * absent-rank defaults.
+  */
+object GroupC2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // One custom-collections JSONL line per customer — dialect-shared
+  // SQL (Spark expr() and the DuckDB oracle evaluate the same string).
+  private[queries] val genLineSql =
+    """CASE WHEN c_custkey % 13 = 0 THEN '{"oops": ' || cast(c_custkey AS string)
+      |ELSE '{"data":{"collection_id":"c' || cast(c_custkey AS string) ||
+      |  '","collection_name":"' || c_name || '","labels":[' ||
+      |  CASE WHEN c_custkey % 11 = 0 THEN '{"label":"plain"}'
+      |  ELSE '{"normalized_label":"' || lower(c_mktsegment) || 'a' || cast(c_custkey % 7 AS string) || '"}' ||
+      |    CASE WHEN c_custkey % 2 = 0 THEN ',{"tokenized_label":["' || lower(c_mktsegment) || '","b' || cast(c_custkey % 5 AS string) || '"]}' ELSE '' END ||
+      |    CASE WHEN c_custkey % 3 = 0 THEN ',{"label":"plain"}' ELSE '' END
+      |  END ||
+      |  ']},"commands":{' || substring(
+      |    CASE WHEN c_custkey % 4 = 0 THEN ',"member_rank":' || cast(c_custkey % 100 + 1 AS string) ELSE '' END ||
+      |    CASE WHEN c_custkey % 5 = 0 THEN ',"collection_rank":' || cast(c_custkey % 1000 + 1 AS string) ELSE '' END ||
+      |    CASE WHEN c_custkey % 12 IN (0, 1) THEN ',"sort_labels":"a-z"'
+      |         WHEN c_custkey % 12 IN (2, 3) THEN ',"sort_labels":"z-a"'
+      |         WHEN c_custkey % 12 IN (4, 5) THEN ',"sort_labels":"shortest"'
+      |         WHEN c_custkey % 12 IN (6, 7) THEN ',"sort_labels":"longest"'
+      |         WHEN c_custkey % 12 IN (8, 9) THEN ',"sort_labels":"none"'
+      |         ELSE '' END, 2) || '}}'
+      |END""".stripMargin
+
+  private def lines(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer").select(expr(genLineSql).as("value"))
+
+  val queries: Map[String, Q] = Map(
+    // c6: JSONL inlet → one typed row per custom collection.
+    "c6_custom_jsonl" -> ((s, d) => Collections.fromCustom(lines(s, d))),
+
+    // a33: shaped custom collections → index update operations.
+    // "Existing index" stand-in: every third customer id is already
+    // indexed under es_id 'es-<k>'. maxMembers = 1 exercises the
+    // reference's members-count drop rule on real rows (2-member
+    // collections are dropped; the reference threshold is 10k).
+    "a33_custom_update_ops" -> ((s, d) => {
+      val existing = Tables(s, d, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("collection_id"),
+          concat(lit("es-"), col("c_custkey")).as("es_id"))
+      Collections.customUpdateOps(
+        Collections.fromCustom(lines(s, d)), existing, maxMembers = 1L)
+    }),
+  )
+
+  // The c6 oracle, also reused as the a33 CTE. DuckDB-side JSON:
+  // labels unnest via json_extract '$[*]' zipped with range() for the
+  // input-order ordinal; malformed lines route through a separate
+  // branch (json functions error on invalid JSON, so `bad` never
+  // reaches them).
+  private[queries] val customOracle =
+    s"""WITH lines AS (SELECT $genLineSql AS value FROM customer),
+       |good AS (SELECT value FROM lines WHERE json_valid(value)),
+       |bad AS (SELECT value FROM lines WHERE NOT json_valid(value)),
+       |lab AS (
+       |  SELECT value,
+       |    unnest(json_extract(value, '$$.data.labels[*]')) AS l,
+       |    unnest(range(1, cast(json_array_length(value, '$$.data.labels') AS BIGINT) + 1)) AS ord
+       |  FROM good),
+       |mem AS (
+       |  SELECT value, ord,
+       |    coalesce(json_extract_string(l, '$$.normalized_label'),
+       |             list_aggregate(json_transform(json_extract(l, '$$.tokenized_label'), '["VARCHAR"]'),
+       |                            'string_agg', '')) AS norm,
+       |    cast(coalesce(json_array_length(json_extract(l, '$$.tokenized_label')),
+       |           len(regexp_extract_all(lower(json_extract_string(l, '$$.normalized_label')), '[a-z0-9]+')))
+       |         AS BIGINT) AS ntok
+       |  FROM lab
+       |  WHERE json_extract(l, '$$.normalized_label') IS NOT NULL
+       |     OR json_extract(l, '$$.tokenized_label') IS NOT NULL),
+       |agg AS (
+       |  SELECT value,
+       |    count(*) AS n_members,
+       |    string_agg(norm, ',' ORDER BY norm) AS members,
+       |    cast(sum(ntok) AS BIGINT) AS n_tokens_total,
+       |    min(norm) AS m_az,
+       |    max(norm) AS m_za,
+       |    min_by(norm, lpad(cast(ntok AS string), 10, '0') || norm) AS m_short,
+       |    min_by(norm, lpad(cast(1000000000 - ntok AS string), 10, '0') || norm) AS m_long,
+       |    min_by(norm, ord) AS m_first
+       |  FROM mem GROUP BY value),
+       |meta AS (
+       |  SELECT value,
+       |    json_extract_string(value, '$$.data.collection_id') AS collection_id,
+       |    json_extract_string(value, '$$.data.collection_name') AS collection_name,
+       |    cast(json_array_length(value, '$$.data.labels') AS BIGINT) AS n_labels,
+       |    coalesce(try_cast(json_extract(value, '$$.commands.member_rank') AS BIGINT), 10000000) AS member_rank,
+       |    coalesce(try_cast(json_extract(value, '$$.commands.collection_rank') AS BIGINT), 1000000) AS rank,
+       |    coalesce(json_extract_string(value, '$$.commands.sort_labels'), 'none') AS cmd
+       |  FROM good)
+       |SELECT m.collection_id, m.collection_name,
+       |  coalesce(a.n_members, 0) AS n_members,
+       |  m.n_labels - coalesce(a.n_members, 0) AS n_skipped,
+       |  coalesce(a.members, '') AS members,
+       |  CASE WHEN a.n_members IS NULL THEN NULL
+       |       WHEN m.cmd = 'a-z' THEN a.m_az
+       |       WHEN m.cmd = 'z-a' THEN a.m_za
+       |       WHEN m.cmd = 'shortest' THEN a.m_short
+       |       WHEN m.cmd = 'longest' THEN a.m_long
+       |       ELSE a.m_first END AS top_member,
+       |  coalesce(a.n_tokens_total, 0) AS n_tokens_total,
+       |  m.member_rank, m.rank, false AS malformed
+       |FROM meta m LEFT JOIN agg a USING (value)
+       |UNION ALL
+       |SELECT NULL, NULL, 0, 0, '', NULL, 0, 10000000, 1000000, true FROM bad""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "c6_custom_jsonl" -> customOracle,
+
+    "a33_custom_update_ops" ->
+      s"""WITH c6 AS ($customOracle),
+         |ex AS (SELECT 'c' || cast(c_custkey AS string) AS collection_id,
+         |              'es-' || cast(c_custkey AS string) AS es_id
+         |       FROM customer WHERE c_custkey % 3 = 0)
+         |SELECT c6.collection_id,
+         |  CASE WHEN ex.es_id IS NOT NULL THEN 'update' ELSE 'create' END AS op,
+         |  coalesce(ex.es_id, 'new-' || c6.collection_id) AS es_id,
+         |  c6.n_members, c6.rank
+         |FROM c6 LEFT JOIN ex USING (collection_id)
+         |WHERE NOT c6.malformed AND c6.n_members <= 1""".stripMargin,
+  )
+}

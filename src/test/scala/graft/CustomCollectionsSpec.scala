@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Collections
+
+/** Custom-collections ingestion (reference:
+  * load_custom_collections.py prepare_custom_collection +
+  * produce_custom_update_operations) — hand-built JSONL lines pinning
+  * the label-defaulting rules, curator sort commands, malformed-line
+  * survival, and the create/update/drop op split. */
+class CustomCollectionsSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private def shape(lines: String*) =
+    Collections.fromCustom(lines.toDF("value"))
+      .collect().map(r => r.getAs[String]("collection_id") -> r).toMap
+
+  test("label defaulting: normalized from tokens, tokens from normalized, both-present precedence") {
+    val got = shape(
+      // tokenized only -> normalized = concatenated tokens, ntok = 2
+      """{"data":{"collection_id":"t","collection_name":"T","labels":[{"tokenized_label":["ab","cd"]}]},"commands":{}}""",
+      // normalized only -> tokens = [a-z0-9]+ runs of the lowercased name
+      """{"data":{"collection_id":"n","collection_name":"N","labels":[{"normalized_label":"Foo-Bar9 baz"}]},"commands":{}}""",
+      // both present -> normalized name kept, token count from the given tokens
+      """{"data":{"collection_id":"b","collection_name":"B","labels":[{"normalized_label":"keepme","tokenized_label":["x","y","z"]}]},"commands":{}}""")
+    assert(got("t").getAs[String]("members") === "abcd")
+    assert(got("t").getAs[Long]("n_tokens_total") === 2L)
+    assert(got("n").getAs[String]("members") === "Foo-Bar9 baz")
+    assert(got("n").getAs[Long]("n_tokens_total") === 3L) // foo, bar9, baz
+    assert(got("b").getAs[String]("members") === "keepme")
+    assert(got("b").getAs[Long]("n_tokens_total") === 3L)
+  }
+
+  test("skip rule, empty and missing label lists, malformed lines") {
+    val got = shape(
+      """{"data":{"collection_id":"s","collection_name":"S","labels":[{"label":"raw only"},{"normalized_label":"ok"}]},"commands":{}}""",
+      """{"data":{"collection_id":"e","collection_name":"E","labels":[]},"commands":{}}""",
+      """{"data":{"collection_id":"m","collection_name":"M"},"commands":{}}""",
+      """{"broken": """)
+    assert(got("s").getAs[Long]("n_members") === 1L)
+    assert(got("s").getAs[Long]("n_skipped") === 1L)
+    assert(got("e").getAs[Long]("n_members") === 0L)
+    assert(got("e").getAs[String]("members") === "")
+    assert(got("e").isNullAt(got("e").fieldIndex("top_member")))
+    assert(got("m").getAs[Long]("n_members") === 0L)
+    val bad = got(null.asInstanceOf[String])
+    assert(bad.getAs[Boolean]("malformed"))
+    assert(bad.getAs[Long]("rank") === Collections.DefaultCollectionRank)
+    assert(got("s").getAs[Boolean]("malformed") === false)
+  }
+
+  test("curator commands: rank defaults and all five sort orders") {
+    def coll(id: String, commands: String) =
+      s"""{"data":{"collection_id":"$id","collection_name":"X","labels":[
+         |{"normalized_label":"bb"},{"tokenized_label":["a","a"]},{"normalized_label":"cc dd"}
+         |]},"commands":{$commands}}""".stripMargin.replace("\n", "")
+    // members: bb (1 tok), aa (2 toks), "cc dd" (2 toks). Input order: bb, aa, cc dd.
+    val got = shape(
+      coll("az", """"sort_labels":"a-z""""),
+      coll("za", """"sort_labels":"z-a""""),
+      coll("sh", """"sort_labels":"shortest""""),
+      coll("lo", """"sort_labels":"longest""""),
+      coll("no", """"sort_labels":"none""""),
+      coll("ab", ""),
+      coll("rk", """"member_rank":7,"collection_rank":9"""))
+    assert(got("az").getAs[String]("top_member") === "aa")
+    assert(got("za").getAs[String]("top_member") === "cc dd")
+    assert(got("sh").getAs[String]("top_member") === "bb")      // 1 token
+    assert(got("lo").getAs[String]("top_member") === "aa")      // 2 tokens, tiebreak asc
+    assert(got("no").getAs[String]("top_member") === "bb")      // input order
+    assert(got("ab").getAs[String]("top_member") === "bb")      // absent = none
+    assert(got("ab").getAs[Long]("member_rank") === Collections.DefaultMemberRank)
+    assert(got("ab").getAs[Long]("rank") === Collections.DefaultCollectionRank)
+    assert(got("rk").getAs[Long]("member_rank") === 7L)
+    assert(got("rk").getAs[Long]("rank") === 9L)
+  }
+
+  test("update ops: create vs full update vs member-cap drop vs malformed drop") {
+    val custom = Collections.fromCustom(Seq(
+      """{"data":{"collection_id":"known","collection_name":"K","labels":[{"normalized_label":"m"}]},"commands":{}}""",
+      """{"data":{"collection_id":"fresh","collection_name":"F","labels":[{"normalized_label":"m"}]},"commands":{}}""",
+      """{"data":{"collection_id":"fat","collection_name":"W","labels":[{"normalized_label":"m1"},{"normalized_label":"m2"}]},"commands":{}}""",
+      """{"nope""").toDF("value"))
+    val existing = Seq(("known", "es-1")).toDF("collection_id", "es_id")
+    val ops = Collections.customUpdateOps(custom, existing, maxMembers = 1L)
+      .collect().map(r => r.getAs[String]("collection_id") ->
+        (r.getAs[String]("op"), r.getAs[String]("es_id"))).toMap
+    assert(ops === Map(
+      "known" -> ("update", "es-1"),
+      "fresh" -> ("create", "new-fresh")))
+  }
+}
