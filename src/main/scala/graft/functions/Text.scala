@@ -44,6 +44,34 @@ object Text {
   /** One-shot tokenizer + shingler. */
   def wordShingles(text: Column, n: Int): Column = shingles(tokens(text), n)
 
+  /** One pictographic character class (the common emoji blocks):
+    * shared by [[emojiTokenRe]] and the emoji-token test. Plain
+    * RE2/Java `\x{...}` syntax so SQL oracles reuse it verbatim. */
+  val emojiClass = "[\\x{2600}-\\x{27BF}\\x{1F000}-\\x{1FAFF}\\x{2B00}-\\x{2BFF}]"
+
+  /** One EMOJI token: a pictograph with optional variation selector
+    * (FE0F) and skin-tone modifier (1F3FB-1F3FF), ZWJ-joined into
+    * sequences (a family emoji is ONE token — the reference tokenizes
+    * with keep_zwj=True). */
+  private val emojiSeqRe =
+    s"$emojiClass\\x{FE0F}?[\\x{1F3FB}-\\x{1F3FF}]?"
+
+  /** One token: an emoji (ZWJ sequence) OR an alphanumeric run —
+    * the engine form of the reference's emoji-aware name tokenizer
+    * (collection-templates airflow/dags/load_custom_collections.py:
+    * 126-158, emoji_split + tokenize_name): emoji are PRESERVED as
+    * tokens where the plain tokenizers strip them; text between emoji
+    * splits on `[a-zA-Z0-9']+` exactly like the reference's _SPLIT_RE.
+    * (The reference additionally dictionary-splits simple tokens with
+    * wordninja — a model artifact, out of engine scope.) */
+  val emojiTokenRe =
+    s"(?:$emojiSeqRe(?:\\x{200D}$emojiSeqRe)*|[a-zA-Z0-9']+)"
+
+  /** Emoji-aware tokens of a name column (see [[emojiTokenRe]]).
+    * Narrow, codegen'd regexp extraction — no shuffle. */
+  def emojiTokens(name: Column): Column =
+    regexp_extract_all(name, lit(emojiTokenRe), lit(0))
+
   /** PII patterns (shared verbatim with SQL oracles — plain RE2/Java
     * syntax, no lookarounds). */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -34,7 +34,59 @@ import org.apache.spark.sql.functions._
 object GroupA4 {
   type Q = (SparkSession, String) => DataFrame
 
+  // a34's emoji-decorated names, derived deterministically from part
+  // (same expression both engines): emoji glued to a word, emoji runs
+  // replacing spaces, a skin-tone modifier and a ZWJ family sequence.
+  private val emojiNameSql =
+    """CASE WHEN p_partkey % 4 = 0 THEN '🔥' || p_name
+      |     WHEN p_partkey % 4 = 1 THEN replace(p_name, ' ', '🧡💛')
+      |     WHEN p_partkey % 4 = 2 THEN p_name || ' 👍🏽 👨‍👩‍👧'
+      |     ELSE p_name END""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    // a34: emoji-aware name tokenization (load_custom_collections.py:
+    // 126-158): emoji survive as their own tokens — ZWJ sequences and
+    // skin-tone modifiers as ONE token — while the text between them
+    // splits on the reference's [a-zA-Z0-9']+ rule (a18's plain
+    // tokenizer strips emoji entirely). Narrow regexp projection,
+    // zero shuffle; the n_emoji count re-tests tokens against the
+    // pictograph class.
+    "a34_emoji_tokenize" -> ((s, d) => {
+      import graft.functions.Text
+      Tables(s, d, "part")
+        .select(col("p_partkey"), expr(emojiNameSql).as("name"))
+        .select(col("p_partkey"), col("name"),
+          Text.emojiTokens(col("name")).as("__t"))
+        .select(col("p_partkey"), col("name"),
+          concat_ws(",", col("__t")).as("tokens"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          size(filter(col("__t"), t => t.rlike("^" + Text.emojiClass)))
+            .cast("long").as("n_emoji"))
+    }),
+    // a35: collection-name prefix/suffix mining (research/collection-
+    // name-normalization/most-popular-prefixes.py & -suffixes.py): the
+    // leading and trailing token runs (length 1..2) of every name,
+    // frequency-counted with a min-count cut — the upstream that
+    // produces the suspicious-affix denylists a12 consumes as given.
+    // One narrow fan-out (≤ 4 grams per name) + one map-side-
+    // combinable (kind, gram) aggregation; example = min name for a
+    // deterministic counterpart of the reference's example list.
+    "a35_affix_mining" -> ((s, d) => {
+      val staged = Tables(s, d, "part")
+        .select(col("p_name"), split(col("p_name"), " ").as("t"))
+        .select(col("p_name"), col("t"),
+          explode(sequence(lit(1), least(lit(2), size(col("t"))))).as("i"))
+      staged.select(col("p_name"), explode(array(
+          struct(lit("prefix").as("kind"),
+            array_join(slice(col("t"), lit(1), col("i")), " ").as("gram")),
+          struct(lit("suffix").as("kind"),
+            array_join(slice(col("t"), -col("i"), col("i")), " ").as("gram"))))
+          .as("g"))
+        .groupBy(col("g.kind").as("kind"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as("cnt"), min(col("p_name")).as("example"))
+        .filter(col("cnt") >= 2)
+    }),
+
     // a24: collections = part rows; odd keys play "category", even keys
     // play "list"; categories k ≡ 1 (mod 4) relate to list k+1 and
     // k ≡ 3 (mod 4) to list k-1 (the P1753/P1754 edge stand-in), so a
@@ -225,6 +277,34 @@ object GroupA4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "a35_affix_mining" ->
+      """WITH toks AS (SELECT p_name, string_split(p_name, ' ') AS t FROM part),
+        |fan AS (SELECT p_name, t,
+        |          unnest(generate_series(1, least(2, len(t)))) AS i
+        |        FROM toks),
+        |grams AS (
+        |  SELECT 'prefix' AS kind, array_to_string(t[1:i], ' ') AS gram, p_name
+        |  FROM fan
+        |  UNION ALL
+        |  SELECT 'suffix', array_to_string(t[len(t)-i+1:len(t)], ' '), p_name
+        |  FROM fan)
+        |SELECT kind, gram, count(*) AS cnt, min(p_name) AS example
+        |FROM grams GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "a34_emoji_tokenize" -> {
+      // The regex literals are shared with the Spark side ([[graft
+      // .functions.Text]]); only the SQL quote escaping differs.
+      val tok = graft.functions.Text.emojiTokenRe.replace("'", "''")
+      val cls = graft.functions.Text.emojiClass.replace("'", "''")
+      s"""WITH named AS (SELECT p_partkey, $emojiNameSql AS name FROM part),
+         |t AS (SELECT p_partkey, name,
+         |        regexp_extract_all(name, '$tok') AS toks FROM named)
+         |SELECT p_partkey, name,
+         |  array_to_string(toks, ',') AS tokens,
+         |  cast(len(toks) AS bigint) AS n_tokens,
+         |  cast(len(list_filter(toks, x -> regexp_matches(x, '^$cls'))) AS bigint) AS n_emoji
+         |FROM t""".stripMargin
+    },
     "a32_unpivot" ->
       """SELECT c_custkey, 'acctbal' AS metric, cast(c_acctbal AS double) AS value
         |FROM customer

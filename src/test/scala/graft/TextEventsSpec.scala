@@ -10,6 +10,26 @@ class TextEventsSpec extends GraftSuite {
   private val ss = SparkTestBase.spark
   import ss.implicits._
 
+  test("a34: emoji-aware tokenization matches the reference's split rules") {
+    // load_custom_collections.py emoji_split/tokenize_name semantics:
+    // emoji survive as tokens, ZWJ sequences and skin-tone modifiers
+    // stay ONE token, text splits on [a-zA-Z0-9']+.
+    val got = Seq(
+      "fire 🔥drill",      // emoji glued to a word still separates
+      "a🧡💛b",            // adjacent distinct emoji = separate tokens
+      "thumbs 👍🏽 up",     // modifier attaches
+      "family 👨‍👩‍👧 day",  // ZWJ sequence is one token
+      "don't stop-me")     // apostrophe kept, dash splits
+      .toDF("name")
+      .select(graft.functions.Text.emojiTokens(col("name")).as("t"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("fire", "🔥", "drill"))
+    assert(got(1) === Seq("a", "🧡", "💛", "b"))
+    assert(got(2) === Seq("thumbs", "👍🏽", "up"))
+    assert(got(3) === Seq("family", "👨‍👩‍👧", "day"))
+    assert(got(4) === Seq("don't", "stop", "me"))
+  }
+
   test("f1: distinct tokens never exceed total tokens") {
     val bad = SparkEntry.queries("f1_token_stats")(spark, sfDir)
       .filter($"n_distinct" > $"n_tokens" || $"n_tokens" < 0).count()
