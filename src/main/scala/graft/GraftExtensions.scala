@@ -60,6 +60,23 @@ object GraftExtensions {
         require(v != null && v.asInstanceOf[Int] >= 1,
           "graft_shingles: n must be a non-null integer literal >= 1")
         graft.functions.expr.WordShingles(toks, v.asInstanceOf[Int])
+      }),
+    // Aggregate: the analyzer wraps a bare AggregateFunction from a
+    // registry builder in its AggregateExpression, same as built-ins.
+    oneArg("graft_simhash",
+      "graft_simhash(feature_hash) - SimHash aggregate over bigint feature hashes (64-bit fingerprint)",
+      classOf[graft.functions.expr.SimhashAgg],
+      graft.functions.expr.SimhashAgg(_)),
+    twoArg("graft_minhash",
+      "graft_minhash(shingles, k) - k-component MinHash signature of a string array (k a literal int)",
+      classOf[graft.functions.expr.MinhashSig],
+      (toks, k) => {
+        require(k.foldable && k.dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_minhash: k must be an integer literal")
+        val v = k.eval()
+        require(v != null && v.asInstanceOf[Int] >= 1,
+          "graft_minhash: k must be a non-null integer literal >= 1")
+        graft.functions.expr.MinhashSig(toks, v.asInstanceOf[Int])
       }))
 
   /** Idempotently register the functions on an existing session. */

@@ -13,6 +13,13 @@ object Hashes {
     ColumnBridge.column(
       SimhashAgg(ColumnBridge.expression(featureHash)).toAggregateExpression())
 
+  /** k-component MinHash signature of a shingle array column — the
+    * scalar form of [[graft.operators.Dedup.minhashSignatures]]
+    * (bit-compatible; parity pinned in DedupSpec). */
+  def minhashSig(shingles: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.functions.expr.MinhashSig(ColumnBridge.expression(shingles), k))
+
   /** Keccak-256 (Ethereum variant) of a string/binary column, as a
     * 32-byte binary. */
   def keccak256(c: Column): Column =

@@ -85,4 +85,26 @@ class ArrayDotSpec extends GraftSuite {
       .as[Seq[String]].head()
     assert(nul == Seq.empty)
   }
+
+  test("graft_simhash and graft_minhash are callable from SQL") {
+    GraftExtensions.register(spark)
+    // SQL-only route to the dedup family: simhash as an aggregate,
+    // minhash as a scalar signature.
+    val fp = spark.sql(
+      """SELECT graft_simhash(xxhash64(t)) AS fp
+        |FROM VALUES ('a'), ('b'), ('a') AS v(t)""".stripMargin)
+      .as[Long].head()
+    val expected = Seq("a", "b", "a").toDF("t")
+      .groupBy().agg(graft.functions.Hashes.simhash(xxhash64($"t")))
+      .as[Long].head()
+    assert(fp === expected)
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('x y z', 'y z w'), 4) AS s")
+      .as[Seq[Long]].head()
+    assert(sig.length === 4)
+    val direct = Seq((Seq("x y z", "y z w"))).toDF("sh")
+      .select(graft.functions.Hashes.minhashSig($"sh", 4))
+      .as[Seq[Long]].head()
+    assert(sig === direct)
+  }
 }

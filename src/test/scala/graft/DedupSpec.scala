@@ -41,6 +41,31 @@ class DedupSpec extends GraftSuite {
     assert(joined <= 0.15, s"mean |est - true| = $joined")
   }
 
+  test("graft_minhash scalar signatures are bit-equal to the grouped min-agg form") {
+    // The SQL-facing scalar (one narrow projection per doc) must
+    // reproduce Dedup.minhashSignatures (min(xxhash64(shingle, i))
+    // grouped over exploded rows) exactly — same hash chain, same
+    // seed, duplicates can't move a min.
+    import graft.functions.{Hashes, Text}
+    val k = 16
+    val grouped = Dedup.minhashSignatures(
+      Dedup.shingles(docs, "doc_id", "text", n = 3), k)
+      .as[(Long, Seq[Long])].collect().toMap
+    val scalar = docs
+      .select($"doc_id", Hashes.minhashSig(
+        Text.shingles(Text.tokens($"text"), 3), k).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(scalar.keySet === grouped.keySet)
+    scalar.foreach { case (id, sig) =>
+      assert(sig === grouped(id), s"signature mismatch for doc $id") }
+    // shingle-less input -> NULL, matching the grouped form's no-row
+    val empty = Seq("a b").toDF("text")
+      .select(Hashes.minhashSig(Text.shingles(Text.tokens($"text"), 3), k))
+      .collect().head
+    assert(empty.isNullAt(0))
+  }
+
   test("simhash finds the near-exact duplicates") {
     // Short documents put even 0.95-jaccard pairs at Hamming 4-6, so
     // the operating point is the blocking guarantee's edge (k = 6);
