@@ -130,6 +130,33 @@ object Corpus {
           .as("dup_fraction"))
   }
 
+  /** Sequence packing for training batches: lay chunks end-to-end in
+    * `orderCols` order within each `partitionCols` group and assign
+    * each chunk to the fixed-token-budget output sequence its FIRST
+    * token lands in (`seq_id = floor(start_offset / budget)`) — the
+    * streaming "fill until the budget, move on" pack that minimizes
+    * padding when examples are concatenated into training sequences.
+    * A chunk may straddle a boundary; the accounting convention is
+    * start-offset ownership (exact splitting is a tokenizer-side
+    * concern). Returns the input plus (seq_offset, seq_id).
+    *
+    * One window cumsum per partition group. Packing is inherently
+    * sequential WITHIN a group, so the parallelism unit is the group
+    * count — at corpus scale callers MUST pass a partition key of
+    * output-shard granularity (a hash-salted shard id, a
+    * source × shard pair), never a handful of global keys.
+    */
+  def packSequences(chunks: DataFrame, partitionCols: Seq[Column],
+                    orderCols: Seq[Column], tokenCol: Column,
+                    budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    chunks
+      .withColumn("seq_offset", sum(tokenCol).over(w) - tokenCol)
+      .withColumn("seq_id", expr(s"seq_offset DIV $budget"))
+  }
+
   /** Overlapping token-window chunks: each document's token array is
     * cut into windows of `size` tokens starting every `stride` tokens
     * (stride < size ⇒ overlap of size − stride). Output: (id,

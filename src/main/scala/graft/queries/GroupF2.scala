@@ -57,6 +57,29 @@ object GroupF2 {
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))),
 
+    // f12: sequence packing — f9's chunks laid end-to-end per source
+    // and cut into 256-token training sequences by running offset
+    // (Corpus.packSequences). The step between chunking and export:
+    // packing concatenated examples into fixed-length sequences is
+    // what keeps training batches padding-free. Aggregated per
+    // (source, seq_id) so the compare stays compact — count and token
+    // sum per packed sequence. The window partitions on `source` here
+    // because the oracle needs a deterministic key; at corpus scale
+    // the operator contract requires a shard-granular key (see
+    // packSequences doc) — packing is sequential within a shard.
+    "f12_pack_sequences" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val chunks = graft.operators.Corpus
+        .chunkWindows(docs, "doc_id", "text", ChunkSize, ChunkStride)
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      graft.operators.Corpus.packSequences(chunks, Seq(col("source")),
+          Seq(col("id"), col("chunk_idx")), col("chunk_tokens"),
+          budget = 256L)
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(col("chunk_tokens")).as("n_tokens"))
+    }),
+
     // f11: character-level Shannon entropy (nats) — the third classic
     // quality cut (after length/ratio gates and repetition): binary
     // junk and encoding garbage score high, keyboard-mash and
@@ -124,6 +147,25 @@ object GroupF2 {
          |    row_number() OVER (PARTITION BY doc_id
          |                       ORDER BY score DESC, term ASC) AS rn
          |  FROM scored) WHERE rn <= 3""".stripMargin,
+
+    "f12_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |d AS (SELECT doc_id, source, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, source, toks, n,
+         |         unnest(generate_series(0, n - 1, $ChunkStride)) AS start
+         |       FROM d),
+         |c AS (SELECT doc_id, source, start // $ChunkStride AS chunk_idx,
+         |        cast(len(list_slice(toks, start + 1, least(start + $ChunkSize, n))) AS bigint)
+         |          AS chunk_tokens
+         |      FROM st),
+         |p AS (SELECT source, chunk_tokens,
+         |        sum(chunk_tokens) OVER (PARTITION BY source
+         |          ORDER BY doc_id, chunk_idx) - chunk_tokens AS seq_offset
+         |      FROM c)
+         |SELECT source, seq_offset // 256 AS seq_id,
+         |  count(*) AS n_chunks,
+         |  cast(sum(chunk_tokens) AS bigint) AS n_tokens
+         |FROM p GROUP BY 1, 2""".stripMargin,
 
     "f9_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),

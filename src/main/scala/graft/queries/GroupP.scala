@@ -98,39 +98,45 @@ object GroupP {
     // against the benchmark slice of the FULL corpus (eval sets don't
     // get quality-gated away), and the sample cut runs last so kept
     // rates compose predictably.
-    "p2_corpus_pipeline" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-          col("text"), Text.tokens(col("text")).as("toks"))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-      val gated = toks.filter(
-        col("lang") === "en" && col("n_tokens") >= 10 &&
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
-            length(col("text")) <= 0.3 &&
-          col("doc_id") % 20 =!= 0) // benchmark docs are never trainable
-      val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text",
-        n = 3, tau = 0.5)
-      val kept = Dedup.keepCanonical(gated, pairs, "doc_id")
-      // Contamination is per-doc independent, so it only needs to be
-      // MEASURED on docs that can still survive — the gated corpus —
-      // against the benchmark slice of the FULL corpus (eval sets are
-      // never quality-gated away). Feeding the whole corpus here would
-      // re-scan exactly the majority the gate just discarded.
-      val contInput = docs.select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 20 === 0)
-        .unionByName(gated.select(col("doc_id"), col("text")))
-      val cont = Corpus.contamination(contInput, "doc_id", "text", n = 3,
-        isBench = col("doc_id") % 20 === 0)
-      val clean = kept
-        .join(cont.select(col("id").as("doc_id"), col("contamination")),
-          Seq("doc_id"), "left")
-        .filter(coalesce(col("contamination"), lit(0.0)) < 0.5)
-      Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
-          rates = Map("en" -> 50), defaultRate = 20)
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          expr(s"(n_tokens - 1) DIV ${GroupF2.ChunkStride} + 1").as("n_chunks"))
-    }),
+    "p2_corpus_pipeline" -> ((s, d) =>
+      corpusPipeline(Tables(s, d, "documents"))),
   )
+
+  /** p2's plan over an arbitrary documents frame (doc_id, lang,
+    * source, text) — one definition shared by the oracled query and
+    * ScaleProbe, so the probed plan cannot drift from the verified
+    * one. */
+  def corpusPipeline(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("text"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val gated = toks.filter(
+      col("lang") === "en" && col("n_tokens") >= 10 &&
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+          length(col("text")) <= 0.3 &&
+        col("doc_id") % 20 =!= 0) // benchmark docs are never trainable
+    val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text",
+      n = 3, tau = 0.5)
+    val kept = Dedup.keepCanonical(gated, pairs, "doc_id")
+    // Contamination is per-doc independent, so it only needs to be
+    // MEASURED on docs that can still survive — the gated corpus —
+    // against the benchmark slice of the FULL corpus (eval sets are
+    // never quality-gated away). Feeding the whole corpus here would
+    // re-scan exactly the majority the gate just discarded.
+    val contInput = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 20 === 0)
+      .unionByName(gated.select(col("doc_id"), col("text")))
+    val cont = Corpus.contamination(contInput, "doc_id", "text", n = 3,
+      isBench = col("doc_id") % 20 === 0)
+    val clean = kept
+      .join(cont.select(col("id").as("doc_id"), col("contamination")),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("contamination"), lit(0.0)) < 0.5)
+    Sampling.stratifiedSample(clean, col("doc_id"), col("lang"),
+        rates = Map("en" -> 50), defaultRate = 20)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(n_tokens - 1) DIV ${GroupF2.ChunkStride} + 1").as("n_chunks"))
+  }
 
   val oracles: Map[String, String] = Map(
     "p1_pipeline" ->

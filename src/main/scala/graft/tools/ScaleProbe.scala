@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{Collections, Corpus, Graph, Relational}
+import graft.operators.{Collections, Corpus, Dedup, Graph, Relational}
 import graft.queries.GroupP
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -134,6 +134,41 @@ object ScaleProbe {
     report("d9 contamination",
       noop(Corpus.contamination(docs, "doc_id", "text", 3, col("doc_id") % 20 === 0)),
       noop(Corpus.contamination(docsK, "doc_id", "text", 3, col("doc_id") % 20 === 0)))
+
+    // d7/d8 shape: pair→cluster resolution + the canonical cut.
+    // Scaling duplicates the PAIR STRUCTURE, not the documents: both
+    // pair ids shift per copy, so the component count scales K× while
+    // cluster shapes — diameter, the thing that sets the round count —
+    // stay fixed. That is the corpus-grows direction for dedup
+    // clusters (more clusters, not deeper ones).
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select("id_a", "id_b").localCheckpoint()
+    val pairsK = scaled(pairs, Seq("id_a", "id_b"))
+    report("d7 components",
+      noop(Graph.connectedComponents(pairs)),
+      noop(Graph.connectedComponents(pairsK)))
+    report("d8 canonical-cut",
+      noop(Dedup.keepCanonical(docs, pairs, "doc_id")),
+      noop(Dedup.keepCanonical(docsK, pairsK, "doc_id")))
+
+    // p2: the whole composed corpus pipeline (same definition the
+    // oracled query runs). Copies must DIFFER in text — a vowel
+    // rotation per copy — or the K× corpus would manufacture
+    // cross-copy exact duplicates and the pair join would measure K²
+    // structure no real corpus has; in-copy planted near-dups survive
+    // the rotation (both sides rotate identically). doc_id shifts keep
+    // the %20 benchmark slice aligned (SHIFT is divisible by 20).
+    val docsFull = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "text").localCheckpoint()
+    val docsP2K = (0 until k).map { i =>
+      val r = i % 5
+      docsFull.withColumn("doc_id", col("doc_id") + lit(i.toLong * SHIFT))
+        .withColumn("text",
+          translate(col("text"), "aeiou", "aeiou".drop(r) + "aeiou".take(r)))
+    }.reduce(_ unionByName _).localCheckpoint()
+    report("p2 pipeline",
+      noop(GroupP.corpusPipeline(docsFull)),
+      noop(GroupP.corpusPipeline(docsP2K)))
 
     // g5 shape: two-level exact distinct (shifted user ids multiply
     // the per-window distinct-user count — the audience-grows

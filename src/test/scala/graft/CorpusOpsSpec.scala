@@ -69,6 +69,34 @@ class CorpusOpsSpec extends GraftSuite {
     } finally out.unpersist()
   }
 
+  test("f12: packing laws — offsets are a prefix sum, seq ownership by start offset") {
+    import graft.operators.Corpus
+    val chunks = Seq(
+      // group A: tokens 5,7,3,10 -> offsets 0,5,12,15; budget 8 ->
+      // seq ids 0,0,1,1 (the 7-chunk straddles 8, start-offset owns)
+      ("A", 1L, 5L), ("A", 2L, 7L), ("A", 3L, 3L), ("A", 4L, 10L),
+      // group B independent: offsets restart at 0
+      ("B", 1L, 9L), ("B", 2L, 1L))
+      .toDF("grp", "ord", "chunk_tokens")
+    val got = Corpus.packSequences(chunks, Seq($"grp"), Seq($"ord"),
+        $"chunk_tokens", budget = 8L)
+      .select($"grp", $"ord", $"seq_offset", $"seq_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 1L, 0L, 0L), ("A", 2L, 5L, 0L), ("A", 3L, 12L, 1L), ("A", 4L, 15L, 1L),
+      ("B", 1L, 0L, 0L), ("B", 2L, 9L, 1L)))
+    // Conservation on real chunks: packed token sums equal chunk totals.
+    val docs = Tables(spark, sfDir, "documents")
+    val real = Corpus.chunkWindows(docs, "doc_id", "text", 50, 40)
+    val packed = Corpus.packSequences(real, Seq(lit(1)), Seq($"id", $"chunk_idx"),
+      $"chunk_tokens", budget = 256L)
+    assert(packed.agg(sum($"chunk_tokens")).as[Long].head() ===
+      real.agg(sum($"chunk_tokens")).as[Long].head())
+    // Every sequence but the last starts within budget of its id.
+    val bad = packed.filter($"seq_offset" - $"seq_id" * 256 >= 256).count()
+    assert(bad === 0)
+  }
+
   test("f10: fractions bounded; a constant-text doc maxes out") {
     val out = SparkEntry.queries("f10_repetition")(spark, sfDir)
     val bad = out.filter(
