@@ -103,28 +103,31 @@ object Similarity {
     * tuned by (numTables, bitsPerTable).
     *
     * `dim` ≤ 0 (the default) derives the embedding dimension from the
-    * corpus; an explicit value is validated against the data (a
-    * mismatched hyperplane length would otherwise null out plane dots
-    * via zip_with padding and silently degrade recall).
+    * corpus with a 1-row probe — a synchronous driver job. Callers at
+    * scale should pass `dim` explicitly: it is TRUSTED (no probe job
+    * runs), and the contract is that it matches the data — a wrong
+    * value nulls plane dots via zip_with padding and silently
+    * degrades recall.
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
              numTables: Int = 16, bitsPerTable: Int = 5, dim: Int = -1,
              seed: Long = 42L): DataFrame = {
-    // Derive the embedding dimension from the first non-null vector
-    // (the null filter must run BEFORE size(): under non-ANSI defaults
-    // size(null) is -1, not null); an empty (or all-null) corpus
-    // short-circuits to an empty result instead of failing on head().
-    val dimRow = corpus.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d")).head(1)
-    if (dimRow.isEmpty) {
-      return queries.select(col(idCol).as("query_id"),
-        col(idCol).as("neighbor_id"),
-        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    val dataDim = if (dim > 0) dim else {
+      // Derive the embedding dimension from the first non-null vector
+      // (the null filter must run BEFORE size(): under non-ANSI
+      // defaults size(null) is -1, not null); an empty (or all-null)
+      // corpus short-circuits to an empty result instead of failing
+      // on head().
+      val dimRow = corpus.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).head(1)
+      if (dimRow.isEmpty) {
+        return queries.select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+      }
+      dimRow.head.getInt(0)
     }
-    val dataDim = dimRow.head.getInt(0)
-    require(dim <= 0 || dim == dataDim,
-      s"knnLsh dim = $dim does not match the embedding dimension $dataDim")
     val ps = planes(numTables, bitsPerTable, dataDim, seed)
     // Normalize once, reuse for bucketing and scoring (at cluster scale
     // this would be a persisted/cached intermediate).
@@ -179,18 +182,25 @@ object Similarity {
     * bucket sizes of a few hundred (bits ≈ log2(N / targetBucket)) so
     * candidate volume stays Σ bucket²-bounded — and buy recall back
     * with `numTables`, which scales cost linearly, not quadratically.
+    *
+    * `dim` ≤ 0 derives the embedding dimension with a 1-row probe (a
+    * synchronous driver job); pass it explicitly at scale — trusted,
+    * same contract as [[knnLsh]].
     */
   def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                      tau: Double, numTables: Int = 16, bitsPerTable: Int = 5,
-                     seed: Long = 42L): DataFrame = {
-    // Null filter before size(): non-ANSI size(null) is -1, not null.
-    val dimRow = emb.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d")).head(1)
-    if (dimRow.isEmpty) {
-      return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
-        lit(0.0).as("cosine")).limit(0)
+                     seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val dataDim = if (dim > 0) dim else {
+      // Null filter before size(): non-ANSI size(null) is -1, not null.
+      val dimRow = emb.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).head(1)
+      if (dimRow.isEmpty) {
+        return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+          lit(0.0).as("cosine")).limit(0)
+      }
+      dimRow.head.getInt(0)
     }
-    val ps = planes(numTables, bitsPerTable, dimRow.head.getInt(0), seed)
+    val ps = planes(numTables, bitsPerTable, dataDim, seed)
     val unit = normalized(emb, idCol, vecCol).cut()
     // Checkpoint the bucket ids before self-joining: the bucketing
     // expression embeds numTables × bits × dim plane literals, and

@@ -66,6 +66,44 @@ class DedupSpec extends GraftSuite {
     assert(empty.isNullAt(0))
   }
 
+  test("MinhashSig codegen: no silent fallback, null contract on random arrays") {
+    import graft.functions.Hashes
+    // Random shingle arrays incl. null arrays, null elements and empty
+    // arrays; repartition blocks constant folding (which would run
+    // interpreted eval) and fallback=false turns a broken doGenCode
+    // into a hard failure instead of a silent interpreted fallback.
+    val rnd = new scala.util.Random(501)
+    val rows: Seq[(Long, Option[Seq[Option[String]]])] = (0L until 200L).map { i =>
+      i -> (if (rnd.nextInt(10) == 0) None
+            else Some((0 until rnd.nextInt(6)).map { _ =>
+              if (rnd.nextInt(12) == 0) Option.empty[String]
+              else Some(s"s${rnd.nextInt(40)}")
+            }))
+    }
+    val df = rows.toDF("id", "sh").repartition(3)
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.codegen.fallback")
+    try {
+      c.set("spark.sql.codegen.fallback", "false")
+      val scalar = df.select($"id", Hashes.minhashSig($"sh", 8).as("sig"))
+        .filter($"sig".isNotNull)
+        .as[(Long, Seq[Long])].collect().toMap
+      // Independent grouped formulation: min(xxhash64(elem, i)) over
+      // exploded non-null elements.
+      val exploded = df.select($"id", explode($"sh").as("shingle"))
+        .filter($"shingle".isNotNull)
+      val grouped = Dedup.minhashSignatures(exploded, 8)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(scalar === grouped)
+      // null/empty/all-null-element arrays yield NULL (= no grouped row)
+      val expectedNull = rows.collect {
+        case (i, sh) if sh.forall(_.forall(_.isEmpty)) => i
+      }.toSet
+      assert(rows.map(_._1).toSet -- scalar.keySet === expectedNull)
+    } finally saved.fold(c.unset("spark.sql.codegen.fallback"))(
+      c.set("spark.sql.codegen.fallback", _))
+  }
+
   test("simhash finds the near-exact duplicates") {
     // Short documents put even 0.95-jaccard pairs at Hamming 4-6, so
     // the operating point is the blocking guarantee's edge (k = 6);

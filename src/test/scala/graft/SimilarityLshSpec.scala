@@ -49,6 +49,15 @@ class SimilarityLshSpec extends GraftSuite {
       emb.filter($"vec_id" < 0), "vec_id", "embedding", tau = 0.5).count() == 0)
   }
 
+  test("explicit dim skips the probe and yields identical pairs") {
+    val probed = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+      tau = 0.35))
+    val d = emb.selectExpr("size(embedding) d").head().getInt(0)
+    val trusted = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+      tau = 0.35, dim = d))
+    assert(trusted === probed)
+  }
+
   test("all-pairs baselines refuse oversized inputs unless explicitly allowed") {
     // The exact variants are declared validation baselines; above the
     // threshold they must fail LOUDLY (naming the scale path), never
