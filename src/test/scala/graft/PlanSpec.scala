@@ -147,11 +147,41 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("c6: custom-collections shaping is a single narrow pass — no exchange") {
+    // fromCustom's contract: JSON parse + array HOFs only, so the
+    // whole shaping stage is embarrassingly parallel at any corpus
+    // size. An exchange here would mean an accidental explode+groupBy
+    // crept back in.
+    val p = plan("c6_custom_jsonl")
+    assert(!p.contains("Exchange"),
+      s"custom-collections shaping must stay zero-shuffle\n$p")
+  }
+
+  test("a34: emoji tokenization is a narrow projection — no exchange") {
+    val p = plan("a34_emoji_tokenize")
+    assert(!p.contains("Exchange"), s"tokenization must not shuffle\n$p")
+    assert(p.contains("ReadSchema: struct<p_name:string,p_partkey:bigint>") ||
+      p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string>"),
+      s"scan must prune to the two referenced columns\n$p")
+  }
+
+  test("f12: packing costs its window shuffle plus the final agg, nothing more") {
+    val p = plan("f12_pack_sequences")
+    // chunk fan-out (narrow) → join source (broadcastable dim at this
+    // size) → ONE hash exchange for the per-source window → one for
+    // the (source, seq_id) aggregation. Anything beyond that is a
+    // regression.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("f8: tf-idf scoring joins broadcast the df model and corpus size") {
     val p = plan("f8_tfidf")
     // The (term → df) model and the 1-row corpus count are dims next
-    // to the (doc, term) fact: both must broadcast, and the per-doc
-    // top-3 must run the rank-limit pushdown.
+    // to the (doc, term) fact: both must broadcast — the count by
+    // hint, the df model by size (the hint was dropped: vocabulary
+    // grows with the corpus, AQE decides at runtime) — and the
+    // per-doc top-3 must run the rank-limit pushdown.
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the 1-row corpus count joins as a broadcast nested loop\n$p")
