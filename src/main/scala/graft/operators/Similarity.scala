@@ -357,6 +357,110 @@ object Similarity {
               lit(255.0))).cast("int")))
           .as("q"))
 
+  /** (id, s, sub) rows: subvector `s` (0..m-1) of each vector — the
+    * PQ decomposition. Narrow (explode + slice after pruning). */
+  private def subvectors(v: DataFrame, m: Int, ds: Int): DataFrame =
+    v.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("id"), col("s"),
+        slice(col("v"), col("s") * ds + 1, lit(ds)).as("sub"))
+
+  /** Nearest-codeword assignment per (vector, subspace): argmin of the
+    * rounded squared L2 distance, codeword id as tiebreak — one
+    * broadcast join + a map-side-combinable min_by, so the exchange
+    * carries (id, s) rows, never the (id, s, codeword) candidates.
+    * Distances round to 6 dp so independent engines pick identical
+    * codes despite last-ulp summation differences. */
+  private def assignPq(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("s"))
+      .withColumn("dist2", round(
+        Vectors.dot(col("sub"), col("sub")) +
+          Vectors.dot(col("cvec"), col("cvec")) -
+          lit(2.0) * Vectors.dot(col("cvec"), col("sub")), 6))
+      .groupBy("id", "s")
+      .agg(expr("min_by(cid, struct(dist2, cid))").as("code"))
+
+  /** Product-quantization codebook: (s, cid, cvec) — `m` independent
+    * subspace codebooks over the vectors' `dim/m`-dim subvectors
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011 — the layout IVF+PQ serving builds on).
+    *
+    * The base codebook is SAMPLED: the subvectors of the `k`
+    * lowest-id vectors — deterministic and reproducible on any
+    * engine, which is what lets [[quantizePq]] hash-match a SQL
+    * oracle. `lloydIters` > 0 runs per-subspace k-means refinement on
+    * the corpus (9-dp-rounded means, the [[knnIvf]] determinism
+    * recipe) — the quality path; the spec pins that refinement never
+    * increases reconstruction error.
+    *
+    * Scale shape: the codebook is m·k·(dim/m) = k·dim doubles — a
+    * broadcast dim at any corpus size (256 codewords × 1024 dims =
+    * 2 MB); each Lloyd round costs one assignment exchange of
+    * (id, s) rows plus one (s, cid, pos) partial-agg shuffle.
+    */
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                 m: Int = 4, k: Int = 16, lloydIters: Int = 0): DataFrame = {
+    require(m >= 1 && k >= 1, s"m/k must be >= 1, got $m/$k")
+    val v = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+    val dimRow = v.select(size(col("v")).as("d")).head(1)
+    require(dimRow.nonEmpty, "pqCodebook: no non-null vectors")
+    val d = dimRow.head.getInt(0)
+    require(d % m == 0, s"pqCodebook: dim $d is not divisible by m = $m")
+    val ds = d / m
+    val vc = v.cut()
+    val seeds = vc.orderBy(col("id")).limit(k)
+    var cb = subvectors(seeds, m, ds)
+      .select(col("s"), col("id").as("cid"), col("sub").as("cvec")).cut()
+    if (lloydIters > 0) {
+      val subs = subvectors(vc, m, ds)
+      for (_ <- 1 to lloydIters) {
+        // Move each codeword to the mean of its assigned subvectors;
+        // empty codewords drop out (their cell was never nearest).
+        cb = assignPq(subs, cb)
+          .join(subs, Seq("id", "s"))
+          .select(col("s"), col("code").as("cid"),
+            posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy("s", "cid", "pos").agg(round(avg(col("x")), 9).as("mv"))
+          .groupBy("s", "cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+            p => p.getField("mv")).as("cvec"))
+          .cut()
+      }
+    }
+    cb
+  }
+
+  /** PQ codes: (id, codes array<int>) — codes(s) = the nearest
+    * codeword of subspace s. With m = 4 over 64 dims this stores 4
+    * small ints instead of 64 floats per vector — the memory layout
+    * that lets an ANN index hold billions of vectors in RAM;
+    * reconstruction is [[pqReconstruct]]. */
+  def quantizePq(emb: DataFrame, idCol: String, vecCol: String,
+                 codebook: DataFrame): DataFrame = {
+    val meta = codebook.agg(max(col("s")), max(size(col("cvec")))).head()
+    val m = meta.getInt(0) + 1
+    val ds = meta.getInt(1)
+    val v = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
+    assignPq(subvectors(v, m, ds), codebook)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        p => p.getField("code").cast("int")).as("codes"))
+  }
+
+  /** Decode PQ codes back to (id, vhat) — the concatenation of each
+    * subspace's codeword; the spec measures reconstruction quality
+    * against the originals. */
+  def pqReconstruct(codes: DataFrame, codebook: DataFrame): DataFrame = {
+    val cb = codebook.select(col("s"), col("cid").cast("int").as("code"),
+      col("cvec"))
+    codes.select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(cb), Seq("s", "code"))
+      .groupBy("id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cvec")))),
+        p => p.getField("cvec"))).as("vhat"))
+  }
+
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
     * zero vectors pass through unchanged (cosine 0 downstream). */
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

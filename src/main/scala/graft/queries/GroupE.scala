@@ -42,6 +42,22 @@ object GroupE {
           org.apache.spark.sql.functions.round(col("mn"), 6).as("mn"),
           org.apache.spark.sql.functions.round(col("mx"), 6).as("mx"),
           org.apache.spark.sql.functions.concat_ws(",", col("q")).as("q_csv"))),
+
+    // e5: product quantization — 4 subspace codebooks of 16 sampled
+    // codewords over the 64-dim embeddings: 4 small ints instead of
+    // 64 floats per vector (the IVF+PQ serving layout). The SAMPLED
+    // codebook (k lowest-id vectors) is what makes the codes exactly
+    // reproducible in DuckDB; Lloyd refinement is the quality path
+    // (pinned by spec: never increases reconstruction error). Codes
+    // argmin on 6-dp-rounded distances with codeword-id tiebreak, so
+    // both engines pick identical codes.
+    "e5_quantize_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 4, k = 16)
+      Similarity.quantizePq(e, "vec_id", "embedding", cb)
+        .select(col("id").as("vec_id"),
+          org.apache.spark.sql.functions.concat_ws(",", col("codes")).as("codes"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -58,6 +74,27 @@ object GroupE {
         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    // The min_by key encodes (round(dist2, 6), cid) order-preservingly
+    // in one double: cid < 16 and cid·1e-9 is far below the 1e-6
+    // rounding granularity yet far above the ulp of any dist2 here,
+    // so adding it breaks ties by codeword id exactly like the Spark
+    // side's struct(dist2, cid).
+    "e5_quantize_pq" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |seeds AS (SELECT id AS cid, v AS cv FROM v ORDER BY id LIMIT 16),
+        |sp AS (SELECT s FROM (VALUES (0),(1),(2),(3)) t(s)),
+        |cent AS (SELECT s, cid, cv[s*16+1 : s*16+16] AS cvec FROM seeds, sp),
+        |sub AS (SELECT id, s, v[s*16+1 : s*16+16] AS sub FROM v, sp),
+        |a AS (SELECT id, s,
+        |        min_by(cid,
+        |          round(list_inner_product(sub, sub) + list_inner_product(cvec, cvec)
+        |                - 2 * list_inner_product(cvec, sub), 6) + cid * 1e-9) AS code
+        |      FROM sub JOIN cent USING (s) GROUP BY 1, 2)
+        |SELECT id AS vec_id,
+        |  string_agg(cast(code AS string), ',' ORDER BY s) AS codes
+        |FROM a GROUP BY 1""".stripMargin,
 
     "e4_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

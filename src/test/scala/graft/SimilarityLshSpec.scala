@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions._
 
 /** cosinePairsLsh (the 100 TB path for d5's contract) has no SQL
   * oracle — hyperplane seeds are engine-specific — so its guarantee is
@@ -56,6 +57,42 @@ class SimilarityLshSpec extends GraftSuite {
     val trusted = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
       tau = 0.35, dim = d))
     assert(trusted === probed)
+  }
+
+  test("e5: PQ codes are valid, decodable, and Lloyd refinement never hurts") {
+    import graft.operators.Similarity
+    import graft.functions.Vectors
+    val v = emb.select($"vec_id".as("id"),
+      transform($"embedding", _.cast("double")).as("v"))
+    def quality(iters: Int): (Double, Double) = {
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", 4, 16, iters)
+      val codes = Similarity.quantizePq(emb, "vec_id", "embedding", cb)
+      if (iters == 0) {
+        // every vector gets m codes, each one of the 16 sampled ids
+        val rows = codes.select($"codes").as[Seq[Int]].collect()
+        assert(rows.nonEmpty && rows.forall(c => c.length == 4 &&
+          c.forall(x => x >= 0 && x < 16 * 50)))
+        val seedIds = emb.orderBy($"vec_id").limit(16)
+          .select($"vec_id").as[Long].collect().map(_.toInt).toSet
+        assert(rows.flatten.toSet.subsetOf(seedIds))
+      }
+      val rec = Similarity.pqReconstruct(codes, cb)
+      val j = rec.join(v, "id")
+        .withColumn("se", aggregate(zip_with($"v", $"vhat",
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        .withColumn("cos", Vectors.dot($"v", $"vhat") /
+          (Vectors.norm($"v") * Vectors.norm($"vhat")))
+      val r = j.agg(avg("se"), avg("cos")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (mse0, cos0) = quality(0)
+    val (mse2, cos2) = quality(2)
+    // k-means monotonicity (modulo the 9-dp mean rounding): refinement
+    // must not make reconstruction worse. Observed on this data:
+    // mse 1.06 → 0.74, cos 0.42 → 0.51.
+    assert(mse2 <= mse0 + 1e-6, s"lloyd worsened mse: $mse0 -> $mse2")
+    assert(cos2 >= cos0 - 1e-6, s"lloyd worsened cosine: $cos0 -> $cos2")
+    assert(cos2 > 0.45, s"refined reconstruction too weak: $cos2")
   }
 
   test("all-pairs baselines refuse oversized inputs unless explicitly allowed") {
