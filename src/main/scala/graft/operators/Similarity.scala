@@ -252,13 +252,39 @@ object Similarity {
              kmeansIters: Int = 2, fitBuckets: Int = 100,
              fitKeep: Int = 100): DataFrame = {
     val unit = normalized(corpus, idCol, vecCol).cut()
+    val centroids = ivfFit(unit, centroidMod, kmeansIters,
+      fitBuckets, fitKeep, "knnIvf")
+    // Inverted lists: corpus vector -> its single nearest centroid.
+    val lists = ivfAssign(unit, centroids)
+      .select(col("id").as("neighbor_id"), col("cid"), col("unit").as("cv"))
+    // Queries probe nProbe lists.
+    val qUnit = normalized(queries, idCol, vecCol)
+    val probes = ivfNearest(qUnit, centroids, nProbe, "query_id")
+      .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")),
+            "query_id")
+    val scored = probes.join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
+      // No dedup needed: every corpus vector lives in exactly one list,
+      // so (query, neighbor) pairs are already unique across probes.
+      .select("query_id", "neighbor_id", "cosine")
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** The IVF centroid fit shared by [[knnIvf]] and [[knnIvfPq]]:
+    * sampled seeds, existence/broadcast-size guards, `kmeansIters`
+    * Lloyd rounds on `fitKeep`/`fitBuckets` hash-sampled vectors
+    * (9-dp-rounded renormalized means — deterministic in practice).
+    * Returns the broadcast (cid, cvec) centroid set. */
+  private def ivfFit(unit: DataFrame, centroidMod: Long, kmeansIters: Int,
+                     fitBuckets: Int, fitKeep: Int,
+                     caller: String): DataFrame = {
     // Lloyd refinement may run on a deterministic hash-sample of the
-    // corpus (`fitKeep` of `fitBuckets` Sampling.hashBucket buckets
-    // of the id): per-iteration cost
-    // becomes sample·C dots instead of N·C, which is what keeps the
-    // centroid fit feasible when C ≈ √N grows with the corpus. The
-    // final assignment (inverted lists) always covers the FULL corpus.
-    // Defaults keep the historical exact-fit behavior (keep = 100%).
+    // corpus: per-iteration cost becomes sample·C dots instead of
+    // N·C, which is what keeps the centroid fit feasible when C ≈ √N
+    // grows with the corpus. Assignment always covers the FULL
+    // corpus. Defaults keep the exact-fit behavior (keep = 100%).
     val fitSet =
       if (fitKeep >= fitBuckets) unit
       else unit.filter(Sampling.hashBucket(col("id"), fitBuckets) < fitKeep)
@@ -271,7 +297,7 @@ object Similarity {
     // discovers it the hard way.
     val seedStats = seeds.agg(count(lit(1)), max(size(col("cvec")))).head()
     require(seedStats.getLong(0) > 0,
-      s"knnIvf: no centroids — no corpus id is divisible by $centroidMod " +
+      s"$caller: no centroids — no corpus id is divisible by $centroidMod " +
         "(ids must be numeric and cover multiples of centroidMod; " +
         "lower centroidMod or remap ids)")
     locally {
@@ -279,22 +305,14 @@ object Similarity {
       val dim = seedStats.getInt(1).toLong
       if (c * dim > 100000000L)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"knnIvf: broadcasting $c centroids x $dim dims (~${c * dim * 8 / (1 << 20)} MB) " +
+          s"$caller: broadcasting $c centroids x $dim dims (~${c * dim * 8 / (1 << 20)} MB) " +
             "per Lloyd round; raise centroidMod or fit on a sample (fitKeep)")
     }
     var centroids = broadcast(seeds)
-    // Nearest-centroid argmax: maximize (cdot, -cid) — deterministic
-    // cid-ascending tie-break — via map-side-combinable max_by.
-    def assign(df: DataFrame): DataFrame =
-      df.crossJoin(centroids)
-        .withColumn("cdot", Vectors.dot(col("unit"), col("cvec")))
-        .groupBy("id")
-        .agg(expr("max_by(cid, struct(cdot, -cid))").as("cid"),
-             first(col("unit")).as("unit"))
     for (_ <- 1 to kmeansIters) {
       // Move each centroid to the renormalized mean of its cluster.
       // Empty clusters drop out — harmless, their list would be empty.
-      val means = assign(fitSet)
+      val means = ivfAssign(fitSet, centroids)
         .select(col("cid"), posexplode(col("unit")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(round(avg(col("v")), 9).as("m"))
         .groupBy("cid")
@@ -306,27 +324,92 @@ object Similarity {
           .otherwise(transform(col("mean"), x => x / norm)).as("cvec"))
         .cut())
     }
-    def nearest(df: DataFrame, n: Int, outId: String): DataFrame =
-      Relational.topKPerGroup(
-        df.crossJoin(centroids)
-          .withColumn("cdot", Vectors.dot(col("unit"), col("cvec"))),
-        Seq(col("id")), Seq(col("cdot").desc, col("cid").asc), n, "__cr")
-        .select(col("id").as(outId), col("cid"))
-    // Inverted lists: corpus vector -> its single nearest centroid.
-    val lists = assign(unit)
-      .select(col("id").as("neighbor_id"), col("cid"), col("unit").as("cv"))
-    // Queries probe nProbe lists.
-    val qUnit = normalized(queries, idCol, vecCol)
-    val probes = nearest(qUnit, nProbe, "query_id")
-      .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")),
-            "query_id")
-    val scored = probes.join(lists, "cid")
+    centroids
+  }
+
+  /** Nearest-centroid argmax: maximize (cdot, -cid) — deterministic
+    * cid-ascending tie-break — via map-side-combinable max_by, so the
+    * exchange carries N rows, never the N·C candidates. */
+  private def ivfAssign(df: DataFrame, centroids: DataFrame): DataFrame =
+    df.crossJoin(centroids)
+      .withColumn("cdot", Vectors.dot(col("unit"), col("cvec")))
+      .groupBy("id")
+      .agg(expr("max_by(cid, struct(cdot, -cid))").as("cid"),
+           first(col("unit")).as("unit"))
+
+  /** The `n` nearest centroids per vector (the query probe set). */
+  private def ivfNearest(df: DataFrame, centroids: DataFrame,
+                         n: Int, outId: String): DataFrame =
+    Relational.topKPerGroup(
+      df.crossJoin(centroids)
+        .withColumn("cdot", Vectors.dot(col("unit"), col("cvec"))),
+      Seq(col("id")), Seq(col("cdot").desc, col("cid").asc), n, "__cr")
+      .select(col("id").as(outId), col("cid"))
+
+  /** IVF+PQ search — the layout billion-vector ANN serving actually
+    * runs (FAISS "IVFADC"; Jégou et al., TPAMI 2011): the coarse IVF
+    * stage routes each query to its `nProbe` inverted lists, but the
+    * lists carry PQ CODES (m small ints per vector), NOT vectors — so
+    * the candidate join ships ~(dim·4/m)× less data than [[knnIvf]]'s
+    * vector-carrying lists, which is the difference between an index
+    * that fits in memory and one that doesn't at 10⁹ vectors.
+    * Candidates score by asymmetric distance (ADC): one per-query
+    * lookup table of query-subvector ↔ codeword distances (Q·m·k
+    * rows), joined on (query, s, code) and summed per candidate. The
+    * `shortlist` best ADC candidates per query are then EXACTLY
+    * rescored — the only stage that touches full vectors, at
+    * Q·shortlist rows — and ranked. Recall floor vs the exact
+    * baseline is pinned in SimilarityLshSpec; ADC is a biased
+    * estimator, so the exact rescore is part of the contract, not an
+    * optimization.
+    */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               centroidMod: Long = 37L, nProbe: Int = 4,
+               kmeansIters: Int = 2, m: Int = 8, codewords: Int = 16,
+               pqIters: Int = 2, shortlist: Int = 100): DataFrame = {
+    val unit = normalized(corpus, idCol, vecCol).cut()
+    val centroids = ivfFit(unit, centroidMod, kmeansIters, 100, 100, "knnIvfPq")
+    val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters).cut()
+    val meta = cb.agg(max(size(col("cvec")))).head()
+    val ds = meta.getInt(0)
+    // Inverted lists carry (neighbor_id, cid, codes) — m ints, no
+    // vectors.
+    val listCodes = ivfAssign(unit, centroids).select(col("id"), col("cid"))
+      .join(quantizePq(unit, "id", "unit", cb), "id")
+      .select(col("id").as("neighbor_id"), col("cid"), col("codes"))
+    val qUnit = normalized(queries, idCol, vecCol).cut()
+    val probes = ivfNearest(qUnit, centroids, nProbe, "query_id")
+    // Per-query ADC lookup table: distance from each query subvector
+    // to each codeword.
+    val qsub = qUnit
+      .select(col("id").as("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("unit"))
+      .select(col("query_id"), col("s"),
+        slice(col("unit"), col("s") * ds + 1, lit(ds)).as("qsub"))
+    val lut = qsub.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid").cast("int").as("code"),
+        (Vectors.dot(col("qsub"), col("qsub")) +
+          Vectors.dot(col("cvec"), col("cvec")) -
+          lit(2.0) * Vectors.dot(col("cvec"), col("qsub"))).as("d2"))
+    val adc = probes.join(listCodes, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(lut, Seq("query_id", "s", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum(col("d2")), 6).as("adist"))
+    val short = Relational.topKPerGroup(adc, Seq(col("query_id")),
+        Seq(col("adist").asc, col("neighbor_id").asc), shortlist, "__sr")
+      .select("query_id", "neighbor_id")
+    val rescored = short
+      .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")),
+        "query_id")
+      .join(unit.select(col("id").as("neighbor_id"), col("unit").as("cv")),
+        "neighbor_id")
       .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
-      // No dedup needed: every corpus vector lives in exactly one list,
-      // so (query, neighbor) pairs are already unique across probes.
       .select("query_id", "neighbor_id", "cosine")
-    Relational.topKPerGroup(scored, Seq(col("query_id")),
+    Relational.topKPerGroup(rescored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 

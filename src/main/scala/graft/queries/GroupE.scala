@@ -43,6 +43,16 @@ object GroupE {
           org.apache.spark.sql.functions.round(col("mx"), 6).as("mx"),
           org.apache.spark.sql.functions.concat_ws(",", col("q")).as("q_csv"))),
 
+    // e6: IVF+PQ search (FAISS IVFADC layout) — rows-only for the
+    // driver (codebook fit is engine-specific, like e2/e3); the
+    // recall floor vs e1 and the loses-nothing-vs-plain-IVF property
+    // are pinned in RelationalExtSpec. The inverted lists carry PQ
+    // codes instead of vectors, so the candidate join ships ~32×
+    // less data — the 10⁹-vector serving shape.
+    "e6_knn_ivfpq" -> ((s, d) =>
+      Similarity.knnIvfPq(queriesSet(s, d), emb(s, d),
+        "vec_id", "embedding", k = 10)),
+
     // e5: product quantization — 4 subspace codebooks of 16 sampled
     // codewords over the 64-dim embeddings: 4 small ints instead of
     // 64 floats per vector (the IVF+PQ serving layout). The SAMPLED

@@ -67,6 +67,17 @@ class RelationalExtSpec extends GraftSuite {
       sampled.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
     val sMean = sRecalls.sum / sRecalls.size
     assert(sMean >= 0.45, s"sampled-fit mean recall@10 = $sMean")
+
+    // IVF+PQ (lists carry codes, ADC shortlist, exact rescore) may
+    // lose only what the shortlist cut costs on top of the coarse
+    // stage — measured 0.66 vs 0.66 here, 0.55 vs 0.56 at sf0.01.
+    val pq = topSets(Similarity.knnIvfPq(qs, emb, "vec_id", "embedding", 10))
+    val pqRecalls = exact.map { case (q, t) =>
+      pq.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+    val pqMean = pqRecalls.sum / pqRecalls.size
+    assert(pqMean >= mean - 0.1,
+      s"ivf+pq recall@10 = $pqMean collapsed vs plain ivf $mean")
+    assert(pqMean >= 0.5, s"ivf+pq mean recall@10 = $pqMean")
   }
 
   test("overlapPairs array and join paths agree, with and without a df cap") {
