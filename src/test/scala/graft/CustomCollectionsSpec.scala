@@ -49,6 +49,19 @@ class CustomCollectionsSpec extends GraftSuite {
     assert(got("s").getAs[Boolean]("malformed") === false)
   }
 
+  test("wrong-typed labels field is captured, not crashed on") {
+    // A curator shipping labels as a STRING (schema violation, valid
+    // JSON) must degrade like a malformed line — PERMISSIVE nulls the
+    // row's fields and surfaces it via the corrupt column — never
+    // kill the job or silently invent members.
+    val got = shape(
+      """{"data":{"collection_id":"w","collection_name":"W","labels":"oops"},"commands":{}}""")
+    val row = got.values.head
+    assert(row.getAs[Long]("n_members") === 0L)
+    assert(row.getAs[Boolean]("malformed"),
+      "type-violating lines must surface as malformed")
+  }
+
   test("curator commands: rank defaults and all five sort orders") {
     def coll(id: String, commands: String) =
       s"""{"data":{"collection_id":"$id","collection_name":"X","labels":[
