@@ -318,10 +318,15 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mean"))
-      val norm = sqrt(aggregate(col("mean"), lit(0.0), (a, x) => a + x * x))
-      centroids = broadcast(means.select(col("cid"),
-        when(norm === 0.0, col("mean"))
-          .otherwise(transform(col("mean"), x => x / norm)).as("cvec"))
+      // Norm staged before the dividing lambda (the §4 rule: the
+      // interpreted HOF would otherwise re-run the aggregate per
+      // element). Centroid-count-sized, but the idiom is the contract.
+      centroids = broadcast(means
+        .select(col("cid"), col("mean"),
+          sqrt(aggregate(col("mean"), lit(0.0), (a, x) => a + x * x)).as("__n"))
+        .select(col("cid"),
+          when(col("__n") === 0.0, col("mean"))
+            .otherwise(transform(col("mean"), x => x / col("__n"))).as("cvec"))
         .cut())
     }
     centroids
@@ -545,12 +550,18 @@ object Similarity {
   }
 
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
-    * zero vectors pass through unchanged (cosine 0 downstream). */
-  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol)
-    val n = Vectors.norm(v)
+    * zero vectors pass through unchanged (cosine 0 downstream).
+    *
+    * The norm is STAGED as a column before the dividing lambda
+    * consumes it: higher-order functions run interpreted and
+    * re-evaluate captured expressions PER ELEMENT (the §4 staging
+    * rule), so the unstaged form recomputed the O(d) norm for every
+    * component — O(d²) per row across every ANN entry point. */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      when(n === 0.0, transform(v, x => x.cast("double")))
-        .otherwise(transform(v, x => x.cast("double") / n)).as("unit"))
-  }
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .select(col("id"), col("__v"), Vectors.norm(col("__v")).as("__n"))
+      .select(col("id"),
+        when(col("__n") === 0.0, col("__v"))
+          .otherwise(transform(col("__v"), x => x / col("__n"))).as("unit"))
 }
