@@ -50,9 +50,12 @@ object Collections {
     *    are skipped (:201-203, counted in `n_skipped`);
     *  - a missing `normalized_label` defaults to the concatenated
     *    tokens (:205-206); a missing `tokenized_label` to the
-    *    tokenization of the normalized name (:207-208; the engine
-    *    tokenizes by `[a-z0-9]+` runs — the reference's wordninja
-    *    dictionary split is model-dependent and out of engine scope);
+    *    tokenization of the normalized name (:207-208) through the
+    *    same emoji-aware tokenizer the reference's tokenize_name uses
+    *    ([[graft.functions.Text.emojiTokenRe]] — emoji survive as
+    *    tokens, text splits on the reference's `[a-zA-Z0-9']+` rule;
+    *    the wordninja dictionary split is model-dependent and out of
+    *    engine scope);
     *  - `member_rank` / collection `rank` default per the reference
     *    constants when the curator command is absent (:228, :299);
     *  - `top_member` is the first member under the curator's
@@ -81,7 +84,8 @@ object Collections {
       when(l.getField("tokenized_label").isNotNull,
         size(l.getField("tokenized_label")).cast("long"))
         .otherwise(size(regexp_extract_all(
-          lower(l.getField("normalized_label")), lit("[a-z0-9]+"), lit(0)))
+          l.getField("normalized_label"),
+          lit(graft.functions.Text.emojiTokenRe), lit(0)))
           .cast("long"))
     val staged = parsed.select(
       col("r.data.collection_id").as("collection_id"),

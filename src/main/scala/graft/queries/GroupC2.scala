@@ -35,7 +35,9 @@ object GroupC2 {
       |ELSE '{"data":{"collection_id":"c' || cast(c_custkey AS string) ||
       |  '","collection_name":"' || c_name || '","labels":[' ||
       |  CASE WHEN c_custkey % 11 = 0 THEN '{"label":"plain"}'
-      |  ELSE '{"normalized_label":"' || lower(c_mktsegment) || 'a' || cast(c_custkey % 7 AS string) || '"}' ||
+      |  ELSE '{"normalized_label":"' || lower(c_mktsegment) ||
+      |    CASE WHEN c_custkey % 9 = 0 THEN '🔥' ELSE '' END ||
+      |    'a' || cast(c_custkey % 7 AS string) || '"}' ||
       |    CASE WHEN c_custkey % 2 = 0 THEN ',{"tokenized_label":["' || lower(c_mktsegment) || '","b' || cast(c_custkey % 5 AS string) || '"]}' ELSE '' END ||
       |    CASE WHEN c_custkey % 3 = 0 THEN ',{"label":"plain"}' ELSE '' END
       |  END ||
@@ -92,7 +94,8 @@ object GroupC2 {
        |             list_aggregate(json_transform(json_extract(l, '$$.tokenized_label'), '["VARCHAR"]'),
        |                            'string_agg', '')) AS norm,
        |    cast(coalesce(json_array_length(json_extract(l, '$$.tokenized_label')),
-       |           len(regexp_extract_all(lower(json_extract_string(l, '$$.normalized_label')), '[a-z0-9]+')))
+       |           len(regexp_extract_all(json_extract_string(l, '$$.normalized_label'),
+       |                                  '${graft.functions.Text.emojiTokenRe.replace("'", "''")}')))
        |         AS BIGINT) AS ntok
        |  FROM lab
        |  WHERE json_extract(l, '$$.normalized_label') IS NOT NULL

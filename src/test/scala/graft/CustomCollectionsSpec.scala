@@ -29,6 +29,11 @@ class CustomCollectionsSpec extends GraftSuite {
     assert(got("n").getAs[Long]("n_tokens_total") === 3L) // foo, bar9, baz
     assert(got("b").getAs[String]("members") === "keepme")
     assert(got("b").getAs[Long]("n_tokens_total") === 3L)
+    // tokenization defaulting is emoji-aware like the reference's
+    // tokenize_name: the emoji is its own token
+    val e = shape(
+      """{"data":{"collection_id":"e","collection_name":"E","labels":[{"normalized_label":"fire🔥drill"}]},"commands":{}}""")
+    assert(e("e").getAs[Long]("n_tokens_total") === 3L)
   }
 
   test("skip rule, empty and missing label lists, malformed lines") {
