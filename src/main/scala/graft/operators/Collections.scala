@@ -73,36 +73,7 @@ object Collections {
     * n_tokens_total, member_rank, rank, malformed).
     */
   def fromCustom(lines: DataFrame, valueCol: String = "value"): DataFrame = {
-    val parsed = lines.select(from_json(col(valueCol), customSchema,
-      Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
-    val labels = col("r.data.labels")
-    def normOf(l: Column): Column =
-      coalesce(l.getField("normalized_label"),
-        array_join(l.getField("tokenized_label"), ""))
-    def ntokOf(l: Column): Column =
-      when(l.getField("tokenized_label").isNotNull,
-        size(l.getField("tokenized_label")).cast("long"))
-        .otherwise(size(regexp_extract_all(
-          l.getField("normalized_label"),
-          lit(graft.functions.Text.emojiTokenRe), lit(0)))
-          .cast("long"))
-    val staged = parsed.select(
-      col("r.data.collection_id").as("collection_id"),
-      col("r.data.collection_name").as("collection_name"),
-      when(labels.isNull, lit(0L)).otherwise(size(labels).cast("long"))
-        .as("n_labels"),
-      coalesce(col("r.commands.member_rank"), lit(DefaultMemberRank))
-        .as("member_rank"),
-      coalesce(col("r.commands.collection_rank"), lit(DefaultCollectionRank))
-        .as("rank"),
-      coalesce(col("r.commands.sort_labels"), lit("none")).as("cmd"),
-      col("r._corrupt").isNotNull.as("malformed"),
-      transform(
-        filter(labels, l => l.getField("normalized_label").isNotNull ||
-          l.getField("tokenized_label").isNotNull),
-        (l, i) => struct(normOf(l).as("norm"), ntokOf(l).as("ntok"),
-          i.cast("long").as("ord"))).as("__mem"))
+    val staged = parseCustom(lines, valueCol)
     val nMembers = when(col("__mem").isNull, lit(0L))
       .otherwise(size(col("__mem")).cast("long"))
     // One sortable STRING key per command so the pick is a plain
@@ -134,6 +105,97 @@ object Collections {
         .otherwise(aggregate(col("__mem"), lit(0L),
           (a, m) => a + m.getField("ntok"))).as("n_tokens_total"),
       col("member_rank"), col("rank"), col("malformed"))
+  }
+
+  /** The parse + label-shaping stage shared by [[fromCustom]] and
+    * [[customMembers]]: one row per line with the line-level fields
+    * and the valid labels as a `__mem` array of (norm, ntok, ord)
+    * structs (null for malformed lines). Narrow, zero shuffle. */
+  private def parseCustom(lines: DataFrame, valueCol: String): DataFrame = {
+    val parsed = lines.select(from_json(col(valueCol), customSchema,
+      Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+    val labels = col("r.data.labels")
+    def normOf(l: Column): Column =
+      coalesce(l.getField("normalized_label"),
+        array_join(l.getField("tokenized_label"), ""))
+    def ntokOf(l: Column): Column =
+      when(l.getField("tokenized_label").isNotNull,
+        size(l.getField("tokenized_label")).cast("long"))
+        .otherwise(size(regexp_extract_all(
+          l.getField("normalized_label"),
+          lit(graft.functions.Text.emojiTokenRe), lit(0)))
+          .cast("long"))
+    parsed.select(
+      col("r.data.collection_id").as("collection_id"),
+      col("r.data.collection_name").as("collection_name"),
+      when(labels.isNull, lit(0L)).otherwise(size(labels).cast("long"))
+        .as("n_labels"),
+      coalesce(col("r.commands.member_rank"), lit(DefaultMemberRank))
+        .as("member_rank"),
+      coalesce(col("r.commands.collection_rank"), lit(DefaultCollectionRank))
+        .as("rank"),
+      coalesce(col("r.commands.sort_labels"), lit("none")).as("cmd"),
+      col("r._corrupt").isNotNull.as("malformed"),
+      transform(
+        filter(labels, l => l.getField("normalized_label").isNotNull ||
+          l.getField("tokenized_label").isNotNull),
+        (l, i) => struct(normOf(l).as("norm"), ntokOf(l).as("ntok"),
+          i.cast("long").as("ord"))).as("__mem"))
+  }
+
+  /** Member-grain view of the custom-collections inlet: one row per
+    * valid label — (collection_id, member, n_tokens, ord,
+    * member_rank). The explode is still narrow (zero shuffle);
+    * malformed lines and zero-member collections produce no rows.
+    * This is the grain the reference's per-member enrichment works at
+    * (template_names, load_custom_collections.py:224-232); join
+    * dimension tables against it (domain status, scores) and
+    * re-aggregate. */
+  def customMembers(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    parseCustom(lines, valueCol)
+      .filter(!col("malformed"))
+      .select(col("collection_id"), col("member_rank"),
+        posexplode(col("__mem")).as(Seq("__p", "m")))
+      .select(col("collection_id"),
+        col("m.norm").as("member"),
+        col("m.ntok").as("n_tokens"),
+        col("m.ord").as("ord"),
+        col("member_rank"))
+
+  /** Domain-status histogram per custom collection (reference:
+    * load_custom_collections.py:229,247-254 — `cached_status =
+    * domains.get(normalized)`, then counts over the five statuses
+    * with a missing lookup counting as `never_registered`), plus the
+    * reference's two rank-feature quirks kept EXACTLY:
+    * `nonavailable_count` is the taken/on_sale/recently_released sum
+    * PLUS ONE (:318 — "rank features cannot be zero") while the ratio
+    * uses the raw sum floored at MIN_VALUE = 1e-8 (:319).
+    *
+    * `domains` is (name, status) — the suggestable-domains inlet.
+    * One broadcast join (the domains dim is lookup-sized) + one
+    * map-side-combinable conditional aggregation — the a14 shape at
+    * member grain. */
+  def customStatusCounts(members: DataFrame, domains: DataFrame): DataFrame = {
+    val st = coalesce(col("status"), lit("never_registered"))
+    def cnt(s: String) = sum(when(st === s, 1L).otherwise(0L)).as(s)
+    members
+      .join(broadcast(domains.select(col("name").as("member"), col("status"))),
+        Seq("member"), "left")
+      .groupBy("collection_id")
+      .agg(count(lit(1)).as("n_members"),
+        cnt("available"), cnt("taken"), cnt("on_sale"),
+        cnt("recently_released"), cnt("never_registered"),
+        (sum(when(st.isin("taken", "on_sale", "recently_released"), 1L)
+          .otherwise(0L)) + 1L).as("nonavailable_count"),
+        // NOT rounded: rounding to any display precision would erase
+        // the MIN_VALUE floor the quirk exists for. Integer-count
+        // division is bit-identical across engines, so the raw double
+        // is still oracle-stable.
+        greatest(
+          sum(when(st.isin("taken", "on_sale", "recently_released"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)),
+          lit(1e-8)).as("nonavailable_ratio"))
   }
 
   /** Index update operations for custom collections (reference:

@@ -59,6 +59,28 @@ object GroupC2 {
     // c6: JSONL inlet → one typed row per custom collection.
     "c6_custom_jsonl" -> ((s, d) => Collections.fromCustom(lines(s, d))),
 
+    // c7: per-collection domain-status histogram — the member-grain
+    // half of prepare_custom_collection (cached_status lookup +
+    // status_counts + the reference's nonavailable +1 / MIN_VALUE
+    // quirks). The domains dim covers only names ending a0..a3 (so
+    // never_registered is exercised by a4..a6, the tokenized-label
+    // members and the emoji names); status is a function of the name
+    // digit, identical on both engines.
+    "c7_custom_status" -> ((s, d) => {
+      val domains = Tables(s, d, "customer")
+        .filter(col("c_custkey") % 7 < 4)
+        .select(
+          concat(lower(col("c_mktsegment")), lit("a"),
+            (col("c_custkey") % 7).cast("string")).as("name"),
+          element_at(
+            array(lit("available"), lit("taken"), lit("on_sale"),
+              lit("recently_released")),
+            (col("c_custkey") % 7 + 1).cast("int")).as("status"))
+        .distinct()
+      Collections.customStatusCounts(
+        Collections.customMembers(lines(s, d)), domains)
+    }),
+
     // a33: shaped custom collections → index update operations.
     // "Existing index" stand-in: every third customer id is already
     // indexed under es_id 'es-<k>'. maxMembers = 1 exercises the
@@ -74,13 +96,14 @@ object GroupC2 {
     }),
   )
 
-  // The c6 oracle, also reused as the a33 CTE. DuckDB-side JSON:
-  // labels unnest via json_extract '$[*]' zipped with range() for the
-  // input-order ordinal; malformed lines route through a separate
-  // branch (json functions error on invalid JSON, so `bad` never
-  // reaches them).
-  private[queries] val customOracle =
-    s"""WITH lines AS (SELECT $genLineSql AS value FROM customer),
+  // Shared oracle CTE prefix (lines → good/bad → labels → shaped
+  // members + line metadata), used by the c6, c7 and a33 oracles.
+  // DuckDB-side JSON: labels unnest via json_extract '$[*]' zipped
+  // with range() for the input-order ordinal; malformed lines route
+  // through a separate branch (json functions error on invalid JSON,
+  // so `bad` never reaches them).
+  private val memCtes =
+    s"""lines AS (SELECT $genLineSql AS value FROM customer),
        |good AS (SELECT value FROM lines WHERE json_valid(value)),
        |bad AS (SELECT value FROM lines WHERE NOT json_valid(value)),
        |lab AS (
@@ -99,7 +122,10 @@ object GroupC2 {
        |         AS BIGINT) AS ntok
        |  FROM lab
        |  WHERE json_extract(l, '$$.normalized_label') IS NOT NULL
-       |     OR json_extract(l, '$$.tokenized_label') IS NOT NULL),
+       |     OR json_extract(l, '$$.tokenized_label') IS NOT NULL)""".stripMargin
+
+  private[queries] val customOracle =
+    s"""WITH $memCtes,
        |agg AS (
        |  SELECT value,
        |    count(*) AS n_members,
@@ -138,6 +164,34 @@ object GroupC2 {
 
   val oracles: Map[String, String] = Map(
     "c6_custom_jsonl" -> customOracle,
+
+    "c7_custom_status" ->
+      s"""WITH $memCtes,
+         |meta AS (SELECT value,
+         |           json_extract_string(value, '$$.data.collection_id') AS collection_id
+         |         FROM good),
+         |members AS (SELECT meta.collection_id, mem.norm AS member
+         |            FROM mem JOIN meta USING (value)),
+         |domains AS (
+         |  SELECT DISTINCT lower(c_mktsegment) || 'a' || cast(c_custkey % 7 AS string) AS name,
+         |    CASE c_custkey % 7 WHEN 0 THEN 'available' WHEN 1 THEN 'taken'
+         |         WHEN 2 THEN 'on_sale' ELSE 'recently_released' END AS status
+         |  FROM customer WHERE c_custkey % 7 < 4),
+         |j AS (SELECT collection_id, coalesce(d.status, 'never_registered') AS st
+         |      FROM members LEFT JOIN domains d ON members.member = d.name)
+         |SELECT collection_id,
+         |  count(*) AS n_members,
+         |  cast(sum(CASE WHEN st = 'available' THEN 1 ELSE 0 END) AS bigint) AS available,
+         |  cast(sum(CASE WHEN st = 'taken' THEN 1 ELSE 0 END) AS bigint) AS taken,
+         |  cast(sum(CASE WHEN st = 'on_sale' THEN 1 ELSE 0 END) AS bigint) AS on_sale,
+         |  cast(sum(CASE WHEN st = 'recently_released' THEN 1 ELSE 0 END) AS bigint) AS recently_released,
+         |  cast(sum(CASE WHEN st = 'never_registered' THEN 1 ELSE 0 END) AS bigint) AS never_registered,
+         |  cast(sum(CASE WHEN st IN ('taken', 'on_sale', 'recently_released') THEN 1 ELSE 0 END) + 1 AS bigint)
+         |    AS nonavailable_count,
+         |  greatest(
+         |    sum(CASE WHEN st IN ('taken', 'on_sale', 'recently_released') THEN 1 ELSE 0 END) * 1.0
+         |      / count(*), 1e-8) AS nonavailable_ratio
+         |FROM j GROUP BY 1""".stripMargin,
 
     "a33_custom_update_ops" ->
       s"""WITH c6 AS ($customOracle),

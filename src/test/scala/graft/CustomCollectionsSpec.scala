@@ -93,6 +93,30 @@ class CustomCollectionsSpec extends GraftSuite {
     assert(got("rk").getAs[Long]("rank") === 9L)
   }
 
+  test("status counts: missing lookups, the +1 rank quirk, the 1e-8 ratio floor") {
+    val members = Collections.customMembers(Seq(
+      """{"data":{"collection_id":"c","collection_name":"C","labels":[
+        |{"normalized_label":"sold"},{"normalized_label":"free"},{"normalized_label":"unknown"}
+        |]},"commands":{}}""".stripMargin.replace("\n", ""),
+      """{"data":{"collection_id":"all-free","collection_name":"F","labels":[{"normalized_label":"free"}]},"commands":{}}""")
+      .toDF("value"))
+    val domains = Seq(("sold", "taken"), ("free", "available"))
+      .toDF("name", "status")
+    val got = Collections.customStatusCounts(members, domains)
+      .collect().map(r => r.getAs[String]("collection_id") -> r).toMap
+    val c = got("c")
+    assert(c.getAs[Long]("taken") === 1L)
+    assert(c.getAs[Long]("available") === 1L)
+    assert(c.getAs[Long]("never_registered") === 1L) // missing lookup
+    // reference quirks: count gets +1 ("rank features cannot be
+    // zero"), the ratio stays raw but floors at MIN_VALUE
+    assert(c.getAs[Long]("nonavailable_count") === 2L) // 1 taken + 1
+    assert(math.abs(c.getAs[Double]("nonavailable_ratio") - 1.0 / 3) < 1e-6)
+    val f = got("all-free")
+    assert(f.getAs[Long]("nonavailable_count") === 1L) // 0 + 1
+    assert(f.getAs[Double]("nonavailable_ratio") === 1e-8) // floored, not 0
+  }
+
   test("update ops: create vs full update vs member-cap drop vs malformed drop") {
     val custom = Collections.fromCustom(Seq(
       """{"data":{"collection_id":"known","collection_name":"K","labels":[{"normalized_label":"m"}]},"commands":{}}""",
