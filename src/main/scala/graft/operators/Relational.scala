@@ -323,4 +323,34 @@ object Relational {
         current.join(o.filter(col("op").isin("insert", "update")).drop("op"),
           Seq(key), "left_semi"))
   }
+
+  /** Field-level partial-update documents — the payload half of the
+    * incremental sync (reference: update_es.py prepare_update, which
+    * walks the UPDATING_FIELDS of a changed document and emits ONLY
+    * the fields whose values differ): for every key present in BOTH
+    * snapshots, one (key, field, value) row per field whose current
+    * value differs from the previous one (null-safe: null→value,
+    * value→null and value→value' all emit; equal values — both-null
+    * included — do not). Values are compared and emitted as strings,
+    * the rendering [[graft.sinks.EsBulk]]-style partial documents
+    * use. Keys present on one side only are the insert/archive ops
+    * [[diffSnapshots]] classifies — not partial updates.
+    *
+    * Shape: two zero-shuffle melts (native unpivot — one Expand each)
+    * and ONE (key, field) equi-join; nothing is row-wider than its
+    * source and the join key is high-cardinality at any scale.
+    */
+  def partialUpdateDocs(current: DataFrame, previous: DataFrame,
+                        key: String): DataFrame = {
+    def melt(df: DataFrame, as: String): DataFrame = {
+      val fields = df.columns.filter(_ != key)
+      require(fields.nonEmpty, s"partialUpdateDocs: $key is the only column")
+      df.select(col(key) +: fields.map(f => col(f).cast("string").as(f)): _*)
+        .unpivot(Array(col(key)), fields.map(col), "field", as)
+    }
+    melt(current, "value")
+      .join(melt(previous, "__prev"), Seq(key, "field"))
+      .filter(!(col("value") <=> col("__prev")))
+      .select(col(key), col("field"), col("value"))
+  }
 }

@@ -244,6 +244,27 @@ object GroupA4 {
         .select(col("o_orderkey"), col("fp").cast("double").as("fp"))
     }),
 
+    // a36: field-level partial-update documents — the payload half of
+    // the ES sync (update_es.py prepare_update): for keys present in
+    // both snapshots, emit ONLY the fields whose values changed
+    // (null-safe). Two-field wide snapshots derived from orders; the
+    // price changes on %7 keys, the status on %11 keys, so single-
+    // field, both-field and no-op update shapes all occur.
+    "a36_partial_updates" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val prev = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+          col("o_orderstatus").as("status"))
+      val cur = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, dec(col("o_totalprice")) + dec(lit(10)))
+            .otherwise(dec(col("o_totalprice"))).as("price"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status"))
+      Relational.partialUpdateDocs(cur, prev, "o_orderkey")
+    }),
+
     // a32: unpivot/melt — the inverse of a19's KV pivot: wide columns
     // back to (key, metric, value) rows, the shape the reference's ES
     // sync renders partial-update documents in (update_elasticsearch
@@ -277,6 +298,27 @@ object GroupA4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "a36_partial_updates" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey,
+        |    cast(cast(o_totalprice AS decimal(18,2)) AS string) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey,
+        |    cast(CASE WHEN o_orderkey % 7 = 0
+        |         THEN cast(o_totalprice AS decimal(18,2)) + cast(10 AS decimal(18,2))
+        |         ELSE cast(o_totalprice AS decimal(18,2)) END AS string) AS price,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |mc AS (SELECT o_orderkey, 'price' AS field, price AS value FROM cur
+        |       UNION ALL SELECT o_orderkey, 'status', status FROM cur),
+        |mp AS (SELECT o_orderkey, 'price' AS field, price AS pv FROM prev
+        |       UNION ALL SELECT o_orderkey, 'status', status FROM prev)
+        |SELECT mc.o_orderkey, mc.field, mc.value
+        |FROM mc JOIN mp USING (o_orderkey, field)
+        |WHERE mc.value IS DISTINCT FROM mp.pv""".stripMargin,
+
     "a35_affix_mining" ->
       """WITH toks AS (SELECT p_name, string_split(p_name, ' ') AS t FROM part),
         |fan AS (SELECT p_name, t,

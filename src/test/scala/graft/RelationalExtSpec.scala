@@ -44,6 +44,32 @@ class RelationalExtSpec extends GraftSuite {
     assert(got == Set(1L, 2L, 5L))
   }
 
+  test("partialUpdateDocs emits exactly the changed fields, null-safe") {
+    import graft.operators.Relational
+    val prev = Seq(
+      (1L, Some("a"), Some(10L)),   // unchanged
+      (2L, Some("b"), Some(20L)),   // v changes
+      (3L, Option.empty[String], Some(30L)), // s: null -> value
+      (4L, Some("d"), Option.empty[Long]),   // s: value -> null, v: null -> value
+      (5L, Some("e"), Some(50L)))   // archived (absent in cur)
+      .toDF("k", "s", "v")
+    val cur = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(21L)),
+      (3L, Some("c"), Some(30L)),
+      (4L, Option.empty[String], Some(40L)),
+      (6L, Some("f"), Some(60L)))   // inserted (absent in prev)
+      .toDF("k", "s", "v")
+    val got = Relational.partialUpdateDocs(cur, prev, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(got === Set(
+      (2L, "v", Some("21")),
+      (3L, "s", Some("c")),
+      (4L, "s", None),          // value -> null still emits the field
+      (4L, "v", Some("40"))))
+  }
+
   test("ivf knn achieves reasonable recall vs exact knn") {
     val emb = Tables(spark, sfDir, "embeddings")
     val qs = emb.filter(col("vec_id") % 50 === 0)
