@@ -110,11 +110,14 @@ object Sessions {
     *
     * DURABILITY: the static side is re-read every micro-batch for the
     * lifetime of the query. Graph closure outputs are unions of
-    * `localCheckpoint` blocks — executor-local, NOT recomputable — so
-    * for a production stream materialize the closure durably first
-    * (write to storage and re-read, or persist with replication); a
-    * lost executor otherwise fails the next micro-batch with an
-    * unrecoverable missing-block error.
+    * lineage cuts that DEFAULT to `localCheckpoint` blocks —
+    * executor-local, NOT recomputable — so a lost executor would fail
+    * the next micro-batch with an unrecoverable missing-block error.
+    * For a production stream set `spark.graft.checkpointDir`
+    * ([[graft.operators.Checkpoints]]): every cut becomes a reliable
+    * checkpoint on the fault-tolerant FS that micro-batches can
+    * re-read after executor loss — or materialize the closure to
+    * storage explicitly and re-read it.
     */
   def validatedCounts(members: DataFrame, closure: DataFrame,
                       typeCol: String = "member_type",
