@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Checkpoints.Cuttable
 import graft.Tables
 import graft.operators.{Relational, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -68,11 +69,11 @@ object GroupA3 {
     "a25_related_collections" -> ((s, d) => {
       val mem = Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
-        .distinct().localCheckpoint()
+        .distinct().cut()
       val sizes = mem.groupBy("coll").agg(count(lit(1)).as("n"))
       val undirected = Relational.overlapPairs(mem, "coll", "member", dfCap = 40L)
         .filter(col("overlap") >= 2)
-        .localCheckpoint()
+        .cut()
       val directed = undirected
         .select(col("id_a").as("coll"), col("id_b").as("related"), col("overlap"))
         .union(undirected

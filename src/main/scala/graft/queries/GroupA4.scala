@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Checkpoints.Cuttable
 import graft.Tables
 import graft.operators.{Relational, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -239,7 +240,7 @@ object GroupA4 {
       // full-outer diff join should not execute twice (the operator's
       // own doc contract).
       val ops = Relational.diffSnapshots(cur, prev, "o_orderkey", col("fp"))
-        .localCheckpoint()
+        .cut()
       Relational.applySnapshotOps(prev, cur, ops, "o_orderkey")
         .select(col("o_orderkey"), col("fp").cast("double").as("fp"))
     }),
