@@ -93,6 +93,74 @@ class CustomCollectionsSpec extends GraftSuite {
     assert(got("rk").getAs[Long]("rank") === 9L)
   }
 
+  test("property: fromCustom matches an in-memory reimplementation on random lines") {
+    val rnd = new scala.util.Random(77)
+    def word(): String = {
+      val c = ('a' + rnd.nextInt(4)).toChar.toString
+      c * (1 + rnd.nextInt(3))
+    }
+    def phrase(): String = Seq.fill(1 + rnd.nextInt(3))(word()).mkString(" ")
+    case class Lab(norm: Option[String], toks: Option[Seq[String]])
+    case class Line(id: String, labs: Seq[Lab], mr: Option[Long],
+                    cr: Option[Long], cmd: Option[String])
+    val cmds = Seq("a-z", "z-a", "shortest", "longest", "none", "junk")
+    val linesData: Seq[Line] = (0 until 80).map { i =>
+      val labs = Seq.fill(rnd.nextInt(5))(rnd.nextInt(4) match {
+        case 0 => Lab(Some(phrase()), None)
+        case 1 => Lab(None, Some(Seq.fill(1 + rnd.nextInt(3))(word())))
+        case 2 => Lab(Some(phrase()), Some(Seq.fill(1 + rnd.nextInt(3))(word())))
+        case _ => Lab(None, None) // skipped
+      })
+      Line(s"id$i", labs,
+        if (rnd.nextBoolean()) Some(rnd.nextInt(100).toLong) else None,
+        if (rnd.nextBoolean()) Some(rnd.nextInt(100).toLong) else None,
+        if (rnd.nextInt(6) == 0) None else Some(cmds(rnd.nextInt(cmds.length))))
+    }
+    def js(l: Line): String = {
+      val labs = l.labs.map { lab =>
+        (lab.norm.map(n => s""""normalized_label":"$n"""") ++
+          lab.toks.map(t => s""""tokenized_label":[${t.map("\"" + _ + "\"").mkString(",")}]"""))
+          .mkString("{", ",", "}")
+      }.mkString("[", ",", "]")
+      val cmds = (l.mr.map(v => s""""member_rank":$v""") ++
+        l.cr.map(v => s""""collection_rank":$v""") ++
+        l.cmd.map(c => s""""sort_labels":"$c"""")).mkString(",")
+      s"""{"data":{"collection_id":"${l.id}","collection_name":"n","labels":$labs},"commands":{$cmds}}"""
+    }
+    val got = Collections.fromCustom(linesData.map(js).toDF("value"))
+      .collect().map(r => r.getAs[String]("collection_id") -> r).toMap
+    linesData.foreach { l =>
+      // independent reimplementation of the contract
+      val valid = l.labs.filter(x => x.norm.isDefined || x.toks.isDefined)
+      val norms = valid.map(x => x.norm.getOrElse(x.toks.get.mkString("")))
+      val ntoks = valid.map(x => x.toks.map(_.size.toLong)
+        .getOrElse(x.norm.get.split(" ").length.toLong))
+      val r = got(l.id)
+      assert(r.getAs[Long]("n_members") === valid.size.toLong, l)
+      assert(r.getAs[Long]("n_skipped") === (l.labs.size - valid.size).toLong, l)
+      assert(r.getAs[String]("members") === norms.sorted.mkString(","), l)
+      assert(r.getAs[Long]("n_tokens_total") === ntoks.sum, l)
+      assert(r.getAs[Long]("member_rank") ===
+        l.mr.getOrElse(Collections.DefaultMemberRank), l)
+      assert(r.getAs[Long]("rank") ===
+        l.cr.getOrElse(Collections.DefaultCollectionRank), l)
+      val mem = norms.zip(ntoks).zipWithIndex
+      val top: Option[String] =
+        if (mem.isEmpty) None
+        else l.cmd match {
+          case Some("a-z") => Some(norms.min)
+          case Some("z-a") => Some(norms.max)
+          case Some("shortest") =>
+            Some(mem.minBy { case ((n, t), _) => (t, n) }._1._1)
+          case Some("longest") =>
+            Some(mem.minBy { case ((n, t), _) => (-t, n) }._1._1)
+          case _ => Some(norms.head) // none / junk / absent = input order
+        }
+      assert(Option(r.getAs[String]("top_member")) === top, l)
+      assert(!r.getAs[Boolean]("malformed"), l)
+    }
+  }
+
   test("status counts: missing lookups, the +1 rank quirk, the 1e-8 ratio floor") {
     val members = Collections.customMembers(Seq(
       """{"data":{"collection_id":"c","collection_name":"C","labels":[
