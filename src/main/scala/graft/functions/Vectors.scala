@@ -21,6 +21,13 @@ object Vectors {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2-normalized copy in doubles (zero vectors pass through as cast
+    * doubles; null elements stay null) — one fused codegen pass, see
+    * [[graft.functions.expr.ArrayNormalize]]. */
+  def normalize(a: Column): Column =
+    ColumnBridge.column(
+      graft.functions.expr.ArrayNormalize(ColumnBridge.expression(a)))
+
   /** Cosine similarity (NaN-safe: 0 when either norm is 0). */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)

@@ -551,17 +551,9 @@ object Similarity {
 
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
     * zero vectors pass through unchanged (cosine 0 downstream).
-    *
-    * The norm is STAGED as a column before the dividing lambda
-    * consumes it: higher-order functions run interpreted and
-    * re-evaluate captured expressions PER ELEMENT (the §4 staging
-    * rule), so the unstaged form recomputed the O(d) norm for every
-    * component — O(d²) per row across every ANN entry point. */
+    * One fused codegen pass ([[graft.functions.expr.ArrayNormalize]]
+    * — bit-compatible with the staged cast/norm/divide projections it
+    * replaced; parity spec'd). */
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .select(col("id"), col("__v"), Vectors.norm(col("__v")).as("__n"))
-      .select(col("id"),
-        when(col("__n") === 0.0, col("__v"))
-          .otherwise(transform(col("__v"), x => x / col("__n"))).as("unit"))
+    df.select(col(idCol).as("id"), Vectors.normalize(col(vecCol)).as("unit"))
 }

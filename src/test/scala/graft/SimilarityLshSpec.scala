@@ -59,6 +59,42 @@ class SimilarityLshSpec extends GraftSuite {
     assert(trusted === probed)
   }
 
+  test("ArrayNormalize matches the staged cast/norm/divide formulation exactly") {
+    import graft.functions.Vectors
+    // Random float arrays incl. null arrays, null elements, zero
+    // vectors and empties; repartition blocks constant folding and
+    // fallback=false turns a broken doGenCode into a hard failure.
+    val rnd = new scala.util.Random(502)
+    val rows: Seq[Option[Seq[Option[Float]]]] = (0 until 300).map { _ =>
+      if (rnd.nextInt(10) == 0) None
+      else Some((0 until rnd.nextInt(6)).map { _ =>
+        rnd.nextInt(8) match {
+          case 0 => Option.empty[Float]
+          case 1 => Some(0.0f)
+          case _ => Some(rnd.nextFloat() * 4 - 2)
+        }
+      })
+    }
+    val df = rows.toDF("v").repartition(3)
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.codegen.fallback")
+    try {
+      c.set("spark.sql.codegen.fallback", "false")
+      val got = df.select(Vectors.normalize($"v").as("u"))
+        .as[Option[Seq[Option[Double]]]].collect().toSeq
+      // independent: the three-projection staged form
+      val want = df
+        .select(transform($"v", x => x.cast("double")).as("__v"))
+        .select($"__v", Vectors.norm($"__v").as("__n"))
+        .select(when($"__n" === 0.0, $"__v")
+          .otherwise(transform($"__v", x => x / $"__n")).as("u"))
+        .as[Option[Seq[Option[Double]]]].collect().toSeq
+      assert(got === want)
+      assert(got.exists(_.exists(_.exists(_.isDefined))), "vacuous input")
+    } finally saved.fold(c.unset("spark.sql.codegen.fallback"))(
+      c.set("spark.sql.codegen.fallback", _))
+  }
+
   test("e5: PQ codes are valid, decodable, and Lloyd refinement never hurts") {
     import graft.operators.Similarity
     import graft.functions.Vectors
