@@ -74,7 +74,18 @@ object Bench {
     val errs = errors.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
+    // The driver captures only the LAST 2000 chars of stdout; with 80+
+    // queries a full-name line no longer fits that window (the r4 and
+    // r5 round artifacts were both cut mid-JSON). Stdout therefore gets
+    // ONE compact line — short keys (the unique id prefix before the
+    // first '_': a9_dedup_first_by_key → a9, the same ids SURVEY §2
+    // uses) and 3-decimal seconds — guaranteed complete inside the tail
+    // window up to ~140 queries. The full-name, full-precision line is
+    // written to bench_out.json below; the two are the same run.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
     // Also persist the line to a file: the round-4 artifact lost its
     // `total` and 12 per-query numbers to a truncated stdout capture —
     // a file write cannot be cut mid-stream by a `tail` pipe.

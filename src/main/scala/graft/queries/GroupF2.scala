@@ -162,7 +162,7 @@ object GroupF2 {
          |        sum(chunk_tokens) OVER (PARTITION BY source
          |          ORDER BY doc_id, chunk_idx) - chunk_tokens AS seq_offset
          |      FROM c)
-         |SELECT source, seq_offset // 256 AS seq_id,
+         |SELECT source, cast(seq_offset // 256 AS bigint) AS seq_id,
          |  count(*) AS n_chunks,
          |  cast(sum(chunk_tokens) AS bigint) AS n_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
