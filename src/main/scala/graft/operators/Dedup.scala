@@ -54,9 +54,14 @@ object Dedup {
       .distinct()
     if (dfCap <= 0) sh
     else {
-      val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap).select("shingle")
-      sh.join(keep, "shingle")
+      // Anti-join against the OVER-cap shingle set (bounded by E/dfCap,
+      // tiny in practice) instead of an inner join against the huge
+      // keep set: AQE broadcasts the small side and the shingle stream
+      // is never shuffled for the cut. Same rationale as
+      // [[Relational.overlapPairs]]'s dfCap cut.
+      val drop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("shingle")
+      sh.join(drop, Seq("shingle"), "left_anti")
     }
   }
 

@@ -134,9 +134,17 @@ object Relational {
     val e0raw = edges.select(col(idCol).as("__id"), col(elemCol).as("__el"))
       .filter(col("__el").isNotNull)
     val e0 = if (dfCap <= 0L) e0raw else {
-      val keep = e0raw.groupBy("__el").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= dfCap).select("__el")
-      e0raw.join(keep, "__el")
+      // Cut as an ANTI join against the OVER-cap element set, not an
+      // inner join against the keep set: the keep side is nearly the
+      // whole vocabulary (most elements are rare), while the over-cap
+      // side is bounded by E/dfCap and in practice tiny — small enough
+      // that AQE turns this into a broadcast anti join and the edge
+      // set is never shuffled for the cut. No broadcast hint: when the
+      // over-cap set IS large (pathological corpus, low cap), AQE
+      // falls back to the same shuffled join the keep-side cut cost.
+      val drop = e0raw.groupBy("__el").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > dfCap).select("__el")
+      e0raw.join(drop, Seq("__el"), "left_anti")
     }
     if (boundedDf) {
       // Bounded-df path: collect each element's id list (the caller
