@@ -46,6 +46,10 @@ object GraftExtensions {
       "graft_keccak256(expr) - Keccak-256 digest (Ethereum padding) of a string/binary",
       classOf[graft.functions.expr.Keccak256],
       graft.functions.expr.Keccak256(_)),
+    oneArg("graft_nfc",
+      "graft_nfc(text) - Unicode NFC normalization (canonical composition)",
+      classOf[graft.functions.expr.NfcNormalize],
+      graft.functions.expr.NfcNormalize(_)),
     oneArg("graft_namehash",
       "graft_namehash(name) - EIP-137 ENS namehash of a dotted name",
       classOf[graft.functions.expr.Namehash],

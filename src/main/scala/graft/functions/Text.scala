@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Unicode NFC normalization (canonical composition) — native
+    * codegen expression, see [[graft.functions.expr.NfcNormalize]].
+    * Run it BEFORE tokenizing/hashing: composed and decomposed forms
+    * of the same text otherwise hash apart. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expr.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)

@@ -445,6 +445,49 @@ object Similarity {
               lit(255.0))).cast("int")))
           .as("q"))
 
+  /** Signed random projection of int8-quantized vectors: `k` output
+    * components per vector, component `j` the exact integer dot of the
+    * quantized codes against a deterministic ±1 vector — the classic
+    * cosine-sketch family (Charikar, STOC 2002: random hyperplane
+    * rounding), here with quantize-then-project order so every value
+    * is integer arithmetic and therefore bit-identical on any engine.
+    * Output: (id, j, proj) long rows, j in [0, k).
+    *
+    * The sign matrix is seeded, not random-at-runtime: cell (i, j)
+    * hashes through two Lehmer/MINSTD steps (Park–Miller 1988,
+    * multiplier 48271 on the prime 2^31−1) and takes the state's
+    * parity, so signatures are reproducible across runs and engines —
+    * the property reproducible training-data pipelines need (a rerun
+    * must not resketch the corpus differently).
+    *
+    * Scale shape: the signs are LITERAL arrays baked into the plan
+    * (k·dim doubles — 16×64 here is a kilobyte; even 256×4096 is
+    * ~8 MB, task-binary size, never shuffled), each component is one
+    * fused [[graft.functions.expr.ArrayDot]] codegen loop, and the
+    * whole operator is a narrow projection: zero shuffles, zero
+    * driver actions, embarrassingly parallel at any corpus size.
+    * Vectors shorter than `dim` contribute min-length terms
+    * (ArrayDot's contract); callers pass the embedding dimension they
+    * ingested — it is a dataset constant, so no probe job runs.
+    */
+  def randomSignProjection(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, dim: Int): DataFrame = {
+    require(k >= 1 && dim >= 1, s"k/dim must be >= 1, got $k/$dim")
+    def sign(i: Int, j: Int): Double = {
+      val h0 = (i.toLong * k + j + 1) % 2147483647L
+      val h2 = h0 * 48271L % 2147483647L * 48271L % 2147483647L
+      if (h2 % 2 == 0) 1.0 else -1.0
+    }
+    val q = quantizeInt8(df, idCol, vecCol)
+      .select(col("id"), transform(col("q"), _.cast("double")).as("qd"))
+    val comps = (0 until k).map { j =>
+      val signs = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      Vectors.dot(col("qd"), signs).cast("long")
+    }
+    q.select(col("id"), posexplode(array(comps: _*)).as(Seq("j", "proj")))
+      .select(col("id"), col("j").cast("long").as("j"), col("proj"))
+  }
+
   /** (id, s, sub) rows: subvector `s` (0..m-1) of each vector — the
     * PQ decomposition. Narrow (explode + slice after pruning). */
   private def subvectors(v: DataFrame, m: Int, ds: Int): DataFrame =

@@ -68,6 +68,17 @@ object GroupE {
         .select(col("id").as("vec_id"),
           org.apache.spark.sql.functions.concat_ws(",", col("codes")).as("codes"))
     }),
+
+    // e7: signed random projection of the int8-quantized embeddings —
+    // the reproducible cosine sketch (16 signed integer sums per
+    // vector). Quantize-then-project keeps every value integral, so
+    // the DuckDB oracle matches bit-for-bit with no float rounding
+    // anywhere. Narrow plan: literal sign arrays + fused ArrayDot
+    // loops, zero shuffles before the final compare.
+    "e7_random_projection" -> ((s, d) =>
+      Similarity.randomSignProjection(emb(s, d), "vec_id", "embedding",
+          k = 16, dim = 64)
+        .select(col("id").as("vec_id"), col("j"), col("proj"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +116,31 @@ object GroupE {
         |SELECT id AS vec_id,
         |  string_agg(cast(code AS string), ',' ORDER BY s) AS codes
         |FROM a GROUP BY 1""".stripMargin,
+
+    // Sign(i, j) replays the Scala side's two Lehmer/MINSTD steps on
+    // the cell index i*16 + j + 1 (all bigint arithmetic, overflow-free
+    // under 2^63) and takes the state's parity; the projection itself
+    // is an integer dot, so the sums agree exactly in any order. The
+    // outer casts keep seq/j/proj out of DuckDB's HUGEINT (the f12
+    // lesson: a windowed/grouped sum of BIGINT reaches the comparer as
+    // a float otherwise).
+    "e7_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |q AS (SELECT vec_id, list_transform(v, x ->
+        |        cast(CASE WHEN mx = mn THEN 0
+        |             ELSE greatest(0.0, least(floor((x - mn) * 255.0 / (mx - mn)), 255.0))
+        |             END AS bigint)) AS qv FROM m),
+        |cj AS (SELECT vec_id, qv, unnest(generate_series(0, 15)) AS j FROM q),
+        |cell AS (SELECT vec_id, j, unnest(qv) AS qi,
+        |           unnest(generate_series(0, len(qv) - 1)) AS i FROM cj),
+        |s AS (SELECT vec_id, j, qi,
+        |        ((i * 16 + j + 1) % 2147483647) * 48271 % 2147483647
+        |          * 48271 % 2147483647 AS h2
+        |      FROM cell)
+        |SELECT vec_id, cast(j AS bigint) AS j,
+        |  cast(sum(qi * (CASE WHEN h2 % 2 = 0 THEN 1 ELSE -1 END)) AS bigint) AS proj
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "e4_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

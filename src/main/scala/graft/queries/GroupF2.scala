@@ -80,6 +80,87 @@ object GroupF2 {
              sum(col("chunk_tokens")).as("n_tokens"))
     }),
 
+    // f13: the composed keep/drop quality GATE with reject reasons —
+    // the decision step the f2/f10/f11 signals exist to feed (the
+    // C4/Gopher filtering stage: every corpus pipeline cuts documents
+    // on token count, word-length sanity, duplicate-token mass and
+    // top-bigram repetition, and records WHY each document died so
+    // the cuts are auditable). Zero-shuffle by design: every signal —
+    // including the top-bigram count, via a max-run scan over the
+    // SORTED bigram array — is computed per row in one narrow
+    // projection, so at 100 TB the gate runs as a pure map BEFORE any
+    // pairing/shuffle stage ever sees the dropped rows (the p2 stage-
+    // order rule). Threshold comparisons are on exact integer-ratio
+    // doubles, identical in both engines; rounding is display-only.
+    "f13_quality_gate" -> ((s, d) => {
+      // Max identical-run length over a sorted array = the max
+      // duplicate count, without a (doc, gram) shuffle. State struct
+      // is (prev, run, best); empty arrays finish at best = 0.
+      def maxRun(arr: org.apache.spark.sql.Column) =
+        aggregate(sort_array(arr),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+      val sig = Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"),
+          Text.shingles(col("toks"), 2).as("g2"))
+        .select(col("doc_id"), col("n"),
+          when(col("n") === 0, lit(0.0))
+            .otherwise(aggregate(col("toks"), lit(0L),
+              (a, x) => a + length(x)).cast("double") / col("n"))
+            .as("mwl"),
+          when(col("n") === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("toks"))).cast("double") / col("n"))
+            .as("dupf"),
+          when(size(col("g2")) === 0, lit(0.0))
+            .otherwise(maxRun(col("g2")).cast("double") / size(col("g2")))
+            .as("topgf"))
+      val tooShort = col("n") < 25
+      val tooLong = col("n") > 5000
+      val wordLen = col("mwl") < 3.0 || col("mwl") > 8.0
+      val dupToks = col("dupf") > 0.6
+      val repet = col("topgf") > 0.05
+      sig.select(col("doc_id"), col("n").as("n_tokens"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        round(col("dupf"), 6).as("dup_token_frac"),
+        round(col("topgf"), 6).as("top2gram_frac"),
+        concat_ws(",",
+          when(tooShort, "too_short"), when(tooLong, "too_long"),
+          when(wordLen, "word_len"), when(dupToks, "dup_tokens"),
+          when(repet, "repetitive")).as("reasons"),
+        (!tooShort && !tooLong && !wordLen && !dupToks && !repet).as("keep"))
+    }),
+
+    // f14: Unicode NFC normalization — graft's native NfcNormalize
+    // expression against DuckDB's built-in nfc_normalize, proven
+    // byte-for-byte via md5 of the composed output. The corpus text
+    // is ASCII, so each row is decorated with DECOMPOSED sequences
+    // (e+U+0301, n+U+0303, A+U+030A) built from identical literals in
+    // both engines; composition must shrink the code-point count by
+    // exactly 3 and produce the same bytes. Purely narrow: one
+    // codegen'd projection, zero shuffles — the canonicalization step
+    // that runs before any 100 TB dedup/fingerprint stage.
+    "f14_nfc_normalize" -> ((s, d) => {
+      val deco = concat(lit("Café "), substring(col("text"), 1, 40),
+        lit(" niño Å"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), deco.as("raw"))
+        .select(col("doc_id"), length(col("raw")).cast("long").as("raw_cp"),
+          Text.nfc(col("raw")).as("nfc"))
+        .select(col("doc_id"), col("raw_cp"),
+          length(col("nfc")).cast("long").as("nfc_cp"),
+          substring(col("nfc"), 1, 5).as("nfc_prefix"),
+          md5(col("nfc").cast("binary")).as("nfc_md5"))
+    }),
+
     // f11: character-level Shannon entropy (nats) — the third classic
     // quality cut (after length/ratio gates and repetition): binary
     // junk and encoding garbage score high, keyboard-mash and
@@ -180,6 +261,50 @@ object GroupF2 {
          |  cast(len(chunk) AS bigint) AS chunk_tokens,
          |  md5(array_to_string(chunk, ' ')) AS chunk_hash
          |FROM c""".stripMargin,
+
+    // The top-bigram count comes from a (doc, gram) GROUP BY here —
+    // different plan, same value as the Spark side's narrow max-run
+    // scan; the hash gate proves the equivalence on every document.
+    "f13_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS words FROM documents),
+         |b AS (SELECT doc_id, words, len(words) AS n, ${duckGrams(2)} AS g2 FROM t),
+         |tg AS (SELECT doc_id, max(c) AS topc FROM (
+         |         SELECT doc_id, g, count(*) AS c
+         |         FROM (SELECT doc_id, unnest(g2) AS g FROM b) GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |sig AS (SELECT doc_id, cast(n AS bigint) AS n,
+         |  CASE WHEN n = 0 THEN 0.0
+         |       ELSE list_aggregate(list_transform(words, w -> len(w)), 'sum') * 1.0 / n
+         |       END AS mwl,
+         |  CASE WHEN n = 0 THEN 0.0
+         |       ELSE 1.0 - len(list_distinct(words)) * 1.0 / n END AS dupf,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE coalesce(topc, 0) * 1.0 / len(g2) END AS topgf
+         |FROM b LEFT JOIN tg USING (doc_id))
+         |SELECT doc_id, n AS n_tokens,
+         |  round(mwl, 6) AS mean_word_len,
+         |  round(dupf, 6) AS dup_token_frac,
+         |  round(topgf, 6) AS top2gram_frac,
+         |  concat_ws(',',
+         |    CASE WHEN n < 25 THEN 'too_short' END,
+         |    CASE WHEN n > 5000 THEN 'too_long' END,
+         |    CASE WHEN mwl < 3.0 OR mwl > 8.0 THEN 'word_len' END,
+         |    CASE WHEN dupf > 0.6 THEN 'dup_tokens' END,
+         |    CASE WHEN topgf > 0.05 THEN 'repetitive' END) AS reasons,
+         |  (n >= 25 AND n <= 5000 AND mwl >= 3.0 AND mwl <= 8.0
+         |   AND dupf <= 0.6 AND topgf <= 0.05) AS keep
+         |FROM sig""".stripMargin,
+
+    "f14_nfc_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |  'Café ' || substr(text, 1, 40) || ' niño Å' AS r
+        |  FROM documents),
+        |n AS (SELECT doc_id, r, nfc_normalize(r) AS nfc FROM raw)
+        |SELECT doc_id, cast(length(r) AS bigint) AS raw_cp,
+        |  cast(length(nfc) AS bigint) AS nfc_cp,
+        |  substr(nfc, 1, 5) AS nfc_prefix,
+        |  md5(nfc) AS nfc_md5
+        |FROM n""".stripMargin,
 
     "f11_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch

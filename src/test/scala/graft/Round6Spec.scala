@@ -1,0 +1,156 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-6 additions: NFC normalization (expression + f14 query),
+  * the zero-shuffle f13 quality gate, and the e7 signed random
+  * projection sketch.
+  */
+class Round6Spec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  // --- NfcNormalize expression -------------------------------------
+
+  test("NfcNormalize: composes decomposed sequences (UAX #15 vectors)") {
+    // e+U+0301 -> U+00E9, n+U+0303 -> U+00F1, A+U+030A -> U+00C5;
+    // already-composed and plain-ASCII inputs are unchanged.
+    val rows = Seq(
+      "Café" -> "Café",
+      "niño" -> "niño",
+      "Å" -> "Å",
+      "Café" -> "Café",
+      "plain ascii" -> "plain ascii",
+      "" -> "")
+    val got = rows.map(_._1).toDF("s")
+      .select(Text.nfc($"s")).as[String].collect().toSeq
+    assert(got == rows.map(_._2))
+  }
+
+  test("NfcNormalize: null in, null out; interpreted matches codegen") {
+    val viaDf = Seq[Option[String]](None).toDF("s")
+      .select(Text.nfc($"s")).collect().head
+    assert(viaDf.isNullAt(0))
+    val interp = graft.functions.expr.NfcNormalizeUtil
+      .nfc(UTF8String.fromString("Café Å")).toString
+    val codegen = Seq("Café Å").toDF("s")
+      .select(Text.nfc($"s")).as[String].head()
+    assert(interp == codegen && codegen == "Café Å")
+  }
+
+  test("NfcNormalize: fast path returns already-normalized input unchanged") {
+    val s = UTF8String.fromString("already composed é")
+    // Reference equality: the common already-NFC case must not copy.
+    assert(graft.functions.expr.NfcNormalizeUtil.nfc(s) eq s)
+  }
+
+  test("graft_nfc is callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_nfc('Café') AS n")
+      .as[String].head()
+    assert(r == "Café")
+  }
+
+  test("f14 query: composition removes exactly the 3 decorated marks, zero shuffles") {
+    val df = SparkEntry.queries("f14_nfc_normalize")(spark, sfDir)
+    val qe = df.queryExecution
+    assert(!qe.executedPlan.toString.contains("Exchange"),
+      s"f14 must be a narrow projection\n${qe.executedPlan}")
+    val bad = df.filter(col("nfc_cp") =!= col("raw_cp") - 3).count()
+    assert(bad == 0)
+    assert(df.filter(col("nfc_prefix") =!= lit("Café ")).count() == 0)
+  }
+
+  // --- f13 quality gate ---------------------------------------------
+
+  test("f13: narrow max-run scan agrees with an explode+groupBy recount") {
+    val f13 = SparkEntry.queries("f13_quality_gate")(spark, sfDir)
+    // Independent recomputation of the top-bigram fraction: the
+    // conventional shuffle plan over the same tokenizer/shingler.
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("g"))
+    val expect = docs.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+        .as("expect_topgf"))
+    val joined = f13.join(expect, Seq("doc_id"), "left")
+      .filter(coalesce(col("expect_topgf"), lit(0.0)) =!= col("top2gram_frac"))
+    assert(joined.count() == 0)
+  }
+
+  test("f13: rules fire as documented and keep == no reasons") {
+    val f13 = SparkEntry.queries("f13_quality_gate")(spark, sfDir).cache()
+    try {
+      assert(f13.filter((col("reasons") === "") =!= col("keep")).count() == 0)
+      assert(f13.filter(col("n_tokens") < 25 &&
+        !col("reasons").contains("too_short")).count() == 0)
+      assert(f13.filter(col("dup_token_frac") > 0.6 &&
+        !col("reasons").contains("dup_tokens")).count() == 0)
+      // Non-degenerate on the synthetic corpus: both classes present.
+      val kept = f13.filter(col("keep")).count()
+      assert(kept > 0 && kept < f13.count())
+    } finally f13.unpersist()
+  }
+
+  test("f13: the gate is a pure map — zero exchanges in the executed plan") {
+    val p = SparkEntry.queries("f13_quality_gate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"f13 must not shuffle\n$p")
+  }
+
+  // --- e7 signed random projection ----------------------------------
+
+  test("e7: matches an in-memory reimplementation (quantize + MINSTD signs)") {
+    val k = 16
+    val rows = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(20)
+      .as[(Long, Array[Float])].collect()
+    def signOf(i: Int, j: Int): Long = {
+      val h0 = (i.toLong * k + j + 1) % 2147483647L
+      val h2 = h0 * 48271L % 2147483647L * 48271L % 2147483647L
+      if (h2 % 2 == 0) 1L else -1L
+    }
+    val expect = rows.flatMap { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val (mn, mx) = (d.min, d.max)
+      val q =
+        if (mx == mn) d.map(_ => 0L)
+        else d.map(x => math.max(0.0,
+          math.min(math.floor((x - mn) * 255.0 / (mx - mn)), 255.0)).toLong)
+      (0 until k).map { j =>
+        (id, j.toLong, q.indices.map(i => q(i) * signOf(i, j)).sum)
+      }
+    }.toSet
+    val got = Similarity.randomSignProjection(
+        Tables(spark, sfDir, "embeddings").limit(20),
+        "vec_id", "embedding", k = k, dim = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("e7: narrow plan — no exchange, no driver action") {
+    val p = Similarity.randomSignProjection(
+        Tables(spark, sfDir, "embeddings"), "vec_id", "embedding", 16, 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"e7 must not shuffle\n$p")
+  }
+
+  test("e7: sign matrix is balanced enough to carry signal") {
+    // Parity of a double-stepped MINSTD state: no column may be
+    // constant (that component would collapse to ±sum of codes).
+    val k = 16
+    def signOf(i: Int, j: Int): Long = {
+      val h0 = (i.toLong * k + j + 1) % 2147483647L
+      val h2 = h0 * 48271L % 2147483647L * 48271L % 2147483647L
+      if (h2 % 2 == 0) 1L else -1L
+    }
+    (0 until k).foreach { j =>
+      val pos = (0 until 64).count(i => signOf(i, j) > 0)
+      assert(pos >= 16 && pos <= 48, s"component $j degenerate: $pos/64 positive")
+    }
+  }
+}
