@@ -130,6 +130,71 @@ object Corpus {
           .as("dup_fraction"))
   }
 
+  /** The composed C4/Gopher-style quality GATE: per document, the
+    * keep/drop decision plus the reject reasons that made it — token
+    * count in [minTokens, maxTokens], mean word length in [3, 8],
+    * duplicate-token fraction ≤ maxDupFrac, top-bigram fraction ≤
+    * maxTopBigramFrac. Output: (id, n_tokens, mean_word_len,
+    * dup_token_frac, top2gram_frac, reasons csv, keep).
+    *
+    * ZERO-shuffle by construction: every signal — including the
+    * top-bigram count, via a max-identical-run scan over the SORTED
+    * bigram array — computes per row in one narrow projection. At
+    * 100 TB the gate therefore runs as a pure map BEFORE any
+    * pairing/shuffle stage sees the dropped rows (the p2 stage-order
+    * rule); threshold comparisons are exact integer-ratio doubles,
+    * so independent engines agree on every decision bit.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 25L, maxTokens: Long = 5000L,
+                  maxDupFrac: Double = 0.6,
+                  maxTopBigramFrac: Double = 0.05): DataFrame = {
+    // Max identical-run length over a sorted array = max duplicate
+    // count, without a (doc, gram) shuffle. State is (prev, run,
+    // best); empty arrays finish at best = 0.
+    def maxRun(arr: Column): Column =
+      aggregate(sort_array(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    val sig = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        size(col("toks")).cast("long").as("n"),
+        Text.shingles(col("toks"), 2).as("g2"))
+      .select(col("id"), col("n"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(aggregate(col("toks"), lit(0L),
+            (a, x) => a + length(x)).cast("double") / col("n"))
+          .as("mwl"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("toks"))).cast("double") / col("n"))
+          .as("dupf"),
+        when(size(col("g2")) === 0, lit(0.0))
+          .otherwise(maxRun(col("g2")).cast("double") / size(col("g2")))
+          .as("topgf"))
+    val tooShort = col("n") < minTokens
+    val tooLong = col("n") > maxTokens
+    val wordLen = col("mwl") < 3.0 || col("mwl") > 8.0
+    val dupToks = col("dupf") > maxDupFrac
+    val repet = col("topgf") > maxTopBigramFrac
+    sig.select(col("id"), col("n").as("n_tokens"),
+      round(col("mwl"), 6).as("mean_word_len"),
+      round(col("dupf"), 6).as("dup_token_frac"),
+      round(col("topgf"), 6).as("top2gram_frac"),
+      concat_ws(",",
+        when(tooShort, "too_short"), when(tooLong, "too_long"),
+        when(wordLen, "word_len"), when(dupToks, "dup_tokens"),
+        when(repet, "repetitive")).as("reasons"),
+      (!tooShort && !tooLong && !wordLen && !dupToks && !repet).as("keep"))
+  }
+
   /** Sequence packing for training batches: lay chunks end-to-end in
     * `orderCols` order within each `partitionCols` group and assign
     * each chunk to the fixed-token-budget output sequence its FIRST

@@ -41,9 +41,11 @@ object GroupD {
       Similarity.cosinePairs(Tables(s, d, "embeddings"), "vec_id", "embedding",
         tau = 0.35)),
 
+    // dim passed explicitly (a dataset constant): the registered plan
+    // runs with ZERO driver probe jobs.
     "d6_neardup_embedding_lsh" -> ((s, d) =>
       Similarity.cosinePairsLsh(Tables(s, d, "embeddings"), "vec_id", "embedding",
-        tau = 0.35)),
+        tau = 0.35, dim = 64)),
 
     // d7: pair → CLUSTER resolution. Near-dup pairs alone cannot drive
     // dedup (A~B, B~C must keep ONE canonical doc, but neither pair

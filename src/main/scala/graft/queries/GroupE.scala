@@ -22,9 +22,11 @@ object GroupE {
       Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
         "vec_id", "embedding", k = 10)),
 
+    // dim passed explicitly (a dataset constant): the registered plan
+    // runs with ZERO driver probe jobs.
     "e2_knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(queriesSet(s, d), emb(s, d),
-        "vec_id", "embedding", k = 10)),
+        "vec_id", "embedding", k = 10, dim = 64)),
 
     "e3_knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(queriesSet(s, d), emb(s, d),

@@ -92,52 +92,10 @@ object GroupF2 {
     // pairing/shuffle stage ever sees the dropped rows (the p2 stage-
     // order rule). Threshold comparisons are on exact integer-ratio
     // doubles, identical in both engines; rounding is display-only.
-    "f13_quality_gate" -> ((s, d) => {
-      // Max identical-run length over a sorted array = the max
-      // duplicate count, without a (doc, gram) shuffle. State struct
-      // is (prev, run, best); empty arrays finish at best = 0.
-      def maxRun(arr: org.apache.spark.sql.Column) =
-        aggregate(sort_array(arr),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, x) => {
-            val run = when(x === acc.getField("prev"),
-              acc.getField("run") + 1L).otherwise(lit(1L))
-            struct(x.as("prev"), run.as("run"),
-              greatest(acc.getField("best"), run).as("best"))
-          },
-          acc => acc.getField("best"))
-      val sig = Tables(s, d, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("n"),
-          Text.shingles(col("toks"), 2).as("g2"))
-        .select(col("doc_id"), col("n"),
-          when(col("n") === 0, lit(0.0))
-            .otherwise(aggregate(col("toks"), lit(0L),
-              (a, x) => a + length(x)).cast("double") / col("n"))
-            .as("mwl"),
-          when(col("n") === 0, lit(0.0))
-            .otherwise(lit(1.0) -
-              size(array_distinct(col("toks"))).cast("double") / col("n"))
-            .as("dupf"),
-          when(size(col("g2")) === 0, lit(0.0))
-            .otherwise(maxRun(col("g2")).cast("double") / size(col("g2")))
-            .as("topgf"))
-      val tooShort = col("n") < 25
-      val tooLong = col("n") > 5000
-      val wordLen = col("mwl") < 3.0 || col("mwl") > 8.0
-      val dupToks = col("dupf") > 0.6
-      val repet = col("topgf") > 0.05
-      sig.select(col("doc_id"), col("n").as("n_tokens"),
-        round(col("mwl"), 6).as("mean_word_len"),
-        round(col("dupf"), 6).as("dup_token_frac"),
-        round(col("topgf"), 6).as("top2gram_frac"),
-        concat_ws(",",
-          when(tooShort, "too_short"), when(tooLong, "too_long"),
-          when(wordLen, "word_len"), when(dupToks, "dup_tokens"),
-          when(repet, "repetitive")).as("reasons"),
-        (!tooShort && !tooLong && !wordLen && !dupToks && !repet).as("keep"))
-    }),
+    "f13_quality_gate" -> ((s, d) =>
+      graft.operators.Corpus.qualityGate(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
 
     // f14: Unicode NFC normalization — graft's native NfcNormalize
     // expression against DuckDB's built-in nfc_normalize, proven

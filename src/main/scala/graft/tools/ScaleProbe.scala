@@ -186,6 +186,23 @@ object ScaleProbe {
     report("g5 window-distinct",
       noop(windowDistinct(ev)), noop(windowDistinct(evK)))
 
+    // f13/e7: the round-6 NARROW ops. Both are pure maps (no
+    // exchange), so the probe pins the base property instead of a
+    // shuffle key: cost scales on rows and nothing else — a ratio
+    // near K with no super-linear term means the per-row HOF/codegen
+    // work really is constant per row.
+    report("f13 quality-gate",
+      noop(Corpus.qualityGate(docs, "doc_id", "text")),
+      noop(Corpus.qualityGate(docsK, "doc_id", "text")))
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val embK = scaled(emb, Seq("vec_id"))
+    report("e7 sign-projection",
+      noop(graft.operators.Similarity.randomSignProjection(
+        emb, "vec_id", "embedding", 16, 64)),
+      noop(graft.operators.Similarity.randomSignProjection(
+        embK, "vec_id", "embedding", 16, 64)))
+
     spark.stop()
   }
 }
