@@ -18,6 +18,24 @@ object Text {
       graft.functions.expr.NfcNormalize(
         org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
+  /** Engine-portable 64-bit hash: the first 8 bytes of md5(utf8(s)),
+    * big-endian, as a signed long — assembled from the two 32-bit hex
+    * halves so no intermediate overflows even at the int64 boundaries.
+    * xxhash64 would be faster, but nothing outside the JVM computes
+    * Spark's seeded variant; md5 is bit-identical in every engine
+    * (DuckDB replays this exact construction in the d3/d4 oracles),
+    * which is what makes the sketch family EXACTLY verifiable rather
+    * than rows-only. Use it wherever a hash value is part of an
+    * operator's observable output; keep xxhash64 for purely internal
+    * partitioning (salts, probes) where no oracle ever sees the value.
+    */
+  def hash64md5(c: Column): Column = {
+    val h = md5(c.cast("binary"))
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    (when(hi >= 2147483648L, hi - 4294967296L).otherwise(hi)) * 4294967296L + lo
+  }
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)

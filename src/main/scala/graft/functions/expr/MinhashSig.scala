@@ -2,7 +2,7 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
 
 /** MinHash signature of a shingle ARRAY, as one scalar expression:
   * component i (i = 0..numHashes-1) is the minimum over the array's
-  * non-null elements of the seeded xxhash64 chain `xxhash64(elem, i)`
-  * — BIT-COMPATIBLE with [[graft.operators.Dedup.minhashSignatures]],
-  * which computes the same components as `min(xxhash64(shingle, i))`
-  * grouped aggregations over exploded (id, shingle) rows (parity is
-  * pinned in DedupSpec). Null or element-free input yields NULL (the
-  * grouped form produces no row for such a document).
+  * non-null elements of an md5-derived hash: one digest per element,
+  * component i an affine mix (odd multiplier 2i+1) of the digest's
+  * four unsigned 32-bit words — BIT-COMPATIBLE with
+  * [[graft.operators.Dedup.minhashSignatures]], which computes the
+  * same components as grouped min aggregations over exploded
+  * (id, shingle) rows (parity pinned in DedupSpec), and exactly
+  * replayable by the DuckDB oracle (d3 is hash-verified, not
+  * rows-only). Null or element-free input yields NULL (the grouped
+  * form produces no row for such a document).
   *
   * This is the SQL-facing form (`graft_minhash(shingles, k)`): a
   * SQL-only user can reach the MinHash dedup family without the
@@ -82,6 +85,13 @@ case class MinhashSig(tokens: Expression, numHashes: Int)
 }
 
 object MinhashSig {
+  /** Per-thread MD5 instance: MessageDigest is not thread-safe and
+    * allocation per element would dominate the loop. */
+  private val digester = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Static form shared by eval and codegen. Returns null when the
     * array holds no non-null element. */
   def compute(arr: ArrayData, k: Int): GenericArrayData = {
@@ -92,13 +102,25 @@ object MinhashSig {
     while (i < m) {
       if (!arr.isNullAt(i)) {
         any = true
-        // Same chain as the built-in xxhash64(elem, i) with its fixed
-        // 42 seed: hash the string once, then fold each component
-        // index in as an int.
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        // Same scheme as Dedup.minhashSignatures: ONE md5 per
+        // element; component j mixes the digest's four unsigned
+        // 32-bit words affinely with odd multiplier 2j+1 (exact
+        // integer arithmetic below 2^63 — replayable by the DuckDB
+        // oracle, so d3 is hash-verified rather than rows-only).
+        val md = MinhashSig.digester.get()
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        def word(o: Int): Long =
+          ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+            ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+        val (w0, w1, w2, w3) = (word(0), word(4), word(8), word(12))
         var j = 0
         while (j < k) {
-          val hj = XxHash64Function.hash(j, IntegerType, h)
+          val m = 2L * j + 1
+          val a = (w0 + m * w2) % 4294967296L
+          val b = (w1 + m * w3) % 4294967296L
+          val hj = (if (a >= 2147483648L) a - 4294967296L else a) *
+            4294967296L + b
           if (hj < sig(j)) sig(j) = hj
           j += 1
         }

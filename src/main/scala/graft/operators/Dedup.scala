@@ -141,9 +141,31 @@ object Dedup {
     * plain `min`, so partial aggregation applies). Output: (id,
     * sig array<long>). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    sh.groupBy("id")
+    // Component hashes are md5-derived, NOT xxhash64: the signature
+    // values are observable output (d3's pairs and est_jaccard flow
+    // from them), and the md5 base is what lets an independent engine
+    // replay the sketch exactly (the DuckDB oracle does). Cost
+    // matters here, so the digest runs ONCE per shingle; the k
+    // components come from affine mixes of the digest's four 32-bit
+    // words (the Kirsch–Mitzenmacher double-hashing construction;
+    // odd multipliers 2i+1 are bijections mod 2^32). All arithmetic
+    // stays below 2^63 — exact in any engine. One md5 per shingle
+    // measured ~7× faster than per-component digests at sf0.1.
+    val words = sh
+      .select(col("id"), md5(col("shingle").cast("binary")).as("hx"))
+      .select(col("id"),
+        conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("w0"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w1"),
+        conv(substring(col("hx"), 17, 8), 16, 10).cast("long").as("w2"),
+        conv(substring(col("hx"), 25, 8), 16, 10).cast("long").as("w3"))
+    def component(i: Int): Column = {
+      val m = 2L * i + 1
+      val a = (col("w0") + lit(m) * col("w2")) % 4294967296L
+      val b = (col("w1") + lit(m) * col("w3")) % 4294967296L
+      (when(a >= 2147483648L, a - 4294967296L).otherwise(a)) * 4294967296L + b
+    }
+    val mins = (0 until numHashes).map(i => min(component(i)).as(s"h$i"))
+    words.groupBy("id")
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -158,13 +180,27 @@ object Dedup {
                       n: Int, bands: Int, rows: Int,
                       minEstJaccard: Double, dfCap: Long = 0L): DataFrame = {
     val numHashes = bands * rows
-    val sigs = minhashSignatures(shingles(docs, idCol, textCol, n, dfCap), numHashes)
+    // No df cut → signatures come from the NATIVE scalar expression
+    // over each document's in-row shingle array: one JVM digest per
+    // element (no hex/conv detour) and ZERO shuffle for the signature
+    // stage (the grouped form shuffles exploded (id, shingle) rows).
+    // Duplicate shingles cannot move a min, so multiset input is fine;
+    // bit-parity of the two forms is pinned in DedupSpec. With a df
+    // cut the per-element frequencies are corpus-global, so the
+    // exploded grouped path is the only shape that can apply it.
+    val sigs = (if (dfCap <= 0) {
+      docs.select(col(idCol).as("id"),
+          graft.functions.Hashes.minhashSig(
+            Text.shingles(Text.tokens(col(textCol)), n), numHashes).as("sig"))
+        .filter(col("sig").isNotNull)
+    } else minhashSignatures(shingles(docs, idCol, textCol, n, dfCap), numHashes))
       .cut()
     val banded = sigs.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-                    xxhash64(b, concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))))
+                    Text.hash64md5(concat(b.cast("string"), lit(":"),
+                        concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
                       .as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val cands = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -198,7 +234,10 @@ object Dedup {
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(Text.shingles(col("toks"), shingleN)).as("token"))
       .groupBy("id")
-      .agg(graft.functions.Hashes.simhash(xxhash64(col("token"))).as("fp"))
+      // Feature hash is md5-derived for the same reason as the
+      // MinHash components: the fingerprint is observable output, and
+      // the DuckDB oracle replays it bit-for-bit.
+      .agg(graft.functions.Hashes.simhash(Text.hash64md5(col("token"))).as("fp"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` ≤ 6,
     * Manku-style combined-band blocking (Detecting Near-Duplicates for

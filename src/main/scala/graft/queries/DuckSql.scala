@@ -23,4 +23,21 @@ private[queries] object DuckSql {
   /** The `w` CTE body both dedup and corpus oracles start from:
     * (doc_id, words). */
   val wordsCte: String = s"SELECT doc_id, $toks AS words FROM documents"
+
+  /** `Text.hash64md5` parity: first 8 bytes of md5(utf8(expr)) as a
+    * signed big-endian 64-bit value, assembled from the two 32-bit
+    * hex halves (no intermediate overflows). The hex→int fold is a
+    * per-character list_reduce — DuckDB has no conv(). */
+  /** Hex→int fold over an 8-char hex substring (DuckDB has no
+    * conv()): one unsigned 32-bit word. */
+  def hexFold(sub: String): String =
+    "list_reduce(list_transform(string_split(" + sub + ", ''), " +
+      "c -> strpos('0123456789abcdef', c) - 1)::BIGINT[], (a, b) -> a * 16 + b)"
+
+  def hash64md5(expr: String): String = {
+    val hi = hexFold(s"substr(md5($expr), 1, 8)")
+    val lo = hexFold(s"substr(md5($expr), 9, 8)")
+    s"((CASE WHEN $hi >= 2147483648 THEN $hi - 4294967296 ELSE $hi END) " +
+      s"* 4294967296 + $lo)"
+  }
 }

@@ -131,6 +131,72 @@ object GroupD {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // d3/d4 replay the ENTIRE sketch construction — md5-derived
+    // component/feature hashes (DuckSql.hash64md5 == Text.hash64md5),
+    // banding, bucket join, estimate/hamming — so the sketch family is
+    // hash-verified end to end, not rows-only. The helper recomputes
+    // md5 per hex half (no conv() in DuckDB); oracle cost, not engine
+    // cost.
+    "d3_dedup_minhash_lsh" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |sh AS (SELECT DISTINCT doc_id AS id, unnest(${DuckSql.grams(3)}) AS shingle
+         |       FROM w),
+         |hx AS (SELECT id, md5(shingle) AS h FROM sh),
+         |ws AS (SELECT id,
+         |         ${DuckSql.hexFold("substr(h, 1, 8)")} AS w0,
+         |         ${DuckSql.hexFold("substr(h, 9, 8)")} AS w1,
+         |         ${DuckSql.hexFold("substr(h, 17, 8)")} AS w2,
+         |         ${DuckSql.hexFold("substr(h, 25, 8)")} AS w3
+         |       FROM hx),
+         |ab AS (SELECT id, i, (w0 + (2 * i + 1) * w2) % 4294967296 AS a,
+         |               (w1 + (2 * i + 1) * w3) % 4294967296 AS b
+         |       FROM ws, (SELECT unnest(generate_series(0, 31)) AS i) seeds),
+         |comp AS (SELECT id, i,
+         |           min((CASE WHEN a >= 2147483648 THEN a - 4294967296 ELSE a END)
+         |               * 4294967296 + b) AS sig
+         |         FROM ab GROUP BY 1, 2),
+         |bnd AS (SELECT id, i // 4 AS band,
+         |          string_agg(cast(sig AS varchar), ',' ORDER BY i) AS csv
+         |        FROM comp GROUP BY 1, 2),
+         |bk AS (SELECT id, band, ${DuckSql.hash64md5("band || ':' || csv")} AS bucket
+         |       FROM bnd),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bk a JOIN bk b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |est AS (SELECT c.id_a, c.id_b,
+         |          sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+         |        FROM cand c
+         |        JOIN comp x ON x.id = c.id_a
+         |        JOIN comp y ON y.id = c.id_b AND y.i = x.i
+         |        GROUP BY 1, 2)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "d4_dedup_simhash" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |tok AS (SELECT doc_id AS id, unnest(words) AS t FROM w),
+         |fh AS (SELECT id, ${DuckSql.hash64md5("t")} AS h FROM tok),
+         |bits AS (SELECT id, b,
+         |           sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS ctr
+         |         FROM fh, (SELECT unnest(generate_series(0, 63)) AS b) bs
+         |         GROUP BY 1, 2),
+         |fps AS (SELECT id, cast(sum(CASE WHEN ctr > 0 THEN
+         |            CASE WHEN b = 63 THEN -9223372036854775807 - 1
+         |                 ELSE (1::BIGINT << b) END
+         |          ELSE 0 END) AS bigint) AS fp
+         |        FROM bits GROUP BY 1),
+         |bp AS (SELECT i, j
+         |       FROM (SELECT unnest(generate_series(0, 7)) AS i) a,
+         |            (SELECT unnest(generate_series(0, 7)) AS j) b
+         |       WHERE i < j),
+         |banded AS (SELECT id, fp, i * 8 + j AS tbl,
+         |             ((fp >> (i * 8)) & 255) * 256 + ((fp >> (j * 8)) & 255) AS key
+         |           FROM fps, bp)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.tbl = b.tbl AND a.key = b.key AND a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin,
+
     "d2_dedup_ngram_jaccard" ->
       s"""WITH $jaccardCte
          |SELECT id_a, id_b,

@@ -128,7 +128,7 @@ class DedupSpec extends GraftSuite {
     val tok = docs
       .select(col("doc_id").as("id"), Text.tokens(col("text")).as("toks"))
       .select(col("id"), explode(Text.shingles(col("toks"), 1)).as("token"))
-      .withColumn("th", xxhash64(col("token")))
+      .withColumn("th", Text.hash64md5(col("token")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("th"), i).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"b$i") }
