@@ -85,13 +85,28 @@ object Similarity {
         Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
-  /** Deterministic ±1 hyperplane components (seeded), so LSH results
-    * are reproducible across runs and testable against the exact kNN. */
+  /** Deterministic ±1 hyperplane components: the sign of plane cell
+    * (t, j, i) is the low bit of md5("t:j:i:seed") — NOT a JVM PRNG
+    * stream, so any engine can replay it (the DuckDB oracles rebuild
+    * e2/d6's buckets exactly; the scala.util.Random stream this
+    * replaced was JVM-only, forcing both queries to rows-only
+    * checks). md5 rather than a cheap LCG parity on purpose: a
+    * Lehmer/MINSTD double-step has an EVEN increment between
+    * consecutive cell indices (48271² mod p ≈ 1.8e8), so its parity
+    * runs in ~12-cell streaks of equal sign — measured recall dropped
+    * from 0.61 to 0.54 before this was caught by the recall-floor
+    * spec. The planes are literals built once on the driver; 5120
+    * digests cost nothing. */
   private def planes(numTables: Int, bitsPerTable: Int, dim: Int,
                      seed: Long): Seq[Seq[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numTables)(Seq.fill(bitsPerTable)(
-      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(numTables)(t => Seq.tabulate(bitsPerTable)(j =>
+      Array.tabulate(dim) { i =>
+        md.reset()
+        val d = md.digest(s"$t:$j:$i:$seed".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(7) & 1) == 0) 1.0 else -1.0
+      }))
   }
 
   /** Approximate top-k: random-hyperplane LSH. Each of `numTables`
@@ -453,12 +468,12 @@ object Similarity {
     * is integer arithmetic and therefore bit-identical on any engine.
     * Output: (id, j, proj) long rows, j in [0, k).
     *
-    * The sign matrix is seeded, not random-at-runtime: cell (i, j)
-    * hashes through two Lehmer/MINSTD steps (Park–Miller 1988,
-    * multiplier 48271 on the prime 2^31−1) and takes the state's
-    * parity, so signatures are reproducible across runs and engines —
-    * the property reproducible training-data pipelines need (a rerun
-    * must not resketch the corpus differently).
+    * The sign matrix is seeded, not random-at-runtime: cell (i, j)'s
+    * sign is the low bit of md5("i:j") — reproducible across runs and
+    * engines (the property reproducible training-data pipelines need:
+    * a rerun must not resketch the corpus differently), and a real
+    * mixer (an LCG-parity scheme here had ~12-cell equal-sign runs;
+    * see [[planes]]).
     *
     * Scale shape: the signs are LITERAL arrays baked into the plan
     * (k·dim doubles — 16×64 here is a kilobyte; even 256×4096 is
@@ -473,10 +488,12 @@ object Similarity {
   def randomSignProjection(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, dim: Int): DataFrame = {
     require(k >= 1 && dim >= 1, s"k/dim must be >= 1, got $k/$dim")
+    val mdd = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Double = {
-      val h0 = (i.toLong * k + j + 1) % 2147483647L
-      val h2 = h0 * 48271L % 2147483647L * 48271L % 2147483647L
-      if (h2 % 2 == 0) 1.0 else -1.0
+      mdd.reset()
+      val d = mdd.digest(s"$i:$j".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(7) & 1) == 0) 1.0 else -1.0
     }
     val q = quantizeInt8(df, idCol, vecCol)
       .select(col("id"), transform(col("q"), _.cast("double")).as("qd"))

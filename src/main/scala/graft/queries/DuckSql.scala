@@ -34,6 +34,38 @@ private[queries] object DuckSql {
     "list_reduce(list_transform(string_split(" + sub + ", ''), " +
       "c -> strpos('0123456789abcdef', c) - 1)::BIGINT[], (a, b) -> a * 16 + b)"
 
+  /** Shared CTE prefix for the hyperplane-LSH oracles (e2/d6):
+    * L2-normalized embeddings `u` and per-(table, bit) ±1 plane lists
+    * `pl`, replaying `Similarity.planes` (MINSTD parity, seed 42,
+    * 16 tables × 5 bits × 64 dims) and `ArrayNormalize` (ascending
+    * sum of squares, zero-norm pass-through) exactly. Every float
+    * reduction below is an ascending left fold — the same operation
+    * sequence as the codegen'd ArrayDot loop — so even the bucket
+    * SIGN bits reproduce bit-for-bit, no rounding gamble. */
+  val lshCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+      |nr AS (SELECT vec_id, vd,
+      |         sqrt(list_reduce(list_transform(vd, x -> x * x),
+      |              (a, b) -> a + b)) AS nrm FROM e),
+      |u AS (SELECT vec_id,
+      |        CASE WHEN nrm = 0 THEN vd
+      |             ELSE list_transform(vd, x -> x / nrm) END AS u FROM nr),
+      |tj AS (SELECT t, j
+      |       FROM (SELECT unnest(generate_series(0, 15)) AS t),
+      |            (SELECT unnest(generate_series(0, 4)) AS j)),
+      |pl AS (SELECT t, j, list_transform(generate_series(0, 63), i ->
+      |         CASE WHEN (${hash64md5("t || ':' || j || ':' || i || ':' || 42")} & 1) = 0
+      |              THEN 1.0 ELSE -1.0 END) AS s
+      |       FROM tj),
+      |bk AS (SELECT vec_id, t,
+      |         cast(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END)
+      |              AS bigint) AS bucket
+      |       FROM (SELECT vec_id, t, j,
+      |               list_reduce(list_transform(generate_series(1, 64),
+      |                 i -> u[i] * s[i]), (a, b) -> a + b) AS dot
+      |             FROM u, pl)
+      |       GROUP BY 1, 2)""".stripMargin
+
   def hash64md5(expr: String): String = {
     val hi = hexFold(s"substr(md5($expr), 1, 8)")
     val lo = hexFold(s"substr(md5($expr), 9, 8)")

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Group D — deduplication over the `documents` / `embeddings` tables:
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
-  * d3/d4 are sketch-based (hash functions engine-specific) so they get
-  * the driver's rows-only check; their fidelity vs the exact variants
-  * is asserted in DedupSpec instead.
+  * Every query here is hash-verified: since round 6 the sketch ops
+  * (d3/d4/d6) use md5-derived hashes and sign planes the DuckDB
+  * oracle replays bit-for-bit, on top of the fidelity-vs-exact specs
+  * in DedupSpec/SimilarityLshSpec.
   */
 object GroupD {
   type Q = (SparkSession, String) => DataFrame
@@ -35,8 +36,8 @@ object GroupD {
     // DuckDB can replay it). d6 is the same contract at scale:
     // LSH-bucketed candidates + exact rescore, no all-pairs stage —
     // the plan to run at 100 TB. Recall floor vs d5 is pinned in
-    // SimilarityLshSpec (rows-only for the driver: hyperplane seeds
-    // are engine-specific).
+    // SimilarityLshSpec, and the whole LSH path is oracled besides
+    // (md5-parity planes — see Similarity.planes).
     "d5_neardup_embedding" -> ((s, d) =>
       Similarity.cosinePairs(Tables(s, d, "embeddings"), "vec_id", "embedding",
         tau = 0.35)),
@@ -196,6 +197,24 @@ object GroupD {
          |FROM banded a JOIN banded b
          |  ON a.tbl = b.tbl AND a.key = b.key AND a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin,
+
+    // d6 replays the hyperplane-LSH near-dup path end to end (shared
+    // CTEs with e2 — see DuckSql.lshCtes); the tau cut applies to the
+    // UNROUNDED cosine exactly as the Spark side does, and that value
+    // is bit-identical because every reduction is the same ascending
+    // fold.
+    "d6_neardup_embedding_lsh" ->
+      s"""WITH ${DuckSql.lshCtes},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM bk a JOIN bk b
+         |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |             list_reduce(list_transform(generate_series(1, 64),
+         |               i -> x.u[i] * y.u[i]), (p, q) -> p + q) AS cosv
+         |           FROM cand JOIN u x ON x.vec_id = id_a
+         |                     JOIN u y ON y.vec_id = id_b)
+         |SELECT id_a, id_b, round(cosv, 6) AS cosine
+         |FROM scored WHERE cosv >= 0.35""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->
       s"""WITH $jaccardCte

@@ -6,9 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Group E — similarity search over `embeddings`: exact brute-force
-  * kNN as the correctness baseline (DuckDB oracle), hyperplane-LSH ANN
-  * as the scale path (rows-only for the driver; recall vs e1 asserted
-  * in SimilaritySpec). Every 50th vector plays the query set.
+  * kNN as the correctness baseline, hyperplane-LSH ANN as the scale
+  * path — both DuckDB-oracled (e2's buckets replay bit-for-bit since
+  * round 6; recall vs e1 additionally asserted in SimilarityLshSpec).
+  * Only the k-means paths (e3/e6) stay rows-only: a distributed Lloyd
+  * fit is not reasonably expressible in one SQL statement. Every 50th
+  * vector plays the query set.
   */
 object GroupE {
   type Q = (SparkSession, String) => DataFrame
@@ -119,15 +122,35 @@ object GroupE {
         |  string_agg(cast(code AS string), ',' ORDER BY s) AS codes
         |FROM a GROUP BY 1""".stripMargin,
 
-    // Sign(i, j) replays the Scala side's two Lehmer/MINSTD steps on
-    // the cell index i*16 + j + 1 (all bigint arithmetic, overflow-free
-    // under 2^63) and takes the state's parity; the projection itself
-    // is an integer dot, so the sums agree exactly in any order. The
-    // outer casts keep seq/j/proj out of DuckDB's HUGEINT (the f12
-    // lesson: a windowed/grouped sum of BIGINT reaches the comparer as
-    // a float otherwise).
+    // e2 replays the ENTIRE LSH path: normalization (ascending fold,
+    // zero-norm pass-through), MINSTD-parity planes, sign-bit buckets,
+    // candidate join, rounded rescore, rank — see DuckSql.lshCtes for
+    // why the bucket signs are bit-exact, not just tolerance-close.
+    "e2_knn_lsh" ->
+      s"""WITH ${DuckSql.lshCtes},
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |         WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |             round(list_reduce(list_transform(generate_series(1, 64),
+         |               i -> a.u[i] * b.u[i]), (x, y) -> x + y), 4) AS cosine
+         |           FROM cand JOIN u a ON a.vec_id = query_id
+         |                     JOIN u b ON b.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    // Sign(i, j) is the low bit of md5('i:j') — same digest scheme as
+    // the Spark side, so both engines build identical sign matrices;
+    // the projection itself is an integer dot, so the sums agree
+    // exactly in any order. The outer casts keep j/proj out of
+    // DuckDB's HUGEINT (the f12 lesson: a windowed/grouped sum of
+    // BIGINT reaches the comparer as a float otherwise).
     "e7_random_projection" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
         |q AS (SELECT vec_id, list_transform(v, x ->
         |        cast(CASE WHEN mx = mn THEN 0
@@ -135,14 +158,11 @@ object GroupE {
         |             END AS bigint)) AS qv FROM m),
         |cj AS (SELECT vec_id, qv, unnest(generate_series(0, 15)) AS j FROM q),
         |cell AS (SELECT vec_id, j, unnest(qv) AS qi,
-        |           unnest(generate_series(0, len(qv) - 1)) AS i FROM cj),
-        |s AS (SELECT vec_id, j, qi,
-        |        ((i * 16 + j + 1) % 2147483647) * 48271 % 2147483647
-        |          * 48271 % 2147483647 AS h2
-        |      FROM cell)
+        |           unnest(generate_series(0, len(qv) - 1)) AS i FROM cj)
         |SELECT vec_id, cast(j AS bigint) AS j,
-        |  cast(sum(qi * (CASE WHEN h2 % 2 = 0 THEN 1 ELSE -1 END)) AS bigint) AS proj
-        |FROM s GROUP BY 1, 2""".stripMargin,
+        |  cast(sum(qi * (CASE WHEN (${DuckSql.hash64md5("i || ':' || j")} & 1) = 0
+        |                 THEN 1 ELSE -1 END)) AS bigint) AS proj
+        |FROM cell GROUP BY 1, 2""".stripMargin,
 
     "e4_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -110,9 +110,9 @@ class Round6Spec extends GraftSuite {
       .select(col("vec_id"), col("embedding")).limit(20)
       .as[(Long, Array[Float])].collect()
     def signOf(i: Int, j: Int): Long = {
-      val h0 = (i.toLong * k + j + 1) % 2147483647L
-      val h2 = h0 * 48271L % 2147483647L * 48271L % 2147483647L
-      if (h2 % 2 == 0) 1L else -1L
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      if ((d(7) & 1) == 0) 1L else -1L
     }
     val expect = rows.flatMap { case (id, v) =>
       val d = v.map(_.toDouble)
@@ -140,17 +140,25 @@ class Round6Spec extends GraftSuite {
   }
 
   test("e7: sign matrix is balanced enough to carry signal") {
-    // Parity of a double-stepped MINSTD state: no column may be
-    // constant (that component would collapse to ±sum of codes).
+    // md5-parity signs: no column may be near-constant (that
+    // component would collapse to ±sum of codes), and no long
+    // equal-sign runs (the LCG-parity scheme this replaced ran in
+    // ~12-cell streaks — caught by the LSH recall floor).
     val k = 16
     def signOf(i: Int, j: Int): Long = {
-      val h0 = (i.toLong * k + j + 1) % 2147483647L
-      val h2 = h0 * 48271L % 2147483647L * 48271L % 2147483647L
-      if (h2 % 2 == 0) 1L else -1L
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      if ((d(7) & 1) == 0) 1L else -1L
     }
     (0 until k).foreach { j =>
-      val pos = (0 until 64).count(i => signOf(i, j) > 0)
+      val signs = (0 until 64).map(i => signOf(i, j))
+      val pos = signs.count(_ > 0)
       assert(pos >= 16 && pos <= 48, s"component $j degenerate: $pos/64 positive")
+      // The LCG-parity scheme flipped sign only ~5 times per column
+      // (long streaks); iid signs flip ~31 times. A floor of 15
+      // separates the two regimes with huge margin on both sides.
+      val flips = signs.sliding(2).count(p => p.head != p.last)
+      assert(flips >= 15, s"component $j has only $flips sign changes")
     }
   }
 }
