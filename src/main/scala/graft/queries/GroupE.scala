@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions.col
 
 /** Group E — similarity search over `embeddings`: exact brute-force
   * kNN as the correctness baseline, hyperplane-LSH ANN as the scale
-  * path — both DuckDB-oracled (e2's buckets replay bit-for-bit since
-  * round 6; recall vs e1 additionally asserted in SimilarityLshSpec).
-  * Only the k-means paths (e3/e6) stay rows-only: a distributed Lloyd
-  * fit is not reasonably expressible in one SQL statement. Every 50th
-  * vector plays the query set.
+  * path — ALL DuckDB-oracled since round 6: e2's buckets replay
+  * bit-for-bit, and e3/e6's k-means fits unroll their fixed Lloyd
+  * iterations into CTEs (9-dp mean rounding bridges the one
+  * order-dependent reduction, per the operator contract). Recall
+  * floors vs e1 are additionally asserted in SimilarityLshSpec.
+  * Every 50th vector plays the query set.
   */
 object GroupE {
   type Q = (SparkSession, String) => DataFrame
@@ -48,10 +49,10 @@ object GroupE {
           org.apache.spark.sql.functions.round(col("mx"), 6).as("mx"),
           org.apache.spark.sql.functions.concat_ws(",", col("q")).as("q_csv"))),
 
-    // e6: IVF+PQ search (FAISS IVFADC layout) — rows-only for the
-    // driver (codebook fit is engine-specific, like e2/e3); the
-    // recall floor vs e1 and the loses-nothing-vs-plain-IVF property
-    // are pinned in RelationalExtSpec. The inverted lists carry PQ
+    // e6: IVF+PQ search (FAISS IVFADC layout) — fully oracled (the
+    // fit CTEs unroll both Lloyd loops); the recall floor vs e1 and
+    // the loses-nothing-vs-plain-IVF property are additionally
+    // pinned in RelationalExtSpec. The inverted lists carry PQ
     // codes instead of vectors, so the candidate join ships ~32×
     // less data — the 10⁹-vector serving shape.
     "e6_knn_ivfpq" -> ((s, d) =>
@@ -86,7 +87,193 @@ object GroupE {
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
   )
 
+  /** One unrolled Lloyd iteration for the e3 oracle: assign every
+    * unit vector (CTE `uu`) to its nearest `prev` centroid (argmax of
+    * the ascending-fold dot, cid-ascending tiebreak — exactly
+    * Similarity.ivfAssign), then the 9-dp-rounded spherical mean,
+    * renormalized. Produces CTE `out`. */
+  private def lloydIter(prev: String, out: String): String =
+    s"""p$out AS (SELECT id, cid, un FROM (
+       |  SELECT q.*, row_number() OVER (PARTITION BY id
+       |                 ORDER BY dot DESC, cid ASC) AS rn
+       |  FROM (SELECT u2.id, c.cid, u2.un,
+       |          list_reduce(list_transform(generate_series(1, 64),
+       |            i -> u2.un[i] * c.cvec[i]), (x, y) -> x + y) AS dot
+       |        FROM uu u2, $prev c) q) WHERE rn = 1),
+       |m$out AS (SELECT cid, pos, round(avg(v), 9) AS m FROM (
+       |    SELECT cid, unnest(un) AS v,
+       |           unnest(generate_series(0, 63)) AS pos
+       |    FROM p$out) GROUP BY 1, 2),
+       |v$out AS (SELECT cid, array_agg(m ORDER BY pos) AS mean
+       |          FROM m$out GROUP BY 1),
+       |$out AS (SELECT cid, CASE WHEN nn = 0 THEN mean
+       |           ELSE list_transform(mean, x -> x / nn) END AS cvec
+       |         FROM (SELECT cid, mean,
+       |                 sqrt(list_reduce(list_transform(mean, x -> x * x),
+       |                      (x, y) -> x + y)) AS nn FROM v$out))""".stripMargin
+
+  /** One unrolled PQ-Lloyd iteration for the e6 oracle (subspace
+    * codebooks over CTE `subs` = (id, s, sub)): assign each subvector
+    * to its nearest `prev` codeword — argmin of the 6-dp-rounded
+    * squared distance with cid-ascending tiebreak, exactly
+    * Similarity.assignPq, association (a + b) - (2 * c) preserved —
+    * then the 9-dp-rounded per-(s, cid, pos) mean. Produces CTE
+    * `out` = (s, cid, cvec). */
+  private def pqIter(prev: String, out: String): String =
+    s"""g$out AS (SELECT id, s, cid FROM (
+       |  SELECT q.*, row_number() OVER (PARTITION BY id, s
+       |                 ORDER BY d2r ASC, cid ASC) AS rn
+       |  FROM (SELECT sb.id, sb.s, c.cid,
+       |          round(list_reduce(list_transform(generate_series(1, 8),
+       |                  i -> sb.sub[i] * sb.sub[i]), (x, y) -> x + y)
+       |            + list_reduce(list_transform(generate_series(1, 8),
+       |                  i -> c.cvec[i] * c.cvec[i]), (x, y) -> x + y)
+       |            - 2 * list_reduce(list_transform(generate_series(1, 8),
+       |                  i -> c.cvec[i] * sb.sub[i]), (x, y) -> x + y), 6) AS d2r
+       |        FROM subs sb JOIN $prev c USING (s)) q) WHERE rn = 1),
+       |q$out AS (SELECT s, cid, pos, round(avg(x), 9) AS mv FROM (
+       |    SELECT a.s, a.cid, unnest(sb.sub) AS x,
+       |           unnest(generate_series(0, 7)) AS pos
+       |    FROM g$out a JOIN subs sb ON sb.id = a.id AND sb.s = a.s)
+       |  GROUP BY 1, 2, 3),
+       |$out AS (SELECT s, cid, array_agg(mv ORDER BY pos) AS cvec
+       |         FROM q$out GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // e6 replays the FULL IVFADC serving path: the e3 IVF fit (same
+    // unrolled Lloyd CTEs), 8-subspace PQ codebooks with two unrolled
+    // refinement iterations, code assignment, the per-query ADC
+    // lookup table, the rounded ADC shortlist (top-100) and the exact
+    // rescore. The two order-dependent reductions (Lloyd means, the
+    // 8-term ADC sum) are bridged by the operator's own 9-dp/6-dp
+    // rounding contract; every other float op is the same ascending
+    // fold as the codegen loops.
+    "e6_knn_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         |nr AS (SELECT vec_id, vd,
+         |         sqrt(list_reduce(list_transform(vd, x -> x * x),
+         |              (a, b) -> a + b)) AS nrm FROM e),
+         |uu AS (SELECT vec_id AS id,
+         |         CASE WHEN nrm = 0 THEN vd
+         |              ELSE list_transform(vd, x -> x / nrm) END AS un FROM nr),
+         |c0 AS (SELECT id AS cid, un AS cvec FROM uu WHERE id % 37 = 0),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |subs AS (SELECT id, s, un[s * 8 + 1 : s * 8 + 8] AS sub FROM uu, sp),
+         |sd AS (SELECT id, un FROM uu ORDER BY id LIMIT 16),
+         |cb0 AS (SELECT s, id AS cid, un[s * 8 + 1 : s * 8 + 8] AS cvec
+         |        FROM sd, sp),
+         |${pqIter("cb0", "cb1")},
+         |${pqIter("cb1", "cb2")},
+         |codes AS (SELECT id, s, cid AS code FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id, s
+         |                 ORDER BY d2r ASC, cid ASC) AS rn
+         |  FROM (SELECT sb.id, sb.s, c.cid,
+         |          round(list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> sb.sub[i] * sb.sub[i]), (x, y) -> x + y)
+         |            + list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * c.cvec[i]), (x, y) -> x + y)
+         |            - 2 * list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * sb.sub[i]), (x, y) -> x + y), 6) AS d2r
+         |        FROM subs sb JOIN cb2 c USING (s)) q) WHERE rn = 1),
+         |lv AS (SELECT id AS neighbor_id, cid FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id
+         |                 ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM (SELECT u3.id, c.cid,
+         |          list_reduce(list_transform(generate_series(1, 64),
+         |            i -> u3.un[i] * c.cvec[i]), (x, y) -> x + y) AS dot
+         |        FROM uu u3, c2 c) q) WHERE rn = 1),
+         |qp AS (SELECT id AS query_id, cid FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id
+         |                 ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM (SELECT u4.id, c.cid,
+         |          list_reduce(list_transform(generate_series(1, 64),
+         |            i -> u4.un[i] * c.cvec[i]), (x, y) -> x + y) AS dot
+         |        FROM (SELECT * FROM uu WHERE id % 50 = 0) u4, c2 c) q)
+         |  WHERE rn <= 4),
+         |qsub AS (SELECT id AS query_id, s, un[s * 8 + 1 : s * 8 + 8] AS qs
+         |         FROM (SELECT * FROM uu WHERE id % 50 = 0), sp),
+         |lut AS (SELECT q.query_id, q.s, c.cid AS code,
+         |          list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> q.qs[i] * q.qs[i]), (x, y) -> x + y)
+         |            + list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * c.cvec[i]), (x, y) -> x + y)
+         |            - 2 * list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * q.qs[i]), (x, y) -> x + y) AS d2
+         |        FROM qsub q JOIN cb2 c USING (s)),
+         |adc AS (SELECT p.query_id, l.neighbor_id,
+         |          round(sum(t.d2), 6) AS adist
+         |        FROM qp p
+         |        JOIN lv l ON l.cid = p.cid AND l.neighbor_id <> p.query_id
+         |        JOIN codes cd ON cd.id = l.neighbor_id
+         |        JOIN lut t ON t.query_id = p.query_id AND t.s = cd.s
+         |                  AND t.code = cd.code
+         |        GROUP BY 1, 2),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adist ASC, neighbor_id ASC) AS sr
+         |  FROM adc) WHERE sr <= 100),
+         |resc AS (SELECT s.query_id, s.neighbor_id,
+         |           round(list_reduce(list_transform(generate_series(1, 64),
+         |             i -> a.un[i] * b.un[i]), (x, y) -> x + y), 4) AS cosine
+         |         FROM short s
+         |         JOIN uu a ON a.id = s.query_id
+         |         JOIN uu b ON b.id = s.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM resc)
+         |WHERE rank <= 10""".stripMargin,
+
+    // e3 replays the ENTIRE IVF path: normalization, the id%37 seed
+    // centroids, TWO unrolled Lloyd iterations (assign → 9-dp rounded
+    // spherical mean → renormalize, exactly Similarity.ivfFit), the
+    // final inverted-list assignment, the nProbe=4 query probe and
+    // the rounded rescore. Every dot is the same ascending fold as
+    // the ArrayDot codegen loop, so assignments cannot flip; the 9-dp
+    // mean rounding is what bridges the one order-dependent step
+    // (distributed avg), as the operator contract documents.
+    "e3_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         |nr AS (SELECT vec_id, vd,
+         |         sqrt(list_reduce(list_transform(vd, x -> x * x),
+         |              (a, b) -> a + b)) AS nrm FROM e),
+         |uu AS (SELECT vec_id AS id,
+         |         CASE WHEN nrm = 0 THEN vd
+         |              ELSE list_transform(vd, x -> x / nrm) END AS un FROM nr),
+         |c0 AS (SELECT id AS cid, un AS cvec FROM uu WHERE id % 37 = 0),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |lst AS (SELECT id AS neighbor_id, cid, un AS cv FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id
+         |                 ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM (SELECT u3.id, c.cid, u3.un,
+         |          list_reduce(list_transform(generate_series(1, 64),
+         |            i -> u3.un[i] * c.cvec[i]), (x, y) -> x + y) AS dot
+         |        FROM uu u3, c2 c) q) WHERE rn = 1),
+         |qp AS (SELECT id AS query_id, cid, un AS qv FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id
+         |                 ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM (SELECT u4.id, c.cid, u4.un,
+         |          list_reduce(list_transform(generate_series(1, 64),
+         |            i -> u4.un[i] * c.cvec[i]), (x, y) -> x + y) AS dot
+         |        FROM (SELECT * FROM uu WHERE id % 50 = 0) u4, c2 c) q)
+         |  WHERE rn <= 4),
+         |sc AS (SELECT query_id, neighbor_id,
+         |         round(list_reduce(list_transform(generate_series(1, 64),
+         |           i -> qv[i] * cv[i]), (x, y) -> x + y), 4) AS cosine
+         |       FROM qp JOIN lst USING (cid)
+         |       WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin,
+
     "e1_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
