@@ -133,6 +133,56 @@ object Media {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL image resize via JDK-only AWT (decode → Graphics2D bilinear
+    * scale → PNG re-encode): replaces the `media` payload with the
+    * resized PNG and appends the original dimensions — the
+    * fixed-input-size normalization step a vision training pipeline
+    * runs before feature extraction. Unparseable payloads keep their
+    * row with a NULL `media` and null dims (the "unparseable yields
+    * nulls, never a dead task" contract shared by every decoder
+    * here). Same scale posture as [[decodeImageStats]]: a
+    * partition-local map over in-memory bytes, zero shuffle, no
+    * tmpdir spooling; `mapPartitions` is justified because codecs are
+    * not SQL-expressible.
+    */
+  def resizeImages(df: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1,
+      s"width/height must be >= 1, got $width/$height")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("orig_width", IntegerType),
+      StructField("orig_height", IntegerType)))
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          Row.fromSeq(r.toSeq.updated(mediaIdx, null) ++ Seq(null, null))
+        else {
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          Row.fromSeq(r.toSeq.updated(mediaIdx, buf.toByteArray) ++
+            Seq(img.getWidth, img.getHeight))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
     * (WAV/AIFF/AU — no external codec dependency): appends the
     * container metadata `sample_rate`/`n_channels`/`n_samples` and,

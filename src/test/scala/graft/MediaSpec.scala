@@ -62,6 +62,34 @@ class MediaSpec extends GraftSuite {
     assert(out(4L) == ((None, None, None)), "null payloads must null out, not crash")
   }
 
+  test("resizeImages re-encodes to the target size and nulls non-images") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(8, 6, 0x0000ff), "image"),
+      (2L, "junk".getBytes("UTF-8"), "junk"),
+      (3L, null.asInstanceOf[Array[Byte]], "missing")).toDF("id", "media", "kind")
+    val out = Media.resizeImages(df, 4, 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("media"), r.getAs[Any]("orig_width"),
+          r.getAs[Any]("orig_height")))).toMap
+    // The resized payload must itself decode to exactly 4x4 and keep
+    // the solid color (bilinear over a constant field is constant).
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)._1))
+    assert(resized.getWidth == 4 && resized.getHeight == 4)
+    assert((resized.getRGB(2, 2) & 0xffffff) == 0x0000ff)
+    assert(out(1L)._2 == 8 && out(1L)._3 == 6)
+    assert(out(2L)._1 == null && out(2L)._2 == null, "junk must null out")
+    assert(out(3L)._1 == null, "null payload must pass through as null")
+  }
+
   test("decodeAudioStats really decodes WAV PCM and nulls non-audio") {
     // A 440 Hz full-scale sine written with the same JDK codec the
     // decoder reads: format metadata must round-trip exactly and the

@@ -102,6 +102,26 @@ class Round6Spec extends GraftSuite {
     assert(!p.contains("Exchange"), s"f13 must not shuffle\n$p")
   }
 
+  // --- df-cap anti-join plan shape ----------------------------------
+
+  test("dfCap cut executes as a BROADCAST anti join (edge stream never shuffled for the cut)") {
+    // The over-cap element set is bounded by E/dfCap; AQE must turn
+    // the cut into a broadcast LEFT ANTI join rather than shuffling
+    // the whole edge stream against the huge keep set (the pre-r6
+    // shape). Executed on real data so the assertion is about the
+    // FINAL adaptive plan, not the static one.
+    val mem = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+      .distinct()
+    val qe = graft.operators.Relational
+      .overlapPairs(mem, "coll", "member", dfCap = 40L)
+      .queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"dfCap cut must be a broadcast anti join\n$p")
+  }
+
   // --- e7 signed random projection ----------------------------------
 
   test("e7: matches an in-memory reimplementation (quantize + MINSTD signs)") {
