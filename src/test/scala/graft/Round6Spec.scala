@@ -102,6 +102,40 @@ class Round6Spec extends GraftSuite {
     assert(!p.contains("Exchange"), s"f13 must not shuffle\n$p")
   }
 
+  // --- the md5 hash bridge ------------------------------------------
+
+  test("Text.hash64md5 equals the signed big-endian first-8-md5-bytes reference") {
+    // This expression is the bridge every sketch oracle rests on
+    // (DuckSql.hash64md5 replays it in SQL — verified there against
+    // the same definition). Reference: MessageDigest + ByteBuffer.
+    val rnd = new scala.util.Random(606)
+    val samples = Seq("", "a", "hello", "0:the quick brown", "é π ≠") ++
+      (0 until 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(24)).mkString)
+    val got = samples.toDF("s")
+      .select(Text.hash64md5(col("s"))).as[Long].collect()
+    val want = samples.map { s =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
+    assert(got.toSeq == want)
+  }
+
+  // --- oracle-coverage invariant ------------------------------------
+
+  test("every registered query is oracled except the declared keccak row") {
+    // a23 is the ONLY rows-only query (DuckDB has no keccak; EIP-137
+    // vectors pin it). Any new query landing without an oracle — or
+    // an oracle for a nonexistent query — fails here before the
+    // driver's gate ever sees it.
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(queries -- oracles == Set("a23_namehash"),
+      s"rows-only set drifted: ${(queries -- oracles).toSeq.sorted}")
+    assert((oracles -- queries).isEmpty,
+      s"orphan oracles: ${(oracles -- queries).toSeq.sorted}")
+  }
+
   // --- df-cap anti-join plan shape ----------------------------------
 
   test("dfCap cut executes as a BROADCAST anti join (edge stream never shuffled for the cut)") {
