@@ -82,10 +82,19 @@ object Bench {
     // uses) and 3-decimal seconds — guaranteed complete inside the tail
     // window up to ~140 queries. The full-name, full-precision line is
     // written to bench_out.json below; the two are the same run.
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would print
+    // comma decimals on a non-English JVM — malformed JSON, the
+    // exact artifact-corruption class this line exists to prevent.
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"duplicate short query ids would corrupt the bench artifact: " +
+        shortKeys.diff(shortKeys.distinct).distinct.mkString(", "))
+    val qsShort = results.zip(shortKeys).map { case ((_, v), sk) =>
+      "\"" + sk + "\":" + s3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
     // Also persist the line to a file: the round-4 artifact lost its
     // `total` and 12 per-query numbers to a truncated stdout capture —
     // a file write cannot be cut mid-stream by a `tail` pipe.

@@ -116,9 +116,9 @@ object MinhashSig {
         val (w0, w1, w2, w3) = (word(0), word(4), word(8), word(12))
         var j = 0
         while (j < k) {
-          val m = 2L * j + 1
-          val a = (w0 + m * w2) % 4294967296L
-          val b = (w1 + m * w3) % 4294967296L
+          val mult = 2L * j + 1
+          val a = (w0 + mult * w2) % 4294967296L
+          val b = (w1 + mult * w3) % 4294967296L
           val hj = (if (a >= 2147483648L) a - 4294967296L else a) *
             4294967296L + b
           if (hj < sig(j)) sig(j) = hj

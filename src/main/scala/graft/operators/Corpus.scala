@@ -162,8 +162,12 @@ object Corpus {
             greatest(acc.getField("best"), run).as("best"))
         },
         acc => acc.getField("best"))
+    // Null text gates like empty text (n = 0 → too_short) instead of
+    // leaking size(null) = -1 as a token count; the f13 oracle applies
+    // the same coalesce.
     val sig = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .select(col("id"), col("toks"),
         size(col("toks")).cast("long").as("n"),
         Text.shingles(col("toks"), 2).as("g2"))

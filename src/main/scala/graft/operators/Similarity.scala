@@ -488,6 +488,10 @@ object Similarity {
   def randomSignProjection(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, dim: Int): DataFrame = {
     require(k >= 1 && dim >= 1, s"k/dim must be >= 1, got $k/$dim")
+    // Null/empty vectors are skipped (no sketch rows) — the contract
+    // the oracle replays; without the filter they would emit k
+    // null/zero rows the SQL side cannot mirror.
+    val input = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     val mdd = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Double = {
       mdd.reset()
@@ -495,7 +499,7 @@ object Similarity {
         java.nio.charset.StandardCharsets.UTF_8))
       if ((d(7) & 1) == 0) 1.0 else -1.0
     }
-    val q = quantizeInt8(df, idCol, vecCol)
+    val q = quantizeInt8(input, idCol, vecCol)
       .select(col("id"), transform(col("q"), _.cast("double")).as("qd"))
     val comps = (0 until k).map { j =>
       val signs = array((0 until dim).map(i => lit(sign(i, j))): _*)

@@ -24,10 +24,6 @@ private[queries] object DuckSql {
     * (doc_id, words). */
   val wordsCte: String = s"SELECT doc_id, $toks AS words FROM documents"
 
-  /** `Text.hash64md5` parity: first 8 bytes of md5(utf8(expr)) as a
-    * signed big-endian 64-bit value, assembled from the two 32-bit
-    * hex halves (no intermediate overflows). The hex→int fold is a
-    * per-character list_reduce — DuckDB has no conv(). */
   /** Hex→int fold over an 8-char hex substring (DuckDB has no
     * conv()): one unsigned 32-bit word. */
   def hexFold(sub: String): String =
@@ -36,7 +32,7 @@ private[queries] object DuckSql {
 
   /** Shared CTE prefix for the hyperplane-LSH oracles (e2/d6):
     * L2-normalized embeddings `u` and per-(table, bit) ±1 plane lists
-    * `pl`, replaying `Similarity.planes` (MINSTD parity, seed 42,
+    * `pl`, replaying `Similarity.planes` (md5 parity, seed 42,
     * 16 tables × 5 bits × 64 dims) and `ArrayNormalize` (ascending
     * sum of squares, zero-norm pass-through) exactly. Every float
     * reduction below is an ascending left fold — the same operation
@@ -66,6 +62,9 @@ private[queries] object DuckSql {
       |             FROM u, pl)
       |       GROUP BY 1, 2)""".stripMargin
 
+  /** `Text.hash64md5` parity: first 8 bytes of md5(utf8(expr)) as a
+    * signed big-endian 64-bit value, assembled from the two 32-bit
+    * hex halves (no intermediate overflows). */
   def hash64md5(expr: String): String = {
     val hi = hexFold(s"substr(md5($expr), 1, 8)")
     val lo = hexFold(s"substr(md5($expr), 9, 8)")

@@ -310,7 +310,7 @@ object GroupE {
         |FROM a GROUP BY 1""".stripMargin,
 
     // e2 replays the ENTIRE LSH path: normalization (ascending fold,
-    // zero-norm pass-through), MINSTD-parity planes, sign-bit buckets,
+    // zero-norm pass-through), md5-parity planes, sign-bit buckets,
     // candidate join, rounded rescore, rank — see DuckSql.lshCtes for
     // why the bucket signs are bit-exact, not just tolerance-close.
     "e2_knn_lsh" ->
@@ -344,8 +344,8 @@ object GroupE {
         |             ELSE greatest(0.0, least(floor((x - mn) * 255.0 / (mx - mn)), 255.0))
         |             END AS bigint)) AS qv FROM m),
         |cj AS (SELECT vec_id, qv, unnest(generate_series(0, 15)) AS j FROM q),
-        |cell AS (SELECT vec_id, j, unnest(qv) AS qi,
-        |           unnest(generate_series(0, len(qv) - 1)) AS i FROM cj)
+        |cell AS (SELECT vec_id, j, unnest(qv[1 : least(len(qv), 64)]) AS qi,
+        |           unnest(generate_series(0, least(len(qv), 64) - 1)) AS i FROM cj)
         |SELECT vec_id, cast(j AS bigint) AS j,
         |  cast(sum(qi * (CASE WHEN (${DuckSql.hash64md5("i || ':' || j")} & 1) = 0
         |                 THEN 1 ELSE -1 END)) AS bigint) AS proj

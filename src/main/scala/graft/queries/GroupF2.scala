@@ -224,7 +224,9 @@ object GroupF2 {
     // different plan, same value as the Spark side's narrow max-run
     // scan; the hash gate proves the equivalence on every document.
     "f13_quality_gate" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS words FROM documents),
+      s"""WITH t AS (SELECT doc_id, $duckToks AS words
+         |           FROM (SELECT doc_id, coalesce(text, '') AS text
+         |                 FROM documents)),
          |b AS (SELECT doc_id, words, len(words) AS n, ${duckGrams(2)} AS g2 FROM t),
          |tg AS (SELECT doc_id, max(c) AS topc FROM (
          |         SELECT doc_id, g, count(*) AS c

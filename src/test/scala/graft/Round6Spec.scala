@@ -158,7 +158,7 @@ class Round6Spec extends GraftSuite {
 
   // --- e7 signed random projection ----------------------------------
 
-  test("e7: matches an in-memory reimplementation (quantize + MINSTD signs)") {
+  test("e7: matches an in-memory reimplementation (quantize + md5-parity signs)") {
     val k = 16
     val rows = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).limit(20)
