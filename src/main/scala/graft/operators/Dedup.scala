@@ -219,6 +219,55 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** INCREMENTAL near-dup detection — the daily-ingest shape: which
+    * `incoming` documents are n-gram-Jaccard ≥ `tau` near-dups of the
+    * EXISTING corpus. Output: (new_id, old_id, jaccard), one row per
+    * qualifying cross pair (an incoming doc may match several
+    * existing ones; `keepCanonical`-style cuts pick the policy).
+    *
+    * The point of the dedicated bipartite form is the scale shape: a
+    * daily slice is orders of magnitude smaller than the corpus, so
+    * the candidate join is incoming-shingles × the existing inverted
+    * index — volume Σ df_new·df_old per shingle, NEVER the corpus
+    * self-join Σ df² that a union + [[ngramJaccardPairs]] would pay.
+    * Incoming-vs-incoming duplicates are deliberately out of scope
+    * here (run [[ngramJaccardPairs]] on the slice for those — it is
+    * slice-sized). `dfCap` cuts shingles by their EXISTING-side
+    * document frequency (the hot-shingle guard) — and the SAME drop
+    * set cuts the incoming side, so both Jaccard denominators count
+    * the same shingle universe (a one-sided cut would deflate only
+    * n_old and skew every score).
+    */
+  def ngramJaccardAgainst(existing: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, tau: Double,
+                          dfCap: Long = 0L): DataFrame = {
+    val ex0 = shingles(existing, idCol, textCol, n, 0L).cut()
+    val inc0 = shingles(incoming, idCol, textCol, n, 0L)
+      .select(col("id").as("new_id"), col("shingle"))
+    val (ex, inc) =
+      if (dfCap <= 0L) (ex0, inc0.cut())
+      else {
+        // Same broadcast-anti-join shape as [[shingles]]'s cut, with
+        // one drop set applied to BOTH sides.
+        val drop = ex0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("shingle").cut()
+        (ex0.join(drop, Seq("shingle"), "left_anti"),
+          inc0.join(drop, Seq("shingle"), "left_anti").cut())
+      }
+    val exSizes = ex.groupBy("id").agg(count(lit(1)).as("n_old"))
+    val incSizes = inc.groupBy("new_id").agg(count(lit(1)).as("n_new"))
+    inc.join(ex.select(col("id").as("old_id"), col("shingle")), "shingle")
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(incSizes, "new_id")
+      .join(exSizes.select(col("id").as("old_id"), col("n_old")), "old_id")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_new") + col("n_old") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash fingerprints: every feature (word n-gram; n = 1
     * means plain tokens, n ≥ 2 gives far better discrimination on
     * small vocabularies) hashes to 64 bits; each bit position

@@ -31,6 +31,18 @@ object GroupD {
       Dedup.simhashPairs(Tables(s, d, "documents"), "doc_id", "text",
         maxHamming = 6)),
 
+    // d11: INCREMENTAL dedup — the daily-ingest question "which of
+    // today's documents already exist in the corpus", as a bipartite
+    // inverted-index join (new slice × existing index), never the
+    // corpus self-join. Every tenth document plays today's slice.
+    "d11_dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.ngramJaccardAgainst(
+        existing = docs.filter(col("doc_id") % 10 =!= 0),
+        incoming = docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+    }),
+
     // d5 is the EXACT all-pairs variant — the validation-scale gate
     // the LSH path is measured against (and the oracle target, since
     // DuckDB can replay it). d6 is the same contract at scale:
@@ -131,6 +143,21 @@ object GroupD {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d11_dedup_incremental" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |sh AS (SELECT DISTINCT doc_id, unnest(${DuckSql.grams(3)}) AS shingle
+         |       FROM w),
+         |ex AS (SELECT doc_id AS old_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |inc AS (SELECT doc_id AS new_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |szo AS (SELECT old_id, count(*) AS n_old FROM ex GROUP BY 1),
+         |szn AS (SELECT new_id, count(*) AS n_new FROM inc GROUP BY 1),
+         |shared AS (SELECT new_id, old_id, count(*) AS shared
+         |           FROM inc JOIN ex USING (shingle) GROUP BY 1, 2)
+         |SELECT new_id, old_id,
+         |  round(shared * 1.0 / (n_new + n_old - shared), 6) AS jaccard
+         |FROM shared JOIN szn USING (new_id) JOIN szo USING (old_id)
+         |WHERE shared * 1.0 / (n_new + n_old - shared) >= 0.5""".stripMargin,
 
     // d3/d4 replay the ENTIRE sketch construction — md5-derived
     // component/feature hashes (DuckSql.hash64md5 == Text.hash64md5),

