@@ -74,6 +74,17 @@ object Bench {
     val errs = errors.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Persist the full-name, full-precision line to a file FIRST: the
+    // round-4 artifact lost its `total` and 12 per-query numbers to a
+    // truncated stdout capture — a file write cannot be cut mid-stream
+    // by a `tail` pipe, and nothing below (short-key fallbacks
+    // included) may stand between a finished run and this artifact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     // The driver captures only the LAST 2000 chars of stdout; with 80+
     // queries a full-name line no longer fits that window (the r4 and
     // r5 round artifacts were both cut mid-JSON). Stdout therefore gets
@@ -81,29 +92,24 @@ object Bench {
     // first '_': a9_dedup_first_by_key → a9, the same ids SURVEY §2
     // uses) and 3-decimal seconds — guaranteed complete inside the tail
     // window up to ~140 queries. The full-name, full-precision line is
-    // written to bench_out.json below; the two are the same run.
+    // in bench_out.json above; the two are the same run.
     // Locale.ROOT: the default-locale f-interpolator would print
     // comma decimals on a non-English JVM — malformed JSON, the
     // exact artifact-corruption class this line exists to prevent.
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
-    require(shortKeys.distinct.size == shortKeys.size,
-      s"duplicate short query ids would corrupt the bench artifact: " +
-        shortKeys.diff(shortKeys.distinct).distinct.mkString(", "))
-    val qsShort = results.zip(shortKeys).map { case ((_, v), sk) =>
-      "\"" + sk + "\":" + s3(v)
+    // A short-key collision must degrade the stdout line, never abort
+    // the run: colliding entries keep their full names (still valid
+    // JSON, marginally longer), everything else stays compact.
+    val dupShort = shortKeys.diff(shortKeys.distinct).toSet
+    if (dupShort.nonEmpty)
+      System.err.println(s"[bench] short ids collide (falling back to " +
+        s"full names for them): ${dupShort.mkString(", ")}")
+    val qsShort = results.zip(shortKeys).map { case ((name, v), sk) =>
+      "\"" + (if (dupShort(sk)) name else sk) + "\":" + s3(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
-    // Also persist the line to a file: the round-4 artifact lost its
-    // `total` and 12 per-query numbers to a truncated stdout capture —
-    // a file write cannot be cut mid-stream by a `tail` pipe.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
-    }
     spark.stop()
   }
 }

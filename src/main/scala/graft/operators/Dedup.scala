@@ -53,17 +53,21 @@ object Dedup {
       .select(col("id"), explode(Text.shingles(col("toks"), n)).as("shingle"))
       .distinct()
     if (dfCap <= 0) sh
-    else {
-      // Anti-join against the OVER-cap shingle set (bounded by E/dfCap,
-      // tiny in practice) instead of an inner join against the huge
-      // keep set: AQE broadcasts the small side and the shingle stream
-      // is never shuffled for the cut. Same rationale as
-      // [[Relational.overlapPairs]]'s dfCap cut.
-      val drop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select("shingle")
-      sh.join(drop, Seq("shingle"), "left_anti")
-    }
+    else sh.join(overCapShingles(sh, dfCap), Seq("shingle"), "left_anti")
   }
+
+  /** The OVER-cap shingle set for a (id, shingle) frame: shingles
+    * whose document frequency exceeds `dfCap`. Both dfCap cuts
+    * ([[shingles]] and [[ngramJaccardAgainst]]) anti-join against
+    * THIS set (bounded by E/dfCap, tiny in practice) instead of
+    * inner-joining the huge keep set: AQE broadcasts the small side
+    * and the shingle stream is never shuffled for the cut. Same
+    * rationale as [[Relational.overlapPairs]]'s dfCap cut. One
+    * definition, so the cut shape (and its broadcast-anti-join plan
+    * assertion in Round6Spec) cannot drift between call sites. */
+  private[graft] def overCapShingles(sh: DataFrame, dfCap: Long): DataFrame =
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ `tau`. Two exact
     * plans, selected by `prefixFilter`; both return identical results.
@@ -248,10 +252,10 @@ object Dedup {
     val (ex, inc) =
       if (dfCap <= 0L) (ex0, inc0.cut())
       else {
-        // Same broadcast-anti-join shape as [[shingles]]'s cut, with
-        // one drop set applied to BOTH sides.
-        val drop = ex0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap).select("shingle").cut()
+        // Same broadcast-anti-join shape as [[shingles]]'s cut (the
+        // shared [[overCapShingles]]), with one drop set applied to
+        // BOTH sides.
+        val drop = overCapShingles(ex0, dfCap).cut()
         (ex0.join(drop, Seq("shingle"), "left_anti"),
           inc0.join(drop, Seq("shingle"), "left_anti").cut())
       }

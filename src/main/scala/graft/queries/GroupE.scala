@@ -337,7 +337,8 @@ object GroupE {
     // DuckDB's HUGEINT (the f12 lesson: a windowed/grouped sum of
     // BIGINT reaches the comparer as a float otherwise).
     "e7_random_projection" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE embedding IS NOT NULL AND len(embedding) > 0),
         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
         |q AS (SELECT vec_id, list_transform(v, x ->
         |        cast(CASE WHEN mx = mn THEN 0

@@ -125,17 +125,46 @@ class Round6Spec extends GraftSuite {
   }
 
   test("ngramJaccardAgainst dfCap cuts the same shingles from both sides") {
-    // With a cap, scores must equal the uncapped scores computed on
-    // the capped shingle universe — i.e. re-running the full pair
-    // join on texts is not required; we just check symmetry: every
-    // returned score is in (0, 1] and pairs are a subset of uncapped.
+    // The operator's contract: with a cap, scores equal plain Jaccard
+    // over the shingle universe with the EXISTING-side over-cap
+    // shingles removed from BOTH sides. Recompute that independently
+    // on collected shingle sets (Scala collections, no Spark join) —
+    // a one-sided cut (the bug this guards) inflates n_new for any
+    // incoming doc that carries a dropped shingle, so its scores
+    // diverge and the set equality fails.
     val docs = Tables(spark, sfDir, "documents")
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val cap = 5L
+    val tau = 0.1
     val capped = graft.operators.Dedup.ngramJaccardAgainst(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", n = 3, tau = 0.1, dfCap = 5L)
+        existing, incoming, "doc_id", "text", n = 3, tau = tau, dfCap = cap)
       .as[(Long, Long, Double)].collect()
-    assert(capped.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    assert(capped.nonEmpty,
+      "precondition: the capped run must return pairs or the check is vacuous")
+    val exSh = graft.operators.Dedup.shingles(existing, "doc_id", "text", 3)
+      .as[(Long, String)].collect()
+    val inSh = graft.operators.Dedup.shingles(incoming, "doc_id", "text", 3)
+      .as[(Long, String)].collect()
+    val drop = exSh.groupBy(_._2).collect {
+      case (sh, rows) if rows.length > cap => sh
+    }.toSet
+    assert(drop.nonEmpty,
+      "precondition: the cap must actually drop shingles at this sf")
+    def sets(rows: Array[(Long, String)]): Map[Long, Set[String]] =
+      rows.filterNot(t => drop(t._2)).groupBy(_._1)
+        .map { case (id, v) => id -> v.map(_._2).toSet }
+    val exSets = sets(exSh)
+    val want = (for {
+      (ni, ns) <- sets(inSh).toSeq
+      (oi, os) <- exSets.toSeq
+      shared = (ns & os).size
+      if shared > 0
+      j = shared.toDouble / (ns.size + os.size - shared)
+      if j >= tau
+    } yield (ni, oi, BigDecimal(j) // the operator rounds half-up to 6 dp
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(capped.toSet == want)
   }
 
   // --- the md5 hash bridge ------------------------------------------
