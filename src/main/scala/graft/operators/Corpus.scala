@@ -253,4 +253,56 @@ object Corpus {
           .as("chunk_tokens"),
         col("chunk"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score
+    * every document by its mean negative log-likelihood under a
+    * unigram model fit on the corpus itself, then split the corpus
+    * into head / middle / tail terciles — the standard
+    * quality-stratification step before mixing training data.
+    * Output: (id, n_tokens, nll, bucket); documents with zero tokens
+    * produce no row (no likelihood is defined for them).
+    *
+    * Scale shape: the model is one token-keyed count agg (map-side
+    * combinable); like [[tfidfTopTerms]]'s df model it gets NO
+    * broadcast hint — vocabulary grows with the corpus (Heaps' law),
+    * so AQE broadcasts it only when the runtime size qualifies. The
+    * tercile cut deliberately avoids a global `ntile` window (a
+    * single-partition sort of the whole corpus — the canonical
+    * 100 TB anti-pattern): the two thresholds come from one exact
+    * interpolated-percentile aggregate (the approx_percentile drift
+    * bound spec'd for f7 applies equally as the sketch form here),
+    * broadcast as a 1-row dimension, and bucketing is then a narrow
+    * comparison.
+    *
+    * Cross-engine exactness: per-token ln(count/total) rounds to 9 dp
+    * before the per-doc sum (the a27 contract — the sum of 9-dp
+    * multiples is order-independent far below the final 6-dp round),
+    * and the thresholds interpolate over those already-rounded nll
+    * values, so DuckDB replays every bit.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(col("toks")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    val scored = toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(round(log(col("cnt").cast("double") / col("total")), 9))
+            / count(lit(1)), 6).as("nll"))
+    // 1D/3 and 2D/3 are the exact IEEE doubles DuckDB's 1.0/3 and
+    // 2.0/3 evaluate to, so both engines interpolate at identical
+    // positions.
+    val cuts = scored.agg(
+      expr("percentile(nll, 1D/3)").as("t1"),
+      expr("percentile(nll, 2D/3)").as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("id"), col("n_tokens"), col("nll"),
+        when(col("nll") <= col("t1"), lit("head"))
+          .when(col("nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -613,6 +613,45 @@ object Similarity {
         p => p.getField("cvec"))).as("vhat"))
   }
 
+  /** kNN label propagation — the embedding-classifier step of a
+    * curation pipeline (quality / topic / language labels spread from
+    * a labeled seed set to the whole corpus by nearest neighbors).
+    * Takes the OUTPUT of any kNN operator in this file — (query_id,
+    * neighbor_id, cosine, …) from [[knnBruteForce]], [[knnLsh]],
+    * [[knnIvf]] or [[knnIvfPq]] — plus an (id, label) table, and
+    * returns one row per query: the cosine-weighted majority label.
+    * Output: (query_id, label, votes, weight); weight = the sum of
+    * the (already 4-dp-rounded) neighbor cosines re-rounded to 4 dp,
+    * argmax by weight desc with label asc as the total tie-break.
+    * Composability with every ANN variant is the point: the exact
+    * path validates, the LSH/IVF paths serve at scale.
+    *
+    * Scale shape: the input is Q·k rows (never corpus-sized); the
+    * label join shuffles on the neighbor id (or broadcasts when the
+    * label table is dimension-sized — AQE decides, no hint for the
+    * same Heaps-law reason as the TF-IDF model); the vote agg is
+    * map-side combinable on (query, label); the winner is one
+    * WindowGroupLimit top-1 on data already partitioned by query.
+    *
+    * Cross-engine exactness: the weight sums ≤ k values that are
+    * 4-dp multiples, so accumulation order cannot move the re-rounded
+    * result (the a27 argument), and the argmax compares rounded
+    * weights only.
+    */
+  def classifyKnn(knn: DataFrame, labels: DataFrame,
+                  labelIdCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(labelIdCol).as("neighbor_id"),
+      col(labelCol).as("label"))
+    val votes = knn.select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .join(lab, "neighbor_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"),
+        round(sum(col("cosine")), 4).as("weight"))
+    Relational.topKPerGroup(votes, Seq(col("query_id")),
+        Seq(col("weight").desc, col("label").asc), 1)
+      .select("query_id", "label", "votes", "weight")
+  }
+
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
     * zero vectors pass through unchanged (cosine 0 downstream).
     * One fused codegen pass ([[graft.functions.expr.ArrayNormalize]]

@@ -85,6 +85,18 @@ object GroupE {
       Similarity.randomSignProjection(emb(s, d), "vec_id", "embedding",
           k = 16, dim = 64)
         .select(col("id").as("vec_id"), col("j"), col("proj"))),
+
+    // e8: kNN label propagation — the embedding-classifier step
+    // (spread quality/topic labels from a labeled seed set by nearest
+    // neighbors). classifyKnn composes over ANY of the kNN operators;
+    // the registered query runs it on the exact e1 baseline, the
+    // recall-spec'd ANN paths serve the same contract at scale
+    // (composability pinned in SimilaritySpec).
+    "e8_knn_classify" -> ((s, d) =>
+      Similarity.classifyKnn(
+        Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
+          "vec_id", "embedding", k = 10),
+        emb(s, d), "vec_id", "label")),
   )
 
   /** One unrolled Lloyd iteration for the e3 oracle: assign every
@@ -287,6 +299,31 @@ object GroupE {
         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    // e8 replays the e1 path, then the vote: weight sums ≤ 10 values
+    // that are 4-dp multiples (order-independent under the re-round),
+    // argmax on the ROUNDED weight with label asc as the total
+    // tie-break — both engines pick identical winners.
+    "e8_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 4) AS cosine
+        |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+        |knn AS (SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10),
+        |v AS (SELECT query_id, l.label, count(*) AS votes,
+        |        round(sum(cosine), 4) AS weight
+        |      FROM knn JOIN e l ON l.vec_id = knn.neighbor_id
+        |      GROUP BY 1, 2)
+        |SELECT query_id, label, votes, weight FROM (
+        |  SELECT v.*, row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY weight DESC, label ASC) AS rn FROM v)
+        |WHERE rn = 1""".stripMargin,
 
     // The min_by key encodes (round(dist2, 6), cid) order-preservingly
     // in one double: cid < 16 and cid·1e-9 is far below the 1e-6

@@ -165,6 +165,17 @@ object GroupF2 {
           coalesce(col("top2gram_frac"), lit(0.0)).as("top2gram_frac"),
           coalesce(col("top3gram_frac"), lit(0.0)).as("top3gram_frac"))
     }),
+
+    // f15: CCNet-style head/middle/tail quality terciles by unigram
+    // perplexity under a corpus-fit model (Corpus.perplexityBuckets;
+    // Wenzek et al. LREC'20). The tercile cut is two exact
+    // interpolated percentiles broadcast as a 1-row dim — never a
+    // global ntile window (a single-partition sort of the corpus).
+    "f15_perplexity_buckets" -> ((s, d) =>
+      graft.operators.Corpus
+        .perplexityBuckets(Tables(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("nll"),
+          col("bucket"))),
   )
 
   // Shared oracle fragments — single definition in DuckSql.
@@ -296,5 +307,27 @@ object GroupF2 {
          |  coalesce(top2gram_frac, 0.0) AS top2gram_frac,
          |  coalesce(top3gram_frac, 0.0) AS top3gram_frac
          |FROM base LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)""".stripMargin,
+
+    // Per-token ln rounds to 9 dp before the doc sum (the a27
+    // contract: sums of 9-dp multiples are order-independent well
+    // below the final 6-dp round), and quantile_cont interpolates at
+    // the same IEEE positions as Spark's percentile (1.0/3 and 1D/3
+    // are the same double), over the same already-rounded nll values.
+    "f15_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT cast(sum(cnt) AS double) AS total FROM freq),
+         |scored AS (SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |             round(-sum(round(ln(cnt / total), 9)) / count(*), 6) AS nll
+         |           FROM tok JOIN freq USING (tok) CROSS JOIN tot
+         |           GROUP BY 1),
+         |cuts AS (SELECT quantile_cont(nll, 1.0/3) AS t1,
+         |                quantile_cont(nll, 2.0/3) AS t2 FROM scored)
+         |SELECT doc_id, n_tokens, nll,
+         |  CASE WHEN nll <= t1 THEN 'head'
+         |       WHEN nll <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored CROSS JOIN cuts""".stripMargin,
   )
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Corpus, Similarity}
+import org.apache.spark.sql.functions._
+
+/** e8 kNN label propagation + f15 perplexity bucketing.
+  *
+  * The testdata labels are synthetic noise w.r.t. the embedding
+  * geometry (measured ~chance accuracy), so there is deliberately NO
+  * accuracy-floor assertion here — the operator contract is the vote
+  * math and its composability over every kNN variant, and that is
+  * what these specs pin.
+  */
+class ClassifyPerplexitySpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  // --- e8 classifyKnn ------------------------------------------------
+
+  test("classifyKnn: weighted vote, rounded-weight argmax, label-asc tie-break") {
+    // q1: label 1 wins on weight despite equal votes (0.9 > 0.8).
+    // q2: exact weight tie after rounding -> smaller label wins.
+    val knn = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.4), (1L, 20L, 0.8),
+      (2L, 10L, 0.6), (2L, 20L, 0.6)
+    ).toDF("query_id", "neighbor_id", "cosine")
+    val labels = Seq((10L, 1), (11L, 1), (20L, 2))
+      .toDF("vec_id", "label")
+    val got = Similarity.classifyKnn(knn, labels, "vec_id", "label")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1, 2L, 0.9), (2L, 1, 1L, 0.6)))
+  }
+
+  test("classifyKnn composes over the ANN variants: one winner per query") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.knnBruteForce(queries, emb, "vec_id", "embedding", k = 10)
+    val lsh = Similarity.knnLsh(queries, emb, "vec_id", "embedding", k = 10, dim = 64)
+    val nQueries = queries.count()
+    for (knn <- Seq(exact, lsh)) {
+      val out = Similarity.classifyKnn(knn, emb, "vec_id", "label")
+        .as[(Long, Int, Long, Double)].collect()
+      assert(out.map(_._1).distinct.length == out.length, "one row per query")
+      assert(out.length <= nQueries && out.nonEmpty)
+      assert(out.forall(r => r._3 >= 1 && r._3 <= 10), "votes bounded by k")
+    }
+  }
+
+  test("classifyKnn equals an in-memory recomputation of the vote from e1's rows") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val knn = Similarity.knnBruteForce(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 10)
+    val got = Similarity.classifyKnn(knn, emb, "vec_id", "label")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val rows = knn.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val want = rows.groupBy(_._1).map { case (q, nbrs) =>
+      val byLabel = nbrs.groupBy(t => labels(t._2)).map { case (l, v) =>
+        (l, v.length.toLong,
+          BigDecimal(v.map(_._3).sum)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+      val (l, votes, w) = byLabel.minBy { case (l, _, w) => (-w, l) }
+      (q, l, votes, w)
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  // --- f15 perplexityBuckets -----------------------------------------
+
+  test("perplexityBuckets equals an in-memory recomputation (model, nll, terciles)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val got = Corpus.perplexityBuckets(docs, "doc_id", "text")
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(got.nonEmpty)
+    val toks = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect()
+    val counts = toks.flatMap(_._2).groupBy(identity).map { case (w, v) =>
+      w -> v.length.toLong
+    }
+    val total = counts.values.sum.toDouble
+    def r(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+      // Same fold as the engine: each token contributes its 9-dp
+      // rounded ln(p); the sum of 9-dp multiples is order-free.
+      val s = ts.map(w => r(math.log(counts(w) / total), 9)).sum
+      (id, ts.length.toLong, r(-s / ts.length, 6))
+    }
+    // Spark Percentile's interpolation: lower + (higher-lower)*frac
+    // at position p*(n-1) over the sorted values.
+    val sorted = scored.map(_._3).sorted
+    def pct(p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = sorted(pos.toInt)
+      val hi = sorted(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val (t1, t2) = (pct(1d / 3), pct(2d / 3))
+    val want = scored.map { case (id, n, nll) =>
+      (id, n, nll,
+        if (nll <= t1) "head" else if (nll <= t2) "middle" else "tail")
+    }.toSet
+    assert(got == want)
+  }
+
+  test("perplexityBuckets: terciles are balanced and zero-token docs drop") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Corpus.perplexityBuckets(docs, "doc_id", "text")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("head", "middle", "tail"))
+    val n = out.values.sum
+    val nonEmptyDocs = docs
+      .filter(size(Text.tokens(col("text"))) > 0).count()
+    assert(n == nonEmptyDocs, "exactly the docs with >= 1 token are bucketed")
+    // Interpolated-percentile cuts put each tercile within a couple of
+    // rows of n/3 unless scores tie heavily at a threshold.
+    assert(out.values.forall(c => math.abs(c - n / 3.0) <= n * 0.05 + 2),
+      s"terciles skewed: $out")
+  }
+}
