@@ -123,4 +123,26 @@ class ClassifyPerplexitySpec extends GraftSuite {
     assert(out.values.forall(c => math.abs(c - n / 3.0) <= n * 0.05 + 2),
       s"terciles skewed: $out")
   }
+
+  // --- plan shapes ---------------------------------------------------
+
+  test("f15 plan: no window operator anywhere — the tercile cut is a broadcast dim") {
+    // The scale-killer this operator avoids is ntile() over the whole
+    // corpus: ONE window partition = one task sorting everything.
+    // The executed plan must contain no Window/WindowGroupLimit node
+    // at all (the cut is two percentile AGGREGATES joined back as a
+    // broadcast 1-row dim).
+    val p = SparkEntry.queries("f15_perplexity_buckets")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"f15 must not use a window\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"threshold dim should broadcast\n$p")
+  }
+
+  test("e8 plan: the top-1 vote runs through the WindowGroupLimit pushdown") {
+    val p = SparkEntry.queries("e8_knn_classify")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(p).nonEmpty,
+      s"per-query argmax should push the group limit\n$p")
+  }
 }
