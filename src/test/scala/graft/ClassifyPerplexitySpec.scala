@@ -145,4 +145,31 @@ class ClassifyPerplexitySpec extends GraftSuite {
     assert("WindowGroupLimit".r.findAllIn(p).nonEmpty,
       s"per-query argmax should push the group limit\n$p")
   }
+
+  // --- the gate streams ---------------------------------------------
+
+  test("qualityGate runs unchanged on a stream (zero-shuffle => streaming-safe)") {
+    // The f13 gate is a pure map, so the SAME operator body is legal
+    // in a streaming plan with no watermark and no output-mode
+    // restriction — the property this spec pins (a shuffle or agg
+    // sneaking into the gate would break this, not just slow it).
+    // f15 deliberately has no streaming form: its thresholds are
+    // corpus-global percentiles.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.operators.Corpus.qualityGate(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      val longText = (1 to 60).map(i => s"tok$i").mkString(" ")
+      input.addData((1L, longText), (2L, "too short"))
+      q.processAllAvailable()
+      val out = spark.table("gate_out")
+        .select("id", "keep").as[(Long, Boolean)].collect().toMap
+      assert(out(1L), "long clean doc passes the gate")
+      assert(!out(2L), "short doc is rejected")
+    } finally q.stop()
+  }
 }
