@@ -287,12 +287,18 @@ object Corpus {
       .select(col("id"), explode(col("toks")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    // cut(): the scored frame feeds BOTH the percentile aggregate and
+    // the final projection — without the lineage cut the whole
+    // toks→model-join→per-doc agg subtree evaluates twice per action
+    // (ReuseExchange dedups the shuffles but not the post-shuffle
+    // aggregation). Same reused-branch idiom as ngramJaccardAgainst.
     val scored = toks.join(freq, "tok")
       .crossJoin(broadcast(total))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         round(-sum(round(log(col("cnt").cast("double") / col("total")), 9))
             / count(lit(1)), 6).as("nll"))
+      .cut()
     // 1D/3 and 2D/3 are the exact IEEE doubles DuckDB's 1.0/3 and
     // 2.0/3 evaluate to, so both engines interpolate at identical
     // positions.

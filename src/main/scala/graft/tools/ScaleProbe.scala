@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * on anything quadratic. Operators whose K×-cost is BY DESIGN
   * super-linear in rows but bounded by a declared knob (overlapPairs'
   * dfCap) are probed with the knob engaged, which is how they are
-  * registered in SparkEntry too. Text/dedup operators are excluded:
-  * duplicating documents K× manufactures pathological near-dup
-  * structure a real corpus doesn't have, so their probe would measure
-  * the synthetic duplication, not the operator.
+  * registered in SparkEntry too. Document probes are only sound
+  * where duplication doesn't manufacture pair structure — the
+  * registry comment on each probe states which scaling direction it
+  * uses and why (duplicated docs for the never-pairing ops, scaled
+  * pairs for d7/d8, vowel-rotated copies for the self-joining p2,
+  * plain shifted copies for the bipartite d11).
   *
   * MEASUREMENT HYGIENE — run one probe per JVM for graded numbers.
   * Probes contaminate each other inside one JVM: heap debt and
@@ -129,14 +131,27 @@ object ScaleProbe {
       .select("doc_id", "text").localCheckpoint()
     lazy val corpus1 = docsFull.filter(col("doc_id") % 10 =!= 0)
       .select("doc_id", "text").localCheckpoint()
-    lazy val corpusK = (0 until k)
-      .map(i => vowelRotated(docsFull.filter(col("doc_id") % 10 =!= 0), i)
-        .select("doc_id", "text"))
-      .reduce(_ unionByName _).localCheckpoint()
-    lazy val knnBase = graft.operators.Similarity.knnLsh(
-        emb.filter(col("vec_id") % 50 === 0), emb,
+    // PLAIN shifted copies for d11 (no vowel rotation): the slice is
+    // fixed, so copies cannot pair with each other — there is no K²
+    // structure to avoid — and identical text is exactly what grows
+    // every slice shingle's existing-side df by K. (A rotated corpus
+    // would share almost no shingles with the unrotated slice: the
+    // join volume would stay ~1× and the probe would measure only the
+    // index build, not the Σ df_new·df_old growth it exists to pin.)
+    lazy val corpusK = scaled(corpus1, Seq("doc_id"))
+    // The raw sf0.1 query set (100 queries × k = 10 ≈ 1k rows) is
+    // fixed-job-latency noise — a quadratic vote would still read
+    // "flat". Amplify: all vectors as queries, then 8 shifted copies,
+    // so the 1× input is ~400k rows and the join/agg/window dominates.
+    // Copy spacing is 100×SHIFT so scaled()'s own K-shift (i×SHIFT)
+    // can never collide two copies into one vote group.
+    lazy val knn0 = graft.operators.Similarity.knnLsh(emb, emb,
         "vec_id", "embedding", k = 10, dim = 64)
       .select("query_id", "neighbor_id", "cosine").localCheckpoint()
+    lazy val knnBase = (0 until 8).map { i =>
+        knn0.select((col("query_id") + lit(i * 100L * SHIFT)).as("query_id"),
+          col("neighbor_id"), col("cosine"))
+      }.reduce(_ unionByName _).localCheckpoint()
     lazy val knnK = scaled(knnBase, Seq("query_id"))
     lazy val labels = Tables(spark, sfDir, "embeddings")
       .select("vec_id", "label").localCheckpoint()
@@ -244,11 +259,15 @@ object ScaleProbe {
     require(selected.nonEmpty,
       s"no probe matches '${only.getOrElse("")}'; names: ${probes.map(_._1).mkString(", ")}")
 
-    // The 1× pass runs once untimed first: whole-stage codegen and JIT
-    // compile on the first execution of a plan shape, and without the
-    // warmup the 1× number absorbs them and the ratio reads sub-1.
+    // BOTH sides run once untimed first: whole-stage codegen and JIT
+    // compile on the first execution of a plan shape, and — now that
+    // inputs are lazy — the first force of a K× input also pays its
+    // localCheckpoint build. Neither belongs in the timed region
+    // (with eager inputs only the 1× warmup was needed; a timed
+    // first K× run would overstate super-linearity by exactly the
+    // checkpoint-build cost).
     for ((name, one, kx) <- selected) {
-      one()
+      one(); kx()
       val t1 = time(one()); val tk = time(kx())
       println(f"[scale] $name%-18s 1x ${t1}%7.2f s   ${k}x ${tk}%7.2f s   ratio ${tk / t1}%5.2f (ideal <= $k)")
     }
