@@ -143,13 +143,17 @@ object ScaleProbe {
     // fixed-job-latency noise — a quadratic vote would still read
     // "flat". Amplify: all vectors as queries, then 8 shifted copies,
     // so the 1× input is ~400k rows and the join/agg/window dominates.
-    // Copy spacing is 100×SHIFT so scaled()'s own K-shift (i×SHIFT)
-    // can never collide two copies into one vote group.
+    // Copy spacing is K×SHIFT, strictly above scaled()'s largest
+    // K-shift ((K−1)×SHIFT), so no K can ever collide two copies
+    // into one vote group. knn0 is deliberately NOT checkpointed:
+    // the LSH recomputes once per copy during the one-time untimed
+    // input build, and no dead intermediate blocks stay resident
+    // through the timed runs.
     lazy val knn0 = graft.operators.Similarity.knnLsh(emb, emb,
         "vec_id", "embedding", k = 10, dim = 64)
-      .select("query_id", "neighbor_id", "cosine").localCheckpoint()
+      .select("query_id", "neighbor_id", "cosine")
     lazy val knnBase = (0 until 8).map { i =>
-        knn0.select((col("query_id") + lit(i * 100L * SHIFT)).as("query_id"),
+        knn0.select((col("query_id") + lit(i.toLong * k * SHIFT)).as("query_id"),
           col("neighbor_id"), col("cosine"))
       }.reduce(_ unionByName _).localCheckpoint()
     lazy val knnK = scaled(knnBase, Seq("query_id"))
@@ -259,16 +263,20 @@ object ScaleProbe {
     require(selected.nonEmpty,
       s"no probe matches '${only.getOrElse("")}'; names: ${probes.map(_._1).mkString(", ")}")
 
-    // BOTH sides run once untimed first: whole-stage codegen and JIT
-    // compile on the first execution of a plan shape, and — now that
-    // inputs are lazy — the first force of a K× input also pays its
-    // localCheckpoint build. Neither belongs in the timed region
-    // (with eager inputs only the 1× warmup was needed; a timed
-    // first K× run would overstate super-linearity by exactly the
-    // checkpoint-build cost).
+    // Each side runs once untimed before ITS timed run: whole-stage
+    // codegen and JIT compile on the first execution of a plan shape,
+    // and — now that inputs are lazy — the first force of an input
+    // also pays its localCheckpoint build; neither belongs in a
+    // timed region. Order matters both ways: a timed first K× run
+    // would overstate super-linearity by the checkpoint-build cost,
+    // while warming K× BEFORE timing 1× would tax t1 with the K×
+    // blocks' storage pressure and flatter the ratio — so the 1×
+    // side is warmed and timed before any K× input exists.
     for ((name, one, kx) <- selected) {
-      one(); kx()
-      val t1 = time(one()); val tk = time(kx())
+      one()
+      val t1 = time(one())
+      kx()
+      val tk = time(kx())
       println(f"[scale] $name%-18s 1x ${t1}%7.2f s   ${k}x ${tk}%7.2f s   ratio ${tk / t1}%5.2f (ideal <= $k)")
     }
 
