@@ -112,6 +112,62 @@ object GroupG {
         .groupBy("window_es", "event_type")
         .agg(count(lit(1)).as("n_users"), sum(col("en")).as("n_events"))
     }),
+
+    // g6: ordered-funnel matching (view → click → purchase) — the
+    // classic event-sequence operator the sessionizer family lacked.
+    // Per user: t_view = first view; t_click = first click STRICTLY
+    // after some earlier view; t_purchase = first purchase strictly
+    // after such a click; stage = how deep the user got. Computed as
+    // running-min window DP over (es, event_id) order — each stage's
+    // cumulative min feeds the next stage's validity test via a
+    // strictly-preceding ROWS frame (equal-timestamp events never
+    // satisfy the chain, a stated contract both engines share).
+    // Scale: the three window passes and the final per-user agg all
+    // share ONE shuffle on user_id (the same partitioning g1 uses);
+    // per-row state is three longs — no per-user event buffering.
+    "g6_funnel" -> ((s, d) => {
+      val wPrev = Window.partitionBy("user_id").orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("es"))
+        .withColumn("v_min",
+          min(when(col("event_type") === "view", col("es"))).over(wPrev))
+        .withColumn("c_ok",
+          when(col("event_type") === "click" && col("v_min") < col("es"), col("es")))
+        .withColumn("c_min", min(col("c_ok")).over(wPrev))
+        .withColumn("p_ok",
+          when(col("event_type") === "purchase" && col("c_min") < col("es"), col("es")))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("es"))).as("t_view"),
+             min(col("c_ok")).as("t_click"),
+             min(col("p_ok")).as("t_purchase"))
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1).otherwise(0))
+    }),
+
+    // g7: signup-cohort retention — users grouped by signup week,
+    // counted per week-offset of later activity (the engagement
+    // matrix every product pipeline derives from its event stream).
+    // Scale: the cohort frame is one map-side-combinable min-agg per
+    // user; activity collapses to distinct (user, week) before the
+    // join, so nothing downstream sees more than one row per user
+    // per week; the final agg is map-side combinable on
+    // (cohort_week, week_offset).
+    "g7_retention" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("es"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(expr("min(es) DIV 604800").as("cohort_week"))
+      val active = ev.select(col("user_id"), expr("es DIV 604800").as("week"))
+        .distinct()
+      active.join(cohort, "user_id")
+        .filter(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +221,46 @@ object GroupG {
         |SELECT window_es, event_type, count(*) AS n
         |FROM fan
         |WHERE es >= window_es AND es < window_es + 900
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Same running-min DP, same strictly-preceding ROWS frame, same
+    // (es, event_id) total order — the chain's strict-< contract
+    // makes equal-timestamp behavior identical on both engines.
+    "g6_funnel" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+        |             cast(floor(epoch(ts)) AS bigint) AS es FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN es END) OVER
+        |         (PARTITION BY user_id ORDER BY es, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_min
+        |       FROM b),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND v_min < es
+        |                 THEN es END AS c_ok FROM w1),
+        |w3 AS (SELECT *, min(c_ok) OVER
+        |         (PARTITION BY user_id ORDER BY es, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_min
+        |       FROM w2),
+        |w4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_min < es
+        |                 THEN es END AS p_ok FROM w3)
+        |SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN es END) AS t_view,
+        |  min(c_ok) AS t_click,
+        |  min(p_ok) AS t_purchase,
+        |  cast(CASE WHEN min(p_ok) IS NOT NULL THEN 3
+        |       WHEN min(c_ok) IS NOT NULL THEN 2
+        |       WHEN min(CASE WHEN event_type = 'view' THEN es END) IS NOT NULL THEN 1
+        |       ELSE 0 END AS int) AS stage
+        |FROM w4 GROUP BY 1""".stripMargin,
+
+    "g7_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             cast(floor(epoch(ts)) AS bigint) AS es FROM events),
+        |c AS (SELECT user_id, min(es) // 604800 AS cohort_week
+        |      FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, es // 604800 AS week FROM e)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  cast(count(DISTINCT user_id) AS bigint) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |WHERE week >= cohort_week
         |GROUP BY 1, 2""".stripMargin,
   )
 }

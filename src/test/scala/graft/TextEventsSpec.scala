@@ -147,4 +147,62 @@ class TextEventsSpec extends GraftSuite {
         s"HLL drift: exact $n approx $ap")
     }
   }
+
+  test("g6: funnel equals an in-memory event-walk per user") {
+    val got = SparkEntry.queries("g6_funnel")(spark, sfDir)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().toSet
+    assert(got.nonEmpty)
+    val events = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"ts".cast("long"))
+      .as[(Long, Long, String, Long)].collect()
+    val want = events.groupBy(_._1).map { case (u, evs) =>
+      // The independent formulation: a literal forward walk over the
+      // (es, event_id)-sorted stream carrying the three best-so-far
+      // stage times (not the window DP the operator uses).
+      var tView, tClick, tPurchase = Option.empty[Long]
+      for ((_, _, tpe, es) <- evs.sortBy(e => (e._4, e._2))) tpe match {
+        case "view" if tView.forall(_ > es) => tView = Some(es)
+        case "click" if tView.exists(_ < es) && tClick.isEmpty =>
+          tClick = Some(es)
+        case "purchase" if tClick.exists(_ < es) && tPurchase.isEmpty =>
+          tPurchase = Some(es)
+        case _ =>
+      }
+      val stage =
+        if (tPurchase.nonEmpty) 3 else if (tClick.nonEmpty) 2
+        else if (tView.nonEmpty) 1 else 0
+      (u, tView, tClick, tPurchase, stage)
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._5 == 3), "precondition: someone completes the funnel")
+  }
+
+  test("g6 plan: the three window passes and the per-user agg share ONE shuffle") {
+    val p = SparkEntry.queries("g6_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"g6 should shuffle exactly once on user_id\n$p")
+  }
+
+  test("g7: retention equals an in-memory cohort matrix; week 0 covers each cohort") {
+    val got = SparkEntry.queries("g7_retention")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    val events = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"ts".cast("long"))
+      .as[(Long, String, Long)].collect()
+    val cohort = events.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, evs) => u -> evs.map(_._3).min / 604800L }
+    val want = events.flatMap { case (u, _, es) =>
+      cohort.get(u).map(cw => (cw, es / 604800L - cw, u))
+    }.filter(_._2 >= 0).distinct
+      .groupBy(t => (t._1, t._2))
+      .map { case ((cw, off), v) => (cw, off, v.map(_._3).distinct.length.toLong) }
+      .toSet
+    assert(got == want)
+    // Every cohort's signup event itself counts as week-0 activity.
+    val cohorts = got.map(_._1)
+    assert(cohorts.forall(cw => got.exists(r => r._1 == cw && r._2 == 0L)))
+  }
 }
