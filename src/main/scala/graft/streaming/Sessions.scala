@@ -24,6 +24,20 @@ case class SessionizerState(open: List[SessionState])
   * version in a batch" well-defined — shuffle iterator order is not. */
 case class DocVersion(doc_id: String, fingerprint: String, seq: Long)
 
+/** An input event for the streaming funnel (same fields the batch g6
+  * query reads from the events table). */
+case class FunnelEvent(user_id: Long, event_id: Long, event_type: String,
+                       ts: java.sql.Timestamp)
+
+/** A stage-reach emission from [[Sessions.funnelStages]]: the user
+  * advanced to `stage` (1 = view, 2 = click, 3 = purchase) at event
+  * time `es`. */
+case class FunnelStage(user_id: Long, stage: Int, es: Long)
+
+/** Funnel progress per user: the minimal stage times seen so far
+  * (-1 = stage not reached) — three longs, the WHOLE per-user state. */
+case class FunnelProgress(t_view: Long, t_click: Long, t_purchase: Long)
+
 /** A change operation emitted by [[Sessions.changeOps]]. */
 case class ChangeOp(doc_id: String, op: String)
 
@@ -169,6 +183,54 @@ object Sessions {
               else Iterator.single(ChangeOp(id, "update"))
             }
           }
+      }
+  }
+
+  /** Streaming funnel (streaming g6): per-user ordered
+    * view → click → purchase matching with the SAME strictly-after
+    * chain rule as the batch window DP, emitting one row each time a
+    * user reaches a new stage. State per user is exactly the three
+    * minimal stage times — [[FunnelProgress]], 24 bytes — so state
+    * size is bounded by the user population, never by stream length
+    * (the same bounded-state argument as the batch operator's
+    * three-longs-per-row claim, made literal).
+    *
+    * Contract: each batch's events are processed in (ts, event_id)
+    * order, so under in-order delivery the reached stages and their
+    * times equal the batch g6 result exactly (spec-pinned). A
+    * cross-batch late view CAN refine the view threshold for future
+    * clicks but cannot retroactively validate a click already seen —
+    * the same prefix-correctness class as [[dedupStream]]; feed
+    * late-tolerant analyses through the batch query instead.
+    */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[FunnelProgress]) =>
+          val prior = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L))
+          var (v, c, p) = (prior.t_view, prior.t_click, prior.t_purchase)
+          val out = scala.collection.mutable.ListBuffer[FunnelStage]()
+          for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val es = e.ts.getTime / 1000L
+            e.event_type match {
+              case "view" if v < 0 || es < v =>
+                if (v < 0) out += FunnelStage(userId, 1, es)
+                v = es
+              case "click" if v >= 0 && v < es && (c < 0 || es < c) =>
+                if (c < 0) out += FunnelStage(userId, 2, es)
+                c = es
+              case "purchase" if c >= 0 && c < es && (p < 0 || es < p) =>
+                if (p < 0) out += FunnelStage(userId, 3, es)
+                p = es
+              case _ =>
+            }
+          }
+          if (v != prior.t_view || c != prior.t_click || p != prior.t_purchase)
+            state.update(FunnelProgress(v, c, p))
+          out.iterator
       }
   }
 

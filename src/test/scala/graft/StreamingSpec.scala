@@ -110,6 +110,33 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streaming funnel reaches stages like the batch DP, three-long state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.FunnelEvent]
+    val out = graft.streaming.Sessions.funnelStages(input.toDS())
+    val query = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    import graft.streaming.{FunnelEvent => FE, FunnelStage => FS}
+    try {
+      // Batch 1: u1's click arrives at es=50 BEFORE any view — it must
+      // not count; u1's view lands at 100, u2's at 10.
+      input.addData(FE(1L, 1L, "view", ts(100)), FE(1L, 2L, "click", ts(50)),
+        FE(2L, 3L, "view", ts(10)))
+      query.processAllAvailable()
+      // Batch 2: u1's purchase(150) sorts BEFORE click(200) in event
+      // time — at its turn no valid click exists, so only the click
+      // advances (stage 2 at 200).
+      input.addData(FE(1L, 4L, "purchase", ts(150)), FE(1L, 5L, "click", ts(200)))
+      query.processAllAvailable()
+      // Batch 3: u1 completes; u2's click at es=5 precedes its view.
+      input.addData(FE(1L, 6L, "purchase", ts(300)), FE(2L, 7L, "click", ts(5)))
+      query.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FS].collect().toSet
+      assert(rows == Set(FS(1L, 1, 100L), FS(1L, 2, 200L), FS(1L, 3, 300L),
+        FS(2L, 1, 10L)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
