@@ -125,50 +125,67 @@ object GroupG {
     // Scale: the three window passes and the final per-user agg all
     // share ONE shuffle on user_id (the same partitioning g1 uses);
     // per-row state is three longs — no per-user event buffering.
-    "g6_funnel" -> ((s, d) => {
-      val wPrev = Window.partitionBy("user_id").orderBy("es", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts").cast("long").as("es"))
-        .withColumn("v_min",
-          min(when(col("event_type") === "view", col("es"))).over(wPrev))
-        .withColumn("c_ok",
-          when(col("event_type") === "click" && col("v_min") < col("es"), col("es")))
-        .withColumn("c_min", min(col("c_ok")).over(wPrev))
-        .withColumn("p_ok",
-          when(col("event_type") === "purchase" && col("c_min") < col("es"), col("es")))
-        .groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("es"))).as("t_view"),
-             min(col("c_ok")).as("t_click"),
-             min(col("p_ok")).as("t_purchase"))
-        .withColumn("stage",
-          when(col("t_purchase").isNotNull, 3)
-            .when(col("t_click").isNotNull, 2)
-            .when(col("t_view").isNotNull, 1).otherwise(0))
-    }),
+    "g6_funnel" -> ((s, d) => funnelOf(Tables(s, d, "events"))),
 
     // g7: signup-cohort retention — users grouped by signup week,
     // counted per week-offset of later activity (the engagement
     // matrix every product pipeline derives from its event stream).
-    // Scale: the cohort frame is one map-side-combinable min-agg per
-    // user; activity collapses to distinct (user, week) before the
-    // join, so nothing downstream sees more than one row per user
-    // per week; the final agg is map-side combinable on
-    // (cohort_week, week_offset).
-    "g7_retention" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("es"))
-      val cohort = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(expr("min(es) DIV 604800").as("cohort_week"))
-      val active = ev.select(col("user_id"), expr("es DIV 604800").as("week"))
-        .distinct()
-      active.join(cohort, "user_id")
-        .filter(col("week") >= col("cohort_week"))
-        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-    }),
+    "g7_retention" -> ((s, d) => retentionOf(Tables(s, d, "events"))),
   )
+
+  /** g6 body, parameterized on the raw events frame — the probe
+    * (graft.tools.ScaleProbe) measures THIS definition, so the two
+    * can never drift. Ordered-funnel matching as a running-min window
+    * DP: each stage's cumulative min feeds the next stage's
+    * strictly-after test via a strictly-preceding ROWS frame
+    * (equal-timestamp events never satisfy the chain — a stated
+    * contract both engines share). Scale: the three window passes and
+    * the final per-user agg all share ONE shuffle on user_id (the
+    * same partitioning g1 uses); per-row state is three longs — no
+    * per-user event buffering. */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("es"))
+      .withColumn("v_min",
+        min(when(col("event_type") === "view", col("es"))).over(wPrev))
+      .withColumn("c_ok",
+        when(col("event_type") === "click" && col("v_min") < col("es"), col("es")))
+      .withColumn("c_min", min(col("c_ok")).over(wPrev))
+      .withColumn("p_ok",
+        when(col("event_type") === "purchase" && col("c_min") < col("es"), col("es")))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("es"))).as("t_view"),
+           min(col("c_ok")).as("t_click"),
+           min(col("p_ok")).as("t_purchase"))
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1).otherwise(0))
+  }
+
+  /** g7 body, parameterized like [[funnelOf]]. Scale: the cohort
+    * frame is one map-side-combinable min-agg per user; activity
+    * collapses to distinct (user, week) BEFORE the join, so nothing
+    * downstream sees more than one row per user per week — which is
+    * also why the final agg is a plain count: each (cohort_week,
+    * week_offset) group already holds one row per distinct user, so
+    * a countDistinct would pay an Expand-planned extra shuffle to
+    * deduplicate the already-deduplicated (the g5 doctrine). */
+  private[graft] def retentionOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("es"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(expr("min(es) DIV 604800").as("cohort_week"))
+    val active = ev.select(col("user_id"), expr("es DIV 604800").as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   val oracles: Map[String, String] = Map(
     "g1_sessionize" ->
@@ -258,7 +275,7 @@ object GroupG {
         |      FROM e WHERE event_type = 'signup' GROUP BY 1),
         |a AS (SELECT DISTINCT user_id, es // 604800 AS week FROM e)
         |SELECT cohort_week, week - cohort_week AS week_offset,
-        |  cast(count(DISTINCT user_id) AS bigint) AS n_users
+        |  cast(count(*) AS bigint) AS n_users
         |FROM a JOIN c USING (user_id)
         |WHERE week >= cohort_week
         |GROUP BY 1, 2""".stripMargin,

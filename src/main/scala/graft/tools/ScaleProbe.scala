@@ -120,9 +120,11 @@ object ScaleProbe {
     }
     lazy val docsP2K = (0 until k).map(vowelRotated(docsFull, _))
       .reduce(_ unionByName _).localCheckpoint()
+    // One shared events input for g5/g6/g7 (g5 ignores event_id) —
+    // a second per-probe copy would double the checkpoint footprint.
     lazy val ev = Tables(spark, sfDir, "events")
-      .select("user_id", "event_type", "ts").filter(col("ts").isNotNull)
-      .localCheckpoint()
+      .select("user_id", "event_id", "event_type", "ts")
+      .filter(col("ts").isNotNull).localCheckpoint()
     lazy val evK = scaled(ev, Seq("user_id"))
     lazy val emb = Tables(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").localCheckpoint()
@@ -197,43 +199,6 @@ object ScaleProbe {
         .agg(count(lit(1)).as("en"))
         .groupBy("window_es", "event_type")
         .agg(count(lit(1)).as("n_users"), sum(col("en")).as("n_events"))
-    // g6/g7 shapes (the registered queries, parameterized on the
-    // event frame): K× shifted users = more users with the same
-    // per-user history — window-DP state and cohort rows both scale
-    // on the user population.
-    lazy val evFull = Tables(spark, sfDir, "events")
-      .select("user_id", "event_id", "event_type", "ts")
-      .filter(col("ts").isNotNull).localCheckpoint()
-    lazy val evFullK = scaled(evFull, Seq("user_id"))
-    def funnel(e: DataFrame): DataFrame = {
-      val wPrev = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("es", "event_id")
-        .rowsBetween(Long.MinValue, -1)
-      e.select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts").cast("long").as("es"))
-        .withColumn("v_min",
-          min(when(col("event_type") === "view", col("es"))).over(wPrev))
-        .withColumn("c_ok",
-          when(col("event_type") === "click" && col("v_min") < col("es"), col("es")))
-        .withColumn("c_min", min(col("c_ok")).over(wPrev))
-        .withColumn("p_ok",
-          when(col("event_type") === "purchase" && col("c_min") < col("es"), col("es")))
-        .groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("es"))).as("t_view"),
-             min(col("c_ok")).as("t_click"), min(col("p_ok")).as("t_purchase"))
-    }
-    def retention(e: DataFrame): DataFrame = {
-      val ev2 = e.select(col("user_id"), col("event_type"),
-        col("ts").cast("long").as("es"))
-      val cohort = ev2.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(expr("min(es) DIV 604800").as("cohort_week"))
-      ev2.select(col("user_id"), expr("es DIV 604800").as("week")).distinct()
-        .join(cohort, "user_id")
-        .filter(col("week") >= col("cohort_week"))
-        .groupBy(col("cohort_week"),
-          (col("week") - col("cohort_week")).as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-    }
 
     // Ordered registry: (name, 1× thunk, K× thunk). Corpus ops probe
     // on duplicated docs where that is sound (tfidf/contamination/
@@ -289,8 +254,16 @@ object ScaleProbe {
       ("f15 perplexity",
         () => noop(Corpus.perplexityBuckets(docs, "doc_id", "text")),
         () => noop(Corpus.perplexityBuckets(docsK, "doc_id", "text"))),
-      ("g6 funnel", () => noop(funnel(evFull)), () => noop(funnel(evFullK))),
-      ("g7 retention", () => noop(retention(evFull)), () => noop(retention(evFullK))),
+      // g6/g7 measure the REGISTERED bodies (GroupG.funnelOf/
+      // retentionOf — shared definition, so probe and query cannot
+      // drift): K× shifted users = more users with the same per-user
+      // history; window-DP state and cohort rows scale on users.
+      ("g6 funnel",
+        () => noop(graft.queries.GroupG.funnelOf(ev)),
+        () => noop(graft.queries.GroupG.funnelOf(evK))),
+      ("g7 retention",
+        () => noop(graft.queries.GroupG.retentionOf(ev)),
+        () => noop(graft.queries.GroupG.retentionOf(evK))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the
@@ -308,9 +281,13 @@ object ScaleProbe {
     // also pays its localCheckpoint build; neither belongs in a
     // timed region. Order matters both ways: a timed first K× run
     // would overstate super-linearity by the checkpoint-build cost,
-    // while warming K× BEFORE timing 1× would tax t1 with the K×
-    // blocks' storage pressure and flatter the ratio — so the 1×
-    // side is warmed and timed before any K× input exists.
+    // while warming K× BEFORE timing 1× taxes t1 with the K× blocks'
+    // storage pressure and flatters the ratio — so within a probe the
+    // 1× side is warmed and timed first. That guarantee is only
+    // complete in one-probe-per-JVM mode (the graded mode): in a
+    // multi-probe run, K× inputs from EARLIER probes are already
+    // resident when a later probe times its 1× side, so in-suite
+    // ratios remain convenience numbers.
     for ((name, one, kx) <- selected) {
       one()
       val t1 = time(one())
