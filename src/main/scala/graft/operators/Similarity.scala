@@ -652,6 +652,39 @@ object Similarity {
       .select("query_id", "label", "votes", "weight")
   }
 
+  /** Recall@k evaluation — the acceptance gate every ANN rollout
+    * runs before swapping an index in: per query, the fraction of the
+    * EXACT top-k the candidate operator recovered. Takes the outputs
+    * of any two kNN operators in this file ((query_id, neighbor_id,
+    * …) — `exact` is the ground truth, `ann` the candidate) and
+    * returns one row per exact-side query: (query_id, n_exact,
+    * n_matched, recall). Queries the ANN side missed entirely still
+    * appear (n_matched = 0) — silent query loss is precisely what an
+    * acceptance gate must surface. This is the first-class form of
+    * the recall floors the ScalaTest specs assert for e2/e3/e6.
+    *
+    * Scale shape: both inputs are Q·k rows (never corpus-sized — the
+    * expensive exact side runs on a SAMPLED query set, which is how
+    * recall evaluation is done at any scale); the overlap check is a
+    * left-semi join on (query_id, neighbor_id) and both counts are
+    * map-side-combinable aggs on data already partitioned by query.
+    *
+    * Cross-engine exactness: the output is integer counts plus one
+    * ratio of small integers rounded to 4 dp — no float path at all.
+    */
+  def recallAt(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val an = ann.select(col("query_id"), col("neighbor_id"))
+    val matched = ex.join(an, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+    ex.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall"))
+  }
+
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
     * zero vectors pass through unchanged (cosine 0 downstream).
     * One fused codegen pass ([[graft.functions.expr.ArrayNormalize]]

@@ -97,6 +97,17 @@ object GroupE {
         Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
           "vec_id", "embedding", k = 10),
         emb(s, d), "vec_id", "label")),
+
+    // e9: recall@k acceptance gate — per-query recall of the LSH ANN
+    // path (e2) against the exact baseline (e1). The first-class
+    // query form of the recall floors SimilarityLshSpec asserts;
+    // composes over any (exact, candidate) pair of kNN outputs.
+    "e9_recall_eval" -> ((s, d) =>
+      Similarity.recallAt(
+        Similarity.knnLsh(queriesSet(s, d), emb(s, d),
+          "vec_id", "embedding", k = 10, dim = 64),
+        Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
+          "vec_id", "embedding", k = 10))),
   )
 
   /** One unrolled Lloyd iteration for the e3 oracle: assign every
@@ -398,5 +409,46 @@ object GroupE {
         |         ELSE greatest(0.0, least(floor((x - mn) * 255.0 / (mx - mn)), 255.0))
         |         END AS int)), ',') AS q_csv
         |FROM m""".stripMargin,
+
+    // e9 composes the two proven oracle paths: the e2 LSH replay
+    // (DuckSql.lshCtes — CTEs e/nr/u/tj/pl/bk) and the e1 exact knn
+    // (renamed ee/eq/esc to avoid CTE collisions), then counts the
+    // per-query overlap. Only (query_id, neighbor_id) membership
+    // enters the output, so the two sides' cosine roundings never
+    // interact; the ratio is small-integer / small-integer at 4 dp.
+    "e9_recall_eval" ->
+      s"""WITH ${DuckSql.lshCtes},
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |         WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |lsc AS (SELECT query_id, neighbor_id,
+         |          round(list_reduce(list_transform(generate_series(1, 64),
+         |            i -> a.u[i] * b.u[i]), (x, y) -> x + y), 4) AS cosine
+         |        FROM cand JOIN u a ON a.vec_id = query_id
+         |                  JOIN u b ON b.vec_id = neighbor_id),
+         |lknn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM lsc) WHERE rank <= 10),
+         |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |eq AS (SELECT vec_id, v FROM ee WHERE vec_id % 50 = 0),
+         |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          round(list_cosine_similarity(eq.v, c.v), 4) AS cosine
+         |        FROM eq JOIN ee c ON eq.vec_id <> c.vec_id),
+         |eknn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM esc) WHERE rank <= 10),
+         |m AS (SELECT e.query_id, count(*) AS n_matched
+         |      FROM eknn e JOIN lknn l ON l.query_id = e.query_id
+         |                             AND l.neighbor_id = e.neighbor_id
+         |      GROUP BY 1)
+         |SELECT g.query_id, cast(g.n_exact AS bigint) AS n_exact,
+         |  cast(coalesce(m.n_matched, 0) AS bigint) AS n_matched,
+         |  round(cast(coalesce(m.n_matched, 0) AS double) / g.n_exact, 4) AS recall
+         |FROM (SELECT query_id, count(*) AS n_exact FROM eknn GROUP BY 1) g
+         |LEFT JOIN m USING (query_id)""".stripMargin,
   )
 }

@@ -172,4 +172,47 @@ class ClassifyPerplexitySpec extends GraftSuite {
       assert(!out(2L), "short doc is rejected")
     } finally q.stop()
   }
+
+  // --- e9 recallAt ---------------------------------------------------
+
+  test("recallAt: literal overlap math, missed queries surface as zero") {
+    // q1: 2 of 3 exact neighbors recovered; q2: ANN returned nothing.
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    val ann = Seq((1L, 10L), (1L, 12L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAt(ann, exact)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 0.6667), (2L, 1L, 0L, 0.0)))
+  }
+
+  test("recallAt of an operator against itself is 1.0 for every query") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val exact = Similarity.knnBruteForce(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 10)
+    val got = Similarity.recallAt(exact, exact)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._2 == r._3 && r._4 == 1.0))
+  }
+
+  test("recallAt(LSH, exact) matches an in-memory set-overlap recomputation") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.knnBruteForce(queries, emb, "vec_id", "embedding", k = 10)
+    val lsh = Similarity.knnLsh(queries, emb, "vec_id", "embedding", k = 10, dim = 64)
+    val got = Similarity.recallAt(lsh, exact)
+      .as[(Long, Long, Long, Double)].collect()
+    val exSets = exact.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val anSets = lsh.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.length == exSets.size, "one row per exact-side query")
+    got.foreach { case (q, nEx, nM, rec) =>
+      val want = exSets(q).intersect(anSets.getOrElse(q, Set.empty)).size
+      assert(nEx == exSets(q).size && nM == want)
+      assert(math.abs(rec - want.toDouble / nEx) < 5e-5)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }
