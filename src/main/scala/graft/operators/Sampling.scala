@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.broadcast
 
 /** Deterministic sampling for training-data pipelines: rate control
   * per stratum (e.g. language, source, quality band) with a
@@ -36,5 +37,52 @@ object Sampling {
       when(stratumCol === s, lit(r)).otherwise(els)
     }
     df.filter(hashBucket(keyCol) < rate)
+  }
+
+  /** Domain-mixture sampling: the static form of training-mixture
+    * weighting (The Pile / DoReMi-style domain weights applied as a
+    * one-pass corpus cut). Given target proportions per domain,
+    * returns the LARGEST sample whose domain shares match the targets
+    * without upsampling: the feasible total is T = min_d(n_d / w_d)
+    * (the binding domain is kept ~whole), every other domain keeps
+    * rate w_d·T/n_d, and the keep decision is the same content-keyed
+    * md5 bucket as [[stratifiedSample]] — reproducible across runs,
+    * engines, and partitionings. Domains not in `weights` are dropped
+    * (the mixture DEFINES the corpus); upsampling scarce domains is
+    * an epoch/loader concern, not a corpus-cut concern.
+    *
+    * Scale shape: the corpus is touched exactly twice — one
+    * map-side-combinable count per domain (|domains| rows out), and
+    * one narrow filter pass. The rate table (counts × the 1-row
+    * feasible-total agg) is |domains| rows, joined back with an
+    * explicit broadcast; no wide operation ever sees corpus-sized
+    * data. Rates quantize to 1/`grain` (floor — the sample never
+    * overshoots a target share); raise `grain` if domains are huge.
+    *
+    * Cross-engine exactness: T and the per-domain rates are the same
+    * fixed-order double expressions in both engines (a global MIN is
+    * order-free), and the bucket test is integer; DuckDB literal
+    * weights must be cast `::DOUBLE` in the oracle (its bare decimal
+    * literals are DECIMAL, whose division is not IEEE double math).
+    */
+  def mixtureSample(df: DataFrame, keyCol: Column, domainCol: Column,
+                    weights: Map[String, Double],
+                    grain: Int = 1000000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixtureSample: weights must be non-empty and positive")
+    val wcol = weights.foldLeft(lit(null).cast("double")) {
+      case (els, (s, w)) => when(col("domain") === s, lit(w)).otherwise(els)
+    }
+    val counts = df.select(domainCol.as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .withColumn("w", wcol).filter(col("w").isNotNull)
+    val feasible = counts.agg(min(col("n").cast("double") / col("w")).as("t"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .select(col("domain"),
+        least(lit(grain.toLong),
+          floor(col("w") * col("t") / col("n") * grain)).as("keep_buckets"))
+    df.join(broadcast(rates), domainCol === col("domain"))
+      .filter(hashBucket(keyCol, grain) < col("keep_buckets"))
+      .drop("domain", "keep_buckets")
   }
 }

@@ -176,6 +176,17 @@ object GroupF2 {
         .perplexityBuckets(Tables(s, d, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("nll"),
           col("bucket"))),
+
+    // f16: domain-mixture sampling — target language shares applied
+    // as a one-pass corpus cut (Sampling.mixtureSample): the largest
+    // no-upsampling sample matching en .5 / de .2 / fr .2 / es .1;
+    // zh is deliberately unlisted (the mixture defines the corpus,
+    // so unlisted domains drop).
+    "f16_domain_mixture" -> ((s, d) =>
+      graft.operators.Sampling.mixtureSample(
+        Tables(s, d, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+        .select("doc_id", "lang")),
   )
 
   // Shared oracle fragments — single definition in DuckSql.
@@ -329,5 +340,30 @@ object GroupF2 {
          |       WHEN nll <= t2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM scored CROSS JOIN cuts""".stripMargin,
+
+    // f16 replays the rate derivation with the SAME fixed-order
+    // double expressions: weights cast ::DOUBLE (DuckDB bare decimals
+    // are DECIMAL — decimal division is not IEEE double math), the
+    // global MIN is order-free, floor-then-least quantizes rates
+    // identically, and the keep test is f5's md5 bucket at grain 1e6.
+    "f16_domain_mixture" ->
+      """WITH c AS (SELECT lang AS domain, count(*) AS n
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT domain, n,
+        |        CASE domain WHEN 'en' THEN 0.5::DOUBLE
+        |                    WHEN 'de' THEN 0.2::DOUBLE
+        |                    WHEN 'fr' THEN 0.2::DOUBLE
+        |                    WHEN 'es' THEN 0.1::DOUBLE END AS w
+        |      FROM c),
+        |ww AS (SELECT * FROM w WHERE w IS NOT NULL),
+        |t AS (SELECT min(cast(n AS DOUBLE) / w) AS t FROM ww),
+        |r AS (SELECT domain,
+        |        cast(least(1000000, floor(w * t / n * 1000000)) AS bigint)
+        |          AS keep_buckets
+        |      FROM ww, t)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN r ON r.domain = d.lang
+        |WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 8))::BIGINT
+        |        % 1000000 < r.keep_buckets""".stripMargin,
   )
 }

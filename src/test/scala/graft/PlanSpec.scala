@@ -197,6 +197,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("f16: mixture rates broadcast back; the corpus never shuffles") {
+    // The corpus is touched exactly twice (domain counts + the keep
+    // filter); the |domains|-row rate table must come back as a
+    // broadcast join — a sort-merge here would shuffle the whole
+    // corpus to apply a handful of rates.
+    val p = plan("f16_domain_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table is |domains| rows and must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // The 1-row feasible-total frame joins as a broadcast nested
+    // loop, never an unbroadcast cartesian.
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // SURVEY §5 claims "AQE skew handling" for fact-fact joins — prove
     // the rewrite actually fires on this session's Spark: a 90%-hot

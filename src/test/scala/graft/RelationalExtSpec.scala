@@ -328,4 +328,41 @@ class RelationalExtSpec extends GraftSuite {
       Map("en" -> 50), 20).count().toDouble / en.count()
     assert(kept > 0.3 && kept < 0.7, s"en keep rate $kept")
   }
+
+  test("mixture sample: binding domain kept whole, shares track targets, unlisted drop") {
+    // Weights deliberately over-demand 'de' (scarce relative to 0.4),
+    // so de binds: T = n_de/0.4, de keeps ~everything, en rates down.
+    val docs = Tables(spark, sfDir, "documents")
+    val w = Map("en" -> 0.4, "de" -> 0.4, "fr" -> 0.2)
+    val out = Sampling.mixtureSample(docs, col("doc_id"), col("lang"), w)
+    val got = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(!got.contains("zh") && !got.contains("es"), "unlisted domains drop")
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val bind = w.keys.minBy(d => n(d) / w(d))
+    // The binding domain's keep rate is floor-quantized 1.0 — at most
+    // a handful of rows short of whole.
+    assert(got(bind) >= n(bind) - (n(bind) / 1000 + 1).toInt,
+      s"binding domain $bind: kept ${got(bind)} of ${n(bind)}")
+    // Every kept share matches the target proportion of the feasible
+    // total within hash noise (small strata at sf0.001 → wide band).
+    val t = w.keys.map(d => n(d) / w(d)).min
+    for ((d, wd) <- w) {
+      val want = wd * t
+      assert(math.abs(got(d) - want) <= math.max(6.0, 0.35 * want),
+        s"$d: kept ${got(d)}, target $want of feasible total $t")
+    }
+  }
+
+  test("mixture sample is deterministic under repartitioning and a subset of input") {
+    val docs = Tables(spark, sfDir, "documents")
+    val w = Map("en" -> 0.5, "fr" -> 0.5)
+    val a = Sampling.mixtureSample(docs, col("doc_id"), col("lang"), w)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(docs.repartition(7), col("doc_id"), col("lang"), w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same sample regardless of partitioning")
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(all) && a.nonEmpty)
+  }
 }
