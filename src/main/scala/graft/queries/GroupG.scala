@@ -131,6 +131,45 @@ object GroupG {
     // counted per week-offset of later activity (the engagement
     // matrix every product pipeline derives from its event stream).
     "g7_retention" -> ((s, d) => retentionOf(Tables(s, d, "events"))),
+
+    // g8: windowed anomaly detection — per event type, each 15-min
+    // window's count z-scored against its trailing 12 OBSERVED
+    // windows (empty windows aren't materialized — the trailing frame
+    // is over windows that happened, the form a monitoring pipeline
+    // wants when traffic is bursty). Requires ≥ 8 windows of history
+    // and positive variance; |z| > 3 flags the anomaly.
+    //
+    // Scale: the window pass runs on the AGGREGATED (windows × types)
+    // frame — a few rows per type per hour, never the event stream —
+    // after one map-side-combinable count; low type cardinality is
+    // therefore a frame-size non-issue.
+    //
+    // Cross-engine exactness: the trailing stats are EXACT integer
+    // window sums (n, Σ, Σ²); mean/variance/z derive from them in one
+    // fixed-order double expression, so there is no Welford-style
+    // accumulation-order drift anywhere (stddev_samp would have it).
+    "g8_anomaly_zscore" -> ((s, d) => {
+      val counts = Tables(s, d, "events")
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("window_es"),
+          col("event_type"), col("n"))
+      val wTrail = Window.partitionBy("event_type").orderBy("window_es")
+        .rowsBetween(-12, -1)
+      val mean = col("s1").cast("double") / col("n_prev")
+      val variance = (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n_prev")) /
+        (col("n_prev") - 1)
+      counts
+        .withColumn("n_prev", count(col("n")).over(wTrail))
+        .withColumn("s1", sum(col("n")).over(wTrail))
+        .withColumn("s2", sum(col("n") * col("n")).over(wTrail))
+        .withColumn("z", when(col("n_prev") >= 8 && variance > 0,
+          round((col("n").cast("double") - mean) / sqrt(variance), 6)))
+        .withColumn("is_anomaly",
+          when(col("z").isNotNull && abs(col("z")) > 3, 1).otherwise(0))
+        .select("event_type", "window_es", "n", "n_prev", "z", "is_anomaly")
+    }),
   )
 
   /** g6 body, parameterized on the raw events frame — the probe
@@ -279,5 +318,34 @@ object GroupG {
         |FROM a JOIN c USING (user_id)
         |WHERE week >= cohort_week
         |GROUP BY 1, 2""".stripMargin,
+
+    // g8: the trailing window sums are cast to BIGINT the instant
+    // they leave the frame (DuckDB sum(BIGINT) is HUGEINT — the f12
+    // lesson); the mean/variance/z expression is character-for-
+    // character the same fixed-order double math as the Spark side.
+    "g8_anomaly_zscore" ->
+      """WITH c AS (SELECT cast(floor(epoch(ts) / 900) * 900 AS bigint) AS window_es,
+        |             event_type, cast(count(*) AS bigint) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, window_es, n,
+        |        cast(count(n) OVER w AS bigint) AS n_prev,
+        |        cast(sum(n) OVER w AS bigint) AS s1,
+        |        cast(sum(n * n) OVER w AS bigint) AS s2
+        |      FROM c
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY window_es
+        |                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, window_es, n, n_prev,
+        |        CASE WHEN n_prev >= 8 AND
+        |               (cast(s2 AS double) - cast(s1 AS double) * cast(s1 AS double)
+        |                  / n_prev) / (n_prev - 1) > 0
+        |             THEN round((cast(n AS double) - cast(s1 AS double) / n_prev)
+        |               / sqrt((cast(s2 AS double) - cast(s1 AS double)
+        |                         * cast(s1 AS double) / n_prev) / (n_prev - 1)), 6)
+        |        END AS z
+        |      FROM t)
+        |SELECT event_type, window_es, n, n_prev, z,
+        |  cast(CASE WHEN z IS NOT NULL AND abs(z) > 3 THEN 1 ELSE 0 END AS int)
+        |    AS is_anomaly
+        |FROM z""".stripMargin,
   )
 }

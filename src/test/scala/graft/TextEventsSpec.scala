@@ -205,4 +205,39 @@ class TextEventsSpec extends GraftSuite {
     val cohorts = got.map(_._1)
     assert(cohorts.forall(cw => got.exists(r => r._1 == cw && r._2 == 0L)))
   }
+
+  test("g8: z-scores equal an in-memory trailing-stats recomputation") {
+    val got = SparkEntry.queries("g8_anomaly_zscore")(spark, sfDir)
+      .as[(String, Long, Long, Long, Option[Double], Int)].collect()
+    assert(got.nonEmpty)
+    val counts = got.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(r => (r._2, r._3))).toMap
+    for ((tpe, rows) <- got.groupBy(_._1); r <- rows) {
+      val series = counts(tpe)
+      val idx = series.indexWhere(_._1 == r._2)
+      val trail = series.slice(math.max(0, idx - 12), idx).map(_._2)
+      assert(r._4 == trail.length.toLong, s"$tpe/${r._2}: n_prev")
+      if (trail.length >= 8) {
+        val n = trail.length.toDouble
+        val mean = trail.sum / n
+        val variance = (trail.map(c => c.toDouble * c).sum - trail.sum.toDouble *
+          trail.sum / n) / (n - 1)
+        if (variance > 0) {
+          val z = (r._3 - mean) / math.sqrt(variance)
+          assert(r._5.isDefined && math.abs(r._5.get - z) < 1e-5,
+            s"$tpe/${r._2}: z ${r._5} want $z")
+          assert(r._6 == (if (math.abs(r._5.get) > 3) 1 else 0))
+        } else assert(r._5.isEmpty)
+      } else assert(r._5.isEmpty && r._6 == 0, s"$tpe/${r._2}: short history")
+    }
+  }
+
+  test("g8 plan: the z-score window runs on the aggregated frame after one agg shuffle") {
+    // One exchange for the (window, type) count, one for the
+    // per-type window pass over the tiny aggregated frame — the
+    // event stream itself is never re-shuffled.
+    val p = SparkEntry.queries("g8_anomaly_zscore")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 2, s"g8 wants ≤ 2 shuffles\n$p")
+  }
 }
