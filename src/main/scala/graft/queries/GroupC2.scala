@@ -52,8 +52,30 @@ object GroupC2 {
       |         ELSE '' END, 2) || '}}'
       |END""".stripMargin
 
-  private def lines(s: SparkSession, d: String): DataFrame =
+  // Shared with GroupP's p3 pipeline — single definitions, so the
+  // standalone queries and the composed flow can't drift.
+  private[queries] def lines(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "customer").select(expr(genLineSql).as("value"))
+
+  /** The c7 cached-status dim: domains covering names ending a0..a3. */
+  private[queries] def domainsDim(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer")
+      .filter(col("c_custkey") % 7 < 4)
+      .select(
+        concat(lower(col("c_mktsegment")), lit("a"),
+          (col("c_custkey") % 7).cast("string")).as("name"),
+        element_at(
+          array(lit("available"), lit("taken"), lit("on_sale"),
+            lit("recently_released")),
+          (col("c_custkey") % 7 + 1).cast("int")).as("status"))
+      .distinct()
+
+  /** The a33 existing-index stand-in: every third id already indexed. */
+  private[queries] def existingIndex(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("collection_id"),
+        concat(lit("es-"), col("c_custkey")).as("es_id"))
 
   val queries: Map[String, Q] = Map(
     // c6: JSONL inlet → one typed row per custom collection.
@@ -66,34 +88,19 @@ object GroupC2 {
     // never_registered is exercised by a4..a6, the tokenized-label
     // members and the emoji names); status is a function of the name
     // digit, identical on both engines.
-    "c7_custom_status" -> ((s, d) => {
-      val domains = Tables(s, d, "customer")
-        .filter(col("c_custkey") % 7 < 4)
-        .select(
-          concat(lower(col("c_mktsegment")), lit("a"),
-            (col("c_custkey") % 7).cast("string")).as("name"),
-          element_at(
-            array(lit("available"), lit("taken"), lit("on_sale"),
-              lit("recently_released")),
-            (col("c_custkey") % 7 + 1).cast("int")).as("status"))
-        .distinct()
+    "c7_custom_status" -> ((s, d) =>
       Collections.customStatusCounts(
-        Collections.customMembers(lines(s, d)), domains)
-    }),
+        Collections.customMembers(lines(s, d)), domainsDim(s, d))),
 
     // a33: shaped custom collections → index update operations.
     // "Existing index" stand-in: every third customer id is already
     // indexed under es_id 'es-<k>'. maxMembers = 1 exercises the
     // reference's members-count drop rule on real rows (2-member
     // collections are dropped; the reference threshold is 10k).
-    "a33_custom_update_ops" -> ((s, d) => {
-      val existing = Tables(s, d, "customer")
-        .filter(col("c_custkey") % 3 === 0)
-        .select(concat(lit("c"), col("c_custkey")).as("collection_id"),
-          concat(lit("es-"), col("c_custkey")).as("es_id"))
+    "a33_custom_update_ops" -> ((s, d) =>
       Collections.customUpdateOps(
-        Collections.fromCustom(lines(s, d)), existing, maxMembers = 1L)
-    }),
+        Collections.fromCustom(lines(s, d)), existingIndex(s, d),
+        maxMembers = 1L)),
   )
 
   // Shared oracle CTE prefix (lines → good/bad → labels → shaped
@@ -162,11 +169,15 @@ object GroupC2 {
        |UNION ALL
        |SELECT NULL, NULL, 0, 0, '', NULL, 0, 10000000, 1000000, true FROM bad""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "c6_custom_jsonl" -> customOracle,
+  // The a33/p3 existing-index CTE — one definition.
+  private[queries] val existingCte =
+    """ex AS (SELECT 'c' || cast(c_custkey AS string) AS collection_id,
+      |              'es-' || cast(c_custkey AS string) AS es_id
+      |       FROM customer WHERE c_custkey % 3 = 0)""".stripMargin
 
-    "c7_custom_status" ->
-      s"""WITH $memCtes,
+  // The c7 oracle — also embedded whole as a CTE by the p3 oracle.
+  private[queries] val statusOracle =
+    s"""WITH $memCtes,
          |meta AS (SELECT value,
          |           json_extract_string(value, '$$.data.collection_id') AS collection_id
          |         FROM good),
@@ -191,13 +202,16 @@ object GroupC2 {
          |  greatest(
          |    sum(CASE WHEN st IN ('taken', 'on_sale', 'recently_released') THEN 1 ELSE 0 END) * 1.0
          |      / count(*), 1e-8) AS nonavailable_ratio
-         |FROM j GROUP BY 1""".stripMargin,
+         |FROM j GROUP BY 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "c6_custom_jsonl" -> customOracle,
+
+    "c7_custom_status" -> statusOracle,
 
     "a33_custom_update_ops" ->
       s"""WITH c6 AS ($customOracle),
-         |ex AS (SELECT 'c' || cast(c_custkey AS string) AS collection_id,
-         |              'es-' || cast(c_custkey AS string) AS es_id
-         |       FROM customer WHERE c_custkey % 3 = 0)
+         |$existingCte
          |SELECT c6.collection_id,
          |  CASE WHEN ex.es_id IS NOT NULL THEN 'update' ELSE 'create' END AS op,
          |  coalesce(ex.es_id, 'new-' || c6.collection_id) AS es_id,

@@ -100,6 +100,49 @@ object GroupP {
     // rates compose predictably.
     "p2_corpus_pipeline" -> ((s, d) =>
       corpusPipeline(Tables(s, d, "documents"))),
+
+    // p3: the custom-collections DAG end-to-end as ONE plan
+    // (load_custom_collections.py: prepare → metrics → update ops) —
+    // JSONL shaping (c6), member cached-status metrics (c7), the
+    // collection-name log-probability metadata (a27's unigram model
+    // over the ingested names themselves), the deterministic banner
+    // pick (a26's hash bucket), and the create/update decision
+    // against the existing index (a33), composed from the SAME
+    // shared definitions the standalone queries run.
+    //
+    // Scale: every stage is the standalone query's plan — the line
+    // corpus is scanned once into `shaped` and once into members;
+    // status metrics and log-prob are dimension-sized per-collection
+    // frames joined back LEFT (empty collections keep NULL metrics,
+    // exactly the reference's division-hazard rows surfaced instead
+    // of crashed); the existing index joins on collection_id.
+    "p3_custom_pipeline" -> ((s, d) => {
+      val ln = GroupC2.lines(s, d)
+      val shaped = Collections.fromCustom(ln)
+      val ops = Collections.customUpdateOps(shaped,
+        GroupC2.existingIndex(s, d), maxMembers = 1L)
+      val status = Collections.customStatusCounts(
+          Collections.customMembers(ln), GroupC2.domainsDim(s, d))
+        .select(col("collection_id"), col("nonavailable_count"),
+          col("nonavailable_ratio"))
+      val toks = shaped.filter(!col("malformed"))
+        .select(col("collection_id"),
+          explode(split(lower(col("collection_name")), "[^a-z0-9]+")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      val lp = toks.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("collection_id")
+        .agg(round(sum(round(log(col("cnt").cast("double") / col("total")), 9)), 6)
+          .as("name_log_prob"))
+      ops.join(status, Seq("collection_id"), "left")
+        .join(lp, Seq("collection_id"), "left")
+        .select(col("collection_id"), col("op"), col("es_id"),
+          col("n_members"), col("rank"),
+          col("nonavailable_count"), col("nonavailable_ratio"),
+          col("name_log_prob"),
+          Sampling.hashBucket(col("collection_id"), 20).as("banner_number"))
+    }),
   )
 
   /** p2's plan over an arbitrary documents frame (doc_id, lang,
@@ -265,5 +308,38 @@ object GroupP {
         |WHERE g.doc_id NOT IN (SELECT id FROM losers)
         |  AND coalesce(cont.contamination, 0) < 0.5
         |  AND ('0x' || substr(md5(cast(g.doc_id AS varchar)), 1, 8))::BIGINT % 100 < 50""".stripMargin,
+
+    // p3 embeds the c6 and c7 oracles whole as CTEs (the proven
+    // replays), adds the a27-shaped log-prob over the ingested names
+    // and a26's md5 banner bucket, and applies a33's op rule — the
+    // same composition the Spark plan makes from the same shared
+    // definitions. string_split_regex ≡ Spark split on the same
+    // pattern over [a-z0-9]-only inputs.
+    "p3_custom_pipeline" ->
+      s"""WITH c6 AS (${GroupC2.customOracle}),
+         |${GroupC2.existingCte},
+         |st AS (${GroupC2.statusOracle}),
+         |toks AS (SELECT collection_id,
+         |           unnest(string_split_regex(lower(collection_name),
+         |                                     '[^a-z0-9]+')) AS tok
+         |         FROM c6 WHERE NOT malformed),
+         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |total AS (SELECT sum(cnt) AS total FROM freq),
+         |lp AS (SELECT collection_id,
+         |         round(sum(round(ln(cnt * 1.0 / total), 9)), 6) AS name_log_prob
+         |       FROM toks JOIN freq USING (tok) CROSS JOIN total
+         |       GROUP BY 1)
+         |SELECT c6.collection_id,
+         |  CASE WHEN ex.es_id IS NOT NULL THEN 'update' ELSE 'create' END AS op,
+         |  coalesce(ex.es_id, 'new-' || c6.collection_id) AS es_id,
+         |  c6.n_members, c6.rank,
+         |  st.nonavailable_count, st.nonavailable_ratio,
+         |  lp.name_log_prob,
+         |  ('0x' || substr(md5(c6.collection_id), 1, 8))::BIGINT % 20
+         |    AS banner_number
+         |FROM c6 LEFT JOIN ex USING (collection_id)
+         |        LEFT JOIN st USING (collection_id)
+         |        LEFT JOIN lp USING (collection_id)
+         |WHERE NOT c6.malformed AND c6.n_members <= 1""".stripMargin,
   )
 }

@@ -199,4 +199,51 @@ class CustomCollectionsSpec extends GraftSuite {
       "known" -> ("update", "es-1"),
       "fresh" -> ("create", "new-fresh")))
   }
+
+  test("p3 equals composing the standalone c7/a33 queries plus a recomputed log-prob") {
+    // The pipeline promises it is EXACTLY the standalone queries
+    // composed — verify against their registered outputs, with the
+    // name log-prob and banner bucket recomputed independently.
+    val spark2 = SparkTestBase.spark
+    val p3 = SparkEntry.queries("p3_custom_pipeline")(spark2, sfDir).collect()
+      .map(r => r.getAs[String]("collection_id") -> r).toMap
+    val ops = SparkEntry.queries("a33_custom_update_ops")(spark2, sfDir)
+      .collect().map(r => r.getAs[String]("collection_id") -> r).toMap
+    val st = SparkEntry.queries("c7_custom_status")(spark2, sfDir)
+      .collect().map(r => r.getAs[String]("collection_id") -> r).toMap
+    assert(p3.keySet == ops.keySet, "p3 rows are exactly a33's op rows")
+    // Independent log-prob model over the non-malformed c6 names.
+    val names = SparkEntry.queries("c6_custom_jsonl")(spark2, sfDir)
+      .filter(!org.apache.spark.sql.functions.col("malformed"))
+      .select("collection_id", "collection_name")
+      .as[(String, String)].collect()
+    val tokens = names.map { case (id, n) =>
+      id -> n.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty) }
+    val freq = tokens.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val total = freq.values.sum.toDouble
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantLp = tokens.map { case (id, ts) =>
+      id -> ts.map(t => r9(math.log(freq(t) / total))).sum }.toMap
+    for ((id, row) <- p3) {
+      val o = ops(id)
+      assert(row.getAs[String]("op") == o.getAs[String]("op"))
+      assert(row.getAs[String]("es_id") == o.getAs[String]("es_id"))
+      assert(row.getAs[Long]("n_members") == o.getAs[Long]("n_members"))
+      st.get(id) match {
+        case Some(s) =>
+          assert(row.getAs[Long]("nonavailable_count") ==
+            s.getAs[Long]("nonavailable_count"))
+          assert(row.getAs[Double]("nonavailable_ratio") ==
+            s.getAs[Double]("nonavailable_ratio"))
+        case None => // empty collection: metrics stay NULL, never crash
+          assert(row.isNullAt(row.fieldIndex("nonavailable_count")))
+      }
+      assert(math.abs(row.getAs[Double]("name_log_prob") - wantLp(id)) < 1e-5,
+        s"$id log-prob")
+      val bucket = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(id.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 20
+      assert(row.getAs[Long]("banner_number") == bucket, s"$id banner")
+    }
+  }
 }
