@@ -52,14 +52,18 @@ object GroupC2 {
       |         ELSE '' END, 2) || '}}'
       |END""".stripMargin
 
-  // Shared with GroupP's p3 pipeline — single definitions, so the
-  // standalone queries and the composed flow can't drift.
+  // Shared with GroupP's p3 pipeline — single definitions,
+  // parameterized on the customer frame so ScaleProbe measures the
+  // exact registered bodies; the standalone queries and the composed
+  // flow can't drift.
+  private[graft] def linesOf(customer: DataFrame): DataFrame =
+    customer.select(expr(genLineSql).as("value"))
   private[queries] def lines(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "customer").select(expr(genLineSql).as("value"))
+    linesOf(Tables(s, d, "customer"))
 
   /** The c7 cached-status dim: domains covering names ending a0..a3. */
-  private[queries] def domainsDim(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "customer")
+  private[graft] def domainsDimOf(customer: DataFrame): DataFrame =
+    customer
       .filter(col("c_custkey") % 7 < 4)
       .select(
         concat(lower(col("c_mktsegment")), lit("a"),
@@ -69,13 +73,17 @@ object GroupC2 {
             lit("recently_released")),
           (col("c_custkey") % 7 + 1).cast("int")).as("status"))
       .distinct()
+  private[queries] def domainsDim(s: SparkSession, d: String): DataFrame =
+    domainsDimOf(Tables(s, d, "customer"))
 
   /** The a33 existing-index stand-in: every third id already indexed. */
-  private[queries] def existingIndex(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "customer")
+  private[graft] def existingIndexOf(customer: DataFrame): DataFrame =
+    customer
       .filter(col("c_custkey") % 3 === 0)
       .select(concat(lit("c"), col("c_custkey")).as("collection_id"),
         concat(lit("es-"), col("c_custkey")).as("es_id"))
+  private[queries] def existingIndex(s: SparkSession, d: String): DataFrame =
+    existingIndexOf(Tables(s, d, "customer"))
 
   val queries: Map[String, Q] = Map(
     // c6: JSONL inlet → one typed row per custom collection.

@@ -148,29 +148,35 @@ object GroupG {
     // window sums (n, Σ, Σ²); mean/variance/z derive from them in one
     // fixed-order double expression, so there is no Welford-style
     // accumulation-order drift anywhere (stddev_samp would have it).
-    "g8_anomaly_zscore" -> ((s, d) => {
-      val counts = Tables(s, d, "events")
-        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").cast("long").as("window_es"),
-          col("event_type"), col("n"))
-      val wTrail = Window.partitionBy("event_type").orderBy("window_es")
-        .rowsBetween(-12, -1)
-      val mean = col("s1").cast("double") / col("n_prev")
-      val variance = (col("s2").cast("double") -
-        col("s1").cast("double") * col("s1").cast("double") / col("n_prev")) /
-        (col("n_prev") - 1)
-      counts
-        .withColumn("n_prev", count(col("n")).over(wTrail))
-        .withColumn("s1", sum(col("n")).over(wTrail))
-        .withColumn("s2", sum(col("n") * col("n")).over(wTrail))
-        .withColumn("z", when(col("n_prev") >= 8 && variance > 0,
-          round((col("n").cast("double") - mean) / sqrt(variance), 6)))
-        .withColumn("is_anomaly",
-          when(col("z").isNotNull && abs(col("z")) > 3, 1).otherwise(0))
-        .select("event_type", "window_es", "n", "n_prev", "z", "is_anomaly")
-    }),
+    "g8_anomaly_zscore" -> ((s, d) => anomalyOf(Tables(s, d, "events"))),
   )
+
+  /** g8 body, parameterized like [[funnelOf]] (the probe measures
+    * THIS definition). Trailing stats are EXACT integer window sums
+    * (n, Σ, Σ²) so mean/variance/z reduce to one fixed-order double
+    * expression — no Welford accumulation-order drift. */
+  private[graft] def anomalyOf(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("window_es"),
+        col("event_type"), col("n"))
+    val wTrail = Window.partitionBy("event_type").orderBy("window_es")
+      .rowsBetween(-12, -1)
+    val mean = col("s1").cast("double") / col("n_prev")
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n_prev")) /
+      (col("n_prev") - 1)
+    counts
+      .withColumn("n_prev", count(col("n")).over(wTrail))
+      .withColumn("s1", sum(col("n")).over(wTrail))
+      .withColumn("s2", sum(col("n") * col("n")).over(wTrail))
+      .withColumn("z", when(col("n_prev") >= 8 && variance > 0,
+        round((col("n").cast("double") - mean) / sqrt(variance), 6)))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull && abs(col("z")) > 3, 1).otherwise(0))
+      .select("event_type", "window_es", "n", "n_prev", "z", "is_anomaly")
+  }
 
   /** g6 body, parameterized on the raw events frame — the probe
     * (graft.tools.ScaleProbe) measures THIS definition, so the two

@@ -116,34 +116,40 @@ object GroupP {
     // frames joined back LEFT (empty collections keep NULL metrics,
     // exactly the reference's division-hazard rows surfaced instead
     // of crashed); the existing index joins on collection_id.
-    "p3_custom_pipeline" -> ((s, d) => {
-      val ln = GroupC2.lines(s, d)
-      val shaped = Collections.fromCustom(ln)
-      val ops = Collections.customUpdateOps(shaped,
-        GroupC2.existingIndex(s, d), maxMembers = 1L)
-      val status = Collections.customStatusCounts(
-          Collections.customMembers(ln), GroupC2.domainsDim(s, d))
-        .select(col("collection_id"), col("nonavailable_count"),
-          col("nonavailable_ratio"))
-      val toks = shaped.filter(!col("malformed"))
-        .select(col("collection_id"),
-          explode(split(lower(col("collection_name")), "[^a-z0-9]+")).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = freq.agg(sum(col("cnt")).as("total"))
-      val lp = toks.join(broadcast(freq), "tok")
-        .crossJoin(broadcast(total))
-        .groupBy("collection_id")
-        .agg(round(sum(round(log(col("cnt").cast("double") / col("total")), 9)), 6)
-          .as("name_log_prob"))
-      ops.join(status, Seq("collection_id"), "left")
-        .join(lp, Seq("collection_id"), "left")
-        .select(col("collection_id"), col("op"), col("es_id"),
-          col("n_members"), col("rank"),
-          col("nonavailable_count"), col("nonavailable_ratio"),
-          col("name_log_prob"),
-          Sampling.hashBucket(col("collection_id"), 20).as("banner_number"))
-    }),
+    "p3_custom_pipeline" -> ((s, d) =>
+      customPipeline(Tables(s, d, "customer"))),
   )
+
+  /** p3's plan over an arbitrary customer frame (c_custkey, c_name,
+    * c_mktsegment) — one definition shared by the oracled query and
+    * ScaleProbe, the [[corpusPipeline]] pattern. */
+  def customPipeline(customer: DataFrame): DataFrame = {
+    val ln = GroupC2.linesOf(customer)
+    val shaped = Collections.fromCustom(ln)
+    val ops = Collections.customUpdateOps(shaped,
+      GroupC2.existingIndexOf(customer), maxMembers = 1L)
+    val status = Collections.customStatusCounts(
+        Collections.customMembers(ln), GroupC2.domainsDimOf(customer))
+      .select(col("collection_id"), col("nonavailable_count"),
+        col("nonavailable_ratio"))
+    val toks = shaped.filter(!col("malformed"))
+      .select(col("collection_id"),
+        explode(split(lower(col("collection_name")), "[^a-z0-9]+")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val lp = toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("collection_id")
+      .agg(round(sum(round(log(col("cnt").cast("double") / col("total")), 9)), 6)
+        .as("name_log_prob"))
+    ops.join(status, Seq("collection_id"), "left")
+      .join(lp, Seq("collection_id"), "left")
+      .select(col("collection_id"), col("op"), col("es_id"),
+        col("n_members"), col("rank"),
+        col("nonavailable_count"), col("nonavailable_ratio"),
+        col("name_log_prob"),
+        Sampling.hashBucket(col("collection_id"), 20).as("banner_number"))
+  }
 
   /** p2's plan over an arbitrary documents frame (doc_id, lang,
     * source, text) — one definition shared by the oracled query and

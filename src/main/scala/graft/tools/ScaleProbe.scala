@@ -161,6 +161,12 @@ object ScaleProbe {
     lazy val knnK = scaled(knnBase, Seq("query_id"))
     lazy val labels = Tables(spark, sfDir, "embeddings")
       .select("vec_id", "label").localCheckpoint()
+    lazy val docsLang = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang").localCheckpoint()
+    lazy val docsLangK = scaled(docsLang, Seq("doc_id"))
+    lazy val cust = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment").localCheckpoint()
+    lazy val custK = scaled(cust, Seq("c_custkey"))
 
     // ---- probe shapes
     // a6: group-collect per collection.
@@ -264,6 +270,35 @@ object ScaleProbe {
       ("g7 retention",
         () => noop(graft.queries.GroupG.retentionOf(ev)),
         () => noop(graft.queries.GroupG.retentionOf(evK))),
+      // g8: shifted users multiply per-window event counts; the
+      // z-score window frame itself stays (windows × types)-sized, so
+      // the probe pins the count agg as the only row-scaled stage.
+      ("g8 anomaly",
+        () => noop(graft.queries.GroupG.anomalyOf(ev)),
+        () => noop(graft.queries.GroupG.anomalyOf(evK))),
+      // e9: both kNN sides on the amplified e8 frame (~400k rows, the
+      // overhead-domination lesson) — self-recall, so join volume is
+      // exactly the input volume and must scale ≈ K.
+      ("e9 recall",
+        () => noop(graft.operators.Similarity.recallAt(knnBase, knnBase)),
+        () => noop(graft.operators.Similarity.recallAt(knnK, knnK))),
+      // f16: duplicated ids multiply domain counts, the rate table
+      // stays |domains| rows — cost must scale on the two corpus
+      // passes alone.
+      ("f16 mixture",
+        () => noop(graft.operators.Sampling.mixtureSample(docsLang,
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))),
+        () => noop(graft.operators.Sampling.mixtureSample(docsLangK,
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1)))),
+      // p3: shifted customer keys = K× collections through the whole
+      // shaping/status/log-prob/ops composition (the registered
+      // GroupP.customPipeline body; dims derive from the same scaled
+      // frame, the ingest-grows direction).
+      ("p3 custom",
+        () => noop(GroupP.customPipeline(cust)),
+        () => noop(GroupP.customPipeline(custK))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the
