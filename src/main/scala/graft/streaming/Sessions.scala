@@ -41,6 +41,21 @@ case class FunnelProgress(t_view: Long, t_click: Long, t_purchase: Long)
 /** A change operation emitted by [[Sessions.changeOps]]. */
 case class ChangeOp(doc_id: String, op: String)
 
+/** A finalized window count entering [[Sessions.anomalyScores]] —
+  * the shape [[Sessions.tumblingCounts]] emits once the watermark
+  * closes a window. */
+case class WindowCount(event_type: String, window_es: Long, n: Long)
+
+/** A scored window from [[Sessions.anomalyScores]]: the batch g8
+  * columns (z absent below the history floor or at zero variance). */
+case class WindowScore(event_type: String, window_es: Long, n: Long,
+                       n_prev: Long, z: Option[Double], is_anomaly: Int)
+
+/** Anomaly-scorer state per event type: the trailing window counts,
+  * newest last, capped at the history length — ≤ 12 longs, the WHOLE
+  * per-type state (bounded by types × history, never stream length). */
+case class TrailCounts(counts: List[Long])
+
 /** Structured Streaming counterparts of the Group G batch queries —
   * same column logic, incremental execution. (Reference analogue: the
   * reference recomputes collections from full dumps on an Airflow
@@ -203,6 +218,49 @@ object Sessions {
     * the same prefix-correctness class as [[dedupStream]]; feed
     * late-tolerant analyses through the batch query instead.
     */
+  /** Streaming face of the batch g8 anomaly query: consumes the
+    * FINALIZED window counts ([[tumblingCounts]]' append-mode output —
+    * windows arrive in watermark order, one per type) and z-scores
+    * each against its type's trailing `history` windows, exactly the
+    * batch DP: mean/variance from exact integer sums in the same
+    * fixed-order double expression, the same ≥ `minHistory` floor,
+    * positive-variance gate and 6-dp round, so stage-for-stage parity
+    * with `GroupG.anomalyOf` under in-order delivery (spec'd). State
+    * per type is ≤ `history` longs — bounded by types × history,
+    * never stream length. */
+  def anomalyScores(counts: Dataset[WindowCount], history: Int = 12,
+                    minHistory: Int = 8): Dataset[WindowScore] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrailCounts, WindowScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[WindowCount],
+         state: GroupState[TrailCounts]) =>
+          var trail = state.getOption.map(_.counts).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[WindowScore]()
+          for (w <- batch.toSeq.sortBy(_.window_es)) {
+            val nPrev = trail.length
+            val z: Option[Double] =
+              if (nPrev < minHistory) None
+              else {
+                val s1 = trail.sum.toDouble
+                val s2 = trail.map(c => c * c).sum.toDouble
+                val mean = s1 / nPrev
+                val variance = (s2 - s1 * s1 / nPrev) / (nPrev - 1)
+                if (variance > 0)
+                  Some(BigDecimal((w.n.toDouble - mean) / math.sqrt(variance))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None
+              }
+            out += WindowScore(tpe, w.window_es, w.n, nPrev.toLong, z,
+              if (z.exists(v => math.abs(v) > 3)) 1 else 0)
+            trail = (trail :+ w.n).takeRight(history)
+          }
+          state.update(TrailCounts(trail))
+          out.iterator
+      }
+  }
+
   def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -137,6 +137,44 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("streaming anomaly scores match the batch g8 DP under in-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{WindowCount => WC, WindowScore => WS}
+    // Real window counts from the events table — the batch query is
+    // the ground truth for every (z, is_anomaly).
+    val batch = SparkEntry.queries("g8_anomaly_zscore")(spark, sfDir)
+      .as[(String, Long, Long, Long, Option[Double], Int)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(batch.exists(_._5.isDefined), "precondition: some scored windows")
+    val input = MemoryStream[WC]
+    val out = graft.streaming.Sessions.anomalyScores(input.toDS())
+    val query = out.writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    try {
+      // Deliver in watermark order, split across three micro-batches.
+      val counts = batch.map(r => WC(r._1, r._2, r._3))
+      val third = counts.length / 3
+      for (chunk <- Seq(counts.take(third), counts.slice(third, 2 * third),
+        counts.drop(2 * third))) {
+        input.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val got = spark.table("anomaly_out").as[WS].collect()
+        .map(w => (w.event_type, w.window_es) -> w).toMap
+      assert(got.size == batch.length)
+      for (r <- batch) {
+        val w = got((r._1, r._2))
+        assert(w.n == r._3 && w.n_prev == r._4, s"${r._1}/${r._2}: counts")
+        (w.z, r._5) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"${r._1}/${r._2}: z $a vs $b")
+          case (a, b) => assert(a == b, s"${r._1}/${r._2}: z presence")
+        }
+        assert(w.is_anomaly == r._6, s"${r._1}/${r._2}: flag")
+      }
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
