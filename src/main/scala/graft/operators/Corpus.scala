@@ -311,4 +311,116 @@ object Corpus {
           .when(col("nll") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /** The TRANSFORMATION half of [[dupSpans]]: remove from every
+    * document the tokens covered by any n-gram occurring ≥
+    * `minOccurrences` times corpus-wide (the fixed-n form of
+    * exact-substring dedup's CUT step, Lee et al. ACL'22 — dupSpans
+    * measures the duplication, this excises it). A token survives iff
+    * NO duplicated n-gram occurrence covers its position. Output:
+    * (id, n_tokens, n_kept, kept_hash) — the md5 of the space-joined
+    * surviving tokens, so downstream compare stays compact while
+    * pinning the exact cleaned text.
+    *
+    * Scale shape: same two gram-keyed aggregations as dupSpans (the
+    * gram stream checkpoints once and feeds both), then the covered
+    * positions collapse to ONE per-doc sorted array (bounded by
+    * document length) and the cut itself is a narrow indexed-filter
+    * projection — no suffix structure, nothing all-pairs. The
+    * in-lambda membership probe is O(|toks|·|covered|) per document
+    * (document-bounded, never corpus-bounded); real corpora with long
+    * documents would bump n (50-gram spans), which SHRINKS the
+    * covered-array fan-out per hit.
+    */
+  def dupSpanCut(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, minOccurrences: Long = 2L): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .cut()
+    // (id, pos, gram) with 0-based pos; gram covers [pos, pos+n-1].
+    val grams = toks
+      .select(col("id"),
+        posexplode(Text.shingles(col("toks"), n)).as(Seq("pos", "gram")))
+      .cut()
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences).select(col("gram"))
+    val covered = grams.join(hot, Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tokpos"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("tokpos"))).as("covered"))
+    val kept = toks.join(covered, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        when(col("covered").isNull, col("toks"))
+          .otherwise(filter(col("toks"),
+            (_, i) => !array_contains(col("covered"), i))).as("kept"))
+    kept.select(col("id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(col("kept")).cast("long").as("n_kept"),
+      md5(concat_ws(" ", col("kept")).cast("binary")).as("kept_hash"))
+  }
+
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * until a token budget fills — the "best N tokens" cut every
+    * fixed-compute training run makes (quality here = distinct-token
+    * ratio, the inverse of f10's duplicate-token fraction; any
+    * per-document score plugs in). Selection order is (quality bucket
+    * DESC, id ASC) and a document is kept iff the tokens BEFORE it in
+    * that order are < `budgetTokens` (greedy prefix — the last kept
+    * document may overshoot). Empty documents are dropped (zero-token
+    * rows cannot spend budget and would make the strict-< law
+    * ambiguous).
+    *
+    * Scale shape — the point of the bucketed design: a global
+    * score-ordered cumulative window would sort the corpus into ONE
+    * partition (the canonical 100 TB anti-pattern). Instead quality
+    * quantizes to `buckets` integer levels; per-bucket token sums are
+    * one map-side-combinable aggregation (|buckets| rows out), the
+    * cumulative cut over THAT table is driver-trivial, and bucket
+    * verdicts broadcast back: full-keep buckets pass as a narrow
+    * filter, and only the single BOUNDARY bucket (~1/buckets of the
+    * corpus; raise `buckets` to shrink it) pays an in-bucket
+    * cumulative window, partitioned on the bucket after the filter —
+    * so the window's partition holds boundary-bucket rows only, never
+    * the corpus.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long, buckets: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // floor(nd / nt * buckets) — identical fixed-order double math in
+    // the DuckDB oracle, so bucket edges agree bit-for-bit.
+    val scored = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .select(col("id"), col("n_tokens"),
+        floor(col("n_distinct").cast("double") / col("n_tokens") * buckets)
+          .cast("long").as("bucket"))
+      .cut()
+    // |buckets|-row frame: the unpartitioned window is bounded by the
+    // bucket count, not the corpus.
+    val bcum = scored.groupBy("bucket").agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("before",
+        coalesce(sum(col("btoks")).over(
+          Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val joined = scored.join(broadcast(bcum), Seq("bucket"))
+    // n_tokens ≥ 1 on every row, so before + btoks ≤ budget implies
+    // every document's own prefix is strictly under budget.
+    val fullKeep = joined
+      .filter(col("before") + col("btoks") <= budgetTokens)
+      .select(col("id"), col("bucket"), col("n_tokens"))
+    val boundary = joined
+      .filter(col("before") < budgetTokens &&
+        col("before") + col("btoks") > budgetTokens)
+      .withColumn("inb",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("before") + col("inb") < budgetTokens)
+      .select(col("id"), col("bucket"), col("n_tokens"))
+    fullKeep.unionByName(boundary)
+  }
 }

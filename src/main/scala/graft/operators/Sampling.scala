@@ -85,4 +85,41 @@ object Sampling {
       .filter(hashBucket(keyCol, grain) < col("keep_buckets"))
       .drop("domain", "keep_buckets")
   }
+
+  /** Epoch-based mixture materialization — the UPSAMPLING half
+    * [[mixtureSample]] deliberately excludes: given target epochs per
+    * domain (The Pile's epochs column — how many times each domain's
+    * data is seen in one training pass), emit each row
+    * `floor(epochs)` times plus one more for the deterministic
+    * `frac(epochs)` fraction of rows, as (…, copy_idx) with copy_idx
+    * in [1, n_copies]. Domains without an epoch target drop. The
+    * fractional pick reuses the content-keyed md5 bucket SALTED with
+    * ":ep" so it is independent of any [[stratifiedSample]] /
+    * [[mixtureSample]] cut on the same key (an unsalted reuse would
+    * correlate the two decisions and bias the joint sample).
+    *
+    * Scale shape: one narrow projection + an explode whose fan-out is
+    * exactly the epoch multiplier — no shuffle, no RNG state, and the
+    * copies are born tagged so a downstream shuffle/pack stage can
+    * interleave them (materializing epochs is the loader-side step
+    * between the corpus cut and sequence packing).
+    */
+  def epochMixture(df: DataFrame, keyCol: Column, domainCol: Column,
+                   epochs: Map[String, Double],
+                   grain: Int = 1000000): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(_ > 0),
+      "epochMixture: epochs must be non-empty and positive")
+    val e = epochs.foldLeft(lit(null).cast("double")) {
+      case (els, (s, v)) => when(domainCol === s, lit(v)).otherwise(els)
+    }
+    val fracBuckets = floor((e - floor(e)) * grain).cast("long")
+    val copies = (floor(e).cast("long") +
+      when(hashBucket(concat(keyCol.cast("string"), lit(":ep")), grain)
+        < fracBuckets, lit(1L)).otherwise(lit(0L))).as("n_copies")
+    df.filter(e.isNotNull)
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+  }
 }

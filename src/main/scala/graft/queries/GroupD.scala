@@ -110,6 +110,19 @@ object GroupD {
       Dedup.keepCanonical(docs, pairs, "doc_id")
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
+
+    // d12: the CUT half of d10 — excise every token covered by a
+    // corpus-wide duplicated 3-gram occurrence (exact-substring
+    // dedup's removal step in fixed-n form, Lee et al. ACL'22: d10
+    // measures span duplication, this produces the cleaned corpus).
+    // Same two gram-keyed aggs as d10; the cut itself is a narrow
+    // indexed filter against one per-doc covered-positions array.
+    // kept_hash pins the exact cleaned text through the hash gate.
+    "d12_dup_span_cut" -> ((s, d) =>
+      graft.operators.Corpus.dupSpanCut(
+          Tables(s, d, "documents"), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          col("kept_hash"))),
   )
 
   /** Distinct (doc, 3-shingle) CTE chain shared by every Jaccard-based
@@ -290,5 +303,34 @@ object GroupD {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    // d12 replays the cut with a DIFFERENT plan (token-index anti
+    // filter via NOT EXISTS vs Spark's narrow covered-array lambda) —
+    // same values, proven per document by the kept_hash. Positions are
+    // 1-based here, 0-based on the Spark side; both cover [pos, pos+2].
+    "d12_dup_span_cut" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |g AS (SELECT doc_id,
+         |        unnest(${DuckSql.grams(3)}) AS gram,
+         |        unnest(generate_series(1, greatest(len(words) - 2, 0))) AS pos
+         |      FROM w),
+         |hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos
+         |        FROM g JOIN hot USING (gram)
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS off) o),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i
+         |        FROM w),
+         |kept AS (SELECT idx.doc_id, idx.i, idx.words[idx.i] AS tok
+         |         FROM idx
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                           WHERE cov.doc_id = idx.doc_id
+         |                             AND cov.tokpos = idx.i)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY i) AS s
+         |        FROM kept GROUP BY 1)
+         |SELECT w.doc_id, cast(len(words) AS bigint) AS n_tokens,
+         |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
+         |  md5(coalesce(s, '')) AS kept_hash
+         |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
   )
 }

@@ -187,6 +187,30 @@ object GroupF2 {
         Tables(s, d, "documents"), col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
         .select("doc_id", "lang")),
+
+    // f17: token-budget selection — keep the highest-quality documents
+    // until a 10k-token budget fills (Corpus.tokenBudgetSelect). The
+    // bucketed two-phase cut: per-bucket sums (map-side combinable,
+    // |buckets| rows), verdicts broadcast back, and only the single
+    // boundary bucket pays an in-bucket window — never a global
+    // score-ordered sort of the corpus (the 100 TB anti-pattern the
+    // oracle's one-window replay is allowed to commit at sf scale).
+    "f17_token_budget" -> ((s, d) =>
+      graft.operators.Corpus.tokenBudgetSelect(
+          Tables(s, d, "documents"), "doc_id", "text",
+          budgetTokens = 10000L)
+        .select(col("id").as("doc_id"), col("bucket"), col("n_tokens"))),
+
+    // f18: epoch-based mixture materialization — the upsampling half
+    // f16 deliberately excludes (The Pile's epochs: en 1.0, de 2.5,
+    // fr 0.25, es 1.75; zh unlisted drops). Each row explodes into
+    // floor(epochs) copies plus one more for the salted-md5-picked
+    // epoch fraction; purely narrow, fan-out = the epoch multiplier.
+    "f18_epoch_mix" -> ((s, d) =>
+      graft.operators.Sampling.epochMixture(
+          Tables(s, d, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75))
+        .select(col("doc_id"), col("lang"), col("copy_idx"))),
   )
 
   // Shared oracle fragments — single definition in DuckSql.
@@ -365,5 +389,42 @@ object GroupF2 {
         |JOIN r ON r.domain = d.lang
         |WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 8))::BIGINT
         |        % 1000000 < r.keep_buckets""".stripMargin,
+
+    // f17's oracle IS the greedy prefix law the bucketed operator
+    // implements: one global window here (fine at oracle scale; the
+    // operator never runs it), strict-< on the tokens BEFORE each doc
+    // in (bucket DESC, doc_id ASC) order. Bucket math is the same
+    // fixed-order double expression as the Spark side.
+    "f17_token_budget" ->
+      s"""WITH w AS (SELECT doc_id, $duckToks AS words FROM documents),
+         |d AS (SELECT doc_id, len(words) AS nt, len(list_distinct(words)) AS nd
+         |      FROM w WHERE len(words) > 0),
+         |s AS (SELECT doc_id, cast(nt AS bigint) AS n_tokens,
+         |        cast(floor(cast(nd AS DOUBLE) / nt * 100) AS bigint) AS bucket
+         |      FROM d),
+         |o AS (SELECT doc_id, bucket, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (ORDER BY bucket DESC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |      FROM s)
+         |SELECT doc_id, bucket, n_tokens FROM o WHERE bef < 10000""".stripMargin,
+
+    // f18 replays the copy count exactly: floor(ep) plus the salted
+    // md5-bucket fractional pick (same ":ep" salt), then fans out via
+    // generate_series. Weights cast ::DOUBLE per the f16 rule.
+    "f18_epoch_mix" ->
+      """WITH e AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 1.0::DOUBLE WHEN 'de' THEN 2.5::DOUBLE
+        |            WHEN 'fr' THEN 0.25::DOUBLE WHEN 'es' THEN 1.75::DOUBLE
+        |  END AS ep
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |        cast(floor(ep) AS bigint)
+        |        + CASE WHEN ('0x' || substr(md5(cast(doc_id AS varchar) || ':ep'), 1, 8))::BIGINT
+        |                    % 1000000
+        |               < cast(floor((ep - floor(ep)) * 1000000) AS bigint)
+        |          THEN 1 ELSE 0 END AS n
+        |      FROM e WHERE ep IS NOT NULL)
+        |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_idx
+        |FROM c WHERE n > 0""".stripMargin,
   )
 }

@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Corpus, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions, part 2: d12 span-cut dedup, f17 token-budget
+  * selection, f18 epoch mixture. Each operator is replayed
+  * independently in plain Scala on sf0.001 (or a hand-built corpus)
+  * and compared row-for-row — the same independence standard as the
+  * DuckDB gate, but with the laws visible in the test body.
+  */
+class BudgetMixCutSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toksOf(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  // --- d12 dupSpanCut ------------------------------------------------
+
+  test("dupSpanCut: hand corpus — covered positions excised exactly") {
+    // "a b c" appears in docs 1 and 2 (once each) → duplicated; doc 3
+    // shares nothing. Coverage: doc1 tokens 0-2, doc2 tokens 1-3.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c y"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = Corpus.dupSpanCut(docs, "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    val want = Seq(
+      (1L, 5L, 2L, md5hex("d e")),
+      (2L, 5L, 2L, md5hex("x y")),
+      (3L, 5L, 5L, md5hex("p q r s t")))
+    assert(got == want)
+  }
+
+  test("dupSpanCut: matches a brute-force replay on sf0.001") {
+    val raw = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val grams = raw.map { case (id, t) =>
+      val w = toksOf(t)
+      id -> w.indices.dropRight(2).map(p => (p, w.slice(p, p + 3).mkString(" ")))
+    }.toMap
+    val occ = grams.values.flatten.groupBy(_._2).map { case (g, xs) => g -> xs.size }
+    val want = raw.map { case (id, t) =>
+      val w = toksOf(t)
+      val covered = grams(id).filter(x => occ(x._2) >= 2)
+        .flatMap(x => x._1 to x._1 + 2).toSet
+      val kept = w.indices.filterNot(covered).map(w)
+      (id, w.length.toLong, kept.length.toLong, md5hex(kept.mkString(" ")))
+    }.sortBy(_._1).toSeq
+    val got = Corpus.dupSpanCut(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("dupSpanCut: unique corpus passes through untouched") {
+    val docs = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val got = Corpus.dupSpanCut(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.map(r => (r._2, r._3)) == Seq((4L, 4L), (4L, 4L)))
+    assert(got.head._4 == md5hex("one two three four"))
+  }
+
+  // --- f17 tokenBudgetSelect ------------------------------------------
+
+  /** The greedy-prefix law replayed in memory: docs ordered by
+    * (bucket desc, id asc), kept while the tokens before are < B. */
+  private def budgetWant(budget: Long): Seq[(Long, Long, Long)] = {
+    val scored = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val w = toksOf(t)
+        if (w.isEmpty) None
+        else {
+          val bucket = math.floor(w.distinct.length.toDouble / w.length * 100).toLong
+          Some((id, bucket, w.length.toLong))
+        }
+      }
+      .sortBy { case (id, bucket, _) => (-bucket, id) }
+    var before = 0L
+    scored.flatMap { case (id, bucket, nt) =>
+      val keep = before < budget
+      before += nt
+      if (keep) Some((id, bucket, nt)) else None
+    }.toSeq
+  }
+
+  test("tokenBudgetSelect: equals the greedy prefix at several budgets") {
+    for (budget <- Seq(1L, 500L, 3000L, 1000000L)) {
+      val got = Corpus.tokenBudgetSelect(
+          Tables(spark, sfDir, "documents"), "doc_id", "text", budget)
+        .as[(Long, Long, Long)].collect().toSeq
+        .sortBy(r => (-r._2, r._1))
+      assert(got == budgetWant(budget), s"budget=$budget")
+    }
+  }
+
+  test("tokenBudgetSelect: budget 0 keeps nothing; huge budget keeps every non-empty doc") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(Corpus.tokenBudgetSelect(docs, "doc_id", "text", 0L).count() == 0)
+    val nonEmpty = docs.select(graft.functions.Text.tokens($"text").as("t"))
+      .filter(size($"t") > 0).count()
+    assert(Corpus.tokenBudgetSelect(docs, "doc_id", "text", Long.MaxValue / 4)
+      .count() == nonEmpty)
+  }
+
+  // --- f18 epochMixture -----------------------------------------------
+
+  test("epochMixture: copy counts replay the salted md5 pick exactly") {
+    val eps = Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75)
+    val out = Sampling.epochMixture(
+        Tables(spark, sfDir, "documents"), $"doc_id", $"lang", eps)
+      .select($"doc_id", $"lang", $"copy_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    val wantCopies = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+      .flatMap { case (id, lang) =>
+        eps.get(lang).map { e =>
+          val whole = math.floor(e).toLong
+          val frac = math.floor((e - math.floor(e)) * 1000000).toLong
+          val bucket = java.lang.Long.parseLong(
+            md5hex(s"$id:ep").take(8), 16) % 1000000
+          (id, lang) -> (whole + (if (bucket < frac) 1L else 0L))
+        }
+      }.toMap.filter(_._2 > 0)
+    // group the output: each row id must appear exactly n_copies times
+    // with copy_idx dense 1..n
+    val byId = out.groupBy(r => (r._1, r._2)).map { case (k, rows) =>
+      k -> rows.map(_._3).sorted
+    }
+    assert(byId.keySet == wantCopies.keySet)
+    byId.foreach { case (k, idxs) =>
+      assert(idxs == (1L to wantCopies(k)), s"copies for $k")
+    }
+  }
+
+  test("epochMixture: unlisted domains drop; integer epochs never split") {
+    val out = Sampling.epochMixture(
+        Tables(spark, sfDir, "documents"), $"doc_id", $"lang",
+        Map("en" -> 2.0))
+    assert(out.filter($"lang" =!= "en").count() == 0)
+    // every en doc appears exactly twice
+    val bad = out.groupBy("doc_id").count().filter($"count" =!= 2).count()
+    assert(bad == 0)
+  }
+}
