@@ -334,8 +334,11 @@ object Corpus {
     */
   def dupSpanCut(docs: DataFrame, idCol: String, textCol: String,
                  n: Int, minOccurrences: Long = 2L): DataFrame = {
+    // null text = empty document (size(null) is -1 under non-ANSI —
+    // the f13 null-gating rule applies to every per-doc emitter).
     val toks = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .cut()
     // (id, pos, gram) with 0-based pos; gram covers [pos, pos+n-1].
     val grams = toks
@@ -390,7 +393,8 @@ object Corpus {
     // floor(nd / nt * buckets) — identical fixed-order double math in
     // the DuckDB oracle, so bucket edges agree bit-for-bit.
     val scored = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .select(col("id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))

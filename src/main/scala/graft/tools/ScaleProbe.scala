@@ -292,6 +292,29 @@ object ScaleProbe {
         () => noop(graft.operators.Sampling.mixtureSample(docsLangK,
           col("doc_id"), col("lang"),
           Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1)))),
+      // d12: duplicated docs are the SOUND direction here — the join
+      // is gram-keyed (each occurrence appears once; no pair
+      // structure), and duplication making more grams hot is exactly
+      // how a real corpus grows; per-doc covered arrays stay
+      // doc-length-bounded.
+      ("d12 span-cut",
+        () => noop(Corpus.dupSpanCut(docs, "doc_id", "text", n = 3)),
+        () => noop(Corpus.dupSpanCut(docsK, "doc_id", "text", n = 3))),
+      // f17: duplicated docs multiply per-bucket token sums; the
+      // bucket table stays ≤ 100 rows and verdicts broadcast, so cost
+      // must scale on the two corpus passes (count + filter) alone.
+      ("f17 token-budget",
+        () => noop(Corpus.tokenBudgetSelect(docs, "doc_id", "text", 10000L)),
+        () => noop(Corpus.tokenBudgetSelect(docsK, "doc_id", "text", 10000L))),
+      // f18: pure narrow explode — fan-out is the epoch multiplier,
+      // cost scales on rows only.
+      ("f18 epoch-mix",
+        () => noop(graft.operators.Sampling.epochMixture(docsLang,
+          col("doc_id"), col("lang"),
+          Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75))),
+        () => noop(graft.operators.Sampling.epochMixture(docsLangK,
+          col("doc_id"), col("lang"),
+          Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75)))),
       // p3: shifted customer keys = K× collections through the whole
       // shaping/status/log-prob/ops composition (the registered
       // GroupP.customPipeline body; dims derive from the same scaled

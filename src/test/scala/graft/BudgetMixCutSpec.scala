@@ -59,6 +59,18 @@ class BudgetMixCutSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("dupSpanCut / tokenBudgetSelect: null text = empty document") {
+    val docs = Seq((1L, Option("a b c d e")), (2L, None), (3L, Option("a b c d e")))
+      .toDF("doc_id", "text")
+    val cut = Corpus.dupSpanCut(docs, "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(cut(1) == ((2L, 0L, 0L, md5hex(""))))
+    assert(cut(0) == ((1L, 5L, 0L, md5hex(""))))  // whole doc duplicated
+    val sel = Corpus.tokenBudgetSelect(docs, "doc_id", "text", 1000L)
+    assert(sel.filter($"id" === 2L).count() == 0)
+    assert(sel.count() == 2)
+  }
+
   test("dupSpanCut: unique corpus passes through untouched") {
     val docs = Seq((1L, "one two three four"), (2L, "five six seven eight"))
       .toDF("doc_id", "text")
