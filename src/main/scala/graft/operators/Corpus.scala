@@ -404,12 +404,16 @@ object Corpus {
           .cast("long").as("bucket"))
       .cut()
     // |buckets|-row frame: the unpartitioned window is bounded by the
-    // bucket count, not the corpus.
+    // bucket count, not the corpus. cut(): BOTH union branches consume
+    // the verdicts — without the cut each branch would re-run the
+    // corpus-wide bucket aggregation (Catalyst does not share common
+    // subplans across a union).
     val bcum = scored.groupBy("bucket").agg(sum(col("n_tokens")).as("btoks"))
       .withColumn("before",
         coalesce(sum(col("btoks")).over(
           Window.orderBy(col("bucket").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .cut()
     val joined = scored.join(broadcast(bcum), Seq("bucket"))
     // n_tokens ≥ 1 on every row, so before + btoks ≤ budget implies
     // every document's own prefix is strictly under budget.

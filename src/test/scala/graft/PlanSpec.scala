@@ -211,6 +211,36 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("f17: bucket verdicts broadcast back; only the boundary window remains") {
+    // The |buckets|-row verdict table is computed ONCE (checkpointed —
+    // both union branches consume it) and must come back as a
+    // broadcast join (a sort-merge would shuffle the corpus to apply
+    // ~100 verdicts). The registered plan then contains exactly one
+    // window: the boundary-bucket cumsum, whose input is already
+    // filtered to the single straddling bucket — the corpus-wide
+    // cumulative sort the oracle commits never appears.
+    val p = plan("f17_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket verdicts are |buckets| rows and must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("f18: epoch materialization is a narrow explode — no exchange") {
+    val p = plan("f18_epoch_mix")
+    assert(!p.contains("Exchange"),
+      s"epoch fan-out must stay embarrassingly parallel\n$p")
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("d12: the span cut joins gram-keyed — nothing nests or crosses") {
+    val p = plan("d12_dup_span_cut")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // covered-positions aggregation is map-side combinable
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // SURVEY §5 claims "AQE skew handling" for fact-fact joins — prove
     // the rewrite actually fires on this session's Spark: a 90%-hot
