@@ -143,6 +143,51 @@ object Similarity {
       }
       dimRow.head.getInt(0)
     }
+    Relational.topKPerGroup(
+        lshCandidateScores(queries, corpus, idCol, vecCol,
+          numTables, bitsPerTable, dataDim, seed),
+        Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** Radius (range) retrieval: every corpus vector with cosine ≥ `tau`
+    * of each query — the thresholded-retrieval contract ("all matches
+    * above a similarity bar": dedup candidate lookup, near-match
+    * surfacing) complementing [[knnLsh]]'s top-k. Identical LSH
+    * candidate machinery and exact rescoring, so precision is 1.0 and
+    * the only approximation is recall (same collision bound as
+    * [[cosinePairsLsh]] — grow bits with the corpus, buy recall with
+    * tables). Identity pinned in spec: equals [[knnLsh]] at
+    * unbounded k filtered to `tau`, minus the rank column.
+    *
+    * `dim` contract matches [[knnLsh]]: ≤ 0 probes one row, explicit
+    * values are trusted at scale.
+    */
+  def rangeSearchLsh(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, tau: Double,
+                     numTables: Int = 16, bitsPerTable: Int = 5,
+                     dim: Int = -1, seed: Long = 42L): DataFrame = {
+    val dataDim = if (dim > 0) dim else {
+      val dimRow = corpus.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).head(1)
+      if (dimRow.isEmpty) {
+        return queries.select(col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
+      }
+      dimRow.head.getInt(0)
+    }
+    lshCandidateScores(queries, corpus, idCol, vecCol,
+        numTables, bitsPerTable, dataDim, seed)
+      .filter(col("cosine") >= tau)
+  }
+
+  /** The shared LSH candidate + exact-rescore core of [[knnLsh]] and
+    * [[rangeSearchLsh]]: (query_id, neighbor_id, cosine rounded 4dp)
+    * for every bucket-colliding pair. */
+  private def lshCandidateScores(queries: DataFrame, corpus: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 numTables: Int, bitsPerTable: Int,
+                                 dataDim: Int, seed: Long): DataFrame = {
     val ps = planes(numTables, bitsPerTable, dataDim, seed)
     // Normalize once, reuse for bucketing and scoring (at cluster scale
     // this would be a persisted/cached intermediate).
@@ -156,14 +201,11 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val scored = cands
+    cands
       .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")), "query_id")
       .join(cUnit.select(col("id").as("neighbor_id"), col("unit").as("cv")), "neighbor_id")
       .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
-    Relational.topKPerGroup(
-        scored.select("query_id", "neighbor_id", "cosine"),
-        Seq(col("query_id")),
-        Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+      .select("query_id", "neighbor_id", "cosine")
   }
 
   /** (id, table, bucket) rows for every (vector, table) pair. Bucket

@@ -108,6 +108,15 @@ object GroupE {
           "vec_id", "embedding", k = 10, dim = 64),
         Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
           "vec_id", "embedding", k = 10))),
+
+    // e10: radius retrieval — every corpus vector within cosine ≥ 0.35
+    // of each query (the thresholded contract next to e2's top-k:
+    // dedup candidate lookup / "all matches above the bar"). Same LSH
+    // candidates + exact rescore, so the oracle replays e2's proven
+    // bucket path with a threshold instead of a rank.
+    "e10_range_search" -> ((s, d) =>
+      Similarity.rangeSearchLsh(queriesSet(s, d), emb(s, d),
+        "vec_id", "embedding", tau = 0.35, dim = 64)),
   )
 
   /** One unrolled Lloyd iteration for the e3 oracle: assign every
@@ -450,5 +459,21 @@ object GroupE {
          |  round(cast(coalesce(m.n_matched, 0) AS double) / g.n_exact, 4) AS recall
          |FROM (SELECT query_id, count(*) AS n_exact FROM eknn GROUP BY 1) g
          |LEFT JOIN m USING (query_id)""".stripMargin,
+
+    // e10 = e2's replay with the rank stage swapped for the 4-dp
+    // threshold (the rounding is part of both engines' contract, so
+    // the >= test agrees on every candidate bit-for-bit).
+    "e10_range_search" ->
+      s"""WITH ${DuckSql.lshCtes},
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |         WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |             round(list_reduce(list_transform(generate_series(1, 64),
+         |               i -> a.u[i] * b.u[i]), (x, y) -> x + y), 4) AS cosine
+         |           FROM cand JOIN u a ON a.vec_id = query_id
+         |                     JOIN u b ON b.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cosine FROM scored
+         |WHERE cosine >= 0.35""".stripMargin,
   )
 }

@@ -315,6 +315,18 @@ object ScaleProbe {
         () => noop(graft.operators.Sampling.epochMixture(docsLangK,
           col("doc_id"), col("lang"),
           Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75)))),
+      // e10: fixed query set, K× key-shifted corpus (same vectors →
+      // K× bucket collisions per query) — candidate volume and the
+      // rescore join must scale ≈ K, never quadratically; the
+      // threshold cut happens after the same per-candidate work knn
+      // pays, so a flat ratio pins the shared candidate core.
+      ("e10 range-search",
+        () => noop(graft.operators.Similarity.rangeSearchLsh(
+          emb.filter(col("vec_id") % 50 === 0), emb,
+          "vec_id", "embedding", tau = 0.35, dim = 64)),
+        () => noop(graft.operators.Similarity.rangeSearchLsh(
+          emb.filter(col("vec_id") % 50 === 0), embK,
+          "vec_id", "embedding", tau = 0.35, dim = 64))),
       // p3: shifted customer keys = K× collections through the whole
       // shaping/status/log-prob/ops composition (the registered
       // GroupP.customPipeline body; dims derive from the same scaled

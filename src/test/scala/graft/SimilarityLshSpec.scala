@@ -32,6 +32,31 @@ class SimilarityLshSpec extends GraftSuite {
     assert(recall >= 0.55, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("e10: range search = unbounded-k knn filtered at tau; recall floor vs exact") {
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val tau = 0.35
+    val range = Similarity.rangeSearchLsh(q, emb, "vec_id", "embedding", tau)
+      .as[(Long, Long, Double)].collect().toSet
+    // Identity: same candidates, same rescore — the rank stage is the
+    // only difference between the two contracts.
+    val viaKnn = Similarity.knnLsh(q, emb, "vec_id", "embedding",
+        k = Int.MaxValue)
+      .filter($"cosine" >= tau).drop("rank")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(range == viaKnn)
+    // Precision 1.0 + recall floor vs the exact thresholded retrieval
+    // (brute-force with k = corpus size, thresholded the same way).
+    val n = emb.count().toInt
+    val exact = Similarity.knnBruteForce(q, emb, "vec_id", "embedding", k = n,
+        allowLargeInput = true)
+      .filter($"cosine" >= tau).select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "testdata must contain in-range neighbors")
+    assert(range.subsetOf(exact), "false positive in range search")
+    val recall = exact.count(range.contains).toDouble / exact.size
+    assert(recall >= 0.55, s"recall $recall over ${exact.size} true matches")
+  }
+
   test("null embeddings neither crash the dim probe nor corrupt pairs") {
     // Non-ANSI size(null) is -1: if the dim probe saw the null row
     // first it would build zero-length hyperplanes and degenerate to
