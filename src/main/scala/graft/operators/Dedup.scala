@@ -322,4 +322,66 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** One (row, position) entry per probe hash: `kHashes` md5-derived
+    * bit positions in an `mBits`-wide Bloom filter for the (string)
+    * key column. Shared by [[bloomBits]] and [[bloomProbe]] so build
+    * and probe can never hash differently; null keys hash as the
+    * empty string (the null-text-is-empty-document contract). */
+  private def bloomPositions(df: DataFrame, keyCol: String, mBits: Long,
+                             kHashes: Int): DataFrame = {
+    val key = coalesce(col(keyCol).cast("string"), lit(""))
+    df.withColumn("__pos",
+      explode(array((0 until kHashes).map(i =>
+        pmod(Text.hash64md5(concat(key, lit(s":$i"))), lit(mBits))): _*)))
+  }
+
+  /** Bloom-filter BITMAP of a key set: ≤ `mBits`/64 rows of
+    * (word, bits) — 64 filter bits per row, built by one map-side-
+    * combinable `bit_or` aggregation over the keys' md5-derived
+    * positions. This is the compressed form of "the set of keys the
+    * corpus contains": ~2 MB of (word, bits) rows per 2^20 bits, a
+    * DIM next to any corpus. Size `mBits` at roughly 10-15 bits per
+    * expected distinct key (FP rate ≈ (1-e^{-kn/m})^k); at 10^10
+    * keys the bitmap is ~16 GB — too big to broadcast but still
+    * joinable on `word`, which is why probing is a join, not a
+    * collected driver-side filter. Hashes are the md5 family
+    * ([[Text.hash64md5]] of key:i), so an external engine replays
+    * the construction bit-for-bit. */
+  def bloomBits(keys: DataFrame, keyCol: String, mBits: Long = 1L << 20,
+                kHashes: Int = 7): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
+    bloomPositions(keys.select(keyCol).distinct(), keyCol, mBits, kHashes)
+      .groupBy(shiftright(col("__pos"), 6).as("word"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(__pos % 64 as int)))")
+        .as("bits"))
+  }
+
+  /** Probe rows against a [[bloomBits]] bitmap: the input plus a
+    * `maybe_present` flag — false PROVES the key was never inserted
+    * (a clear bit at any of the k positions is a proof of absence,
+    * the exactness that makes a Bloom prefilter sound), true means
+    * "maybe seen" at the filter's false-positive rate, so only that
+    * sliver pays the exact confirmation join ([[exactGroups]] /
+    * [[ngramJaccardAgainst]]). Duplicate probe rows collapse (the
+    * group-by keys on every probe column). The bitmap side is a dim
+    * — AQE broadcasts it when it fits, and the join keys on `word`
+    * when it doesn't. `mBits`/`kHashes` MUST match the build call;
+    * positions come from the same shared hash helper. */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+                 mBits: Long = 1L << 20, kHashes: Int = 7): DataFrame = {
+    val probeCols = probes.columns.map(col).toSeq
+    bloomPositions(probes, keyCol, mBits, kHashes)
+      .withColumn("__word", shiftright(col("__pos"), 6))
+      .withColumn("__mask",
+        expr("shiftleft(cast(1 as bigint), cast(__pos % 64 as int))"))
+      .join(bits.select(col("word").as("__word"), col("bits").as("__bits")),
+            Seq("__word"), "left")
+      .withColumn("__hit",
+        coalesce(col("__bits").bitwiseAND(col("__mask")) =!= 0L, lit(false)))
+      .groupBy(probeCols: _*)
+      .agg(expr("bool_and(__hit)").as("maybe_present"))
+  }
 }

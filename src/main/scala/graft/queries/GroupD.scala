@@ -123,7 +123,44 @@ object GroupD {
           Tables(s, d, "documents"), "doc_id", "text", n = 3)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
           col("kept_hash"))),
+
+    // d13: Bloom-filter prefilter for incremental dedup — d11's
+    // question ("which of today's docs might collide with the
+    // corpus") answered WITHOUT touching the corpus again: the
+    // existing slice's shingle set compresses to a 2^20-bit bitmap
+    // (a dim), and each incoming doc only learns which of its
+    // shingles are maybe-present. maybe_overlap=false docs are
+    // PROVEN novel (no false negatives) and skip the d11 join
+    // entirely — the standard first stage before any pairwise
+    // confirmation at 100 TB. All hashes are md5-family, so the
+    // oracle replays the bitmap semantics via a position-set plan.
+    "d13_bloom_prefilter" -> ((s, d) =>
+      bloomPrefilterOf(Tables(s, d, "documents"))),
   )
+
+  /** The registered d13 body (shared with ScaleProbe so probe and
+    * query cannot drift): every-tenth doc plays today's slice, the
+    * rest the corpus whose shingle set the bitmap compresses. */
+  private[graft] def bloomPrefilterOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val bits = Dedup.bloomBits(
+      Dedup.shingles(existing, "doc_id", "text", n = 3).select("shingle"),
+      "shingle")
+    val perGram = Dedup.bloomProbe(bits,
+      Dedup.shingles(incoming, "doc_id", "text", n = 3), "shingle")
+    incoming.select(col("doc_id"))
+      .join(perGram.groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+               sum(col("maybe_present").cast("long")).as("n_maybe"),
+               max(col("maybe_present")).as("maybe_overlap")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+        coalesce(col("maybe_overlap"), lit(false)).as("maybe_overlap"))
+  }
 
   /** Distinct (doc, 3-shingle) CTE chain shared by every Jaccard-based
     * oracle; gram construction comes from [[DuckSql]] (one definition
@@ -332,5 +369,37 @@ object GroupD {
          |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
          |  md5(coalesce(s, '')) AS kept_hash
          |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // d13 replays the Bloom filter's SEMANTICS, not its bitmap plan:
+    // a shingle is maybe-present iff all 7 of its md5-derived bit
+    // positions land in the existing slice's position set (bitmap
+    // word/mask packing and a distinct-position IN test are the same
+    // predicate, so the hash gate proves value equality while the
+    // plans differ). Position hash = hash64md5(shingle:i) mod 2^20,
+    // the exact Text.hash64md5 construction.
+    "d13_bloom_prefilter" ->
+      s"""WITH $shingleCte,
+         |ks AS (SELECT unnest(generate_series(0, 6)) AS i),
+         |exg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+         |expos AS (SELECT DISTINCT
+         |            ((${DuckSql.hash64md5("shingle || ':' || i")} % 1048576)
+         |             + 1048576) % 1048576 AS pos
+         |          FROM exg, ks),
+         |inc AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |pp AS (SELECT doc_id, shingle,
+         |         ((${DuckSql.hash64md5("shingle || ':' || i")} % 1048576)
+         |          + 1048576) % 1048576 AS pos
+         |       FROM inc, ks),
+         |hit AS (SELECT doc_id, shingle, bool_and(e.pos IS NOT NULL) AS hp
+         |        FROM pp LEFT JOIN expos e USING (pos) GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, count(*) AS n_grams,
+         |          cast(sum(CASE WHEN hp THEN 1 ELSE 0 END) AS bigint) AS n_maybe,
+         |          max(hp) AS maybe_overlap
+         |        FROM hit GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_maybe, 0) AS n_maybe,
+         |  coalesce(maybe_overlap, false) AS maybe_overlap
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN agg USING (doc_id)""".stripMargin,
   )
 }

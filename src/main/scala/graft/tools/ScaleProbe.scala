@@ -315,6 +315,14 @@ object ScaleProbe {
         () => noop(graft.operators.Sampling.epochMixture(docsLangK,
           col("doc_id"), col("lang"),
           Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75)))),
+      // d13: duplicated docs (the d12 direction — gram-keyed, no pair
+      // structure): K× docs grow both the bitmap build side and the
+      // probe side linearly; the bitmap itself stays ≤ mBits/64 rows,
+      // so a flat ratio pins the two corpus passes as the only
+      // row-scaled stages.
+      ("d13 bloom",
+        () => noop(graft.queries.GroupD.bloomPrefilterOf(docs)),
+        () => noop(graft.queries.GroupD.bloomPrefilterOf(docsK))),
       // e10: fixed query set, K× key-shifted corpus (same vectors →
       // K× bucket collisions per query) — candidate volume and the
       // rescore join must scale ≈ K, never quadratically; the
