@@ -122,4 +122,39 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
       .drop("n_copies")
   }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * IPL 2006): each row draws a deterministic uniform u from its
+    * key's md5 and competes with priority u^(1/w); the top `n`
+    * priorities ARE a weight-proportional sample without replacement.
+    * Ranking on ln(u)/w (the monotone log form) avoids pow() — one
+    * ln and one division, both IEEE-identical across engines. The
+    * uniform is ((hash64md5(salt:key) & (2^53-1)) + 1) / 2^53 ∈
+    * (0, 1], exact in a double, so a different engine reproduces the
+    * SELECTED SET bit-for-bit, not just approximately — the
+    * reproducibility contract of the whole sampling family.
+    *
+    * Scale shape: one narrow projection then a global top-n —
+    * TakeOrdered (per-partition top-n, driver merge of n·partitions
+    * rows), NEVER a full sort of the corpus; n is the sample size, a
+    * driver-safe quantity by definition. Rows with w ≤ 0 or null
+    * cannot be sampled and are dropped. Returns (id, weight,
+    * priority = ln(u)/w rounded 6dp for a stable observable).
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     n: Int, salt: String = "ws"): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1, got $n")
+    val mask = (1L << 53) - 1
+    // Built from the RENAMED id column so the uniform is defined on
+    // this frame regardless of what expression keyCol was.
+    val u = ((graft.functions.Text.hash64md5(
+        concat(lit(salt + ":"), col("id").cast("string")))
+      .bitwiseAND(lit(mask)) + lit(1L)).cast("double")) / lit((1L << 53).toDouble)
+    df.select(keyCol.as("id"), weightCol.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("lnkey", log(u) / col("weight"))
+      .orderBy(col("lnkey").desc, col("id"))
+      .limit(n)
+      .select(col("id"), col("weight"), round(col("lnkey"), 6).as("priority"))
+  }
 }

@@ -211,6 +211,22 @@ object GroupF2 {
           Tables(s, d, "documents"), col("doc_id"), col("lang"),
           Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75))
         .select(col("doc_id"), col("lang"), col("copy_idx"))),
+
+    // f19: weighted sampling without replacement (Efraimidis-
+    // Spirakis) — sample documents proportional to token count (long
+    // docs likelier, the "sample by content mass" cut f5's uniform
+    // rates can't express). Deterministic md5 uniforms → the selected
+    // SET is engine-reproducible bit-for-bit; ranking on ln(u)/w
+    // avoids pow(). Narrow projection + global top-n (TakeOrdered),
+    // never a corpus sort.
+    "f19_weighted_sample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          (size(Text.tokens(col("text"))) + 1).cast("double").as("w"))
+      graft.operators.Sampling.weightedSample(
+          docs, col("doc_id"), col("w"), n = 120, salt = "f19")
+        .select(col("id").as("doc_id"), col("weight"), col("priority"))
+    }),
   )
 
   // Shared oracle fragments — single definition in DuckSql.
@@ -426,5 +442,23 @@ object GroupF2 {
         |      FROM e WHERE ep IS NOT NULL)
         |SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_idx
         |FROM c WHERE n > 0""".stripMargin,
+
+    // f19 replays the Efraimidis-Spirakis priorities exactly: the
+    // same md5-derived 53-bit uniform (never 0, so ln is total), the
+    // same ln(u)/w operation order, the same (priority DESC, doc_id)
+    // tiebreak. Both engines select on FULL precision; the 6-dp
+    // round is display-only. Null-text docs: size()+1 hits 0 on the
+    // Spark side (non-ANSI size(null) = -1) and NULL here — both
+    // fail w > 0, dropped on both sides.
+    "f19_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, len(${DuckSql.toks}) + 1 AS w
+         |           FROM documents),
+         |k AS (SELECT doc_id, w::DOUBLE AS weight,
+         |        ln(((${DuckSql.hash64md5("'f19:' || doc_id")}
+         |             & 9007199254740991) + 1) / 9007199254740992.0)
+         |          / w::DOUBLE AS lnkey
+         |      FROM t WHERE w > 0)
+         |SELECT doc_id, weight, round(lnkey, 6) AS priority
+         |FROM k ORDER BY lnkey DESC, doc_id LIMIT 120""".stripMargin,
   )
 }

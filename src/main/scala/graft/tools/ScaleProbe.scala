@@ -315,6 +315,21 @@ object ScaleProbe {
         () => noop(graft.operators.Sampling.epochMixture(docsLangK,
           col("doc_id"), col("lang"),
           Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75)))),
+      // f19: duplicated docs — one narrow priority projection then a
+      // global top-n via TakeOrdered (per-partition top-n + driver
+      // merge); cost must scale on the projection alone, the sample
+      // size never touches corpus-sized state.
+      ("f19 weighted-sample",
+        () => noop(graft.operators.Sampling.weightedSample(
+          docs.select(col("doc_id"),
+            (size(graft.functions.Text.tokens(col("text"))) + 1)
+              .cast("double").as("w")),
+          col("doc_id"), col("w"), n = 120, salt = "f19")),
+        () => noop(graft.operators.Sampling.weightedSample(
+          docsK.select(col("doc_id"),
+            (size(graft.functions.Text.tokens(col("text"))) + 1)
+              .cast("double").as("w")),
+          col("doc_id"), col("w"), n = 120, salt = "f19"))),
       // d13: duplicated docs (the d12 direction — gram-keyed, no pair
       // structure): K× docs grow both the bitmap build side and the
       // probe side linearly; the bitmap itself stays ≤ mBits/64 rows,

@@ -162,4 +162,59 @@ class BudgetMixCutSpec extends GraftSuite {
     val bad = out.groupBy("doc_id").count().filter($"count" =!= 2).count()
     assert(bad == 0)
   }
+
+  // --- f19 weightedSample --------------------------------------------
+
+  /** Text.hash64md5 replay (signed big-endian first 8 md5 bytes). */
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  test("weightedSample: selection replays the ES priorities exactly") {
+    val raw = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val n = 20
+    val want = raw
+      .map { case (id, t) =>
+        val w = (if (t == null) -1 else toksOf(t).length) + 1
+        val u = ((md5Long(s"f19:$id") & ((1L << 53) - 1)) + 1).toDouble /
+          (1L << 53).toDouble
+        (id, w.toDouble, math.log(u) / w)
+      }
+      .filter(_._2 > 0)
+      .sortBy { case (id, _, k) => (-k, id) }
+      .take(n).map(_._1).toSet
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", (size(graft.functions.Text.tokens($"text")) + 1)
+        .cast("double").as("w"))
+    val got = Sampling.weightedSample(docs, $"doc_id", $"w", n, salt = "f19")
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("weightedSample: scale-invariant in the weights; partitioning-proof") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", (size(graft.functions.Text.tokens($"text")) + 1)
+        .cast("double").as("w"))
+    val base = Sampling.weightedSample(docs, $"doc_id", $"w", 25)
+      .select("id").as[Long].collect().toSet
+    // ln(u)/(c*w) preserves the ordering for any c > 0.
+    val scaled = Sampling.weightedSample(
+        docs.withColumn("w", $"w" * 7.0), $"doc_id", $"w", 25)
+      .select("id").as[Long].collect().toSet
+    assert(scaled == base)
+    val repart = Sampling.weightedSample(docs.repartition(13), $"doc_id", $"w", 25)
+      .select("id").as[Long].collect().toSet
+    assert(repart == base)
+  }
+
+  test("weightedSample: non-positive and null weights cannot be sampled") {
+    val df = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0)).toDF("k", "w")
+      .union(Seq((4L, Option.empty[Double])).toDF("k", "w"))
+    val got = Sampling.weightedSample(df, $"k", $"w", 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
 }
