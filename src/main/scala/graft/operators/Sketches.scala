@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-state cardinality sketches. [[Dedup.bloomBits]] compresses
+  * a SET to bits; this compresses a COUNT: the sketch forms that keep
+  * per-group state fixed-size no matter how many distinct values flow
+  * through — the property that lets a distinct-count run at any scale
+  * (g5's exact two-level form keys its first shuffle on every distinct
+  * (group, value); the HLL register frame is capped at groups × 2^b
+  * rows after the map-side partial max).
+  */
+object Sketches {
+
+  /** Deterministic HyperLogLog (Flajolet et al., AofA 2007) distinct
+    * count per group: ±1.04/√(2^b) standard error with 2^b longs of
+    * per-group state. Differences from `approx_count_distinct` (the
+    * same algorithm): the hash is the md5 family ([[Text.hash64md5]]),
+    * so every register value — and therefore the ESTIMATE, bit for
+    * bit — is reproducible by any engine; and the register frame is a
+    * first-class DataFrame stage, so the two aggregations are both
+    * map-side combinable (partial max over registers, then the
+    * harmonic sum). Estimator: bucket = low b hash bits, rho = leading
+    * -zero rank of the remaining 64-b bits; Z is assembled from EXACT
+    * integer terms 2^(wBits+1-rho) summed as DECIMAL(38,0) — the
+    * float path is one division at the end plus the small-range
+    * linear-counting branch (m·ln(m/zeros) when raw ≤ 2.5m), so there
+    * is no accumulation-order drift. No large-range correction: with
+    * 64-bit hashes the 2^32 saturation the original paper corrects
+    * for is unreachable. Output: groupCols + n_approx (4-dp double).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+                  b: Int = 8): DataFrame = {
+    require(b >= 7 && b <= 20,
+      s"b must be in [7, 20] (alpha constant assumes m >= 128), got $b")
+    val m = 1 << b
+    val wBits = 64 - b
+    val scaleBits = wBits + 1 // terms 2^(scaleBits - rho) are integers
+    val alphaNum = 0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble *
+      math.pow(2.0, scaleBits) // exact: a power of two scales the double
+    val h = Text.hash64md5(key)
+    val w = shiftrightunsigned(h, b)
+    val rho = when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    val regs = df
+      .groupBy((groupCols.map(col) :+
+        h.bitwiseAND(lit((m - 1).toLong)).as("__bucket")): _*)
+      .agg(max(rho).as("__mr"))
+    val term =
+      expr(s"cast(shiftleft(cast(1 as bigint), $scaleBits - __mr) as decimal(38,0))")
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__present"), sum(term).as("__s"))
+      .withColumn("__zeros", lit(m.toLong) - col("__present"))
+      .withColumn("__raw",
+        lit(alphaNum) /
+          (col("__s") + col("__zeros").cast("decimal(38,0)") *
+            lit(1L << scaleBits).cast("decimal(38,0)")).cast("double"))
+      .withColumn("n_approx",
+        round(when(col("__raw") <= lit(2.5 * m) && col("__zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros").cast("double")))
+          .otherwise(col("__raw")), 4))
+      .select((groupCols.map(col) :+ col("n_approx")): _*)
+  }
+}

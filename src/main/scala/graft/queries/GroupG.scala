@@ -149,7 +149,30 @@ object GroupG {
     // fixed-order double expression, so there is no Welford-style
     // accumulation-order drift anywhere (stddev_samp would have it).
     "g8_anomaly_zscore" -> ((s, d) => anomalyOf(Tables(s, d, "events"))),
+
+    // g9: g5's distinct-users question in its SKETCH form — a
+    // deterministic HyperLogLog (md5 register hashes, so the DuckDB
+    // oracle replays the ESTIMATE bit-for-bit, not a drift bound).
+    // The register frame caps at (windows × types) × 256 rows after
+    // the map-side partial max, vs g5's first shuffle keying on every
+    // distinct (window, type, user) — the bounded-state form that
+    // survives unbounded user cardinality. ±6.5% @ b=8; g5 remains
+    // the exact answer at dim-like cardinalities.
+    "g9_hll_distinct" -> ((s, d) => hllOf(Tables(s, d, "events"))),
   )
+
+  /** g9 body, parameterized like [[funnelOf]] (the probe measures
+    * THIS definition): hourly windows × type, user keys salted "u:"
+    * so the register hash is independent of any other md5 use of
+    * user_id. */
+  private[graft] def hllOf(events: DataFrame): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+      events.filter(col("ts").isNotNull)
+        .select((floor(col("ts").cast("double") / 3600).cast("long") * 3600)
+            .as("window_es"),
+          col("event_type"),
+          concat(lit("u:"), col("user_id").cast("string")).as("ukey")),
+      Seq("window_es", "event_type"), col("ukey"), b = 8)
 
   /** g8 body, parameterized like [[funnelOf]] (the probe measures
     * THIS definition). Trailing stats are EXACT integer window sums
@@ -353,5 +376,52 @@ object GroupG {
         |  cast(CASE WHEN z IS NOT NULL AND abs(z) > 3 THEN 1 ELSE 0 END AS int)
         |    AS is_anomaly
         |FROM z""".stripMargin,
+
+    // g9 replays the WHOLE HyperLogLog: the md5 register hash
+    // (hash64md5 of the salted user key, mapped to unsigned via
+    // HUGEINT so bucket/rank math is on the same non-negative value
+    // Spark's bitwiseAND/shiftrightunsigned see), max-rank registers,
+    // the exact-integer harmonic sum (2^(57-rho) terms; HUGEINT =
+    // Spark's DECIMAL(38,0) here), one final double division with an
+    // identical alpha·m²·2^57 literal, and the linear-counting branch.
+    // bin() is minimal-width in both engines, so the rank expression
+    // is shared character-for-character.
+    "g9_hll_distinct" ->
+      s"""WITH e AS (SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint)
+         |             AS window_es,
+         |           event_type, 'u:' || user_id AS ukey
+         |           FROM events WHERE ts IS NOT NULL),
+         |hh AS (SELECT window_es, event_type,
+         |         ${DuckSql.hash64md5("ukey")} AS h FROM e),
+         |uu AS (SELECT window_es, event_type,
+         |         h::HUGEINT + CASE WHEN h < 0
+         |           THEN 18446744073709551616::HUGEINT
+         |           ELSE 0::HUGEINT END AS v
+         |       FROM hh),
+         |reg AS (SELECT window_es, event_type,
+         |          cast(v % 256 AS bigint) AS bucket,
+         |          max(CASE WHEN cast(v // 256 AS bigint) = 0 THEN 57
+         |               ELSE 57 - length(bin(cast(v // 256 AS bigint))) END)
+         |            AS mr
+         |        FROM uu GROUP BY 1, 2, 3),
+         |agg AS (SELECT window_es, event_type, count(*) AS present,
+         |          sum((1::BIGINT << (57 - mr))::HUGEINT) AS s
+         |        FROM reg GROUP BY 1, 2),
+         |est AS (SELECT window_es, event_type,
+         |          256 - present AS zeros,
+         |          $hllAlphaNum / cast(s + (256 - present)::HUGEINT
+         |            * 144115188075855872::HUGEINT AS DOUBLE) AS raw
+         |        FROM agg)
+         |SELECT window_es, event_type,
+         |  round(CASE WHEN raw <= 640.0 AND zeros > 0
+         |             THEN 256.0 * ln(256.0 / cast(zeros AS DOUBLE)) ELSE raw END,
+         |        4) AS n_approx
+         |FROM est""".stripMargin,
   )
+
+  /** The alpha·m²·2^57 numerator of g9's one-division estimator —
+    * the SAME operation order as [[graft.operators.Sketches]], so the
+    * interpolated literal is the identical double. */
+  private val hllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * math.pow(2.0, 57)
 }

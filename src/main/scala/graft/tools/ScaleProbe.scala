@@ -315,6 +315,13 @@ object ScaleProbe {
         () => noop(graft.operators.Sampling.epochMixture(docsLangK,
           col("doc_id"), col("lang"),
           Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.25, "es" -> 1.75)))),
+      // g9: shifted users = K× distinct keys through the sketch; the
+      // register frame stays (windows × types) × 256 rows whatever K
+      // is, so cost must scale on the first (partial-max) pass alone
+      // — the bounded-state property the operator exists for.
+      ("g9 hll",
+        () => noop(graft.queries.GroupG.hllOf(ev)),
+        () => noop(graft.queries.GroupG.hllOf(evK))),
       // f19: duplicated docs — one narrow priority projection then a
       // global top-n via TakeOrdered (per-partition top-n + driver
       // merge); cost must scale on the projection alone, the sample

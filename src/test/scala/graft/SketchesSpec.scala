@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** g9's deterministic HyperLogLog: a plain-Scala replay of the whole
+  * estimator, the accuracy bound vs exact distinct on the real events
+  * table, and the set-semantics / sizing contracts. */
+class SketchesSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** The operator's math, independently: b=8 registers over 56-bit
+    * ranks, exact-integer harmonic sum, linear-counting branch. */
+  private def hllScala(keys: Seq[String]): Double = {
+    val regs = new Array[Int](256)
+    for (k <- keys) {
+      val h = md5Long(k)
+      val bucket = (h & 255L).toInt
+      val w = h >>> 8
+      val rho = if (w == 0L) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    val zeros = regs.count(_ == 0)
+    var s = BigInt(0)
+    for (r <- regs if r > 0) s += BigInt(1) << (57 - r)
+    s += BigInt(zeros) * (BigInt(1) << 57)
+    val alphaNum = 0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * math.pow(2.0, 57)
+    val raw = alphaNum / s.toDouble
+    val est = if (raw <= 640.0 && zeros > 0) 256.0 * math.log(256.0 / zeros) else raw
+    math.rint(est * 10000) / 10000 // HALF_EVEN differs from round() only AT .00005 exactly
+  }
+
+  test("hll: operator estimate equals the plain-Scala replay") {
+    for (n <- Seq(3, 120, 5000)) {
+      val keys = (0 until n).map(i => s"key-$i")
+      val got = Sketches.hllDistinct(
+          keys.toDF("k").withColumn("g", lit(1)), Seq("g"), col("k"))
+        .select("n_approx").as[Double].head()
+      val want = hllScala(keys)
+      assert(math.abs(got - want) < 1e-3, s"n=$n got $got want $want")
+    }
+  }
+
+  test("hll: estimate is a set property — duplicates don't move it") {
+    val keys = (0 until 400).map(i => s"key-$i")
+    def est(ks: Seq[String]): Double = Sketches.hllDistinct(
+        ks.toDF("k").withColumn("g", lit(1)), Seq("g"), col("k"))
+      .select("n_approx").as[Double].head()
+    assert(est(keys) == est(keys ++ keys ++ keys.take(57)))
+  }
+
+  test("hll: within the error bound of exact distinct on real events") {
+    val e = Tables(spark, sfDir, "events").filter($"ts".isNotNull)
+      .select((floor($"ts".cast("double") / 3600).cast("long") * 3600)
+          .as("window_es"),
+        $"event_type", concat(lit("u:"), $"user_id".cast("string")).as("ukey"))
+    val approx = Sketches.hllDistinct(e, Seq("window_es", "event_type"), $"ukey")
+    val exact = e.groupBy("window_es", "event_type")
+      .agg(countDistinct($"ukey").as("n_exact"))
+    val errs = approx.join(exact, Seq("window_es", "event_type"))
+      .select(abs($"n_approx" - $"n_exact"), $"n_exact".cast("double"))
+      .as[(Double, Double)].collect()
+    assert(errs.nonEmpty)
+    // 1.04/sqrt(256) = 6.5% standard error. Tiny groups are dominated
+    // by register-collision granularity (2 users in 1 register reads
+    // ~1), so the per-group bound is absolute-or-relative; the MEAN
+    // relative error is where the estimator's quality shows.
+    for ((ae, ex) <- errs)
+      assert(ae <= 3.0 || ae / ex < 0.30, s"err $ae on exact $ex")
+    val meanRel = errs.map { case (ae, ex) => ae / ex }.sum / errs.length
+    assert(meanRel < 0.08, s"mean rel err $meanRel")
+  }
+
+  test("hll: register-precision bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(Seq("a").toDF("k").withColumn("g", lit(1)),
+        Seq("g"), col("k"), b = 5)
+    }
+  }
+}
