@@ -63,4 +63,51 @@ object Sketches {
           .otherwise(col("__raw")), 4))
       .select((groupCols.map(col) :+ col("n_approx")): _*)
   }
+
+  /** Shared (row, i, pos) fan-out of [[cmsCounters]] / [[cmsEstimate]]
+    * — one hash definition, so build and probe can never disagree.
+    * Null keys hash as the empty string. */
+  private def cmsPositions(df: DataFrame, keyCol: String, depth: Int,
+                           width: Int): DataFrame = {
+    val key = coalesce(col(keyCol).cast("string"), lit(""))
+    df.withColumn("__ip", explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"),
+          pmod(Text.hash64md5(concat(lit("cms:"), key, lit(s":$i"))),
+            lit(width.toLong)).as("pos"))): _*)))
+      .withColumn("i", col("__ip.i")).withColumn("pos", col("__ip.pos"))
+      .drop("__ip")
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) counters
+    * for a stream of items: `depth` × `width` cells as (i, pos, cnt)
+    * rows — ≤ depth·width rows TOTAL, a dim no matter how many items
+    * flowed through. One map-side-combinable count after a narrow
+    * depth-row fan-out; the corpus is touched exactly once. Point
+    * estimates ([[cmsEstimate]]) overestimate by at most e/width · N
+    * with probability 1 − e^(−depth). md5-family hashes ("cms:key:i")
+    * make the counters — and every estimate — engine-replayable. */
+  def cmsCounters(items: DataFrame, keyCol: String, depth: Int = 4,
+                  width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    cmsPositions(items.select(keyCol), keyCol, depth, width)
+      .groupBy("i", "pos").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequency estimate for each probe row against [[cmsCounters]]:
+    * min over the depth counters its key hashes to (absent cells are
+    * 0 — only possible for keys the build never saw). NEVER an
+    * underestimate; that one-sided error is what makes the sketch
+    * composable with exact confirmation stages. The probe side joins
+    * on (i, pos) against the counter dim. depth/width MUST match the
+    * build call. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probeCols = probes.columns.map(col).toSeq
+    cmsPositions(probes, keyCol, depth, width)
+      .join(counters.select(col("i"), col("pos"), col("cnt").as("__cnt")),
+            Seq("i", "pos"), "left")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("n_est"))
+  }
 }

@@ -227,6 +227,28 @@ object GroupF2 {
           docs, col("doc_id"), col("w"), n = 120, salt = "f19")
         .select(col("id").as("doc_id"), col("weight"), col("priority"))
     }),
+
+    // f20: count-min frequency estimation — "how often does each
+    // benchmark gram occur in the corpus" answered from a depth×width
+    // counter DIM instead of a corpus-sized per-gram aggregation (the
+    // d9 probe-set question at sketch cost; one-sided error, never an
+    // underestimate). n_exact rides along so the overestimate law is
+    // visible in the gated output itself.
+    "f20_cms_counts" -> ((s, d) => {
+      val grams = Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(Text.shingles(col("toks"), 3)).as("gram"))
+      val cms = graft.operators.Sketches.cmsCounters(
+        grams.select("gram"), "gram", depth = 4, width = 1024)
+      val probes = grams.filter(col("doc_id") % 20 === 0)
+        .select("gram").distinct()
+      val est = graft.operators.Sketches.cmsEstimate(cms, probes, "gram",
+        depth = 4, width = 1024)
+      grams.join(probes, Seq("gram"), "left_semi")
+        .groupBy("gram").agg(count(lit(1)).as("n_exact"))
+        .join(est, Seq("gram"))
+        .select(col("gram"), col("n_exact"), col("n_est"))
+    }),
   )
 
   // Shared oracle fragments — single definition in DuckSql.
@@ -460,5 +482,29 @@ object GroupF2 {
          |      FROM t WHERE w > 0)
          |SELECT doc_id, weight, round(lnkey, 6) AS priority
          |FROM k ORDER BY lnkey DESC, doc_id LIMIT 120""".stripMargin,
+
+    // f20 replays the count-min build and probe with the same
+    // "cms:gram:i" md5 positions; the estimate is an integer min over
+    // integer counters, so the only care is HUGEINT-free counts
+    // (count(*), not sum).
+    "f20_cms_counts" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |g AS (SELECT doc_id, unnest(${DuckSql.grams(3)}) AS gram FROM w),
+         |ks AS (SELECT unnest(generate_series(0, 3)) AS i),
+         |cms AS (SELECT i,
+         |          ((${DuckSql.hash64md5("'cms:' || gram || ':' || i")} % 1024)
+         |           + 1024) % 1024 AS pos,
+         |          count(*) AS cnt
+         |        FROM g, ks GROUP BY 1, 2),
+         |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |pe AS (SELECT gram, i,
+         |         ((${DuckSql.hash64md5("'cms:' || gram || ':' || i")} % 1024)
+         |          + 1024) % 1024 AS pos
+         |       FROM probe, ks),
+         |est AS (SELECT gram, min(coalesce(cnt, 0)) AS n_est
+         |        FROM pe LEFT JOIN cms USING (i, pos) GROUP BY 1),
+         |ex AS (SELECT gram, count(*) AS n_exact
+         |       FROM g JOIN probe USING (gram) GROUP BY 1)
+         |SELECT gram, n_exact, n_est FROM ex JOIN est USING (gram)""".stripMargin,
   )
 }

@@ -84,4 +84,46 @@ class SketchesSpec extends GraftSuite {
         Seq("g"), col("k"), b = 5)
     }
   }
+
+  // --- count-min -----------------------------------------------------
+
+  test("cms: estimates replay in plain Scala and never underestimate") {
+    val depth = 4; val width = 256
+    // key-j occurs j+1 times → known exact counts with forced load.
+    val stream = (0 until 60).flatMap(j => Seq.fill(j + 1)(s"key-$j"))
+    val counters = Array.ofDim[Long](depth, width)
+    def pos(k: String, i: Int): Int =
+      Math.floorMod(md5Long(s"cms:$k:$i"), width.toLong).toInt
+    for (k <- stream; i <- 0 until depth) counters(i)(pos(k, i)) += 1
+    val cms = Sketches.cmsCounters(stream.toDF("k"), "k", depth, width)
+    val got = Sketches.cmsEstimate(cms,
+        (0 until 60).map(j => s"key-$j").toDF("k"), "k", depth, width)
+      .as[(String, Long)].collect().toMap
+    for (j <- 0 until 60) {
+      val k = s"key-$j"
+      val want = (0 until depth).map(i => counters(i)(pos(k, i))).min
+      assert(got(k) == want, k)
+      assert(got(k) >= j + 1, s"underestimate on $k")
+    }
+  }
+
+  test("cms: unseen keys mostly read zero; absent cells are zero not null") {
+    val cms = Sketches.cmsCounters(
+      (0 until 200).map(i => s"in-$i").toDF("k"), "k")
+    val est = Sketches.cmsEstimate(cms,
+        (0 until 200).map(i => s"out-$i").toDF("k"), "k")
+      .as[(String, Long)].collect()
+    assert(est.forall(_._2 >= 0))
+    // 200 items in 4×1024 cells: a 4-way collision is ~(200/1024)^4.
+    assert(est.count(_._2 > 0) <= 2, "too many false counts")
+  }
+
+  test("cms: depth/width bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounters(Seq("a").toDF("k"), "k", depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounters(Seq("a").toDF("k"), "k", width = 1)
+    }
+  }
 }
