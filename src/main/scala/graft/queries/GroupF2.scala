@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
+import graft.operators.Checkpoints.Cuttable
 import graft.operators.Relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -235,9 +236,15 @@ object GroupF2 {
     // underestimate). n_exact rides along so the overestimate law is
     // visible in the gated output itself.
     "f20_cms_counts" -> ((s, d) => {
+      // The n_exact ride-along makes this query consume the gram
+      // stream THREE times (build, probe set, exact confirm) — cut it
+      // once so shingling+tokenization run once per document. Pure
+      // sketch use (build only) touches the corpus exactly once and
+      // needs no cut.
       val grams = Tables(s, d, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(Text.shingles(col("toks"), 3)).as("gram"))
+        .cut()
       val cms = graft.operators.Sketches.cmsCounters(
         grams.select("gram"), "gram", depth = 4, width = 1024)
       val probes = grams.filter(col("doc_id") % 20 === 0)
@@ -483,24 +490,26 @@ object GroupF2 {
          |SELECT doc_id, weight, round(lnkey, 6) AS priority
          |FROM k ORDER BY lnkey DESC, doc_id LIMIT 120""".stripMargin,
 
-    // f20 replays the count-min build and probe with the same
-    // "cms:gram:i" md5 positions; the estimate is an integer min over
-    // integer counters, so the only care is HUGEINT-free counts
-    // (count(*), not sum).
+    // f20 replays the count-min build and probe: ONE md5 per distinct
+    // gram, Kirsch–Mitzenmacher positions (h1 + i·h2) mod width with
+    // h2 forced odd — the operator's exact scheme. h1/h2 are the
+    // digest's unsigned 32-bit words, so every term is non-negative
+    // and plain % suffices; the estimate is an integer min over
+    // integer counters, so the only remaining care is HUGEINT-free
+    // counts (count(*), not sum).
     "f20_cms_counts" ->
       s"""WITH w AS (${DuckSql.wordsCte}),
          |g AS (SELECT doc_id, unnest(${DuckSql.grams(3)}) AS gram FROM w),
          |ks AS (SELECT unnest(generate_series(0, 3)) AS i),
-         |cms AS (SELECT i,
-         |          ((${DuckSql.hash64md5("'cms:' || gram || ':' || i")} % 1024)
-         |           + 1024) % 1024 AS pos,
-         |          count(*) AS cnt
-         |        FROM g, ks GROUP BY 1, 2),
+         |hw AS (SELECT gram,
+         |         ${DuckSql.hexFold("substr(md5('cms:' || gram), 1, 8)")} AS h1,
+         |         (${DuckSql.hexFold("substr(md5('cms:' || gram), 9, 8)")} | 1) AS h2
+         |       FROM (SELECT DISTINCT gram FROM g)),
+         |cms AS (SELECT i, (h1 + i * h2) % 1024 AS pos, count(*) AS cnt
+         |        FROM g JOIN hw USING (gram), ks GROUP BY 1, 2),
          |probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-         |pe AS (SELECT gram, i,
-         |         ((${DuckSql.hash64md5("'cms:' || gram || ':' || i")} % 1024)
-         |          + 1024) % 1024 AS pos
-         |       FROM probe, ks),
+         |pe AS (SELECT gram, i, (h1 + i * h2) % 1024 AS pos
+         |       FROM probe JOIN hw USING (gram), ks),
          |est AS (SELECT gram, min(coalesce(cnt, 0)) AS n_est
          |        FROM pe LEFT JOIN cms USING (i, pos) GROUP BY 1),
          |ex AS (SELECT gram, count(*) AS n_exact

@@ -92,8 +92,16 @@ class SketchesSpec extends GraftSuite {
     // key-j occurs j+1 times → known exact counts with forced load.
     val stream = (0 until 60).flatMap(j => Seq.fill(j + 1)(s"key-$j"))
     val counters = Array.ofDim[Long](depth, width)
-    def pos(k: String, i: Int): Int =
-      Math.floorMod(md5Long(s"cms:$k:$i"), width.toLong).toInt
+    // Kirsch–Mitzenmacher replay: one digest, positions (h1 + i·h2)
+    // mod width over its unsigned 32-bit words, h2 forced odd.
+    def pos(k: String, i: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms:$k".getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.wrap(d)
+      val h1 = bb.getInt(0) & 0xFFFFFFFFL
+      val h2 = (bb.getInt(4) & 0xFFFFFFFFL) | 1L
+      ((h1 + i * h2) % width).toInt
+    }
     for (k <- stream; i <- 0 until depth) counters(i)(pos(k, i)) += 1
     val cms = Sketches.cmsCounters(stream.toDF("k"), "k", depth, width)
     val got = Sketches.cmsEstimate(cms,
