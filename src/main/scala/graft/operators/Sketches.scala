@@ -118,6 +118,9 @@ object Sketches {
     * build call. */
   def cmsEstimate(counters: DataFrame, probes: DataFrame, keyCol: String,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(!probes.columns.exists(Set("i", "pos", "n_est", "__cnt")),
+      "cmsEstimate: probe frame may not contain columns i/pos/n_est/__cnt " +
+        "(they are the sketch's working/output names)")
     val probeCols = probes.columns.map(col).toSeq
     cmsPositions(probes, keyCol, depth, width)
       .join(counters.select(col("i"), col("pos"), col("cnt").as("__cnt")),

@@ -235,28 +235,31 @@ object GroupF2 {
     // d9 probe-set question at sketch cost; one-sided error, never an
     // underestimate). n_exact rides along so the overestimate law is
     // visible in the gated output itself.
-    "f20_cms_counts" -> ((s, d) => {
-      // The n_exact ride-along makes this query consume the gram
-      // stream THREE times (build, probe set, exact confirm) — cut it
-      // once so shingling+tokenization run once per document. Pure
-      // sketch use (build only) touches the corpus exactly once and
-      // needs no cut.
-      val grams = Tables(s, d, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(Text.shingles(col("toks"), 3)).as("gram"))
-        .cut()
-      val cms = graft.operators.Sketches.cmsCounters(
-        grams.select("gram"), "gram", depth = 4, width = 1024)
-      val probes = grams.filter(col("doc_id") % 20 === 0)
-        .select("gram").distinct()
-      val est = graft.operators.Sketches.cmsEstimate(cms, probes, "gram",
-        depth = 4, width = 1024)
-      grams.join(probes, Seq("gram"), "left_semi")
-        .groupBy("gram").agg(count(lit(1)).as("n_exact"))
-        .join(est, Seq("gram"))
-        .select(col("gram"), col("n_exact"), col("n_est"))
-    }),
+    "f20_cms_counts" -> ((s, d) => cmsCountsOf(Tables(s, d, "documents"))),
   )
+
+  /** The registered f20 body (shared with ScaleProbe so probe and
+    * query cannot drift). The n_exact ride-along makes this query
+    * consume the gram stream THREE times (build, probe set, exact
+    * confirm) — cut it once so shingling+tokenization run once per
+    * document. Pure sketch use (build only) touches the corpus
+    * exactly once and needs no cut. */
+  private[graft] def cmsCountsOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 3)).as("gram"))
+      .cut()
+    val cms = graft.operators.Sketches.cmsCounters(
+      grams.select("gram"), "gram", depth = 4, width = 1024)
+    val probes = grams.filter(col("doc_id") % 20 === 0)
+      .select("gram").distinct()
+    val est = graft.operators.Sketches.cmsEstimate(cms, probes, "gram",
+      depth = 4, width = 1024)
+    grams.join(probes, Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("n_exact"))
+      .join(est, Seq("gram"))
+      .select(col("gram"), col("n_exact"), col("n_est"))
+  }
 
   // Shared oracle fragments — single definition in DuckSql.
   private val duckToks = DuckSql.toks

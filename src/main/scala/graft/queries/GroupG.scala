@@ -421,7 +421,12 @@ object GroupG {
 
   /** The alpha·m²·2^57 numerator of g9's one-division estimator —
     * the SAME operation order as [[graft.operators.Sketches]], so the
-    * interpolated literal is the identical double. */
-  private val hllAlphaNum: Double =
+    * interpolated literal is the identical double. A `def`, NOT a
+    * `val`: the oracle map above interpolates it, and a val declared
+    * below the map would still be 0.0 at map-construction time
+    * (object vals initialize in declaration order) — which poisoned
+    * the raw-branch divisor while every small-cardinality gate group
+    * took the linear-counting branch and hid it. */
+  private def hllAlphaNum: Double =
     0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * math.pow(2.0, 57)
 }

@@ -357,6 +357,15 @@ object ScaleProbe {
         () => noop(graft.operators.Similarity.rangeSearchLsh(
           emb.filter(col("vec_id") % 50 === 0), embK,
           "vec_id", "embedding", tau = 0.35, dim = 64))),
+      // f20: K× id-shifted docs (identical text) — the probe gram SET
+      // stays constant while the gram stream grows K×, so the CMS
+      // build, probe membership, and exact confirm all scale on rows
+      // only; the counter frame itself stays ≤ depth·width rows (the
+      // dim property). A flat ratio pins the three corpus passes as
+      // the only row-scaled stages.
+      ("f20 cms",
+        () => noop(graft.queries.GroupF2.cmsCountsOf(docs)),
+        () => noop(graft.queries.GroupF2.cmsCountsOf(docsK))),
       // p3: shifted customer keys = K× collections through the whole
       // shaping/status/log-prob/ops composition (the registered
       // GroupP.customPipeline body; dims derive from the same scaled

@@ -126,6 +126,18 @@ class SketchesSpec extends GraftSuite {
     assert(est.count(_._2 > 0) <= 2, "too many false counts")
   }
 
+  test("g9 oracle interpolates the real alpha numerator, not an init-order 0.0") {
+    // Regression: hllAlphaNum was a val declared BELOW the oracle map
+    // that interpolates it — object init order made the captured
+    // literal 0.0, poisoning the raw branch (every gate group took
+    // linear counting, so the hash gate could not see it). The same
+    // formula here must appear verbatim in the shipped SQL.
+    val alpha = 0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * math.pow(2.0, 57)
+    val sql = graft.SparkEntry.oracleSql("g9_hll_distinct")
+    assert(sql.contains(alpha.toString), s"expected $alpha in g9 oracle")
+    assert(!sql.contains("0.0 / cast"), "uninitialized alpha numerator")
+  }
+
   test("cms: depth/width bounds are enforced") {
     intercept[IllegalArgumentException] {
       Sketches.cmsCounters(Seq("a").toDF("k"), "k", depth = 0)
