@@ -241,6 +241,24 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("f19: weighted sampling plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("f19_weighted_sample")
+    // Efraimidis–Spirakis top-n must run as per-partition heaps + one
+    // driver merge of n rows; a rangepartitioning exchange would mean
+    // the corpus is globally sorted just to keep 120 rows.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"global sort materialized for a top-n\n$p")
+  }
+
+  test("f20: the cms sketch never nests or crosses") {
+    val p = plan("f20_cms_counts")
+    // Build, probe and confirm are all keyed joins/aggs: any nested
+    // loop here would mean the counter dim stopped joining on (i,pos).
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // SURVEY §5 claims "AQE skew handling" for fact-fact joins — prove
     // the rewrite actually fires on this session's Spark: a 90%-hot
