@@ -431,4 +431,50 @@ object Corpus {
       .select(col("id"), col("bucket"), col("n_tokens"))
     fullKeep.unionByName(boundary)
   }
+
+  /** Feature-hashing vectorizer (Weinberger et al., ICML'09; the
+    * HashingTF shape): each document's tokens become a FIXED `dim`-
+    * wide integer vector with no vocabulary pass — position = md5
+    * word mod dim, value = signed count (the sign hash makes the
+    * implicit inner product unbiased, the property that lets hashed
+    * vectors feed similarity search directly). The no-vocab property
+    * is the 100 TB point: a CountVectorizer needs a corpus-wide
+    * vocabulary model that grows with the data (Heaps' law); this
+    * needs none, so the whole vectorization is two map-side-
+    * combinable aggregations keyed on the document — (id, pos)
+    * signed sums, then the ≤ `dim`-entry per-doc map assembled into
+    * a dense array in one narrow projection. Documents with no
+    * tokens (null/empty text) surface as zero vectors, not dropped
+    * rows. Position and sign come from ONE digest's two 32-bit words
+    * ("htf:" ++ token — md5 family, so vectors replay bit-for-bit in
+    * any engine). Output: (id, vec array<long> of length dim,
+    * n_tokens). */
+  def hashVectorize(docs: DataFrame, idCol: String, textCol: String,
+                    dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20),
+      s"hashVectorize: dim must be in [2, 2^20], got $dim")
+    val ids = docs.select(col(idCol).as("id"))
+    val cells = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("__hx", md5(concat(lit("htf:"), col("tok")).cast("binary")))
+      .select(col("id"),
+        pmod(conv(substring(col("__hx"), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).cast("int").as("pos"),
+        when(conv(substring(col("__hx"), 9, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(1L)) === 0L, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("id", "pos")
+      .agg(sum(col("sgn")).as("v"), count(lit(1)).as("n"))
+    val vecs = cells.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("v")))).as("__m"),
+           sum(col("n")).as("n_tokens"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast("int")), lit(0L))).as("vec"),
+        col("n_tokens"))
+    ids.join(vecs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("vec"),
+          array_repeat(lit(0L), dim)).as("vec"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

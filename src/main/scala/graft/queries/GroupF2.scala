@@ -236,6 +236,19 @@ object GroupF2 {
     // underestimate). n_exact rides along so the overestimate law is
     // visible in the gated output itself.
     "f20_cms_counts" -> ((s, d) => cmsCountsOf(Tables(s, d, "documents"))),
+
+    // f21: feature hashing — text to a FIXED-width integer vector
+    // with no vocabulary model (the 100 TB vectorizer: nothing
+    // corpus-global to fit, broadcast, or OOM on). The dense array
+    // renders as a canonical csv string for the dialect-stable hash
+    // compare.
+    "f21_hash_vectorize" -> ((s, d) => {
+      graft.operators.Corpus.hashVectorize(
+          Tables(s, d, "documents"), "doc_id", "text", dim = 64)
+        .select(col("id").as("doc_id"),
+          array_join(transform(col("vec"), _.cast("string")), ",").as("vec"),
+          col("n_tokens"))
+    }),
   )
 
   /** The registered f20 body (shared with ScaleProbe so probe and
@@ -518,5 +531,33 @@ object GroupF2 {
          |ex AS (SELECT gram, count(*) AS n_exact
          |       FROM g JOIN probe USING (gram) GROUP BY 1)
          |SELECT gram, n_exact, n_est FROM ex JOIN est USING (gram)""".stripMargin,
+
+    // f21 replays the one-digest position+sign scheme; sums cast to
+    // BIGINT (DuckDB sum() promotes to HUGEINT, which would reach the
+    // driver's comparer as a float). Empty docs cross-join the full
+    // position range so they render as zero vectors, like the
+    // operator's left join back to the id frame.
+    "f21_hash_vectorize" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |t AS (SELECT doc_id, unnest(words) AS tok FROM w),
+         |h AS (SELECT doc_id,
+         |        ${DuckSql.hexFold("substr(md5('htf:' || tok), 1, 8)")} % 64 AS pos,
+         |        CASE WHEN ${DuckSql.hexFold("substr(md5('htf:' || tok), 9, 8)")} % 2 = 0
+         |             THEN 1 ELSE -1 END AS sgn
+         |      FROM t),
+         |c AS (SELECT doc_id, pos, cast(sum(sgn) AS BIGINT) AS v,
+         |        count(*) AS n
+         |      FROM h GROUP BY 1, 2),
+         |ks AS (SELECT unnest(generate_series(0, 63)) AS pos),
+         |cells AS (SELECT d.doc_id, ks.pos, coalesce(c.v, 0) AS v
+         |          FROM (SELECT doc_id FROM documents) d CROSS JOIN ks
+         |          LEFT JOIN c ON c.doc_id = d.doc_id AND c.pos = ks.pos),
+         |nt AS (SELECT doc_id, cast(sum(n) AS BIGINT) AS n_tokens
+         |       FROM c GROUP BY 1)
+         |SELECT cells.doc_id,
+         |  string_agg(v::VARCHAR, ',' ORDER BY pos) AS vec,
+         |  coalesce(any_value(n_tokens), 0) AS n_tokens
+         |FROM cells LEFT JOIN nt ON nt.doc_id = cells.doc_id
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -366,6 +366,15 @@ object ScaleProbe {
       ("f20 cms",
         () => noop(graft.queries.GroupF2.cmsCountsOf(docs)),
         () => noop(graft.queries.GroupF2.cmsCountsOf(docsK))),
+      // f21: K× id-shifted docs — no corpus-global model exists by
+      // construction (the no-vocab property), so both aggs are keyed
+      // on the doc and the cell frame is ≤ docs × dim rows; a flat
+      // ratio pins cost-scales-on-rows.
+      ("f21 hashtf",
+        () => noop(graft.operators.Corpus.hashVectorize(
+          docs, "doc_id", "text", dim = 64)),
+        () => noop(graft.operators.Corpus.hashVectorize(
+          docsK, "doc_id", "text", dim = 64))),
       // p3: shifted customer keys = K× collections through the whole
       // shaping/status/log-prob/ops composition (the registered
       // GroupP.customPipeline body; dims derive from the same scaled

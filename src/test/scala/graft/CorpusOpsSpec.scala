@@ -243,4 +243,57 @@ class CorpusOpsSpec extends GraftSuite {
         s"$nCopies exact benchmark copies but only $flagged fully flagged")
     } finally out.unpersist()
   }
+
+  // --- f21 feature hashing -------------------------------------------
+
+  test("f21: vectors equal a plain-Scala replay of the one-digest scheme") {
+    val dim = 8
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta beta"),
+      (3L, ""),                      // no tokens → zero vector
+      (4L, null.asInstanceOf[String]), // null text → zero vector
+      (5L, "alpha")
+    ).toDF("doc_id", "text")
+    def cell(tok: String): (Int, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"htf:$tok".getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.wrap(d)
+      val pos = ((bb.getInt(0) & 0xFFFFFFFFL) % dim).toInt
+      val sgn = if ((bb.getInt(4) & 1) == 0) 1L else -1L
+      (pos, sgn)
+    }
+    def expect(text: String): Array[Long] = {
+      val v = new Array[Long](dim)
+      for (t <- Option(text).getOrElse("").split("\\s+") if t.nonEmpty) {
+        val (p, s) = cell(t); v(p) += s
+      }
+      v
+    }
+    val got = graft.operators.Corpus
+      .hashVectorize(docs, "doc_id", "text", dim)
+      .as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L), "all docs survive")
+    for ((id, vec, n) <- got) {
+      val text = Seq("alpha beta alpha gamma", "beta beta beta", "", null,
+        "alpha")(id.toInt - 1)
+      assert(vec.toSeq == expect(text).toSeq, s"doc $id vector")
+      assert(n == Option(text).getOrElse("").split("\\s+").count(_.nonEmpty),
+        s"doc $id n_tokens")
+      assert(vec.length == dim)
+      // signed counts can cancel, but total mass never exceeds tokens
+      assert(vec.map(math.abs).sum <= n || n == 0, s"doc $id mass")
+    }
+  }
+
+  test("f21: dim bounds are enforced") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.hashVectorize(docs, "doc_id", "text", dim = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.hashVectorize(docs, "doc_id", "text",
+        dim = (1 << 20) + 1)
+    }
+  }
 }
