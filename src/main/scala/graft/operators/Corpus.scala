@@ -449,6 +449,55 @@ object Corpus {
     * ("htf:" ++ token — md5 family, so vectors replay bit-for-bit in
     * any engine). Output: (id, vec array<long> of length dim,
     * n_tokens). */
+  /** Bigram language-model scoring with add-one smoothing: fit
+    * P(t2|t1) = (c(t1 t2) + 1) / (c(t1 ·) + V) on `modelDocs`, score
+    * each `scoreDocs` document's mean negative log-likelihood over
+    * its bigrams — the held-out LM-quality signal next to f15's
+    * self-scored unigram nll (CCNet's filter model in miniature; the
+    * two-frame signature is what makes the smoothing REAL — unseen
+    * bigrams actually occur). Context counts c(t1 ·) come from the
+    * bigram model itself (t1's non-final occurrences), V is the
+    * model's distinct-token count.
+    *
+    * Scale shape: the bigram model is one gram-keyed map-side-
+    * combinable count; context counts reduce the MODEL (not the
+    * corpus) a second time; V and the model totals are 1-row dims.
+    * Scoring joins the held-out bigram stream against model and
+    * context frames on their gram keys — NO broadcast hint on either
+    * (vocabulary and bigram vocabulary grow with the corpus — f8's
+    * df-model doctrine; AQE broadcasts when the runtime size
+    * qualifies). Per-term ln rounds to 9 dp before the sum (a27's
+    * determinism contract), the mean to 6 dp. Docs with < 2 tokens
+    * survive with n_bigrams = 0 and NULL nll. Output: (id,
+    * n_bigrams, nll). */
+  def bigramNll(modelDocs: DataFrame, scoreDocs: DataFrame,
+                idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        explode(Text.shingles(Text.tokens(col(textCol)), 2)).as("bg"))
+    val model = bigrams(modelDocs).groupBy("bg").agg(count(lit(1)).as("cb"))
+    val ctx = model
+      .groupBy(substring_index(col("bg"), " ", 1).as("t1"))
+      .agg(sum(col("cb")).as("cctx"))
+    val vocab = modelDocs
+      .select(explode(Text.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = bigrams(scoreDocs)
+      .join(model, Seq("bg"), "left")
+      .join(ctx, substring_index(col("bg"), " ", 1) === col("t1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        round(log((coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cctx"), lit(0L)) + col("v")).cast("double")), 9)
+          .as("lnp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(-sum(col("lnp")) / count(lit(1)), 6).as("nll"))
+    scoreDocs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"))
+  }
+
   def hashVectorize(docs: DataFrame, idCol: String, textCol: String,
                     dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= (1 << 20),

@@ -249,6 +249,20 @@ object GroupF2 {
           array_join(transform(col("vec"), _.cast("string")), ",").as("vec"),
           col("n_tokens"))
     }),
+
+    // f22: bigram LM with add-one smoothing, fit on the 95% slice
+    // and scored on the 5% holdout (the d13/f20 slice idiom) — so
+    // unseen bigrams actually occur and the smoothing term is
+    // exercised through the gate, unlike a self-scored model where
+    // every bigram is in the fit by construction.
+    "f22_bigram_nll" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.operators.Corpus.bigramNll(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"))
+    }),
   )
 
   /** The registered f20 body (shared with ScaleProbe so probe and
@@ -559,5 +573,33 @@ object GroupF2 {
          |  coalesce(any_value(n_tokens), 0) AS n_tokens
          |FROM cells LEFT JOIN nt ON nt.doc_id = cells.doc_id
          |GROUP BY 1""".stripMargin,
+
+    // f22 replays fit and score with the same add-one arithmetic:
+    // per-term ln rounded 9 dp, the mean 6 dp (the a27 contract —
+    // sum order-dependence is absorbed by the coarser final round);
+    // HUGEINT-promoting sums cast back to BIGINT.
+    "f22_bigram_nll" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |bgall AS (SELECT doc_id, unnest(${DuckSql.grams(2)}) AS bg FROM w),
+         |mb AS (SELECT bg, count(*) AS cb FROM bgall
+         |       WHERE doc_id % 20 <> 0 GROUP BY 1),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS t1,
+         |          cast(sum(cb) AS BIGINT) AS cctx FROM mb GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT tok) AS v
+         |       FROM (SELECT unnest(words) AS tok FROM w
+         |             WHERE doc_id % 20 <> 0)),
+         |sc AS (SELECT doc_id, bg FROM bgall WHERE doc_id % 20 = 0),
+         |t AS (SELECT doc_id,
+         |        round(ln((coalesce(cb, 0) + 1)::DOUBLE
+         |          / (coalesce(cctx, 0) + v)::DOUBLE), 9) AS lnp
+         |      FROM sc LEFT JOIN mb USING (bg)
+         |        LEFT JOIN ctx ON ctx.t1 = split_part(sc.bg, ' ', 1)
+         |        CROSS JOIN vv),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          round(-sum(lnp) / count(*), 6) AS nll
+         |        FROM t GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, nll
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+         |LEFT JOIN agg USING (doc_id)""".stripMargin,
   )
 }
