@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Single place where test tables are read, so read options / schema
   * handling stay consistent across every operator.
@@ -29,8 +30,28 @@ object Tables {
     if (!spark.conf.getOption(NanosKey).contains("true"))
       spark.conf.set(NanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Upstream writers have shipped `events.ts` as TIMESTAMP(NANOS)
+    * (read as nanos-in-LongType under nanosAsLong), TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ), and could ship a
+    * UTC-adjusted TIMESTAMP. At 100 TB we don't control the writer's
+    * physical type, so dispatch on the read schema and normalize all
+    * three to TimestampType. Sessions run with
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast interprets
+    * the wall clock as UTC — the same convention DuckDB's epoch(ts)
+    * uses on the naive timestamps the oracle reads from these files.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected nanos LongType, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Schema-drift canary: the driver regenerates /root/testdata between
+  * rounds and has already changed physical types once (events.ts went
+  * from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between r5 and r6, which
+  * surfaced as 28 scattered spec failures). This suite pins the
+  * post-Tables logical schema of every table so the next upstream
+  * change fails HERE, in one named spec, instead of across the tree.
+  */
+class TablesSchemaSpec extends GraftSuite {
+
+  private def fields(name: String): Map[String, DataType] =
+    Tables(spark, sfDir, name).schema.fields.map(f => f.name -> f.dataType).toMap
+
+  test("events.ts normalizes to TimestampType regardless of physical type") {
+    val f = fields("events")
+    assert(f("ts") === TimestampType, s"events.ts drifted: ${f("ts")}")
+    assert(f.contains("event_id") && f.contains("user_id") && f.contains("event_type"))
+  }
+
+  test("events.ts values are sane epoch range after normalization") {
+    import org.apache.spark.sql.functions._
+    val r = Tables(spark, sfDir, "events")
+      .agg(min(col("ts").cast("long")).as("lo"), max(col("ts").cast("long")).as("hi"))
+      .head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // 2000-01-01 .. 2100-01-01 epoch seconds: a mis-scaled conversion
+    // (nanos treated as micros, micros as seconds, ...) lands far outside.
+    assert(lo > 946684800L && hi < 4102444800L, s"ts epoch range off: [$lo, $hi]")
+  }
+
+  test("all tables load and keep their pinned column types") {
+    val pinned: Map[String, Map[String, DataType]] = Map(
+      "region"   -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation"   -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType,
+                        "n_name" -> StringType),
+      "customer" -> Map("c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+                        "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
+                        "s_acctbal" -> DoubleType),
+      "part"     -> Map("p_partkey" -> LongType, "p_size" -> IntegerType,
+                        "p_retailprice" -> DoubleType),
+      "orders"   -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+                        "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+                        "l_suppkey" -> LongType, "l_quantity" -> DoubleType,
+                        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+                        "l_returnflag" -> StringType, "l_shipdate" -> TimestampNTZType),
+      "events"   -> Map("event_id" -> LongType, "ts" -> TimestampType,
+                        "user_id" -> LongType, "event_type" -> StringType,
+                        "value" -> DoubleType, "props" -> StringType),
+      "documents"  -> Map("doc_id" -> LongType, "text" -> StringType,
+                          "lang" -> StringType, "source" -> StringType,
+                          "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType, "label" -> IntegerType,
+                          "embedding" -> ArrayType(FloatType, containsNull = true))
+    )
+    val drift = for {
+      (table, cols) <- pinned.toSeq
+      actual = fields(table)
+      (col, want) <- cols.toSeq
+      got = actual.get(col)
+      if !got.contains(want)
+    } yield s"$table.$col: expected $want, got ${got.getOrElse("<missing>")}"
+    assert(drift.isEmpty, "schema drift detected:\n" + drift.mkString("\n"))
+  }
+}
