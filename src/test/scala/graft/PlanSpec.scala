@@ -259,6 +259,32 @@ class PlanSpec extends GraftSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("a25: the dfCap over-cap anti join broadcasts in the executed plan") {
+    // a25's overlapPairs(dfCap=40) cuts ubiquitous members via a LEFT
+    // ANTI against the over-cap element set (Relational.scala:147),
+    // relying on AQE to broadcast the E/dfCap-bounded build side. The
+    // registered query eagerly cuts (localCheckpoint) the pair set, so
+    // the anti join is invisible in its final plan — this spec runs the
+    // same body up to the cut and pins the runtime decision: the anti
+    // join must finalize as a broadcast, never a shuffled SMJ of the
+    // whole edge set.
+    import org.apache.spark.sql.functions._
+    val mem = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+      .distinct()
+    val undirected = operators.Relational
+      .overlapPairs(mem, "coll", "member", dfCap = 40L)
+      .filter(col("overlap") >= 2)
+    val qe = undirected.queryExecution
+    // Execute THIS QueryExecution so its adaptive plan finalizes.
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString
+    assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      s"over-cap anti join must broadcast\n$p")
+    assert(!"SortMergeJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      s"edge set must not shuffle for the dfCap cut\n$p")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // SURVEY §5 claims "AQE skew handling" for fact-fact joins — prove
     // the rewrite actually fires on this session's Spark: a 90%-hot
