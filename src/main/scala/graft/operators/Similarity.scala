@@ -117,38 +117,38 @@ object Similarity {
     * bucket) — high cardinality, no all-pairs stage; recall/cost is
     * tuned by (numTables, bitsPerTable).
     *
-    * `dim` ≤ 0 (the default) derives the embedding dimension from the
-    * corpus with a 1-row probe — a synchronous driver job. Callers at
-    * scale should pass `dim` explicitly: it is TRUSTED (no probe job
-    * runs), and the contract is that it matches the data — a wrong
-    * value nulls plane dots via zip_with padding and silently
-    * degrades recall.
+    * `dim` is REQUIRED and TRUSTED: the embedding dimension is model
+    * metadata every caller has (it is fixed by whatever produced the
+    * vectors), so no library entry point runs a synchronous driver
+    * probe job to discover it. The contract is that it matches the
+    * data — a wrong value nulls plane dots via zip_with padding and
+    * silently degrades recall ([[requireDim]] fails fast when it is
+    * omitted).
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
              numTables: Int = 16, bitsPerTable: Int = 5, dim: Int = -1,
              seed: Long = 42L): DataFrame = {
-    val dataDim = if (dim > 0) dim else {
-      // Derive the embedding dimension from the first non-null vector
-      // (the null filter must run BEFORE size(): under non-ANSI
-      // defaults size(null) is -1, not null); an empty (or all-null)
-      // corpus short-circuits to an empty result instead of failing
-      // on head().
-      val dimRow = corpus.filter(col(vecCol).isNotNull)
-        .select(size(col(vecCol)).as("d")).head(1)
-      if (dimRow.isEmpty) {
-        return queries.select(col(idCol).as("query_id"),
-          col(idCol).as("neighbor_id"),
-          lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
-      }
-      dimRow.head.getInt(0)
-    }
+    requireDim(dim, "knnLsh")
     Relational.topKPerGroup(
         lshCandidateScores(queries, corpus, idCol, vecCol,
-          numTables, bitsPerTable, dataDim, seed),
+          numTables, bitsPerTable, dim, seed),
         Seq(col("query_id")),
         Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
+
+  /** The LSH/PQ entry points take the embedding dimension as caller
+    * metadata instead of probing the data: a 1-row `head` probe is a
+    * synchronous driver job per call — fine interactively, wrong as a
+    * library default at cluster scale (it serializes plan construction
+    * behind a job and re-runs per invocation). The parameter keeps a
+    * sentinel default so positional call sites stay source-compatible,
+    * but omitting it fails fast here rather than silently probing. */
+  private def requireDim(dim: Int, caller: String): Unit =
+    require(dim > 0,
+      s"$caller: pass the embedding dimension explicitly (dim = ...) — " +
+        "it is model metadata; probing it from the data would run a " +
+        "driver job per call")
 
   /** Radius (range) retrieval: every corpus vector with cosine ≥ `tau`
     * of each query — the thresholded-retrieval contract ("all matches
@@ -160,24 +160,16 @@ object Similarity {
     * tables). Identity pinned in spec: equals [[knnLsh]] at
     * unbounded k filtered to `tau`, minus the rank column.
     *
-    * `dim` contract matches [[knnLsh]]: ≤ 0 probes one row, explicit
-    * values are trusted at scale.
+    * `dim` contract matches [[knnLsh]]: required, trusted caller
+    * metadata — never probed from the data.
     */
   def rangeSearchLsh(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, tau: Double,
                      numTables: Int = 16, bitsPerTable: Int = 5,
                      dim: Int = -1, seed: Long = 42L): DataFrame = {
-    val dataDim = if (dim > 0) dim else {
-      val dimRow = corpus.filter(col(vecCol).isNotNull)
-        .select(size(col(vecCol)).as("d")).head(1)
-      if (dimRow.isEmpty) {
-        return queries.select(col(idCol).as("query_id"),
-          col(idCol).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
-      }
-      dimRow.head.getInt(0)
-    }
+    requireDim(dim, "rangeSearchLsh")
     lshCandidateScores(queries, corpus, idCol, vecCol,
-        numTables, bitsPerTable, dataDim, seed)
+        numTables, bitsPerTable, dim, seed)
       .filter(col("cosine") >= tau)
   }
 
@@ -240,24 +232,14 @@ object Similarity {
     * candidate volume stays Σ bucket²-bounded — and buy recall back
     * with `numTables`, which scales cost linearly, not quadratically.
     *
-    * `dim` ≤ 0 derives the embedding dimension with a 1-row probe (a
-    * synchronous driver job); pass it explicitly at scale — trusted,
-    * same contract as [[knnLsh]].
+    * `dim` contract matches [[knnLsh]]: required, trusted caller
+    * metadata — never probed from the data.
     */
   def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                      tau: Double, numTables: Int = 16, bitsPerTable: Int = 5,
                      seed: Long = 42L, dim: Int = -1): DataFrame = {
-    val dataDim = if (dim > 0) dim else {
-      // Null filter before size(): non-ANSI size(null) is -1, not null.
-      val dimRow = emb.filter(col(vecCol).isNotNull)
-        .select(size(col(vecCol)).as("d")).head(1)
-      if (dimRow.isEmpty) {
-        return emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
-          lit(0.0).as("cosine")).limit(0)
-      }
-      dimRow.head.getInt(0)
-    }
-    val ps = planes(numTables, bitsPerTable, dataDim, seed)
+    requireDim(dim, "cosinePairsLsh")
+    val ps = planes(numTables, bitsPerTable, dim, seed)
     val unit = normalized(emb, idCol, vecCol).cut()
     // Checkpoint the bucket ids before self-joining: the bucketing
     // expression embeds numTables × bits × dim plane literals, and
@@ -429,16 +411,18 @@ object Similarity {
                idCol: String, vecCol: String, k: Int,
                centroidMod: Long = 37L, nProbe: Int = 4,
                kmeansIters: Int = 2, m: Int = 8, codewords: Int = 16,
-               pqIters: Int = 2, shortlist: Int = 100): DataFrame = {
+               pqIters: Int = 2, shortlist: Int = 100,
+               dim: Int = -1): DataFrame = {
+    requireDim(dim, "knnIvfPq")
+    require(dim % m == 0, s"knnIvfPq: dim $dim is not divisible by m = $m")
+    val ds = dim / m
     val unit = normalized(corpus, idCol, vecCol).cut()
     val centroids = ivfFit(unit, centroidMod, kmeansIters, 100, 100, "knnIvfPq")
-    val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters).cut()
-    val meta = cb.agg(max(size(col("cvec")))).head()
-    val ds = meta.getInt(0)
+    val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut()
     // Inverted lists carry (neighbor_id, cid, codes) — m ints, no
     // vectors.
     val listCodes = ivfAssign(unit, centroids).select(col("id"), col("cid"))
-      .join(quantizePq(unit, "id", "unit", cb), "id")
+      .join(quantizePq(unit, "id", "unit", cb, m, dim), "id")
       .select(col("id").as("neighbor_id"), col("cid"), col("codes"))
     val qUnit = normalized(queries, idCol, vecCol).cut()
     val probes = ivfNearest(qUnit, centroids, nProbe, "query_id")
@@ -592,15 +576,14 @@ object Similarity {
     * (id, s) rows plus one (s, cid, pos) partial-agg shuffle.
     */
   def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
-                 m: Int = 4, k: Int = 16, lloydIters: Int = 0): DataFrame = {
+                 m: Int = 4, k: Int = 16, lloydIters: Int = 0,
+                 dim: Int = -1): DataFrame = {
     require(m >= 1 && k >= 1, s"m/k must be >= 1, got $m/$k")
+    requireDim(dim, "pqCodebook")
+    require(dim % m == 0, s"pqCodebook: dim $dim is not divisible by m = $m")
     val v = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
-    val dimRow = v.select(size(col("v")).as("d")).head(1)
-    require(dimRow.nonEmpty, "pqCodebook: no non-null vectors")
-    val d = dimRow.head.getInt(0)
-    require(d % m == 0, s"pqCodebook: dim $d is not divisible by m = $m")
-    val ds = d / m
+    val ds = dim / m
     val vc = v.cut()
     val seeds = vc.orderBy(col("id")).limit(k)
     var cb = subvectors(seeds, m, ds)
@@ -630,10 +613,13 @@ object Similarity {
     * that lets an ANN index hold billions of vectors in RAM;
     * reconstruction is [[pqReconstruct]]. */
   def quantizePq(emb: DataFrame, idCol: String, vecCol: String,
-                 codebook: DataFrame): DataFrame = {
-    val meta = codebook.agg(max(col("s")), max(size(col("cvec")))).head()
-    val m = meta.getInt(0) + 1
-    val ds = meta.getInt(1)
+                 codebook: DataFrame, m: Int = 4, dim: Int = -1): DataFrame = {
+    // (m, dim) are the same caller metadata the codebook was built
+    // with — passing them keeps this entry point free of the driver
+    // job an agg-probe of the codebook's shape would cost per call.
+    requireDim(dim, "quantizePq")
+    require(dim % m == 0, s"quantizePq: dim $dim is not divisible by m = $m")
+    val ds = dim / m
     val v = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
     assignPq(subvectors(v, m, ds), codebook)

@@ -57,7 +57,7 @@ object GroupE {
     // less data — the 10⁹-vector serving shape.
     "e6_knn_ivfpq" -> ((s, d) =>
       Similarity.knnIvfPq(queriesSet(s, d), emb(s, d),
-        "vec_id", "embedding", k = 10)),
+        "vec_id", "embedding", k = 10, dim = 64)),
 
     // e5: product quantization — 4 subspace codebooks of 16 sampled
     // codewords over the 64-dim embeddings: 4 small ints instead of
@@ -69,8 +69,9 @@ object GroupE {
     // both engines pick identical codes.
     "e5_quantize_pq" -> ((s, d) => {
       val e = emb(s, d)
-      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 4, k = 16)
-      Similarity.quantizePq(e, "vec_id", "embedding", cb)
+      val cb = Similarity.pqCodebook(e, "vec_id", "embedding", m = 4, k = 16,
+        dim = 64)
+      Similarity.quantizePq(e, "vec_id", "embedding", cb, m = 4, dim = 64)
         .select(col("id").as("vec_id"),
           org.apache.spark.sql.functions.concat_ws(",", col("codes")).as("codes"))
     }),

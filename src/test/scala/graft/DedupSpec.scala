@@ -170,7 +170,8 @@ class DedupSpec extends GraftSuite {
       df.select("query_id", "neighbor_id").as[(Long, Long)]
         .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val exact = topSets(Similarity.knnBruteForce(qs, emb, "vec_id", "embedding", 10))
-    val approx = topSets(Similarity.knnLsh(qs, emb, "vec_id", "embedding", 10))
+    val approx = topSets(Similarity.knnLsh(qs, emb, "vec_id", "embedding", 10,
+      dim = 64))
     val recalls = exact.map { case (q, t) =>
       approx.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
     val mean = recalls.sum / recalls.size

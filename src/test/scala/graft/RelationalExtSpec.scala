@@ -97,7 +97,8 @@ class RelationalExtSpec extends GraftSuite {
     // IVF+PQ (lists carry codes, ADC shortlist, exact rescore) may
     // lose only what the shortlist cut costs on top of the coarse
     // stage — measured 0.66 vs 0.66 here, 0.55 vs 0.56 at sf0.01.
-    val pq = topSets(Similarity.knnIvfPq(qs, emb, "vec_id", "embedding", 10))
+    val pq = topSets(Similarity.knnIvfPq(qs, emb, "vec_id", "embedding", 10,
+      dim = 64))
     val pqRecalls = exact.map { case (q, t) =>
       pq.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
     val pqMean = pqRecalls.sum / pqRecalls.size

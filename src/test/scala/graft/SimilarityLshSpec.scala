@@ -21,7 +21,8 @@ class SimilarityLshSpec extends GraftSuite {
 
   test("lsh cosine pairs are an exact-scored subset of the all-pairs result") {
     val exact = pairs(Similarity.cosinePairs(emb, "vec_id", "embedding", tau = 0.35))
-    val lsh = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding", tau = 0.35))
+    val lsh = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding", tau = 0.35,
+      dim = 64))
     assert(exact.nonEmpty, "testdata must contain cosine>=0.35 pairs")
     // Precision 1.0: every LSH pair is a true pair with the same score.
     lsh.foreach { case (k, c) =>
@@ -35,12 +36,13 @@ class SimilarityLshSpec extends GraftSuite {
   test("e10: range search = unbounded-k knn filtered at tau; recall floor vs exact") {
     val q = emb.filter($"vec_id" % 50 === 0)
     val tau = 0.35
-    val range = Similarity.rangeSearchLsh(q, emb, "vec_id", "embedding", tau)
+    val range = Similarity.rangeSearchLsh(q, emb, "vec_id", "embedding", tau,
+        dim = 64)
       .as[(Long, Long, Double)].collect().toSet
     // Identity: same candidates, same rescore — the rank stage is the
     // only difference between the two contracts.
     val viaKnn = Similarity.knnLsh(q, emb, "vec_id", "embedding",
-        k = Int.MaxValue)
+        k = Int.MaxValue, dim = 64)
       .filter($"cosine" >= tau).drop("rank")
       .as[(Long, Long, Double)].collect().toSet
     assert(range == viaKnn)
@@ -57,31 +59,45 @@ class SimilarityLshSpec extends GraftSuite {
     assert(recall >= 0.55, s"recall $recall over ${exact.size} true matches")
   }
 
-  test("null embeddings neither crash the dim probe nor corrupt pairs") {
-    // Non-ANSI size(null) is -1: if the dim probe saw the null row
-    // first it would build zero-length hyperplanes and degenerate to
-    // bucket-0 all-pairs. Null vectors must be ignored throughout.
+  test("null embeddings do not corrupt pairs") {
+    // Null vectors must be ignored throughout: their unit form is
+    // null, every dot is null, and the tau filter drops null scores —
+    // they must never surface as pairs or poison real ones.
     val df = Seq(
       (1L, Some(Seq(1.0, 0.0))), (2L, Some(Seq(1.0, 0.0))),
       (0L, Option.empty[Seq[Double]]))
       .toDF("vec_id", "embedding")
-    val got = pairs(Similarity.cosinePairsLsh(df, "vec_id", "embedding", tau = 0.5))
+    val got = pairs(Similarity.cosinePairsLsh(df, "vec_id", "embedding",
+      tau = 0.5, dim = 2))
     assert(got.keySet === Set((1L, 2L)))
     assert(got((1L, 2L)) === 1.0)
   }
 
   test("empty input yields an empty result, not a failure") {
     assert(Similarity.cosinePairsLsh(
-      emb.filter($"vec_id" < 0), "vec_id", "embedding", tau = 0.5).count() == 0)
+      emb.filter($"vec_id" < 0), "vec_id", "embedding", tau = 0.5,
+      dim = 64).count() == 0)
   }
 
-  test("explicit dim skips the probe and yields identical pairs") {
-    val probed = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
-      tau = 0.35))
-    val d = emb.selectExpr("size(embedding) d").head().getInt(0)
-    val trusted = pairs(Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
-      tau = 0.35, dim = d))
-    assert(trusted === probed)
+  test("omitting dim fails fast instead of running a driver probe job") {
+    // dim is trusted caller metadata (the embedding model's output
+    // width); the library must never fall back to a synchronous 1-row
+    // probe job per call. Each entry point names the contract.
+    for ((name, thunk) <- Seq[(String, () => Any)](
+      ("cosinePairsLsh", () =>
+        Similarity.cosinePairsLsh(emb, "vec_id", "embedding", tau = 0.35)),
+      ("knnLsh", () =>
+        Similarity.knnLsh(emb, emb, "vec_id", "embedding", k = 5)),
+      ("rangeSearchLsh", () =>
+        Similarity.rangeSearchLsh(emb, emb, "vec_id", "embedding", tau = 0.35)),
+      ("pqCodebook", () =>
+        Similarity.pqCodebook(emb, "vec_id", "embedding", 4, 16)),
+      ("knnIvfPq", () =>
+        Similarity.knnIvfPq(emb, emb, "vec_id", "embedding", k = 5)))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains(name) &&
+        e.getMessage.contains("embedding dimension"), s"$name: ${e.getMessage}")
+    }
   }
 
   test("ArrayNormalize matches the staged cast/norm/divide formulation exactly") {
@@ -126,8 +142,10 @@ class SimilarityLshSpec extends GraftSuite {
     val v = emb.select($"vec_id".as("id"),
       transform($"embedding", _.cast("double")).as("v"))
     def quality(iters: Int): (Double, Double) = {
-      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", 4, 16, iters)
-      val codes = Similarity.quantizePq(emb, "vec_id", "embedding", cb)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", 4, 16, iters,
+        dim = 64)
+      val codes = Similarity.quantizePq(emb, "vec_id", "embedding", cb,
+        m = 4, dim = 64)
       if (iters == 0) {
         // every vector gets m codes, each one of the 16 sampled ids
         val rows = codes.select($"codes").as[Seq[Int]].collect()
