@@ -10,6 +10,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts may arrive as TIMESTAMP_NTZ (see Tables.normalizeEventTs);
+      // pin the session zone so the NTZ→LTZ interpretation is UTC on any host.
+      .config("spark.sql.session.timeZone", "UTC")
       // collect_list/collect_set aggregations (ObjectHashAggregate)
       // fall back to SORT-based aggregation after 128 distinct keys
       // per task by default — a full sort of every group-by-collect
@@ -111,5 +114,15 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
+    // A bench with errored queries must not ship as a healthy "rc 0"
+    // run (r6 shipped 15 fast-failing queries inside a green-looking
+    // total). The artifact is already written and printed above — the
+    // nonzero exit only makes the breakage loud in whatever script
+    // wraps this main.
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[bench] ${errors.size} queries errored: ${errors.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }
