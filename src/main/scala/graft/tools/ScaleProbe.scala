@@ -62,6 +62,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts may arrive as TIMESTAMP_NTZ (see Tables.normalizeEventTs);
+      // pin the session zone so the NTZ→LTZ interpretation is UTC on any host.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
