@@ -10,6 +10,7 @@ import org.apache.spark.sql.types._
   * change fails HERE, in one named spec, instead of across the tree.
   */
 class TablesSchemaSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
 
   private def fields(name: String): Map[String, DataType] =
     Tables(spark, sfDir, name).schema.fields.map(f => f.name -> f.dataType).toMap
@@ -29,6 +30,35 @@ class TablesSchemaSpec extends GraftSuite {
     // 2000-01-01 .. 2100-01-01 epoch seconds: a mis-scaled conversion
     // (nanos treated as micros, micros as seconds, ...) lands far outside.
     assert(lo > 946684800L && hi < 4102444800L, s"ts epoch range off: [$lo, $hi]")
+  }
+
+  test("legacy nanos-as-long events files still convert (LongType branch)") {
+    // The regenerated testdata no longer exercises the legacy
+    // TIMESTAMP(NANOS) read path (nanos-in-LongType under
+    // nanosAsLong), but upstream writers shipped it for five rounds
+    // and can ship it again — pin the branch with a synthetic file.
+    import org.apache.spark.sql.functions._
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos-").toString
+    val wallMicros = 1700000000000000L // 2023-11-14T22:13:20 UTC
+    Seq((1L, wallMicros * 1000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables(spark, dir, "events")
+    assert(got.schema("ts").dataType === TimestampType)
+    val epochMicros = got.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(epochMicros === wallMicros,
+      s"nanos->micros conversion drifted: $epochMicros != $wallMicros")
+  }
+
+  test("an unsupported events.ts physical type fails loudly, not downstream") {
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-badts-").toString
+    Seq((1L, "2023-11-14", 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables(spark, dir, "events"))
+    assert(e.getMessage.contains("unsupported physical type"))
   }
 
   test("all tables load and keep their pinned column types") {
