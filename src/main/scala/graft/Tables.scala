@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Single place where test tables are read, so read options / schema
@@ -38,17 +38,27 @@ object Tables {
     * without UTC adjustment (read as TIMESTAMP_NTZ), and could ship a
     * UTC-adjusted TIMESTAMP. At 100 TB we don't control the writer's
     * physical type, so dispatch on the read schema and normalize all
-    * three to TimestampType. Sessions run with
-    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast interprets
-    * the wall clock as UTC — the same convention DuckDB's epoch(ts)
-    * uses on the naive timestamps the oracle reads from these files.
+    * three to TimestampType, interpreting naive wall clocks as UTC —
+    * the same convention DuckDB's epoch(ts) uses on the naive
+    * timestamps the oracle reads from these files.
+    *
+    * Both conversions are SESSION-INDEPENDENT on purpose:
+    *  - nanos→micros uses integral `div` (a long/long `/` promotes to
+    *    double, whose 2^53 mantissa makes ~2e18 epoch nanos round by
+    *    up to 256 ns — a ±1 µs drift vs an exact integer conversion);
+    *  - NTZ→LTZ goes through wall-clock microseconds since the NTZ
+    *    epoch (`timestampdiff` on two NTZ operands is pure calendar
+    *    arithmetic) rather than a cast, which would silently shift
+    *    every event by the session zone's offset on any session that
+    *    is not UTC (e.g. a driver-owned session on a laptop).
     */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn("ts", timestamp_micros(
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case TimestampType => df
       case other =>
         throw new IllegalStateException(

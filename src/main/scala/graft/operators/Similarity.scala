@@ -613,10 +613,15 @@ object Similarity {
     * that lets an ANN index hold billions of vectors in RAM;
     * reconstruction is [[pqReconstruct]]. */
   def quantizePq(emb: DataFrame, idCol: String, vecCol: String,
-                 codebook: DataFrame, m: Int = 4, dim: Int = -1): DataFrame = {
+                 codebook: DataFrame, m: Int = -1, dim: Int = -1): DataFrame = {
     // (m, dim) are the same caller metadata the codebook was built
     // with — passing them keeps this entry point free of the driver
     // job an agg-probe of the codebook's shape would cost per call.
+    // Both are required sentinels: a silently-defaulted m against an
+    // m≠default codebook would split vectors into the wrong number of
+    // subspaces and emit wrong codes with no error.
+    require(m > 0,
+      "quantizePq: pass the codebook's subspace count explicitly (m = ...)")
     requireDim(dim, "quantizePq")
     require(dim % m == 0, s"quantizePq: dim $dim is not divisible by m = $m")
     val ds = dim / m

@@ -278,7 +278,12 @@ class PlanSpec extends GraftSuite {
     val qe = undirected.queryExecution
     // Execute THIS QueryExecution so its adaptive plan finalizes.
     qe.executedPlan.execute().count()
-    val p = qe.executedPlan.toString
+    // AdaptiveSparkPlanExec prints BOTH "Final Plan" and "Initial
+    // Plan" sections once they diverge; the whole point here is that
+    // AQE may CONVERT an initial SMJ to a broadcast, so the asserts
+    // must only see the final section or they fail exactly when the
+    // conversion they pin happens.
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
     assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
       s"over-cap anti join must broadcast\n$p")
     assert(!"SortMergeJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,

@@ -32,33 +32,69 @@ class TablesSchemaSpec extends GraftSuite {
     assert(lo > 946684800L && hi < 4102444800L, s"ts epoch range off: [$lo, $hi]")
   }
 
+  private def withTempDir[A](prefix: String)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("legacy nanos-as-long events files still convert (LongType branch)") {
     // The regenerated testdata no longer exercises the legacy
     // TIMESTAMP(NANOS) read path (nanos-in-LongType under
     // nanosAsLong), but upstream writers shipped it for five rounds
     // and can ship it again — pin the branch with a synthetic file.
+    // The nanos value is deliberately NOT double-representable
+    // (~2e18 > 2^53): a float division by 1000 would round it by up
+    // to 256 ns and land on the wrong microsecond; integral div must
+    // not.
     import org.apache.spark.sql.functions._
     import ss.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-nanos-").toString
-    val wallMicros = 1700000000000000L // 2023-11-14T22:13:20 UTC
-    Seq((1L, wallMicros * 1000L, 7L, "view", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = Tables(spark, dir, "events")
-    assert(got.schema("ts").dataType === TimestampType)
-    val epochMicros = got.select(unix_micros(col("ts"))).head().getLong(0)
-    assert(epochMicros === wallMicros,
-      s"nanos->micros conversion drifted: $epochMicros != $wallMicros")
+    withTempDir("graft-nanos-") { dir =>
+      val wallMicros = 1700000000000000L // 2023-11-14T22:13:20 UTC
+      Seq((1L, wallMicros * 1000L + 999L, 7L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Tables(spark, dir, "events")
+      assert(got.schema("ts").dataType === TimestampType)
+      val epochMicros = got.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(epochMicros === wallMicros,
+        s"nanos->micros conversion drifted: $epochMicros != $wallMicros")
+    }
+  }
+
+  test("events.ts normalization is independent of the session time zone") {
+    // A driver-owned session is not guaranteed to run with
+    // spark.sql.session.timeZone=UTC; a cast-based NTZ→LTZ conversion
+    // would shift every event by the zone offset there. The
+    // wall-clock-arithmetic conversion must yield identical epochs
+    // under any session zone.
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    val utc = Tables(spark, sfDir, "events")
+      .agg(sum(unix_micros(col("ts"))), count(lit(1))).head()
+    try {
+      spark.conf.set(key, "America/Los_Angeles")
+      val la = Tables(spark, sfDir, "events")
+        .agg(sum(unix_micros(col("ts"))), count(lit(1))).head()
+      assert(la === utc,
+        s"ts epochs drift with the session zone: $la != $utc")
+    } finally spark.conf.set(key, saved)
   }
 
   test("an unsupported events.ts physical type fails loudly, not downstream") {
     import ss.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-badts-").toString
-    Seq((1L, "2023-11-14", 7L, "view", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val e = intercept[IllegalStateException](Tables(spark, dir, "events"))
-    assert(e.getMessage.contains("unsupported physical type"))
+    withTempDir("graft-badts-") { dir =>
+      Seq((1L, "2023-11-14", 7L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val e = intercept[IllegalStateException](Tables(spark, dir, "events"))
+      assert(e.getMessage.contains("unsupported physical type"))
+    }
   }
 
   test("all tables load and keep their pinned column types") {
