@@ -60,14 +60,21 @@ object Dedup {
     * whose document frequency exceeds `dfCap`. Both dfCap cuts
     * ([[shingles]] and [[ngramJaccardAgainst]]) anti-join against
     * THIS set (bounded by E/dfCap, tiny in practice) instead of
-    * inner-joining the huge keep set: AQE broadcasts the small side
-    * and the shingle stream is never shuffled for the cut. Same
-    * rationale as [[Relational.overlapPairs]]'s dfCap cut. One
-    * definition, so the cut shape (and its broadcast-anti-join plan
-    * assertion in Round6Spec) cannot drift between call sites. */
+    * inner-joining the huge keep set, so the shingle stream is never
+    * shuffled for the cut. Same rationale as
+    * [[Relational.overlapPairs]]'s dfCap cut — including the eager
+    * checkpoint: an agg+filter subtree carries no usable size
+    * estimate, so without it neither the static planner nor AQE can
+    * prove the broadcast and the cut degrades to a full SMJ of the
+    * shingle stream (measured; AQE's runtime stats stop at the stage
+    * boundary below the agg). The checkpointed set exposes its true
+    * materialized size: broadcast exactly when genuinely small,
+    * automatic shuffled-join fallback when not. One definition, so
+    * the cut shape (and its broadcast-anti-join plan assertion in
+    * Round6Spec) cannot drift between call sites. */
   private[graft] def overCapShingles(sh: DataFrame, dfCap: Long): DataFrame =
     sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("shingle")
+      .filter(col("df") > dfCap).select("shingle").cut()
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ `tau`. Two exact
     * plans, selected by `prefixFilter`; both return identical results.

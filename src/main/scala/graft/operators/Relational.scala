@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -137,13 +138,22 @@ object Relational {
       // Cut as an ANTI join against the OVER-cap element set, not an
       // inner join against the keep set: the keep side is nearly the
       // whole vocabulary (most elements are rare), while the over-cap
-      // side is bounded by E/dfCap and in practice tiny — small enough
-      // that AQE turns this into a broadcast anti join and the edge
-      // set is never shuffled for the cut. No broadcast hint: when the
-      // over-cap set IS large (pathological corpus, low cap), AQE
-      // falls back to the same shuffled join the keep-side cut cost.
+      // side is bounded by E/dfCap and in practice tiny.
+      //
+      // The set is CHECKPOINTED (eager, one small map-side-combinable
+      // agg job) before the join on purpose: an agg+filter subtree
+      // carries no usable size estimate, so neither the static
+      // planner (on a session with poor source stats) nor AQE (whose
+      // runtime stats stop at the stage boundary BELOW the agg —
+      // measured: the anti join stays a full SMJ of the edge set with
+      // static broadcast off) can prove the broadcast. The
+      // checkpointed set exposes its TRUE materialized size, so the
+      // planner broadcasts exactly when it is genuinely small and
+      // falls back to the shuffled join itself when a pathological
+      // corpus/low cap makes it large — the size-gated fallback in
+      // code, not in hope.
       val drop = e0raw.groupBy("__el").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > dfCap).select("__el")
+        .filter(col("__df") > dfCap).select("__el").cut()
       e0raw.join(drop, Seq("__el"), "left_anti")
     }
     if (boundedDf) {

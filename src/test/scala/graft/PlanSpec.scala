@@ -269,25 +269,39 @@ class PlanSpec extends GraftSuite {
     // join must finalize as a broadcast, never a shuffled SMJ of the
     // whole edge set.
     import org.apache.spark.sql.functions._
-    val mem = Tables(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
-      .distinct()
-    val undirected = operators.Relational
-      .overlapPairs(mem, "coll", "member", dfCap = 40L)
-      .filter(col("overlap") >= 2)
-    val qe = undirected.queryExecution
-    // Execute THIS QueryExecution so its adaptive plan finalizes.
-    qe.executedPlan.execute().count()
-    // AdaptiveSparkPlanExec prints BOTH "Final Plan" and "Initial
-    // Plan" sections once they diverge; the whole point here is that
-    // AQE may CONVERT an initial SMJ to a broadcast, so the asserts
-    // must only see the final section or they fail exactly when the
-    // conversion they pin happens.
-    val p = qe.executedPlan.toString.split("Initial Plan")(0)
-    assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
-      s"over-cap anti join must broadcast\n$p")
-    assert(!"SortMergeJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
-      s"edge set must not shuffle for the dfCap cut\n$p")
+    val c = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      // Disable STATIC broadcast planning but keep the ADAPTIVE
+      // threshold: the initial plan is then forced to SMJ (what a
+      // session with poor stats would plan — the r6 bench worry) and
+      // only AQE's accurate runtime sizes can rescue it, which is
+      // precisely the mechanism this spec exists to pin.
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      val mem = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+        .distinct()
+      val undirected = operators.Relational
+        .overlapPairs(mem, "coll", "member", dfCap = 40L)
+        .filter(col("overlap") >= 2)
+      val qe = undirected.queryExecution
+      // Execute THIS QueryExecution so its adaptive plan finalizes.
+      qe.executedPlan.execute().count()
+      // AdaptiveSparkPlanExec prints BOTH "Final Plan" and "Initial
+      // Plan" sections once they diverge; the conversion under test
+      // GUARANTEES they diverge here, so the asserts must only see
+      // the final section.
+      val p = qe.executedPlan.toString.split("Initial Plan")(0)
+      assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
+        s"over-cap anti join must broadcast\n$p")
+      assert(!"SortMergeJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined,
+        s"edge set must not shuffle for the dfCap cut\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
   }
 
   test("AQE splits a skewed join partition at runtime") {
