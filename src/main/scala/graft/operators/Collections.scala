@@ -212,9 +212,12 @@ object Collections {
     *
     * `custom` is [[fromCustom]] output (or any frame with
     * collection_id, n_members, rank, malformed); `existing` is the
-    * (collection_id, es_id) index mapping. One equi-join on the id:
-    * the custom side is curator-sized, the index side arbitrarily
-    * large — AQE broadcasts the small side, nothing is driver-side.
+    * (collection_id, es_id) index mapping. One LEFT equi-join on the
+    * id — the outer (custom) side is curator-sized but an outer
+    * probe cannot be the broadcast build, so at scale this is an
+    * id-keyed shuffled join where the big index shuffles once and
+    * the curator-sized side is a handful of tasks; nothing is
+    * driver-side.
     */
   def customUpdateOps(custom: DataFrame, existing: DataFrame,
                       maxMembers: Long = 10000L): DataFrame = {
