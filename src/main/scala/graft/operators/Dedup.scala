@@ -260,9 +260,10 @@ object Dedup {
       if (dfCap <= 0L) (ex0, inc0.cut())
       else {
         // Same broadcast-anti-join shape as [[shingles]]'s cut (the
-        // shared [[overCapShingles]]), with one drop set applied to
-        // BOTH sides.
-        val drop = overCapShingles(ex0, dfCap).cut()
+        // shared [[overCapShingles]], which checkpoints the set —
+        // no second cut here), with one drop set applied to BOTH
+        // sides.
+        val drop = overCapShingles(ex0, dfCap)
         (ex0.join(drop, Seq("shingle"), "left_anti"),
           inc0.join(drop, Seq("shingle"), "left_anti").cut())
       }
