@@ -45,7 +45,14 @@ object Dedup {
   }
 
   /** Distinct (id, shingle) pairs, optionally dropping shingles whose
-    * document frequency exceeds `dfCap` (0 = keep all). */
+    * document frequency exceeds `dfCap` (0 = keep all).
+    *
+    * With a dfCap the distinct stream is checkpointed FIRST and the
+    * over-cap set derived from the checkpointed frame: the drop-set
+    * job ([[overCapShingles]]' eager cut) then reads stored blocks
+    * instead of recomputing the tokenize→explode→distinct pipeline,
+    * and the anti-join probe side reuses the same blocks — one
+    * materialization of the heaviest shuffle instead of two. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int, dfCap: Long = 0L): DataFrame = {
     val sh = docs
@@ -53,7 +60,10 @@ object Dedup {
       .select(col("id"), explode(Text.shingles(col("toks"), n)).as("shingle"))
       .distinct()
     if (dfCap <= 0) sh
-    else sh.join(overCapShingles(sh, dfCap), Seq("shingle"), "left_anti")
+    else {
+      val shc = sh.cut()
+      shc.join(overCapShingles(shc, dfCap), Seq("shingle"), "left_anti")
+    }
   }
 
   /** The OVER-cap shingle set for a (id, shingle) frame: shingles

@@ -140,6 +140,12 @@ object Relational {
       // whole vocabulary (most elements are rare), while the over-cap
       // side is bounded by E/dfCap and in practice tiny.
       //
+      // Input contract note: pass a CHECKPOINTED edge frame with
+      // dfCap > 0 (the registered callers do) — the eager drop-set
+      // job below then reads stored blocks; an un-checkpointed input
+      // would be recomputed once for the drop set and once for the
+      // probe side.
+      //
       // The set is CHECKPOINTED (eager, one small map-side-combinable
       // agg job) before the join on purpose: an agg+filter subtree
       // carries no usable size estimate, so neither the static

@@ -585,6 +585,13 @@ object Similarity {
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
     val ds = dim / m
     val vc = v.cut()
+    // Fit-time existence guard (the [[ivfFit]] seed-guard class of
+    // driver action: once per MODEL FIT, never per serving call): an
+    // empty/all-null corpus must fail loudly here, not surface as an
+    // empty codebook that downstream quantization silently maps to
+    // zero code rows. The cut above already materialized vc, so this
+    // reads a stored block, not the pipeline.
+    require(!vc.isEmpty, "pqCodebook: no non-null vectors")
     val seeds = vc.orderBy(col("id")).limit(k)
     var cb = subvectors(seeds, m, ds)
       .select(col("s"), col("id").as("cid"), col("sub").as("cvec")).cut()
@@ -604,7 +611,13 @@ object Similarity {
           .cut()
       }
     }
-    cb
+    // Stamp the build geometry into the schema so [[quantizePq]] can
+    // verify its caller-supplied (m, dim) against the codebook with
+    // zero driver jobs — a mismatched m would otherwise emit wrong,
+    // truncated codes with no error.
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("pq.m", m.toLong).putLong("pq.ds", ds.toLong).build()
+    cb.withColumn("cvec", col("cvec").as("cvec", meta))
   }
 
   /** PQ codes: (id, codes array<int>) — codes(s) = the nearest
@@ -625,6 +638,18 @@ object Similarity {
     requireDim(dim, "quantizePq")
     require(dim % m == 0, s"quantizePq: dim $dim is not divisible by m = $m")
     val ds = dim / m
+    // [[pqCodebook]] stamps its build geometry into the schema; when
+    // present, verify the caller's values against it (zero driver
+    // jobs — schema metadata only). Hand-built codebooks without the
+    // stamp keep the pure trust contract.
+    locally {
+      val md = codebook.schema.fields.find(_.name == "cvec").map(_.metadata)
+      md.filter(_.contains("pq.m")).foreach { mm =>
+        require(mm.getLong("pq.m") == m.toLong && mm.getLong("pq.ds") == ds.toLong,
+          s"quantizePq: (m=$m, dim=$dim) disagree with the codebook's build " +
+            s"geometry (m=${mm.getLong("pq.m")}, ds=${mm.getLong("pq.ds")})")
+      }
+    }
     val v = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("v"))
     assignPq(subvectors(v, m, ds), codebook)

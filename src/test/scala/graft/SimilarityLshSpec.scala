@@ -79,6 +79,22 @@ class SimilarityLshSpec extends GraftSuite {
       dim = 64).count() == 0)
   }
 
+  test("pq geometry is verified against the codebook stamp; empty fit fails loudly") {
+    // A caller-supplied m that disagrees with the codebook's build
+    // geometry would split vectors into the wrong subspaces and emit
+    // wrong codes; the schema stamp makes that a fail-fast instead.
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", 4, 16, 0, dim = 64)
+    val e = intercept[IllegalArgumentException](
+      Similarity.quantizePq(emb, "vec_id", "embedding", cb, m = 8, dim = 64))
+    assert(e.getMessage.contains("build geometry"), e.getMessage)
+    // Fitting on an empty/all-null corpus must be loud, not an empty
+    // codebook that quantizes everything to zero rows downstream.
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.pqCodebook(emb.filter($"vec_id" < 0), "vec_id", "embedding",
+        4, 16, 0, dim = 64))
+    assert(e2.getMessage.contains("no non-null vectors"), e2.getMessage)
+  }
+
   test("omitting dim fails fast instead of running a driver probe job") {
     // dim is trusted caller metadata (the embedding model's output
     // width); the library must never fall back to a synchronous 1-row
