@@ -30,4 +30,13 @@ object Hashes {
     * scripts/prepare_collections2.py:116.) */
   def namehash(c: Column): Column =
     ColumnBridge.column(Namehash(ColumnBridge.expression(c)))
+
+  /** Committed EIP-137 expected-vectors parquet (name → namehash hex),
+    * generated once by tools/gen_namehash_vectors.py from an
+    * independent pure-Python keccak. Both the Spark side (a23's query)
+    * and the DuckDB oracle read this same file, so the path must be
+    * resolvable outside the JVM — default is the absolute repo
+    * location; `GRAFT_VECTORS_PATH` overrides for other checkouts. */
+  val vectorsPath: String = sys.env.getOrElse("GRAFT_VECTORS_PATH",
+    "/root/repo/src/main/resources/graft/namehash_vectors.parquet")
 }

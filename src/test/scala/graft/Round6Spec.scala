@@ -188,14 +188,15 @@ class Round6Spec extends GraftSuite {
 
   // --- oracle-coverage invariant ------------------------------------
 
-  test("every registered query is oracled except the declared keccak row") {
-    // a23 is the ONLY rows-only query (DuckDB has no keccak; EIP-137
-    // vectors pin it). Any new query landing without an oracle — or
-    // an oracle for a nonexistent query — fails here before the
-    // driver's gate ever sees it.
+  test("every registered query is oracled — no rows-only cells") {
+    // Since round 8 even a23 has a machine oracle (expected-vectors
+    // parquet + injectivity invariant), so the rows-only set must be
+    // EMPTY. Any new query landing without an oracle — or an oracle
+    // for a nonexistent query — fails here before the driver's gate
+    // ever sees it.
     val queries = SparkEntry.queries.keySet
     val oracles = SparkEntry.oracleSql.keySet
-    assert(queries -- oracles == Set("a23_namehash"),
+    assert((queries -- oracles).isEmpty,
       s"rows-only set drifted: ${(queries -- oracles).toSeq.sorted}")
     assert((oracles -- queries).isEmpty,
       s"orphan oracles: ${(oracles -- queries).toSeq.sorted}")
