@@ -368,30 +368,56 @@ object Corpus {
     * fixed-compute training run makes (quality here = distinct-token
     * ratio, the inverse of f10's duplicate-token fraction; any
     * per-document score plugs in). Selection order is (quality bucket
-    * DESC, id ASC) and a document is kept iff the tokens BEFORE it in
-    * that order are < `budgetTokens` (greedy prefix — the last kept
-    * document may overshoot). Empty documents are dropped (zero-token
-    * rows cannot spend budget and would make the strict-< law
-    * ambiguous).
+    * DESC, shard ASC, id ASC) — `shard` is a deterministic md5-derived
+    * value in [0, buckets^refineLevels), engine-replayable — and a
+    * document is kept iff the tokens BEFORE it in that order are
+    * < `budgetTokens` (greedy prefix — the last kept document may
+    * overshoot). Within a quality bucket the order is an arbitrary
+    * deterministic tiebreak either way; hashing it is what makes the
+    * scale bound below hold even when quality values tie. Empty
+    * documents are dropped (zero-token rows cannot spend budget and
+    * would make the strict-< law ambiguous).
     *
     * Scale shape — the point of the bucketed design: a global
     * score-ordered cumulative window would sort the corpus into ONE
     * partition (the canonical 100 TB anti-pattern). Instead quality
     * quantizes to `buckets` integer levels; per-bucket token sums are
     * one map-side-combinable aggregation (|buckets| rows out), the
-    * cumulative cut over THAT table is driver-trivial, and bucket
+    * cumulative cut over THAT table is |buckets|-row cheap, and bucket
     * verdicts broadcast back: full-keep buckets pass as a narrow
-    * filter, and only the single BOUNDARY bucket (~1/buckets of the
-    * corpus; raise `buckets` to shrink it) pays an in-bucket
-    * cumulative window, partitioned on the bucket after the filter —
-    * so the window's partition holds boundary-bucket rows only, never
-    * the corpus.
+    * filter, and only the single BOUNDARY bucket straddling the budget
+    * continues. That bucket (~N/buckets rows) is then refined
+    * `refineLevels` more times by successive base-`buckets` digits of
+    * the shard — each level the same ≤|buckets|-row aggregate →
+    * broadcast-verdict shape, shrinking the straddling cell by another
+    * 1/buckets (uniformly, because the digits are hash digits — no
+    * quality-tie degeneracy) — so the one in-cell cumulative window at
+    * the end sees ~N/buckets^(refineLevels+1) rows in expectation,
+    * never the corpus. Sizing rule for a target per-task row bound T:
+    * refineLevels ≈ ceil(log_buckets(N / T)) − 1; the default (100, 2)
+    * puts a 10^12-document corpus at ~10^6 window rows.
+    *
+    * Construction is EAGER: the corpus scoring pass, the per-level
+    * verdict tables, and the boundary set are `cut()` (checkpointed)
+    * while this method builds the plan, because the verdict joins are
+    * data-dependent dims whose broadcastability neither static
+    * planning nor AQE can prove from an agg subtree (SURVEY §5,
+    * broadcast-provability rule). Calling this to merely inspect a
+    * plan runs those jobs.
     */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
-                        budgetTokens: Long, buckets: Int = 100): DataFrame = {
+                        budgetTokens: Long, buckets: Int = 100,
+                        refineLevels: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(buckets > 1 && refineLevels >= 0, "buckets > 1, refineLevels >= 0")
+    require(math.pow(buckets.toDouble, refineLevels.toDouble) < 1e15,
+      "buckets^refineLevels must stay well inside long/double precision")
+    val shardMod = (0 until refineLevels)
+      .foldLeft(1L)((m, _) => m * buckets)
     // floor(nd / nt * buckets) — identical fixed-order double math in
-    // the DuckDB oracle, so bucket edges agree bit-for-bit.
+    // the DuckDB oracle, so bucket edges agree bit-for-bit. The shard
+    // is hash64md5("tb:" ++ id) mod buckets^refineLevels — md5 family,
+    // so the full selection order replays outside the JVM.
     val scored = docs
       .select(col(idCol).as("id"),
         Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
@@ -401,7 +427,9 @@ object Corpus {
       .filter(col("n_tokens") > 0)
       .select(col("id"), col("n_tokens"),
         floor(col("n_distinct").cast("double") / col("n_tokens") * buckets)
-          .cast("long").as("bucket"))
+          .cast("long").as("bucket"),
+        pmod(Text.hash64md5(concat(lit("tb:"), col("id").cast("string"))),
+          lit(shardMod)).as("shard"))
       .cut()
     // |buckets|-row frame: the unpartitioned window is bounded by the
     // bucket count, not the corpus. cut(): BOTH union branches consume
@@ -417,19 +445,51 @@ object Corpus {
     val joined = scored.join(broadcast(bcum), Seq("bucket"))
     // n_tokens ≥ 1 on every row, so before + btoks ≤ budget implies
     // every document's own prefix is strictly under budget.
-    val fullKeep = joined
-      .filter(col("before") + col("btoks") <= budgetTokens)
-      .select(col("id"), col("bucket"), col("n_tokens"))
-    val boundary = joined
+    val keeps = scala.collection.mutable.ArrayBuffer[DataFrame](
+      joined.filter(col("before") + col("btoks") <= budgetTokens)
+        .select(col("id"), col("bucket"), col("n_tokens")))
+    // ≤ one bucket straddles the budget. cut(): every refinement level
+    // and the final window read this ~N/buckets set, not the corpus.
+    var boundary = joined
       .filter(col("before") < budgetTokens &&
         col("before") + col("btoks") > budgetTokens)
+      .select(col("id"), col("bucket"), col("n_tokens"), col("shard"),
+        col("before"))
+      .cut()
+    var digitWeight = shardMod
+    for (_ <- 0 until refineLevels) {
+      digitWeight /= buckets
+      // Integer floor-division (`div`), not `/`: double division of
+      // long operands can round k−1/w up to k near the digit edges.
+      val dig = expr(s"shard div $digitWeight") % buckets
+      val cell = boundary.groupBy(dig.as("d"))
+        .agg(sum(col("n_tokens")).as("dtoks"))
+        .withColumn("dbefore",
+          coalesce(sum(col("dtoks")).over(
+            Window.orderBy(col("d").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .cut()
+      val j = boundary.join(broadcast(cell), dig === cell("d"))
+      keeps += j
+        .filter(col("before") + col("dbefore") + col("dtoks") <= budgetTokens)
+        .select(col("id"), col("bucket"), col("n_tokens"))
+      boundary = j
+        .filter(col("before") + col("dbefore") < budgetTokens &&
+          col("before") + col("dbefore") + col("dtoks") > budgetTokens)
+        .select(col("id"), col("bucket"), col("n_tokens"), col("shard"),
+          (col("before") + col("dbefore")).as("before"))
+    }
+    // The surviving straddling cell — N/buckets^(refineLevels+1) rows
+    // in expectation — pays the one in-cell cumulative window; shard
+    // is fully fixed inside it, so the residual order is id ASC.
+    keeps += boundary
       .withColumn("inb",
         coalesce(sum(col("n_tokens")).over(
           Window.partitionBy(col("bucket")).orderBy(col("id").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("before") + col("inb") < budgetTokens)
       .select(col("id"), col("bucket"), col("n_tokens"))
-    fullKeep.unionByName(boundary)
+    keeps.reduce(_ unionByName _)
   }
 
   /** Feature-hashing vectorizer (Weinberger et al., ICML'09; the

@@ -468,20 +468,28 @@ object GroupF2 {
     // f17's oracle IS the greedy prefix law the bucketed operator
     // implements: one global window here (fine at oracle scale; the
     // operator never runs it), strict-< on the tokens BEFORE each doc
-    // in (bucket DESC, doc_id ASC) order. Bucket math is the same
-    // fixed-order double expression as the Spark side.
-    "f17_token_budget" ->
+    // in (bucket DESC, shard ASC, doc_id ASC) order — shard is the
+    // md5-derived refinement value (mod 100^2 at the default
+    // buckets=100, refineLevels=2) whose base-100 digits the operator
+    // cuts on. Bucket math is the same fixed-order double expression
+    // as the Spark side; the hash is the shared hash64md5 parity
+    // construction.
+    "f17_token_budget" -> {
+      val h = DuckSql.hash64md5("'tb:' || cast(doc_id AS varchar)")
       s"""WITH w AS (SELECT doc_id, $duckToks AS words FROM documents),
          |d AS (SELECT doc_id, len(words) AS nt, len(list_distinct(words)) AS nd
          |      FROM w WHERE len(words) > 0),
          |s AS (SELECT doc_id, cast(nt AS bigint) AS n_tokens,
-         |        cast(floor(cast(nd AS DOUBLE) / nt * 100) AS bigint) AS bucket
+         |        cast(floor(cast(nd AS DOUBLE) / nt * 100) AS bigint) AS bucket,
+         |        (($h % 10000) + 10000) % 10000 AS shard
          |      FROM d),
          |o AS (SELECT doc_id, bucket, n_tokens,
-         |        coalesce(sum(n_tokens) OVER (ORDER BY bucket DESC, doc_id ASC
+         |        coalesce(sum(n_tokens) OVER (
+         |          ORDER BY bucket DESC, shard ASC, doc_id ASC
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
          |      FROM s)
-         |SELECT doc_id, bucket, n_tokens FROM o WHERE bef < 10000""".stripMargin,
+         |SELECT doc_id, bucket, n_tokens FROM o WHERE bef < 10000""".stripMargin
+    },
 
     // f18 replays the copy count exactly: floor(ep) plus the salted
     // md5-bucket fractional pick (same ":ep" salt), then fans out via

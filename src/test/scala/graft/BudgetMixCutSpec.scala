@@ -82,8 +82,20 @@ class BudgetMixCutSpec extends GraftSuite {
 
   // --- f17 tokenBudgetSelect ------------------------------------------
 
+  /** `Text.hash64md5` replayed in memory: first 8 md5 bytes,
+    * big-endian signed. */
+  private def h64(s: String): Long =
+    java.nio.ByteBuffer.wrap(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")), 0, 8).getLong
+
+  /** The operator's shard value at the (buckets=100, refineLevels=2)
+    * defaults: pmod(hash64md5("tb:" ++ id), 100^2). */
+  private def shardOf(id: Long): Long =
+    ((h64(s"tb:$id") % 10000) + 10000) % 10000
+
   /** The greedy-prefix law replayed in memory: docs ordered by
-    * (bucket desc, id asc), kept while the tokens before are < B. */
+    * (bucket desc, shard asc, id asc), kept while the tokens before
+    * are < B. */
   private def budgetWant(budget: Long): Seq[(Long, Long, Long)] = {
     val scored = Tables(spark, sfDir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
@@ -95,7 +107,7 @@ class BudgetMixCutSpec extends GraftSuite {
           Some((id, bucket, w.length.toLong))
         }
       }
-      .sortBy { case (id, bucket, _) => (-bucket, id) }
+      .sortBy { case (id, bucket, _) => (-bucket, shardOf(id), id) }
     var before = 0L
     scored.flatMap { case (id, bucket, nt) =>
       val keep = before < budget
@@ -108,10 +120,51 @@ class BudgetMixCutSpec extends GraftSuite {
     for (budget <- Seq(1L, 500L, 3000L, 1000000L)) {
       val got = Corpus.tokenBudgetSelect(
           Tables(spark, sfDir, "documents"), "doc_id", "text", budget)
-        .as[(Long, Long, Long)].collect().toSeq
-        .sortBy(r => (-r._2, r._1))
-      assert(got == budgetWant(budget), s"budget=$budget")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == budgetWant(budget).sortBy(_._1), s"budget=$budget")
     }
+  }
+
+  test("tokenBudgetSelect: tie-degenerate corpus — digit refinement bounds the window input") {
+    // 20k docs with IDENTICAL quality (all-distinct tokens → bucket
+    // 100 for every row) and a budget that straddles: the quality
+    // bucketing alone degenerates completely (the single boundary
+    // bucket IS the corpus — pre-round-8 this meant a corpus-sized
+    // window partition). The two hash-digit refinement levels must
+    // (a) still reproduce the in-memory greedy law exactly and
+    // (b) leave only the straddling 1/100^2 shard cell for the final
+    // window — a bound that holds regardless of quality ties because
+    // the digits are hash digits.
+    val n = 20000
+    val docs = (1L to n.toLong).map(i => (i, s"w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val budget = 3L * n / 2  // half the corpus tokens
+    val got = Corpus.tokenBudgetSelect(docs, "doc_id", "text", budget)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // In-memory law at the same (buckets, refineLevels) defaults.
+    val ordered = (1L to n.toLong)
+      .map(i => (i, 100L, 3L)).sortBy { case (id, _, _) => (shardOf(id), id) }
+    var before = 0L
+    val want = ordered.flatMap { case (id, b, nt) =>
+      val keep = before < budget
+      before += nt
+      if (keep) Some((id, b, nt)) else None
+    }.sortBy(_._1)
+    assert(got == want)
+    // The final straddling cell: rows whose full shard equals the
+    // shard at which the cumulative sum crosses the budget. Uniform
+    // hashing puts ~n/10^4 = 2 expected rows there; assert a loose
+    // bound that still catches any degeneration to a corpus-sized
+    // (or bucket-sized, n/100) window input.
+    var run = 0L
+    var crossShard = -1L
+    ordered.foreach { case (id, _, nt) =>
+      if (crossShard < 0 && run + nt > budget) crossShard = shardOf(id)
+      run += nt
+    }
+    val cellRows = (1L to n.toLong).count(id => shardOf(id) == crossShard)
+    assert(cellRows <= 50,
+      s"straddling cell should be ~n/10^4 rows, got $cellRows")
   }
 
   test("tokenBudgetSelect: budget 0 keeps nothing; huge budget keeps every non-empty doc") {
