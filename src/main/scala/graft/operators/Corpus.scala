@@ -363,6 +363,75 @@ object Corpus {
       md5(concat_ws(" ", col("kept")).cast("binary")).as("kept_hash"))
   }
 
+  /** The EXTRACTION half of the exact-substring family: the maximal
+    * duplicated spans of length ≥ `minLen` tokens, one row per span —
+    * (id, span_start 0-based, span_len, span_hash). [[dupSpans]]
+    * measures duplication and [[dupSpanCut]] excises it; this names
+    * the spans, the diagnostic a pipeline inspects before choosing a
+    * cut (and the general-length answer to "which spans ≥ L are
+    * duplicated" — not fixed-n: a 200-token duplicated region
+    * surfaces as ONE row of span_len 200).
+    *
+    * Correctness rests on the Lee et al. ACL'22 reduction: a position
+    * lies inside some corpus-duplicated substring of length ≥ L iff it
+    * is covered by a duplicated L-gram (a duplicated longer substring
+    * duplicates every L-window inside it; a duplicated L-gram IS such
+    * a substring). So the covered-position set from the fixed-n
+    * machinery at n = L is EXACTLY the general-length coverage, and
+    * maximal duplicated regions are the maximal runs of that set —
+    * pinned by the brute-force all-substring enumeration in
+    * BudgetMixCutSpec.
+    *
+    * Scale shape: the two gram-keyed aggregations of [[dupSpanCut]]
+    * (nothing all-pairs, no suffix structure), then runs come from the
+    * per-doc SORTED covered array by two indexed filters (a position
+    * starts a run iff it has no predecessor, ends one iff no
+    * successor) — document-bounded narrow lambdas, zero extra
+    * shuffles beyond the covered-set aggregation itself.
+    */
+  def dupSpanExtract(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int, minOccurrences: Long = 2L): DataFrame = {
+    val n = minLen
+    val toks = docs
+      .select(col(idCol).as("id"),
+        Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .cut()
+    val grams = toks
+      .select(col("id"),
+        posexplode(Text.shingles(col("toks"), n)).as(Seq("pos", "gram")))
+      .cut()
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences).select(col("gram"))
+    val covered = grams.join(hot, Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tokpos"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("tokpos"))).as("covered"))
+    // Run boundaries from the sorted array. element_at is 1-based and
+    // the lambda index 0-based, so element_at(covered, i) is the
+    // PREVIOUS element and element_at(covered, i+2) the NEXT; the
+    // `when` guards keep the out-of-range probes unevaluated (ANSI).
+    val runs = covered.join(toks, Seq("id"))
+      .select(col("id"), col("toks"),
+        filter(col("covered"), (x, i) =>
+          when(i === 0, lit(true))
+            .otherwise(element_at(col("covered"), i) =!= x - 1)).as("starts"),
+        filter(col("covered"), (x, i) =>
+          when(i === size(col("covered")) - 1, lit(true))
+            .otherwise(element_at(col("covered"), i + 2) =!= x + 1)).as("ends"))
+    runs
+      .select(col("id"), col("toks"),
+        explode(arrays_zip(col("starts"), col("ends"))).as("span"))
+      .select(col("id"),
+        col("span.starts").cast("long").as("span_start"),
+        (col("span.ends") - col("span.starts") + 1).cast("long")
+          .as("span_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("span.starts") + 1,
+            col("span.ends") - col("span.starts") + 1)).cast("binary"))
+          .as("span_hash"))
+  }
+
   /** Token-budget corpus selection: keep the highest-quality documents
     * until a token budget fills — the "best N tokens" cut every
     * fixed-compute training run makes (quality here = distinct-token

@@ -124,6 +124,20 @@ object GroupD {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
           col("kept_hash"))),
 
+    // d14: the EXTRACTION half of exact-substring dedup — the maximal
+    // duplicated spans ≥ L tokens themselves, one row each (d10
+    // measures, d12 cuts, this names the spans and their lengths; a
+    // 200-token duplicated region is ONE row, not 198 fixed-n hits).
+    // General-length via the Lee ACL'22 reduction: ≥L-substring
+    // coverage == duplicated-L-gram coverage, so maximal covered runs
+    // ARE the maximal duplicated regions. L=3 to suit the short
+    // synthetic docs; real corpora run L=50, same plan.
+    "d14_dup_span_extract" -> ((s, d) =>
+      graft.operators.Corpus.dupSpanExtract(
+          Tables(s, d, "documents"), "doc_id", "text", minLen = 3)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_len"),
+          col("span_hash"))),
+
     // d13: Bloom-filter prefilter for incremental dedup — d11's
     // question ("which of today's docs might collide with the
     // corpus") answered WITHOUT touching the corpus again: the
@@ -369,6 +383,33 @@ object GroupD {
          |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
          |  md5(coalesce(s, '')) AS kept_hash
          |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // d14 replays span extraction with a DIFFERENT plan: duplicated-
+    // 3-gram coverage, then maximal runs via gaps-and-islands
+    // (tokpos − row_number is constant within a consecutive run) vs
+    // Spark's narrow sorted-array boundary filters. span_hash pins
+    // the exact span text. Positions 1-based here, 0-based Spark-side.
+    "d14_dup_span_extract" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |g AS (SELECT doc_id,
+         |        unnest(${DuckSql.grams(3)}) AS gram,
+         |        unnest(generate_series(1, greatest(len(words) - 2, 0))) AS pos
+         |      FROM w),
+         |hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos
+         |        FROM g JOIN hot USING (gram)
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS off) o),
+         |isl AS (SELECT doc_id, tokpos,
+         |          tokpos - row_number() OVER (PARTITION BY doc_id
+         |                                      ORDER BY tokpos) AS grp
+         |        FROM cov),
+         |r AS (SELECT doc_id, min(tokpos) AS s1, count(*) AS len
+         |      FROM isl GROUP BY doc_id, grp)
+         |SELECT r.doc_id, cast(s1 - 1 AS bigint) AS span_start,
+         |  cast(len AS bigint) AS span_len,
+         |  md5(array_to_string(list_slice(w.words, s1, s1 + len - 1), ' '))
+         |    AS span_hash
+         |FROM r JOIN w USING (doc_id)""".stripMargin,
 
     // d13 replays the Bloom filter's SEMANTICS, not its bitmap plan:
     // a shingle is maybe-present iff all 7 of its md5-derived bit

@@ -59,6 +59,80 @@ class BudgetMixCutSpec extends GraftSuite {
     assert(got == want)
   }
 
+  // --- d14 dupSpanExtract ---------------------------------------------
+
+  test("dupSpanExtract: equals brute-force ALL-substring enumeration (the general-length law)") {
+    // The operator computes coverage from fixed-L grams; the claim is
+    // that this equals coverage by duplicated substrings of ANY length
+    // ≥ L (Lee ACL'22 reduction). Verify against an enumeration of
+    // every substring of every length — long duplicated region (5 >
+    // L=3), an intra-document repeat, and a unique doc.
+    val corpus = Seq(
+      (1L, "q a b c d e r s"),
+      (2L, "x a b c d e y z"),
+      (3L, "u v w u v w k"),
+      (4L, "p q r s t"))
+    val l = 3
+    val toks = corpus.map { case (id, t) => id -> toksOf(t) }.toMap
+    // count every (length ≥ L) substring occurrence corpus-wide
+    val occ = scala.collection.mutable.Map[Seq[String], Int]()
+    for ((_, w) <- toks; m <- l to w.length; p <- 0 to w.length - m)
+      occ.updateWith(w.slice(p, p + m).toSeq)(c => Some(c.getOrElse(0) + 1))
+    // coverage = positions under ANY duplicated substring; maximal runs
+    val want = toks.toSeq.flatMap { case (id, w) =>
+      val covered = (for {
+        m <- l to w.length; p <- 0 to w.length - m
+        if occ(w.slice(p, p + m).toSeq) >= 2
+        i <- p until p + m
+      } yield i).toSet.toSeq.sorted
+      val runs = covered.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+        case (acc, i) => (i, i) :: acc
+      }.reverse
+      runs.map { case (s, e) =>
+        (id, s.toLong, (e - s + 1).toLong, md5hex(w.slice(s, e + 1).mkString(" ")))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Corpus.dupSpanExtract(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", minLen = l)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // sanity of the fixture itself: one 5-token cross-doc span and one
+    // 6-token intra-doc run actually appear
+    assert(want.exists(r => r._3 == 5L) && want.exists(r => r._3 == 6L))
+  }
+
+  test("dupSpanExtract: matches an independent L-gram islands replay on sf0.001") {
+    val l = 3
+    val raw = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val gramOcc = scala.collection.mutable.Map[String, Int]()
+    val docGrams = raw.map { case (id, t) =>
+      val w = toksOf(t)
+      val gs = w.indices.dropRight(l - 1)
+        .map(p => (p, w.slice(p, p + l).mkString(" ")))
+      gs.foreach { case (_, g) =>
+        gramOcc.updateWith(g)(c => Some(c.getOrElse(0) + 1)) }
+      (id, w, gs)
+    }
+    val want = docGrams.flatMap { case (id, w, gs) =>
+      val covered = gs.filter(g => gramOcc(g._2) >= 2)
+        .flatMap(g => g._1 until g._1 + l).toSet.toSeq.sorted
+      val runs = covered.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+        case (acc, i) => (i, i) :: acc
+      }.reverse
+      runs.map { case (s, e) =>
+        (id, s.toLong, (e - s + 1).toLong, md5hex(w.slice(s, e + 1).mkString(" ")))
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = Corpus.dupSpanExtract(
+        Tables(spark, sfDir, "documents"), "doc_id", "text", minLen = l)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    assert(got.nonEmpty, "sf0.001 should contain duplicated 3-gram spans")
+  }
+
   test("dupSpanCut / tokenBudgetSelect: null text = empty document") {
     val docs = Seq((1L, Option("a b c d e")), (2L, None), (3L, Option("a b c d e")))
       .toDF("doc_id", "text")
