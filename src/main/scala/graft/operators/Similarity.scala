@@ -459,6 +459,72 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
+  /** Fit the IVF+PQ serving structures ONCE over a reference corpus —
+    * the (centroids, codebook) pair [[ivfPqIndexDelta]] assigns later
+    * arrival slices against. Both come back as checkpointed
+    * broadcast-sized dims (centroids: (cid, cvec); codebook:
+    * (s, cid, cvec) carrying the (m, ds) geometry stamp), i.e. the
+    * artifacts a serving pipeline persists once and re-reads daily.
+    * Parameters match [[knnIvfPq]]'s fit stage exactly, so an index
+    * built here serves the same searches.
+    *
+    * NOTE: fitting runs Spark jobs at CALL time (the Lloyd loops and
+    * the existence guards are actions by design — this is model
+    * fitting, not plan construction). `dim` is required trusted caller
+    * metadata, as everywhere in this file.
+    */
+  def ivfPqFit(corpus: DataFrame, idCol: String, vecCol: String,
+               centroidMod: Long = 37L, kmeansIters: Int = 2,
+               m: Int = 8, codewords: Int = 16, pqIters: Int = 2,
+               dim: Int = -1): (DataFrame, DataFrame) = {
+    requireDim(dim, "ivfPqFit")
+    require(dim % m == 0, s"ivfPqFit: dim $dim is not divisible by m = $m")
+    val unit = normalized(corpus, idCol, vecCol).cut()
+    val centroids = ivfFit(unit, centroidMod, kmeansIters, 100, 100, "ivfPqFit")
+    val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut()
+    (centroids, cb)
+  }
+
+  /** Incremental ANN index maintenance — the vector-side analogue of
+    * the d11 incremental dedup: assign a NEW embedding slice (the
+    * daily arrivals) to the EXISTING serving structures with NO refit
+    * and nothing corpus-wide recomputed. Output (id, cid, codes) =
+    * the inverted-list delta rows (coarse IVF cell + PQ codes, the
+    * [[knnIvfPq]] list layout); union them with yesterday's lists and
+    * the index is current. This is the operation a 100 TB serving
+    * corpus actually runs per ingest cycle — refitting centroids or
+    * codebooks per slice would both cost a full corpus pass and
+    * invalidate every stored code.
+    *
+    * Scale shape: one broadcast of the centroid dim against the slice
+    * (slice-sized, never corpus-sized), one broadcast codebook join
+    * for the code argmin, and one slice-keyed equi-join to glue
+    * (cid, codes) — all work is proportional to |slice|. Assignment
+    * and encoding reuse [[knnIvfPq]]'s exact argmax/argmin contracts
+    * (deterministic tie-breaks, rounded distances), so an
+    * incrementally-assigned vector lands in byte-identical list rows
+    * as a monolithic rebuild would put it (spec-pinned against an
+    * independent brute-force recomputation).
+    *
+    * (m, dim) are the codebook's build geometry — required trusted
+    * caller metadata, verified against the codebook's schema stamp
+    * when present ([[pqCodebook]] stamps it; transformations that
+    * rebuild the columns strip the stamp and fall back to trust).
+    */
+  def ivfPqIndexDelta(slice: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, codebook: DataFrame,
+                      m: Int = -1, dim: Int = -1): DataFrame = {
+    require(m > 0,
+      "ivfPqIndexDelta: pass the codebook's subspace count explicitly (m = ...)")
+    requireDim(dim, "ivfPqIndexDelta")
+    require(dim % m == 0, s"ivfPqIndexDelta: dim $dim is not divisible by m = $m")
+    val unit = normalized(slice, idCol, vecCol).cut()
+    val assigned = ivfAssign(unit, broadcast(centroids))
+      .select(col("id"), col("cid"))
+    assigned.join(quantizePq(unit, "id", "unit", codebook, m, dim), "id")
+      .select("id", "cid", "codes")
+  }
+
   /** Per-vector int8 scalar quantization — the 4× storage cut every
     * embedding store takes before ANN serving (float32 → uint8 per
     * dimension, per-vector min/max calibration). Returns (id, mn, mx,
@@ -614,10 +680,13 @@ object Similarity {
     // Stamp the build geometry into the schema so [[quantizePq]] can
     // verify its caller-supplied (m, dim) against the codebook with
     // zero driver jobs — a mismatched m would otherwise emit wrong,
-    // truncated codes with no error.
+    // truncated codes with no error. EVERY column carries the stamp,
+    // so common projections/renames keep verification alive; only a
+    // transform that rebuilds all three columns strips it (then
+    // quantizePq falls back to pure trust, as its scaladoc states).
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("pq.m", m.toLong).putLong("pq.ds", ds.toLong).build()
-    cb.withColumn("cvec", col("cvec").as("cvec", meta))
+    cb.select(cb.columns.toIndexedSeq.map(c => col(c).as(c, meta)): _*)
   }
 
   /** PQ codes: (id, codes array<int>) — codes(s) = the nearest
@@ -638,13 +707,15 @@ object Similarity {
     requireDim(dim, "quantizePq")
     require(dim % m == 0, s"quantizePq: dim $dim is not divisible by m = $m")
     val ds = dim / m
-    // [[pqCodebook]] stamps its build geometry into the schema; when
-    // present, verify the caller's values against it (zero driver
-    // jobs — schema metadata only). Hand-built codebooks without the
-    // stamp keep the pure trust contract.
+    // [[pqCodebook]] stamps its build geometry into the schema of
+    // every column; when ANY column still carries it, verify the
+    // caller's values against it (zero driver jobs — schema metadata
+    // only). Hand-built codebooks without the stamp — or codebooks
+    // whose columns were all rebuilt downstream, which strips schema
+    // metadata — keep the pure trust contract.
     locally {
-      val md = codebook.schema.fields.find(_.name == "cvec").map(_.metadata)
-      md.filter(_.contains("pq.m")).foreach { mm =>
+      val md = codebook.schema.fields.map(_.metadata).find(_.contains("pq.m"))
+      md.foreach { mm =>
         require(mm.getLong("pq.m") == m.toLong && mm.getLong("pq.ds") == ds.toLong,
           s"quantizePq: (m=$m, dim=$dim) disagree with the codebook's build " +
             s"geometry (m=${mm.getLong("pq.m")}, ds=${mm.getLong("pq.ds")})")

@@ -110,6 +110,27 @@ object GroupE {
         Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
           "vec_id", "embedding", k = 10))),
 
+    // e11: incremental ANN index maintenance — the vector-side
+    // analogue of d11's incremental dedup. The serving structures
+    // (IVF centroids + PQ codebook, e6's exact fit recipe) are built
+    // on the EXISTING corpus (ids % 10 != 0); the DAILY slice (every
+    // 10th id) then assigns against them with NO refit: nearest
+    // coarse cell + PQ codes per new vector — the inverted-list delta
+    // rows a serving index unions in per ingest cycle. Fully oracled:
+    // the fit replays e6's unrolled Lloyd/PQ CTEs on the old corpus,
+    // the assignment the same argmax/argmin tie-break contracts.
+    "e11_ann_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val old = e.filter(col("vec_id") % 10 =!= 0)
+      val slice = e.filter(col("vec_id") % 10 === 0)
+      val (cent, cb) = Similarity.ivfPqFit(old, "vec_id", "embedding",
+        dim = 64)
+      Similarity.ivfPqIndexDelta(slice, "vec_id", "embedding", cent, cb,
+          m = 8, dim = 64)
+        .select(col("id").as("vec_id"), col("cid"),
+          org.apache.spark.sql.functions.concat_ws(",", col("codes")).as("codes"))
+    }),
+
     // e10: radius retrieval — every corpus vector within cosine ≥ 0.35
     // of each query (the thresholded contract next to e2's top-k:
     // dedup candidate lookup / "all matches above the bar"). Same LSH
@@ -306,6 +327,57 @@ object GroupE {
          |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin,
+
+    // e11 replays the e6 fit machinery restricted to the OLD corpus
+    // (CTE `uu` — the fit set every lloydIter/pqIter references, here
+    // ids % 10 != 0), then assigns the slice (`su`) with the same
+    // argmax-dot (centroid) and 6-dp-rounded argmin (codes) contracts
+    // as the Spark operators. Codes emit in canonical csv form like
+    // e5.
+    "e11_ann_incremental" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         |nr AS (SELECT vec_id, vd,
+         |         sqrt(list_reduce(list_transform(vd, x -> x * x),
+         |              (a, b) -> a + b)) AS nrm FROM e),
+         |au AS (SELECT vec_id AS id,
+         |         CASE WHEN nrm = 0 THEN vd
+         |              ELSE list_transform(vd, x -> x / nrm) END AS un FROM nr),
+         |uu AS (SELECT id, un FROM au WHERE id % 10 <> 0),
+         |su AS (SELECT id, un FROM au WHERE id % 10 = 0),
+         |c0 AS (SELECT id AS cid, un AS cvec FROM uu WHERE id % 37 = 0),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |subs AS (SELECT id, s, un[s * 8 + 1 : s * 8 + 8] AS sub FROM uu, sp),
+         |sd AS (SELECT id, un FROM uu ORDER BY id LIMIT 16),
+         |cb0 AS (SELECT s, id AS cid, un[s * 8 + 1 : s * 8 + 8] AS cvec
+         |        FROM sd, sp),
+         |${pqIter("cb0", "cb1")},
+         |${pqIter("cb1", "cb2")},
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id
+         |                 ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM (SELECT s2.id, c.cid,
+         |          list_reduce(list_transform(generate_series(1, 64),
+         |            i -> s2.un[i] * c.cvec[i]), (x, y) -> x + y) AS dot
+         |        FROM su s2, c2 c) q) WHERE rn = 1),
+         |ssub AS (SELECT id, s, un[s * 8 + 1 : s * 8 + 8] AS sub FROM su, sp),
+         |scd AS (SELECT id, s, cid AS code FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id, s
+         |                 ORDER BY d2r ASC, cid ASC) AS rn
+         |  FROM (SELECT sb.id, sb.s, c.cid,
+         |          round(list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> sb.sub[i] * sb.sub[i]), (x, y) -> x + y)
+         |            + list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * c.cvec[i]), (x, y) -> x + y)
+         |            - 2 * list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * sb.sub[i]), (x, y) -> x + y), 6) AS d2r
+         |        FROM ssub sb JOIN cb2 c USING (s)) q) WHERE rn = 1),
+         |cds AS (SELECT id, string_agg(cast(code AS string), ',' ORDER BY s)
+         |          AS codes
+         |        FROM scd GROUP BY 1)
+         |SELECT a.id AS vec_id, a.cid, c.codes
+         |FROM asg a JOIN cds c USING (id)""".stripMargin,
 
     "e1_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

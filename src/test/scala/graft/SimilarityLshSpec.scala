@@ -238,4 +238,53 @@ class SimilarityLshSpec extends GraftSuite {
       assert(const.toSeq == Seq(0, 0, 0))
     } finally q.unpersist()
   }
+
+  test("e11: ivfPqIndexDelta equals an independent brute-force recomputation") {
+    import org.apache.spark.sql.functions.concat_ws
+    val old = emb.filter($"vec_id" % 10 =!= 0)
+    val slice = emb.filter($"vec_id" % 10 === 0)
+    val (cent, cb) = Similarity.ivfPqFit(old, "vec_id", "embedding", dim = 64)
+    val delta = Similarity
+      .ivfPqIndexDelta(slice, "vec_id", "embedding", cent, cb, m = 8, dim = 64)
+      .select($"id", $"cid", concat_ws(",", $"codes").as("codes"))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // Independent reimplementation: collect the (tiny) structures and
+    // the slice, recompute every assignment in plain Scala with the
+    // operators' stated contracts (ascending-index dots, argmax dot
+    // with cid-asc tie-break, 6-dp-rounded argmin with cid-asc
+    // tie-break), and demand byte-identical delta rows.
+    val cents = cent.select($"cid", $"cvec").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val books = cb.select($"s", $"cid", $"cvec").as[(Int, Long, Array[Double])]
+      .collect()
+    val raw = slice.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+    assert(raw.nonEmpty && raw.length == delta.size,
+      s"expected one delta row per slice vector (${raw.length} vs ${delta.size})")
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    raw.foreach { case (id, fv) =>
+      val v = fv.map(_.toDouble)
+      var n2 = 0.0; v.foreach(x => n2 += x * x)
+      val nrm = math.sqrt(n2)
+      val u = if (nrm == 0.0) v else v.map(_ / nrm)
+      val bestCid = cents.map { case (cid, cv) => (dot(u, cv), cid) }
+        .reduceLeft((a, b) =>
+          if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)._2
+      val codes = (0 until 8).map { s =>
+        val sub = u.slice(s * 8, s * 8 + 8)
+        books.filter(_._1 == s).map { case (_, cid, cw) =>
+          (round6(dot(sub, sub) + dot(cw, cw) - 2.0 * dot(cw, sub)), cid)
+        }.minBy(identity)._2
+      }.mkString(",")
+      assert(delta(id) == ((bestCid, codes)), s"vector $id mismatch")
+    }
+  }
 }
