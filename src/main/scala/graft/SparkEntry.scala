@@ -16,7 +16,7 @@ object SparkEntry {
       graft.queries.GroupC2.queries ++
       graft.queries.GroupD.queries ++ graft.queries.GroupE.queries ++
       graft.queries.GroupF.queries ++ graft.queries.GroupF2.queries ++
-      graft.queries.GroupG.queries ++
+      graft.queries.GroupG.queries ++ graft.queries.GroupG2.queries ++
       graft.queries.GroupP.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,6 +28,6 @@ object SparkEntry {
       graft.queries.GroupC2.oracles ++
       graft.queries.GroupD.oracles ++ graft.queries.GroupE.oracles ++
       graft.queries.GroupF.oracles ++ graft.queries.GroupF2.oracles ++
-      graft.queries.GroupG.oracles ++
+      graft.queries.GroupG.oracles ++ graft.queries.GroupG2.oracles ++
       graft.queries.GroupP.oracles
 }

@@ -303,10 +303,20 @@ object Sessions {
   def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800L,
                  watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // Batch-mode contract: on a non-streaming input the watermark is
+    // +∞ (one invocation sees a user's whole history), so every
+    // session finalizes and the output equals the batch g1 gap
+    // sessionization — the SAME lambda the streaming sink sees, which
+    // is what lets the correctness gate oracle this code path
+    // (g12_stream_sessionize). Watermark/timeout state-store calls
+    // are gated on `streaming`: they throw without a real watermark.
+    val streaming = events.isStreaming
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionizerState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[SessionEvent],
          state: GroupState[SessionizerState]) =>
           val prior = state.getOption.map(_.open).getOrElse(Nil)
@@ -323,15 +333,19 @@ object Sessions {
                   last.n_events + s.n_events) :: rest
               case (acc, s) => s :: acc
             }.reverse
-          // Finalize every session the watermark has sealed.
-          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          // Finalize every session the watermark has sealed (batch:
+          // everything — no more data can arrive).
+          val wmSec =
+            if (streaming) state.getCurrentWatermarkMs() / 1000L
+            else Long.MaxValue / 1000L
           val (done, live) = merged.partition(_.end_es + gapSec <= wmSec)
           if (live.isEmpty) state.remove()
           else {
             state.update(SessionizerState(live))
             // Wake when the earliest live horizon passes (strictly
             // above the current watermark by construction).
-            state.setTimeoutTimestamp((live.map(_.end_es).min + gapSec) * 1000L)
+            if (streaming)
+              state.setTimeoutTimestamp((live.map(_.end_es).min + gapSec) * 1000L)
           }
           done.iterator.map(s =>
             SessionOut(userId, s.start_es, s.end_es, s.n_events))
