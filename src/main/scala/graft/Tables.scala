@@ -43,9 +43,14 @@ object Tables {
     * timestamps the oracle reads from these files.
     *
     * Both conversions are SESSION-INDEPENDENT on purpose:
-    *  - nanos→micros uses integral `div` (a long/long `/` promotes to
-    *    double, whose 2^53 mantissa makes ~2e18 epoch nanos round by
-    *    up to 256 ns — a ±1 µs drift vs an exact integer conversion);
+    *  - nanos→micros uses integral FLOOR division (subtract the
+    *    non-negative `pmod` remainder, then exact `div`): a long/long
+    *    `/` promotes to double, whose 2^53 mantissa makes ~2e18 epoch
+    *    nanos round by up to 256 ns, and a bare `div` truncates
+    *    TOWARD ZERO — a pre-1970 nanos value with a sub-µs remainder
+    *    would land 1 µs above the floor conversion DuckDB's native
+    *    TIMESTAMP_NS read produces. Floor matches it on both sides of
+    *    the epoch;
     *  - NTZ→LTZ goes through wall-clock microseconds since the NTZ
     *    epoch (`timestampdiff` on two NTZ operands is pure calendar
     *    arithmetic) rather than a cast, which would silently shift
@@ -55,7 +60,8 @@ object Tables {
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", timestamp_micros(
           expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))

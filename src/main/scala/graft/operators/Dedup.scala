@@ -52,7 +52,14 @@ object Dedup {
     * job ([[overCapShingles]]' eager cut) then reads stored blocks
     * instead of recomputing the tokenize→explode→distinct pipeline,
     * and the anti-join probe side reuses the same blocks — one
-    * materialization of the heaviest shuffle instead of two. */
+    * materialization of the heaviest shuffle instead of two.
+    *
+    * Consequently this RUNS JOBS AT CONSTRUCTION when `dfCap > 0`
+    * (both checkpoints are actions): the tradeoff that makes the
+    * drop-set's broadcast provable to the planner instead of hoped
+    * from AQE (see [[Relational.overlapPairs]] — same contract).
+    * Plan-inspection callers that must stay job-free pass
+    * `dfCap = 0`. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int, dfCap: Long = 0L): DataFrame = {
     val sh = docs

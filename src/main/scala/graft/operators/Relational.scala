@@ -128,6 +128,16 @@ object Relational {
     * and without the filter the array path's groupBy would collect
     * all null-element ids into one group and the two paths would
     * disagree.
+    *
+    * RUNS JOBS AT CONSTRUCTION when `dfCap > 0`: the over-cap element
+    * set is eagerly checkpointed (a real Spark job over the edge
+    * aggregation) so the planner can SEE its materialized size and
+    * prove the broadcast of the anti-join cut — a plan built from an
+    * agg subtree above a shuffle carries no usable size estimate, and
+    * on poor-stats sessions the cut otherwise degrades to a full SMJ
+    * of the edge stream (measured; see the r7 round log). Plan-
+    * inspection tooling that must stay job-free should call with
+    * `dfCap = 0` or explain the uncapped plan.
     */
   def overlapPairs(edges: DataFrame, idCol: String,
                    elemCol: String, dfCap: Long = 0L,

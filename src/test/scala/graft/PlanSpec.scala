@@ -284,6 +284,17 @@ class PlanSpec extends GraftSuite {
       val mem = Tables(spark, sfDir, "lineitem")
         .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
         .distinct()
+      // Testdata precondition, asserted FIRST: the over-cap set must
+      // be non-empty, or AQE's empty-relation propagation eliminates
+      // the anti join entirely and the broadcast assertion below
+      // would fail with the mechanism under test perfectly healthy —
+      // a regenerated-testdata failure must read as this named
+      // precondition, not a planner regression.
+      val maxDf = mem.groupBy("member").count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxDf > 40L,
+        s"precondition: no member exceeds dfCap=40 (max df $maxDf) — " +
+          "regenerated testdata? lower the test's dfCap")
       val undirected = operators.Relational
         .overlapPairs(mem, "coll", "member", dfCap = 40L)
         .filter(col("overlap") >= 2)

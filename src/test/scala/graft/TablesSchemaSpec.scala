@@ -57,14 +57,19 @@ class TablesSchemaSpec extends GraftSuite {
     import ss.implicits._
     withTempDir("graft-nanos-") { dir =>
       val wallMicros = 1700000000000000L // 2023-11-14T22:13:20 UTC
-      Seq((1L, wallMicros * 1000L + 999L, 7L, "view", 1.0, "{}"))
+      // Row 2 is PRE-EPOCH with a non-zero sub-µs remainder: the
+      // conversion must FLOOR (to -5 µs), matching DuckDB's native
+      // TIMESTAMP_NS read — a truncating div would land on -4 µs.
+      Seq((1L, wallMicros * 1000L + 999L, 7L, "view", 1.0, "{}"),
+          (2L, -4001L, 7L, "view", 1.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val got = Tables(spark, dir, "events")
       assert(got.schema("ts").dataType === TimestampType)
-      val epochMicros = got.select(unix_micros(col("ts"))).head().getLong(0)
-      assert(epochMicros === wallMicros,
-        s"nanos->micros conversion drifted: $epochMicros != $wallMicros")
+      val micros = got.orderBy(col("event_id"))
+        .select(unix_micros(col("ts"))).as[Long].collect().toSeq
+      assert(micros === Seq(wallMicros, -5L),
+        s"nanos->micros conversion drifted: $micros != Seq($wallMicros, -5)")
     }
   }
 
