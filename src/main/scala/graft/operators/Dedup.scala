@@ -45,7 +45,11 @@ object Dedup {
   }
 
   /** Distinct (id, shingle) pairs, optionally dropping shingles whose
-    * document frequency exceeds `dfCap` (0 = keep all).
+    * document frequency exceeds `dfCap` (0 = keep all). Cap sizing is
+    * [[Relational.overlapPairs]]' rule: largest downstream join task
+    * ≈ cap² pairs, so cap ≈ √(per-task pair budget) — 10⁴ by default
+    * at corpus scale; a shingle in > 10⁴ documents identifies
+    * boilerplate, not duplication, so the cut costs recall nothing.
     *
     * With a dfCap the distinct stream is checkpointed FIRST and the
     * over-cap set derived from the checkpointed frame: the drop-set

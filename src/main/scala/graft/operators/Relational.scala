@@ -111,6 +111,15 @@ object Relational {
     * every other join task. The skew bound becomes Σ min(df, cap)²,
     * at the declared cost that overlap counts ignore capped elements.
     *
+    * SIZING the cap: the largest single join task is ~cap² pairs, so
+    * for a per-task pair budget P pick cap ≈ √P — cap = 10⁴ bounds
+    * every bucket at 10⁸ candidate pairs (minutes of one core),
+    * independent of corpus size. Semantically the cap should sit
+    * above the largest df that still DISCRIMINATES (an element shared
+    * by 10⁵ ids says nothing about any pair); raising it past that
+    * buys cost, not recall. The default 0 (no cap) is for dim-scale
+    * inputs only.
+    *
     * `boundedDf = true` opts into the collected-array pair generator:
     * pairs are emitted by combinations from each element's collected
     * id array instead of a self-join — born ordered, half the

@@ -100,7 +100,16 @@ object Sketches {
     * estimates ([[cmsEstimate]]) overestimate by at most e/width · N
     * with probability 1 − e^(−depth). md5-derived KM positions (one
     * digest per item — see [[cmsPositions]]) make the counters — and
-    * every estimate — engine-replayable. */
+    * every estimate — engine-replayable.
+    *
+    * SIZING (the defaults are sf-scale, not cluster-scale): for a
+    * target absolute overcount ε·N pick width ≈ e/ε — e.g. ±0.01% of
+    * a 10¹² item stream needs width ≈ 27 000 (~2⁷ KB per depth row
+    * as longs) — and depth = ceil(ln 1/δ) for failure probability δ
+    * (depth 4 ≈ δ 0.018, depth 7 ≈ δ 0.001). The sketch stays a
+    * broadcastable dim at ANY width a single machine would ever use;
+    * the only corpus-scale cost is the depth-row fan-out, linear in
+    * depth. */
   def cmsCounters(items: DataFrame, keyCol: String, depth: Int = 4,
                   width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
