@@ -132,6 +132,13 @@ object ScaleProbe {
     lazy val emb = Tables(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").localCheckpoint()
     lazy val embK = scaled(emb, Seq("vec_id"))
+    lazy val embSlice = emb.filter(col("vec_id") % 10 === 0).localCheckpoint()
+    lazy val embSliceK = scaled(embSlice, Seq("vec_id"))
+    // e11's serving structures: fit ONCE on the non-slice corpus,
+    // untimed — they are the persisted daily dims, identical for both
+    // probe sides by construction (no refit is the operator contract).
+    lazy val ivfStructs = graft.operators.Similarity.ivfPqFit(
+      emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", dim = 64)
     lazy val slice = docsFull.filter(col("doc_id") % 10 === 0)
       .select("doc_id", "text").localCheckpoint()
     lazy val corpus1 = docsFull.filter(col("doc_id") % 10 =!= 0)
@@ -385,6 +392,18 @@ object ScaleProbe {
       ("p3 custom",
         () => noop(GroupP.customPipeline(cust)),
         () => noop(GroupP.customPipeline(custK))),
+      // e11: FIXED serving structures (the persisted daily dims — fit
+      // once, untimed), K× key-shifted slice. Assignment + encoding
+      // flow through two broadcast dims and one slice-keyed join, so
+      // cost must be ∝ |slice|: a corpus-sized term would read as a
+      // constant floor, slice self-interaction as super-linearity.
+      ("e11 index-delta",
+        () => noop(graft.operators.Similarity.ivfPqIndexDelta(
+          embSlice, "vec_id", "embedding",
+          ivfStructs._1, ivfStructs._2, m = 8, dim = 64)),
+        () => noop(graft.operators.Similarity.ivfPqIndexDelta(
+          embSliceK, "vec_id", "embedding",
+          ivfStructs._1, ivfStructs._2, m = 8, dim = 64))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the

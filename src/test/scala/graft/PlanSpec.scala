@@ -48,6 +48,40 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("g10/g12: the stateful lambdas cost exactly one user_id shuffle") {
+    for (q <- Seq("g10_stream_funnel", "g12_stream_sessionize")) {
+      val p = plan(q)
+      assert(p.contains("MapGroups"),
+        s"$q should execute the flatMapGroupsWithState lambda\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q should shuffle once on the grouping key, nothing more\n$p")
+    }
+  }
+
+  test("g13: attribution is an equi-join on user_id, never a cross product") {
+    val p = plan("g13_stream_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride the user_id equi-join as a residual\n$p")
+    assert(p.contains("EqualTo(event_type,click)"),
+      s"click filter must reach the scan\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"purchase filter must reach the scan\n$p")
+  }
+
+  test("e11: the index delta broadcasts both serving structures") {
+    val q = SparkEntry.queries("e11_ann_incremental")(spark, sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    // Centroid assignment: broadcast(centroids) under a crossJoin —
+    // a broadcast nested loop by construction, never a shuffle of the
+    // slice against the centroid set.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the centroid dim\n$p")
+    // Code assignment: the codebook rides a broadcast hash join.
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook join must broadcast\n$p")
+  }
+
   test("a21: asof join costs exactly its two keyed shuffles, filters pushed") {
     val p = plan("a21_asof_join")
     // One exchange for the right-side (user, ts) dedup agg, one for the
