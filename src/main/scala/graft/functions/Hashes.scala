@@ -34,9 +34,14 @@ object Hashes {
   /** Committed EIP-137 expected-vectors parquet (name → namehash hex),
     * generated once by tools/gen_namehash_vectors.py from an
     * independent pure-Python keccak. Both the Spark side (a23's query)
-    * and the DuckDB oracle read this same file, so the path must be
-    * resolvable outside the JVM — default is the absolute repo
-    * location; `GRAFT_VECTORS_PATH` overrides for other checkouts. */
+    * and the DuckDB oracle read this same file, so the path must be a
+    * plain filesystem path resolvable OUTSIDE the JVM (DuckDB can't
+    * read from a classpath) — resolved relative to the working
+    * directory of whatever launched the session, which for sbt/driver
+    * runs is the checkout root; `GRAFT_VECTORS_PATH` overrides when
+    * the session runs elsewhere. */
   val vectorsPath: String = sys.env.getOrElse("GRAFT_VECTORS_PATH",
-    "/root/repo/src/main/resources/graft/namehash_vectors.parquet")
+    java.nio.file.Paths.get(
+      "src/main/resources/graft/namehash_vectors.parquet")
+      .toAbsolutePath.toString)
 }

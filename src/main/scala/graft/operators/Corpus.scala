@@ -364,13 +364,22 @@ object Corpus {
   }
 
   /** The EXTRACTION half of the exact-substring family: the maximal
-    * duplicated spans of length ≥ `minLen` tokens, one row per span —
-    * (id, span_start 0-based, span_len, span_hash). [[dupSpans]]
-    * measures duplication and [[dupSpanCut]] excises it; this names
-    * the spans, the diagnostic a pipeline inspects before choosing a
-    * cut (and the general-length answer to "which spans ≥ L are
-    * duplicated" — not fixed-n: a 200-token duplicated region
-    * surfaces as ONE row of span_len 200).
+    * duplicated REGIONS of length ≥ `minLen` tokens, one row per
+    * region — (id, span_start 0-based, span_len, span_hash).
+    * [[dupSpans]] measures duplication and [[dupSpanCut]] excises it;
+    * this names the regions, the diagnostic a pipeline inspects
+    * before choosing a cut (and the general-length answer to "which
+    * positions sit in duplicated text ≥ L" — not fixed-n: a 200-token
+    * duplicated region surfaces as ONE row of span_len 200).
+    *
+    * A region is the union of OVERLAPPING duplicated substrings —
+    * every position in it lies inside some corpus-duplicated
+    * substring of length ≥ L, but the region's FULL text need not
+    * recur verbatim anywhere (its halves may duplicate against
+    * different partners). `span_hash` therefore fingerprints the
+    * region's text for inspection and within-corpus grouping of
+    * identically-repeated regions; equal full-region recurrence is
+    * not the contract, coverage is.
     *
     * Correctness rests on the Lee et al. ACL'22 reduction: a position
     * lies inside some corpus-duplicated substring of length ≥ L iff it

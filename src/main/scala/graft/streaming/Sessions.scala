@@ -272,7 +272,11 @@ object Sessions {
           var (v, c, p) = (prior.t_view, prior.t_click, prior.t_purchase)
           val out = scala.collection.mutable.ListBuffer[FunnelStage]()
           for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
-            val es = e.ts.getTime / 1000L
+            // floorDiv, not /: a plain long division truncates toward
+            // zero, putting a pre-epoch sub-second event one second
+            // late vs the floor(epoch(ts)) convention every batch
+            // query and oracle in this repo uses.
+            val es = Math.floorDiv(e.ts.getTime, 1000L)
             e.event_type match {
               case "view" if v < 0 || es < v =>
                 if (v < 0) out += FunnelStage(userId, 1, es)
@@ -321,7 +325,11 @@ object Sessions {
          state: GroupState[SessionizerState]) =>
           val prior = state.getOption.map(_.open).getOrElse(Nil)
           val fresh = batch.map { e =>
-            val es = e.ts.getTime / 1000L
+            // floorDiv, not /: a plain long division truncates toward
+            // zero, putting a pre-epoch sub-second event one second
+            // late vs the floor(epoch(ts)) convention every batch
+            // query and oracle in this repo uses.
+            val es = Math.floorDiv(e.ts.getTime, 1000L)
             SessionState(es, es, 1L)
           }.toList
           // Interval merge under the gap rule (sort by start; a session

@@ -11,18 +11,6 @@ import org.apache.spark.sql.functions._
   */
 class QuickstartSpec extends GraftSuite {
 
-  private def withTempDir[A](prefix: String)(f: String => A): A = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    try f(dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
-  }
-
   test("README quickstart: read -> dedup -> ANN -> select -> write") {
     // 1 — read (the README reads s3 paths; same columns here).
     val docs = Tables(spark, sfDir, "documents")

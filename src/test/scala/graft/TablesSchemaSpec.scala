@@ -32,17 +32,6 @@ class TablesSchemaSpec extends GraftSuite {
     assert(lo > 946684800L && hi < 4102444800L, s"ts epoch range off: [$lo, $hi]")
   }
 
-  private def withTempDir[A](prefix: String)(f: String => A): A = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    try f(dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
-    }
-  }
 
   test("legacy nanos-as-long events files still convert (LongType branch)") {
     // The regenerated testdata no longer exercises the legacy
