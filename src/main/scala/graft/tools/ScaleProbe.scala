@@ -209,6 +209,20 @@ object ScaleProbe {
         entities, c, edges, topK = 5, closureUniquePaths = true)
     // g5: two-level exact distinct (shifted user ids multiply the
     // per-window distinct-user count — the audience-grows direction).
+    // The registered g10/g12 batch-mode bodies (the stateful lambdas
+    // themselves — one shuffle on user_id, then the per-group DP).
+    def funnelLambda(e: DataFrame): DataFrame = {
+      import spark.implicits._
+      graft.streaming.Sessions.funnelStages(
+        e.select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts")).as[graft.streaming.FunnelEvent]).toDF()
+    }
+    def sessionLambda(e: DataFrame): DataFrame = {
+      import spark.implicits._
+      graft.streaming.Sessions.sessionize(
+        e.select(col("user_id"), col("event_id"), col("ts"))
+          .as[graft.streaming.SessionEvent]).toDF()
+    }
     def windowDistinct(e: DataFrame): DataFrame =
       e.groupBy((floor(col("ts").cast("double") / 3600).cast("long") * 3600)
             .as("window_es"), col("event_type"), col("user_id"))
@@ -310,6 +324,23 @@ object ScaleProbe {
       ("d12 span-cut",
         () => noop(Corpus.dupSpanCut(docs, "doc_id", "text", n = 3)),
         () => noop(Corpus.dupSpanCut(docsK, "doc_id", "text", n = 3))),
+      // d14: same gram-keyed soundness argument as d12 (occurrences,
+      // never pairs); the per-doc covered arrays and the island
+      // boundary filters are doc-length-bounded, so K× docs must
+      // scale the two gram aggs linearly and nothing else.
+      ("d14 span-extract",
+        () => noop(Corpus.dupSpanExtract(docs, "doc_id", "text", minLen = 3)),
+        () => noop(Corpus.dupSpanExtract(docsK, "doc_id", "text", minLen = 3))),
+      // g10/g12: the stateful lambdas in batch mode — K× shifted
+      // users = K× groups with the SAME per-user history, so the one
+      // user_id shuffle and the per-group DP both scale on users; a
+      // super-linear reading would expose per-batch state that grows
+      // with population (precisely what the bounded-state design
+      // forbids).
+      ("g10 funnel-lambda",
+        () => noop(funnelLambda(ev)), () => noop(funnelLambda(evK))),
+      ("g12 session-lambda",
+        () => noop(sessionLambda(ev)), () => noop(sessionLambda(evK))),
       // f17: duplicated docs multiply per-bucket token sums; the
       // bucket table stays ≤ 100 rows and verdicts broadcast, so cost
       // must scale on the two corpus passes (count + filter) alone.
