@@ -413,4 +413,47 @@ object Dedup {
       .groupBy(probeCols: _*)
       .agg(expr("bool_and(__hit)").as("maybe_present"))
   }
+
+  /** Pair-set acceptance gate — [[Similarity.recallAt]]'s role for
+    * the dedup family: before a corpus-scale dedup run commits to a
+    * candidate-generator configuration (bands × rows, hamming radius,
+    * dfCap), measure it against the exact pair set on a sample. Takes
+    * any two (id_a, id_b, …) pair frames — `candidate` from a sketch
+    * path ([[minhashLshPairs]], [[simhashPairs]],
+    * [[Similarity.cosinePairsLsh]]), `truth` from the exact one
+    * ([[ngramJaccardPairs]], [[Similarity.cosinePairs]]) — and
+    * returns ONE row: (n_truth, n_candidate, n_matched, precision,
+    * recall). Orientation is normalized (least, greatest) and both
+    * sides deduped, so either ordering convention works; empty sides
+    * score 0, never divide-by-zero.
+    *
+    * Scale shape: one narrow normalization + distinct per side, one
+    * full-outer join on the pair key (each input computed ONCE — the
+    * join feeds every count, so no side is re-evaluated per metric),
+    * one map-side-combinable aggregate. Inputs are pair-set-sized,
+    * and at corpus scale the evaluation runs on a SAMPLE — the exact
+    * side is quadratic-ish by nature, which is exactly why this gate
+    * exists (the e9 doctrine: tune on a slice, serve the sketch).
+    *
+    * Cross-engine exactness: integer counts plus two small-integer
+    * ratios rounded to 4 dp — no float path at all.
+    */
+  def pairsEval(candidate: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame, marker: String) = df.select(
+        least(col("id_a"), col("id_b")).as("pa"),
+        greatest(col("id_a"), col("id_b")).as("pb"))
+      .distinct()
+      .withColumn(marker, lit(1L))
+    norm(truth, "__t")
+      .join(norm(candidate, "__c"), Seq("pa", "pb"), "full_outer")
+      .agg(count(col("__t")).as("n_truth"),
+        count(col("__c")).as("n_candidate"),
+        coalesce(sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_matched"))
+      .select(col("n_truth"), col("n_candidate"), col("n_matched"),
+        round(col("n_matched").cast("double") /
+          greatest(col("n_candidate"), lit(1L)), 4).as("precision"),
+        round(col("n_matched").cast("double") /
+          greatest(col("n_truth"), lit(1L)), 4).as("recall"))
+  }
 }

@@ -43,6 +43,21 @@ object GroupD {
         "doc_id", "text", n = 3, tau = 0.5)
     }),
 
+    // d15: the dedup acceptance gate — e9's recall evaluation for the
+    // pair generators: the MinHash-LSH candidate set (d3's proven
+    // sketch replay) measured against the exact Jaccard truth set
+    // (d2's) in one row of counts + precision/recall. The tune-on-a-
+    // sample step every corpus-scale dedup run takes before choosing
+    // bands × rows.
+    "d15_dedup_eval" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.pairsEval(
+        candidate = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, bands = 8, rows = 4, minEstJaccard = 0.5),
+        truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.5))
+    }),
+
     // d5 is the EXACT all-pairs variant — the validation-scale gate
     // the LSH path is measured against (and the oracle target, since
     // DuckDB can replay it). d6 is the same contract at scale:
@@ -313,6 +328,60 @@ object GroupD {
          |  round(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
          |FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
          |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5""".stripMargin,
+
+    // d15 composes the two PROVEN pair oracles over one shared
+    // shingle CTE pair (w/sh — identical text in d2's and d3's
+    // replays): the exact-Jaccard truth set (tp) and the MinHash
+    // candidate set (cp), full-outer joined on the oriented pair key
+    // and counted. Both generators emit id_a < id_b, so the
+    // operator's least/greatest normalization is the identity here.
+    "d15_dedup_eval" ->
+      s"""WITH $jaccardCte,
+         |tp AS (SELECT id_a AS pa, id_b AS pb
+         |       FROM shared JOIN sz x ON id_a = x.doc_id
+         |                   JOIN sz y ON id_b = y.doc_id
+         |       WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+         |hx AS (SELECT doc_id AS id, md5(shingle) AS h FROM sh),
+         |ws AS (SELECT id,
+         |         ${DuckSql.hexFold("substr(h, 1, 8)")} AS w0,
+         |         ${DuckSql.hexFold("substr(h, 9, 8)")} AS w1,
+         |         ${DuckSql.hexFold("substr(h, 17, 8)")} AS w2,
+         |         ${DuckSql.hexFold("substr(h, 25, 8)")} AS w3
+         |       FROM hx),
+         |ab AS (SELECT id, i, (w0 + (2 * i + 1) * w2) % 4294967296 AS a,
+         |               (w1 + (2 * i + 1) * w3) % 4294967296 AS b
+         |       FROM ws, (SELECT unnest(generate_series(0, 31)) AS i) seeds),
+         |comp AS (SELECT id, i,
+         |           min((CASE WHEN a >= 2147483648 THEN a - 4294967296 ELSE a END)
+         |               * 4294967296 + b) AS sig
+         |         FROM ab GROUP BY 1, 2),
+         |bnd AS (SELECT id, i // 4 AS band,
+         |          string_agg(cast(sig AS varchar), ',' ORDER BY i) AS csv
+         |        FROM comp GROUP BY 1, 2),
+         |bk AS (SELECT id, band, ${DuckSql.hash64md5("band || ':' || csv")} AS bucket
+         |       FROM bnd),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bk a JOIN bk b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |est AS (SELECT c.id_a, c.id_b,
+         |          sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+         |        FROM cand c
+         |        JOIN comp x ON x.id = c.id_a
+         |        JOIN comp y ON y.id = c.id_b AND y.i = x.i
+         |        GROUP BY 1, 2),
+         |cp AS (SELECT id_a AS pa, id_b AS pb FROM est WHERE est_jaccard >= 0.5),
+         |j AS (SELECT t.pa AS tpa, c.pa AS cpa
+         |      FROM tp t FULL OUTER JOIN cp c ON t.pa = c.pa AND t.pb = c.pb),
+         |agg AS (SELECT cast(count(tpa) AS bigint) AS n_truth,
+         |          cast(count(cpa) AS bigint) AS n_candidate,
+         |          cast(coalesce(sum(CASE WHEN tpa IS NOT NULL AND cpa IS NOT NULL
+         |                  THEN 1 ELSE 0 END), 0) AS bigint) AS n_matched
+         |        FROM j)
+         |SELECT n_truth, n_candidate, n_matched,
+         |  round(cast(n_matched AS double) / greatest(n_candidate, 1), 4)
+         |    AS precision,
+         |  round(cast(n_matched AS double) / greatest(n_truth, 1), 4) AS recall
+         |FROM agg""".stripMargin,
 
     "d7_dedup_components" ->
       s"""WITH RECURSIVE $componentCte

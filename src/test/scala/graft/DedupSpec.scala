@@ -177,4 +177,36 @@ class DedupSpec extends GraftSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.4, s"mean recall@10 = $mean")
   }
+
+  test("pairsEval: counts equal set arithmetic; orientation-insensitive") {
+    val docs = Tables(spark, sfDir, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, rows = 4, minEstJaccard = 0.5)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val t = pairSet(truth)
+    val c = pairSet(cand)
+    assert(t.nonEmpty && c.nonEmpty, "testdata must contain dup pairs")
+    val m = (t & c).size.toLong
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Dedup.pairsEval(cand, truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(row == ((t.size.toLong, c.size.toLong, m,
+      round4(m.toDouble / c.size), round4(m.toDouble / t.size))))
+    // Orientation-insensitive: reversing one side's columns (and
+    // duplicating its rows) must not move any count.
+    val flipped = cand.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+      .unionByName(cand.select("id_a", "id_b"))
+    val row2 = Dedup.pairsEval(flipped, truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(row2 == row)
+    // Empty candidate side: zero scores, no divide-by-zero.
+    val empty = cand.filter(lit(false))
+    val row3 = Dedup.pairsEval(empty, truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(row3 == ((t.size.toLong, 0L, 0L, 0.0, 0.0)))
+  }
 }
