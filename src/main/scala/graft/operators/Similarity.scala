@@ -510,6 +510,12 @@ object Similarity {
     * caller metadata, verified against the codebook's schema stamp
     * when present ([[pqCodebook]] stamps it; transformations that
     * rebuild the columns strip the stamp and fall back to trust).
+    *
+    * Null vectors are SKIPPED (no delta row — a missing embedding
+    * cannot be indexed), filtered up front so assignment and encoding
+    * agree instead of the inner join silently dropping a half-built
+    * row; zero vectors index deterministically (all-zero dots → the
+    * min-cid cell, codes by the same rounded argmin).
     */
   def ivfPqIndexDelta(slice: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, codebook: DataFrame,
@@ -518,7 +524,8 @@ object Similarity {
       "ivfPqIndexDelta: pass the codebook's subspace count explicitly (m = ...)")
     requireDim(dim, "ivfPqIndexDelta")
     require(dim % m == 0, s"ivfPqIndexDelta: dim $dim is not divisible by m = $m")
-    val unit = normalized(slice, idCol, vecCol).cut()
+    val unit = normalized(slice.filter(col(vecCol).isNotNull),
+      idCol, vecCol).cut()
     val assigned = ivfAssign(unit, broadcast(centroids))
       .select(col("id"), col("cid"))
     assigned.join(quantizePq(unit, "id", "unit", codebook, m, dim), "id")

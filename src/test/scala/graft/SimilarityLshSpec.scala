@@ -287,4 +287,25 @@ class SimilarityLshSpec extends GraftSuite {
       assert(delta(id) == ((bestCid, codes)), s"vector $id mismatch")
     }
   }
+
+  test("e11: null vectors are skipped, zero vectors index deterministically") {
+    import org.apache.spark.sql.functions.concat_ws
+    val old = emb.filter($"vec_id" % 10 =!= 0)
+    val (cent, cb) = Similarity.ivfPqFit(old, "vec_id", "embedding", dim = 64)
+    val slice = Seq(
+      (900001L, Some(Array.fill(64)(0.0f))), // zero vector
+      (900002L, None: Option[Array[Float]])  // missing embedding
+    ).toDF("vec_id", "embedding")
+    val delta = Similarity
+      .ivfPqIndexDelta(slice, "vec_id", "embedding", cent, cb, m = 8, dim = 64)
+      .select($"id", $"cid", concat_ws(",", $"codes").as("codes"))
+      .as[(Long, Long, String)].collect()
+    // Null vector: no row. Zero vector: all dots 0 -> min-cid cell.
+    assert(delta.map(_._1).toSet == Set(900001L))
+    val minCid = cent.select($"cid").as[Long].collect().min
+    val zeroRow = delta.head
+    assert(zeroRow._2 == minCid,
+      s"zero vector must land in the min-cid cell, got ${zeroRow._2}")
+    assert(zeroRow._3.split(",").length == 8)
+  }
 }
