@@ -338,4 +338,43 @@ class StreamingSpec extends GraftSuite {
       assert(c2(20L) == ((1L, 0L)), s"got $c2")
     } finally query.stop()
   }
+
+  test("continuous ES sync end to end: changeOps -> foreachBatch -> EsBulk files") {
+    // The full continuous-sync loop the reference runs as a periodic
+    // batch job: doc versions stream in, the stateful detector emits
+    // insert/update ops, and each micro-batch lands as bulk NDJSON
+    // files — the artifact an HTTP shipper posts. foreachBatch is the
+    // documented integration point for batch sinks; per-batch subdirs
+    // keep micro-batches append-only without touching EsBulk's
+    // overwrite semantics.
+    import org.apache.spark.sql.functions.{col, struct}
+    import graft.streaming.{ChangeOp, DocVersion}
+    implicit val sqlCtx = spark.sqlContext
+    withTempDir("graft-essync-") { dir =>
+      val input = MemoryStream[DocVersion]
+      val writer: (org.apache.spark.sql.Dataset[ChangeOp], Long) => Unit =
+        (batch, id) =>
+          if (!batch.isEmpty)
+            graft.sinks.EsBulk.write(batch.toDF(), "collections", "doc_id",
+              "op", struct(col("doc_id").as("id")), s"$dir/batch_$id")
+      val query = Sessions.changeOps(input.toDS())
+        .writeStream.foreachBatch(writer).outputMode("append").start()
+      try {
+        input.addData(DocVersion("a", "f1", 1L))
+        query.processAllAvailable()
+        input.addData(DocVersion("a", "f2", 2L))
+        query.processAllAvailable()
+      } finally query.stop()
+      // Each bulk entry is one action line + one document line (the
+      // text sink materializes the embedded newline), so read back as
+      // physical NDJSON lines — exactly what a bulk shipper consumes.
+      val lines = spark.read.textFile(s"$dir/batch_*").collect().toSeq
+      for (expected <- Seq(
+          """{"index":{"_index":"collections","_id":"a"}}""",
+          """{"id":"a"}""",
+          """{"update":{"_index":"collections","_id":"a"}}""",
+          """{"doc":{"id":"a"}}"""))
+        assert(lines.contains(expected), s"missing $expected in $lines")
+    }
+  }
 }
