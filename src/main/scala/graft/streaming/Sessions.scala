@@ -167,6 +167,12 @@ object Sessions {
     * expressible on a pure arrival stream (absence is not an event) —
     * the periodic batch diff stays the authority for deletions.
     *
+    * Sink integration: `writeStream.foreachBatch` rendering each
+    * micro-batch through [[graft.sinks.EsBulk.write]] into a
+    * per-batch directory — the full continuous sync loop, spec'd end
+    * to end in StreamingSpec down to the NDJSON action/document
+    * lines.
+    *
     * State: one fingerprint per doc id, forever (no watermark — a doc
     * may legitimately update years later). At a 10⁹-doc id space that
     * is executor-sharded KV state, the same durability class as the
