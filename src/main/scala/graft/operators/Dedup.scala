@@ -424,8 +424,10 @@ object Dedup {
     * ([[ngramJaccardPairs]], [[Similarity.cosinePairs]]) — and
     * returns ONE row: (n_truth, n_candidate, n_matched, precision,
     * recall). Orientation is normalized (least, greatest) and both
-    * sides deduped, so either ordering convention works; empty sides
-    * score 0, never divide-by-zero.
+    * sides deduped, so either ordering convention works; rows with a
+    * null id are dropped (a pair needs two members — least/greatest
+    * would otherwise fabricate a self-pair from the non-null side);
+    * empty sides score 0, never divide-by-zero.
     *
     * Scale shape: one narrow normalization + distinct per side, one
     * full-outer join on the pair key (each input computed ONCE — the
@@ -439,8 +441,9 @@ object Dedup {
     * ratios rounded to 4 dp — no float path at all.
     */
   def pairsEval(candidate: DataFrame, truth: DataFrame): DataFrame = {
-    def norm(df: DataFrame, marker: String) = df.select(
-        least(col("id_a"), col("id_b")).as("pa"),
+    def norm(df: DataFrame, marker: String) = df
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(least(col("id_a"), col("id_b")).as("pa"),
         greatest(col("id_a"), col("id_b")).as("pb"))
       .distinct()
       .withColumn(marker, lit(1L))
@@ -448,8 +451,8 @@ object Dedup {
       .join(norm(candidate, "__c"), Seq("pa", "pb"), "full_outer")
       .agg(count(col("__t")).as("n_truth"),
         count(col("__c")).as("n_candidate"),
-        coalesce(sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)
-          .otherwise(0L)), lit(0L)).as("n_matched"))
+        count(when(col("__t").isNotNull && col("__c").isNotNull, lit(1)))
+          .as("n_matched"))
       .select(col("n_truth"), col("n_candidate"), col("n_matched"),
         round(col("n_matched").cast("double") /
           greatest(col("n_candidate"), lit(1L)), 4).as("precision"),

@@ -206,6 +206,41 @@ object GroupD {
        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |           GROUP BY 1, 2)""".stripMargin
 
+  /** The MinHash-LSH replay on top of [[shingleCte]]'s `sh` (d3 AND
+    * d15 — one definition, so the acceptance gate always replays the
+    * registered generator): 32 md5-derived affine signatures, 8
+    * bands × 4 rows, band-bucket candidates, signature-overlap
+    * estimate. Produces CTE `est` = (id_a, id_b, est_jaccard). */
+  private val minhashEstCte =
+    s"""hx AS (SELECT doc_id AS id, md5(shingle) AS h FROM sh),
+       |ws AS (SELECT id,
+       |         ${DuckSql.hexFold("substr(h, 1, 8)")} AS w0,
+       |         ${DuckSql.hexFold("substr(h, 9, 8)")} AS w1,
+       |         ${DuckSql.hexFold("substr(h, 17, 8)")} AS w2,
+       |         ${DuckSql.hexFold("substr(h, 25, 8)")} AS w3
+       |       FROM hx),
+       |ab AS (SELECT id, i, (w0 + (2 * i + 1) * w2) % 4294967296 AS a,
+       |               (w1 + (2 * i + 1) * w3) % 4294967296 AS b
+       |       FROM ws, (SELECT unnest(generate_series(0, 31)) AS i) seeds),
+       |comp AS (SELECT id, i,
+       |           min((CASE WHEN a >= 2147483648 THEN a - 4294967296 ELSE a END)
+       |               * 4294967296 + b) AS sig
+       |         FROM ab GROUP BY 1, 2),
+       |bnd AS (SELECT id, i // 4 AS band,
+       |          string_agg(cast(sig AS varchar), ',' ORDER BY i) AS csv
+       |        FROM comp GROUP BY 1, 2),
+       |bk AS (SELECT id, band, ${DuckSql.hash64md5("band || ':' || csv")} AS bucket
+       |       FROM bnd),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bk a JOIN bk b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |          sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+       |        FROM cand c
+       |        JOIN comp x ON x.id = c.id_a
+       |        JOIN comp y ON y.id = c.id_b AND y.i = x.i
+       |        GROUP BY 1, 2)""".stripMargin
+
   /** Min-label cluster CTEs on top of [[jaccardCte]] (d7/d8). */
   private val componentCte =
     s"""$jaccardCte,
@@ -245,37 +280,8 @@ object GroupD {
     // md5 per hex half (no conv() in DuckDB); oracle cost, not engine
     // cost.
     "d3_dedup_minhash_lsh" ->
-      s"""WITH w AS (${DuckSql.wordsCte}),
-         |sh AS (SELECT DISTINCT doc_id AS id, unnest(${DuckSql.grams(3)}) AS shingle
-         |       FROM w),
-         |hx AS (SELECT id, md5(shingle) AS h FROM sh),
-         |ws AS (SELECT id,
-         |         ${DuckSql.hexFold("substr(h, 1, 8)")} AS w0,
-         |         ${DuckSql.hexFold("substr(h, 9, 8)")} AS w1,
-         |         ${DuckSql.hexFold("substr(h, 17, 8)")} AS w2,
-         |         ${DuckSql.hexFold("substr(h, 25, 8)")} AS w3
-         |       FROM hx),
-         |ab AS (SELECT id, i, (w0 + (2 * i + 1) * w2) % 4294967296 AS a,
-         |               (w1 + (2 * i + 1) * w3) % 4294967296 AS b
-         |       FROM ws, (SELECT unnest(generate_series(0, 31)) AS i) seeds),
-         |comp AS (SELECT id, i,
-         |           min((CASE WHEN a >= 2147483648 THEN a - 4294967296 ELSE a END)
-         |               * 4294967296 + b) AS sig
-         |         FROM ab GROUP BY 1, 2),
-         |bnd AS (SELECT id, i // 4 AS band,
-         |          string_agg(cast(sig AS varchar), ',' ORDER BY i) AS csv
-         |        FROM comp GROUP BY 1, 2),
-         |bk AS (SELECT id, band, ${DuckSql.hash64md5("band || ':' || csv")} AS bucket
-         |       FROM bnd),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM bk a JOIN bk b
-         |           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-         |est AS (SELECT c.id_a, c.id_b,
-         |          sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
-         |        FROM cand c
-         |        JOIN comp x ON x.id = c.id_a
-         |        JOIN comp y ON y.id = c.id_b AND y.i = x.i
-         |        GROUP BY 1, 2)
+      s"""WITH $shingleCte,
+         |$minhashEstCte
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
 
     "d4_dedup_simhash" ->
@@ -330,52 +336,26 @@ object GroupD {
          |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5""".stripMargin,
 
     // d15 composes the two PROVEN pair oracles over one shared
-    // shingle CTE pair (w/sh — identical text in d2's and d3's
-    // replays): the exact-Jaccard truth set (tp) and the MinHash
-    // candidate set (cp), full-outer joined on the oriented pair key
-    // and counted. Both generators emit id_a < id_b, so the
-    // operator's least/greatest normalization is the identity here.
+    // shingle CTE (the exact-Jaccard truth set tp from jaccardCte,
+    // the MinHash candidate set cp from the SAME minhashEstCte d3
+    // replays), full-outer joined on the oriented pair key and
+    // counted. Both generators emit non-null id_a < id_b, so the
+    // operator's null-drop + least/greatest normalization is the
+    // identity here.
     "d15_dedup_eval" ->
       s"""WITH $jaccardCte,
          |tp AS (SELECT id_a AS pa, id_b AS pb
          |       FROM shared JOIN sz x ON id_a = x.doc_id
          |                   JOIN sz y ON id_b = y.doc_id
          |       WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
-         |hx AS (SELECT doc_id AS id, md5(shingle) AS h FROM sh),
-         |ws AS (SELECT id,
-         |         ${DuckSql.hexFold("substr(h, 1, 8)")} AS w0,
-         |         ${DuckSql.hexFold("substr(h, 9, 8)")} AS w1,
-         |         ${DuckSql.hexFold("substr(h, 17, 8)")} AS w2,
-         |         ${DuckSql.hexFold("substr(h, 25, 8)")} AS w3
-         |       FROM hx),
-         |ab AS (SELECT id, i, (w0 + (2 * i + 1) * w2) % 4294967296 AS a,
-         |               (w1 + (2 * i + 1) * w3) % 4294967296 AS b
-         |       FROM ws, (SELECT unnest(generate_series(0, 31)) AS i) seeds),
-         |comp AS (SELECT id, i,
-         |           min((CASE WHEN a >= 2147483648 THEN a - 4294967296 ELSE a END)
-         |               * 4294967296 + b) AS sig
-         |         FROM ab GROUP BY 1, 2),
-         |bnd AS (SELECT id, i // 4 AS band,
-         |          string_agg(cast(sig AS varchar), ',' ORDER BY i) AS csv
-         |        FROM comp GROUP BY 1, 2),
-         |bk AS (SELECT id, band, ${DuckSql.hash64md5("band || ':' || csv")} AS bucket
-         |       FROM bnd),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM bk a JOIN bk b
-         |           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-         |est AS (SELECT c.id_a, c.id_b,
-         |          sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
-         |        FROM cand c
-         |        JOIN comp x ON x.id = c.id_a
-         |        JOIN comp y ON y.id = c.id_b AND y.i = x.i
-         |        GROUP BY 1, 2),
+         |$minhashEstCte,
          |cp AS (SELECT id_a AS pa, id_b AS pb FROM est WHERE est_jaccard >= 0.5),
          |j AS (SELECT t.pa AS tpa, c.pa AS cpa
          |      FROM tp t FULL OUTER JOIN cp c ON t.pa = c.pa AND t.pb = c.pb),
          |agg AS (SELECT cast(count(tpa) AS bigint) AS n_truth,
          |          cast(count(cpa) AS bigint) AS n_candidate,
-         |          cast(coalesce(sum(CASE WHEN tpa IS NOT NULL AND cpa IS NOT NULL
-         |                  THEN 1 ELSE 0 END), 0) AS bigint) AS n_matched
+         |          cast(count(CASE WHEN tpa IS NOT NULL AND cpa IS NOT NULL
+         |                  THEN 1 END) AS bigint) AS n_matched
          |        FROM j)
          |SELECT n_truth, n_candidate, n_matched,
          |  round(cast(n_matched AS double) / greatest(n_candidate, 1), 4)

@@ -54,19 +54,34 @@ object GroupG2 {
       .filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
 
+  /** g10's body over an arbitrary events frame — one definition
+    * shared by the registered query and ScaleProbe (the
+    * GroupG.funnelOf pattern: probe and query cannot drift). */
+  def funnelLambdaOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    Sessions.funnelStages(
+      events.select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+        .as[graft.streaming.FunnelEvent])
+      .toDF()
+  }
+
+  /** g12's body, shared like [[funnelLambdaOf]]. */
+  def sessionizeLambdaOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    Sessions.sessionize(
+      events.select(col("user_id"), col("event_id"), col("ts"))
+        .as[graft.streaming.SessionEvent])
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     // g10: the streaming funnel lambda on the full history — emits
     // (user_id, stage, es) at each first stage reach; equals g6's
     // (t_view, t_click, t_purchase) unpivoted to rows.
-    "g10_stream_funnel" -> ((s, d) => {
-      import s.implicits._
-      Sessions.funnelStages(
-        events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            col("ts"))
-          .as[graft.streaming.FunnelEvent])
-        .toDF()
-    }),
+    "g10_stream_funnel" -> ((s, d) => funnelLambdaOf(events(s, d))),
 
     // g11: the streaming anomaly scorer fed the batch tumbling counts
     // — the trailing-12 z-score DP threads its state across every
@@ -86,14 +101,7 @@ object GroupG2 {
     // batch watermark is +∞ so every session finalizes; equals g1's
     // gap sessionization (minus the per-user session ordinal, which
     // only the incremental form needs).
-    "g12_stream_sessionize" -> ((s, d) => {
-      import s.implicits._
-      Sessions.sessionize(
-        events(s, d)
-          .select(col("user_id"), col("event_id"), col("ts"))
-          .as[graft.streaming.SessionEvent])
-        .toDF()
-    }),
+    "g12_stream_sessionize" -> ((s, d) => sessionizeLambdaOf(events(s, d))),
 
     // g13: stream-stream interval join in batch — every purchase
     // paired with the same user's clicks in the 30 minutes before it.

@@ -209,20 +209,12 @@ object ScaleProbe {
         entities, c, edges, topK = 5, closureUniquePaths = true)
     // g5: two-level exact distinct (shifted user ids multiply the
     // per-window distinct-user count — the audience-grows direction).
-    // The registered g10/g12 batch-mode bodies (the stateful lambdas
-    // themselves — one shuffle on user_id, then the per-group DP).
-    def funnelLambda(e: DataFrame): DataFrame = {
-      import spark.implicits._
-      graft.streaming.Sessions.funnelStages(
-        e.select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts")).as[graft.streaming.FunnelEvent]).toDF()
-    }
-    def sessionLambda(e: DataFrame): DataFrame = {
-      import spark.implicits._
-      graft.streaming.Sessions.sessionize(
-        e.select(col("user_id"), col("event_id"), col("ts"))
-          .as[graft.streaming.SessionEvent]).toDF()
-    }
+    // The registered g10/g12 batch-mode bodies (shared GroupG2
+    // definitions — probe and query cannot drift).
+    def funnelLambda(e: DataFrame): DataFrame =
+      graft.queries.GroupG2.funnelLambdaOf(e)
+    def sessionLambda(e: DataFrame): DataFrame =
+      graft.queries.GroupG2.sessionizeLambdaOf(e)
     def windowDistinct(e: DataFrame): DataFrame =
       e.groupBy((floor(col("ts").cast("double") / 3600).cast("long") * 3600)
             .as("window_es"), col("event_type"), col("user_id"))

@@ -183,11 +183,13 @@ class DedupSpec extends GraftSuite {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
     val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, bands = 8, rows = 4, minEstJaccard = 0.5)
-    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    // NOT the class-level pairSet helper: this one orientation-
+    // normalizes, which is the operator contract under test.
+    def normPairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("id_a", "id_b").as[(Long, Long)].collect()
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
-    val t = pairSet(truth)
-    val c = pairSet(cand)
+    val t = normPairSet(truth)
+    val c = normPairSet(cand)
     assert(t.nonEmpty && c.nonEmpty, "testdata must contain dup pairs")
     val m = (t & c).size.toLong
     def round4(x: Double) =
