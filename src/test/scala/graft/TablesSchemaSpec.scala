@@ -32,6 +32,33 @@ class TablesSchemaSpec extends GraftSuite {
     assert(lo > 946684800L && hi < 4102444800L, s"ts epoch range off: [$lo, $hi]")
   }
 
+  test("embeddings are 64-dim, non-null, with ids covering the query contracts") {
+    import org.apache.spark.sql.functions._
+    // Every vector entry point takes dim as trusted caller metadata,
+    // and the registered E/D queries pass 64 — a regenerated
+    // embeddings table with a different dimension (or null vectors,
+    // or an id space missing the %37 centroid seeds / %50 query set /
+    // %10 slice) must fail HERE as one named canary, not as scattered
+    // wrong-recall or empty-seed errors across the E family.
+    val e = Tables(spark, sfDir, "embeddings")
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      count(when(col("embedding").isNull, 1)).as("nulls"),
+      min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax"),
+      count(when(col("vec_id") % 37 === 0 && col("vec_id") % 10 =!= 0, 1))
+        .as("seeds"),
+      count(when(col("vec_id") % 50 === 0, 1)).as("queries"),
+      count(when(col("vec_id") % 10 === 0, 1)).as("slice")).head()
+    assert(r.getLong(1) == 0L, s"null embeddings: ${r.getLong(1)}")
+    assert(r.getInt(2) == 64 && r.getInt(3) == 64,
+      s"embedding dim drifted: [${r.getInt(2)}, ${r.getInt(3)}] != 64 — " +
+        "update the dim = 64 contracts in GroupD/GroupE and the oracles")
+    assert(r.getLong(4) > 0L, "no ids for the %37 centroid seeds (old slice)")
+    assert(r.getLong(5) > 0L, "no ids for the %50 query set")
+    assert(r.getLong(6) > 0L, "no ids for the %10 daily slice")
+  }
+
 
   test("legacy nanos-as-long events files still convert (LongType branch)") {
     // The regenerated testdata no longer exercises the legacy
