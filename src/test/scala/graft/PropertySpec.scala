@@ -122,4 +122,35 @@ class PropertySpec extends GraftSuite {
       assert(got == expected, s"seed=$seed size=$size stride=$stride")
     }
   }
+
+  test("pairsEval matches in-memory set arithmetic on random pair frames") {
+    // Random frames with duplicates, both orientations, self-pairs
+    // and NULL ids — the inputs an ad-hoc caller could feed the
+    // public operator, where no DuckDB oracle guards it. Reference:
+    // drop null rows, orient (min, max), dedup, then plain set
+    // arithmetic with 4-dp HALF_UP ratios (0 when a side is empty).
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(500 + seed)
+      def frame(n: Int): List[(Option[Long], Option[Long])] =
+        List.fill(n)((
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(9).toLong),
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(9).toLong)))
+      def refSet(f: List[(Option[Long], Option[Long])]): Set[(Long, Long)] =
+        f.collect { case (Some(a), Some(b)) =>
+          (math.min(a, b), math.max(a, b)) }.toSet
+      val cf = frame(rnd.nextInt(25))
+      val tf = frame(rnd.nextInt(25) + 1)
+      val (c, t) = (refSet(cf), refSet(tf))
+      val m = (c & t).size.toLong
+      val want = (t.size.toLong, c.size.toLong, m,
+        if (c.isEmpty) 0.0 else round4(m.toDouble / c.size),
+        if (t.isEmpty) 0.0 else round4(m.toDouble / t.size))
+      val got = graft.operators.Dedup.pairsEval(
+          cf.toDF("id_a", "id_b"), tf.toDF("id_a", "id_b"))
+        .as[(Long, Long, Long, Double, Double)].head()
+      assert(got == want, s"seed=$seed cand=$cf truth=$tf")
+    }
+  }
 }
