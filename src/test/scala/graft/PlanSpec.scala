@@ -82,6 +82,20 @@ class PlanSpec extends GraftSuite {
       s"codebook join must broadcast\n$p")
   }
 
+  test("d15: each pair side shuffles once; the dedup partitioning feeds the join") {
+    val p = plan("d15_dedup_eval")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // The (pa, pb) distinct leaves each side hash-partitioned on the
+    // exact join key, so the full-outer join adds NO exchange of its
+    // own: the only (pa, pb) exchanges are the two dedup shuffles
+    // (everything upstream keys on shingles/buckets/ids, and the
+    // single-row aggregate exchanges partial rows, not pairs).
+    val pairExchanges = "Exchange hashpartitioning\\(pa".r.findAllIn(p).size
+    assert(pairExchanges == 2,
+      s"expected exactly 2 pair-key exchanges (one dedup per side), got $pairExchanges\n$p")
+  }
+
   test("a21: asof join costs exactly its two keyed shuffles, filters pushed") {
     val p = plan("a21_asof_join")
     // One exchange for the right-side (user, ts) dedup agg, one for the
