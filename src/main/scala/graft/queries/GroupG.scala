@@ -178,12 +178,18 @@ object GroupG {
     * THIS definition). Trailing stats are EXACT integer window sums
     * (n, Σ, Σ²) so mean/variance/z reduce to one fixed-order double
     * expression — no Welford accumulation-order drift. */
-  private[graft] def anomalyOf(events: DataFrame): DataFrame = {
-    val counts = events
+  /** The finalized 15-minute (window_es, event_type, n) counts both
+    * g8's batch DP and g11's streaming-lambda replay consume — one
+    * definition, so the two anomaly paths score identical windows. */
+  private[graft] def windowCountsOf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").cast("long").as("window_es"),
         col("event_type"), col("n"))
+
+  private[graft] def anomalyOf(events: DataFrame): DataFrame = {
+    val counts = windowCountsOf(events)
     val wTrail = Window.partitionBy("event_type").orderBy("window_es")
       .rowsBetween(-12, -1)
     val mean = col("s1").cast("double") / col("n_prev")

@@ -88,13 +88,10 @@ object GroupG2 {
     // window of a type in one invocation; equals batch g8.
     "g11_stream_anomaly" -> ((s, d) => {
       import s.implicits._
-      val counts = events(s, d)
-        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("w.start").cast("long").as("window_es"),
-          col("event_type"), col("n"))
-        .as[graft.streaming.WindowCount]
-      Sessions.anomalyScores(counts).toDF()
+      Sessions.anomalyScores(
+          GroupG.windowCountsOf(events(s, d))
+            .as[graft.streaming.WindowCount])
+        .toDF()
     }),
 
     // g12: the streaming sessionizer lambda on the full history — the
