@@ -59,18 +59,31 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_BENCH_REPS=N (default 1 — the driver's single-shot
+    // contract) runs each query N times and reports the LAST rep: a
+    // query's first execution pays 0.3-4 s of codegen/JIT warm-up
+    // that varies run to run (the r8 a6 adjudication), so warm
+    // numbers are what local perf iteration should compare. The
+    // driver's cross-round comparison stays single-shot — same
+    // methodology every round beats lower variance.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = selected.map { case (name, fn) =>
-      // Clean heap per query (untimed): without it a collect-heavy
-      // predecessor taxes its successor with major-GC debt and the
-      // per-query numbers smear run to run.
-      System.gc()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      var last = 0.0
+      for (_ <- 1 to reps) {
+        // Clean heap per query (untimed): without it a collect-heavy
+        // predecessor taxes its successor with major-GC debt and the
+        // per-query numbers smear run to run.
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!errors.contains(name)) errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        last = (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> last
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
