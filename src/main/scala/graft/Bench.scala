@@ -76,12 +76,18 @@ object Bench {
         // per-query numbers smear run to run.
         System.gc()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // Record only SUCCESSFUL reps: a query that fails fast on
+          // its final rep must not report that fast-fail wall time as
+          // a warm measurement indistinguishable from a real one in
+          // the JSON. A query whose every rep failed stays at 0.0 —
+          // and is named in `errors`, which also forces rc 2 below.
+          last = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           if (!errors.contains(name)) errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        last = (System.nanoTime() - t0) / 1e9
       }
       name -> last
     }

@@ -40,8 +40,22 @@ object Hashes {
     * directory of whatever launched the session, which for sbt/driver
     * runs is the checkout root; `GRAFT_VECTORS_PATH` overrides when
     * the session runs elsewhere. */
-  val vectorsPath: String = sys.env.getOrElse("GRAFT_VECTORS_PATH",
-    java.nio.file.Paths.get(
-      "src/main/resources/graft/namehash_vectors.parquet")
-      .toAbsolutePath.toString)
+  // lazy: the existence check must fire on USE (a23 / its oracle
+  // dump), not on object init — Hashes.simhash callers in a foreign
+  // working directory never touch this path.
+  lazy val vectorsPath: String = {
+    val p = sys.env.getOrElse("GRAFT_VECTORS_PATH",
+      java.nio.file.Paths.get(
+        "src/main/resources/graft/namehash_vectors.parquet")
+        .toAbsolutePath.toString)
+    // Fail fast with the knob's name: a session launched from outside
+    // the checkout root (IDE runner, spark-submit elsewhere) would
+    // otherwise resolve a nonexistent default and surface only an
+    // opaque parquet error at a23 read time.
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      s"namehash expected-vectors parquet not found at $p — launch from " +
+        "the checkout root or set GRAFT_VECTORS_PATH to the file " +
+        "(src/main/resources/graft/namehash_vectors.parquet)")
+    p
+  }
 }

@@ -426,8 +426,11 @@ object Dedup {
     * recall). Orientation is normalized (least, greatest) and both
     * sides deduped, so either ordering convention works; rows with a
     * null id are dropped (a pair needs two members — least/greatest
-    * would otherwise fabricate a self-pair from the non-null side);
-    * empty sides score 0, never divide-by-zero.
+    * would otherwise fabricate a self-pair from the non-null side),
+    * and so are reflexive rows (id_a = id_b): "doc duplicates
+    * itself" is vacuous, and a generator that emits it must not
+    * inflate n_candidate or buy free matches. Empty sides score 0,
+    * never divide-by-zero.
     *
     * Scale shape: one narrow normalization + distinct per side, one
     * full-outer join on the pair key (each input computed ONCE — the
@@ -442,7 +445,8 @@ object Dedup {
     */
   def pairsEval(candidate: DataFrame, truth: DataFrame): DataFrame = {
     def norm(df: DataFrame, marker: String) = df
-      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull &&
+        col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("pa"),
         greatest(col("id_a"), col("id_b")).as("pb"))
       .distinct()

@@ -311,6 +311,87 @@ object Graph {
     labels
   }
 
+  /** INCREMENTAL connected components — merge a slice's new pairs
+    * into an EXISTING (id, comp) assignment without touching the old
+    * pair set (the daily-ingest twin of [[connectedComponents]], the
+    * way [[Dedup.ngramJaccardAgainst]] is d2's and
+    * [[Similarity.ivfPqIndexDelta]] is e6's; reference anchor:
+    * collection-templates scripts/filter_duplicates.py, the
+    * same-name merge this generalizes).
+    *
+    * The old assignment IS the old graph, compressed: labels follow
+    * the min-id keeper convention (as [[connectedComponents]]
+    * produces), so each component is equivalent to a star around its
+    * representative, and components(old pairs ∪ new pairs) =
+    * components(star edges ∪ new pairs). That graph only changes
+    * where new pairs touch it, so the merge runs entirely in
+    * REPRESENTATIVE space:
+    *
+    *   1. lift each new-pair endpoint to its current label (absent →
+    *      itself): one LEFT SEMI of the corpus-sized assignment
+    *      against the slice's endpoint set (broadcastable build side
+    *      — ONE scan of the assignment, never a shuffle of it),
+    *      then slice-sized joins;
+    *   2. min-label propagation over the lifted pairs — a graph with
+    *      one node per TOUCHED component, never corpus-sized; since
+    *      every old label is its component's min id, the rep-space
+    *      minimum IS the global min id;
+    *   3. broadcast the rep→label remap back over the assignment to
+    *      emit delta rows.
+    *
+    * Returns DELTA rows only — (id, comp) for every id whose label
+    * changed plus every id the assignment has never seen — so the
+    * output is bounded by |touched components| + |slice|, and the
+    * caller upserts (anti-join + union, a31's apply shape):
+    * upsert(assignment, delta) ≡ full recompute over old ∪ new pairs
+    * (pinned in GraphSpec against randomized graphs). Work per cycle
+    * is two broadcast-join scans of the assignment plus
+    * rep-space iteration — nothing proportional to the OLD pair set,
+    * which is exactly what a 100 TB corpus cannot afford to replay
+    * per ingest cycle. `maxIter` bounds the rep-space rounds (slice
+    * merge diameter, not corpus diameter) with
+    * [[connectedComponents]]'s warn/strict contract.
+    */
+  def componentsDelta(assignment: DataFrame, newPairs: DataFrame,
+                      idA: String = "id_a", idB: String = "id_b",
+                      maxIter: Int = 25, strict: Boolean = false): DataFrame = {
+    val asg = assignment.select(col("id"), col("comp"))
+    // Materialize before mirroring into an endpoint set — the pair
+    // generator upstream (an incremental Jaccard join) must run once.
+    val e0 = newPairs.select(col(idA).as("a"), col(idB).as("b"))
+      .filter(col("a") =!= col("b")).distinct().cut()
+    val nodes = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id"))).distinct().cut()
+    // Slice-bounded view of the old labels: LEFT SEMI keeps the
+    // build (endpoint) side broadcastable, so the corpus-sized
+    // assignment is scanned, not shuffled.
+    val touched = asg.join(nodes, Seq("id"), "left_semi").cut()
+    val nodeRep = nodes.join(touched, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep")).cut()
+    val compPairs = e0
+      .join(nodeRep.select(col("id").as("a"), col("rep").as("rep_a")), "a")
+      .join(nodeRep.select(col("id").as("b"), col("rep").as("rep_b")), "b")
+      .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    // (old rep → merged label); pairs inside one component vanished
+    // above, so this graph holds only reps that actually merge.
+    val repMap = connectedComponents(compPairs, maxIter = maxIter,
+      strict = strict).cut()
+    val remapped = repMap.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__oldc"), col("comp").as("__newc"))
+    // Every member of a remapped old component changes label — work
+    // ∝ touched component sizes (broadcast probe over `comp`).
+    val changedOld = asg.join(remapped, asg("comp") === col("__oldc"))
+      .select(asg("id"), col("__newc").as("comp"))
+    // Ids the assignment has never seen: label = their rep's merged
+    // label, or themselves when their pairs stayed within one rep.
+    val newRows = nodes.join(asg.select("id"), Seq("id"), "left_anti")
+      .join(repMap.select(col("id").as("__rid"), col("comp").as("__rc")),
+            col("id") === col("__rid"), "left")
+      .select(col("id"), coalesce(col("__rc"), col("id")).as("comp"))
+    changedOld.union(newRows)
+  }
+
   /** Reachability validation (filter_articles2.py main loop): a member
     * row is valid iff its `typeCol` node reaches the row's `targetCol`
     * node (or equals it). Returns the input plus a boolean `valid`.

@@ -153,6 +153,33 @@ object GroupD {
         .select(col("id").as("doc_id"), col("span_start"), col("span_len"),
           col("span_hash"))),
 
+    // d16: INCREMENTAL cluster maintenance — d7's answer without d7's
+    // cost: the corpus keeps its (doc, component) assignment; an
+    // ingest slice (every tenth doc, d11/d13's convention) arrives
+    // with its new pairs (new×old from the d11 bipartite join, plus
+    // new×new), and Graph.componentsDelta merges them in
+    // representative space — work ∝ the slice and the components it
+    // touches, never the corpus pair set. The registered output is
+    // the UPSERTED assignment, so the oracle is d7's own recursive
+    // CTE over ALL pairs: incremental path ≡ full recompute, proven
+    // by the same SQL that proves d7.
+    "d16_components_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+      val oldAssign = Graph.connectedComponents(
+        Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
+        strict = true)
+      val newPairs = Dedup.ngramJaccardAgainst(existing, incoming,
+          "doc_id", "text", n = 3, tau = 0.5)
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
+          n = 3, tau = 0.5).select("id_a", "id_b"))
+      val delta = Graph.componentsDelta(oldAssign, newPairs, strict = true)
+      oldAssign.join(delta, Seq("id"), "left_anti").unionByName(delta)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    }),
+
     // d13: Bloom-filter prefilter for incremental dedup — d11's
     // question ("which of today's docs might collide with the
     // corpus") answered WITHOUT touching the corpus again: the
@@ -364,6 +391,14 @@ object GroupD {
          |FROM agg""".stripMargin,
 
     "d7_dedup_components" ->
+      s"""WITH RECURSIVE $componentCte
+         |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
+
+    // d16's oracle IS d7's: the incremental merge must reproduce the
+    // full recompute over the complete pair set, bit for bit — the
+    // strongest possible equivalence statement, and the whole point
+    // of the operator.
+    "d16_components_incremental" ->
       s"""WITH RECURSIVE $componentCte
          |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
 

@@ -178,6 +178,19 @@ class DedupSpec extends GraftSuite {
     assert(mean >= 0.4, s"mean recall@10 = $mean")
   }
 
+  test("d16 incremental components equal d7's full recompute on real documents") {
+    // The registered d16 plan (old assignment + componentsDelta over
+    // the slice's new pairs, upserted) must reproduce the registered
+    // d7 plan (full min-label propagation over ALL pairs) on the
+    // actual testdata — the Spark-side twin of the shared DuckDB
+    // oracle, covering the real planted-duplicate merge shapes.
+    def labelMap(name: String): Map[Long, Long] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .as[(Long, Long)].collect().toMap
+    assert(labelMap("d16_components_incremental") ===
+      labelMap("d7_dedup_components"))
+  }
+
   test("pairsEval: counts equal set arithmetic; orientation-insensitive") {
     val docs = Tables(spark, sfDir, "documents")
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)

@@ -254,6 +254,54 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("property: componentsDelta upsert ≡ full recompute on random edge splits") {
+    // The operator's whole contract: for any split of an edge set
+    // into OLD (already folded into an assignment) and NEW (the
+    // ingest slice), upsert(assignment, delta) equals a full
+    // connectedComponents run over old ∪ new. Random graphs cover
+    // the merge shapes: new-new pairs, new-old bridges, chains of
+    // component merges through a slice, slices touching nothing.
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 6) {
+      val n = 30
+      val all = (1 to 45).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (oldE, newE) = all.partition(_ => rnd.nextInt(3) != 0)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val oldAssign = Graph.connectedComponents(oldE.toDF("id_a", "id_b"))
+        val delta = Graph.componentsDelta(oldAssign, newE.toDF("id_a", "id_b"),
+          strict = true)
+        val merged = oldAssign
+          .join(delta, Seq("id"), "left_anti").unionByName(delta)
+          .as[(Long, Long)].collect().toMap
+        val want = Graph.connectedComponents(all.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(merged === want, s"trial $trial old=$oldE new=$newE")
+        // Delta rows are genuine: none may repeat an unchanged label.
+        val before = oldAssign.as[(Long, Long)].collect().toMap
+        val d = delta.as[(Long, Long)].collect()
+        assert(d.map(_._1).distinct.length === d.length,
+          s"trial $trial: duplicate ids in delta")
+        d.foreach { case (id, comp) =>
+          assert(before.get(id) !== Some(comp),
+            s"trial $trial: delta repeats unchanged ($id, $comp)") }
+      }
+    }
+  }
+
+  test("componentsDelta: empty slice yields empty delta; untouched components stay put") {
+    val oldAssign = Graph.connectedComponents(
+      Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Graph.componentsDelta(oldAssign, empty).count() === 0L)
+    // A new pair bridging the two components relabels only 5 and 6
+    // (onto min 1); a brand-new doc 9 pairing with 5 joins too.
+    val delta = Graph.componentsDelta(oldAssign,
+        Seq((2L, 5L), (9L, 5L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(delta === Map(5L -> 1L, 6L -> 1L, 9L -> 1L))
+  }
+
   test("validateReachable marks reachable, equal, and unreachable") {
     val closure = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
     val members = Seq((10L, 1L, 3L), (11L, 1L, 1L), (12L, 3L, 1L))

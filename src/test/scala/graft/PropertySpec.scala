@@ -127,8 +127,9 @@ class PropertySpec extends GraftSuite {
     // Random frames with duplicates, both orientations, self-pairs
     // and NULL ids — the inputs an ad-hoc caller could feed the
     // public operator, where no DuckDB oracle guards it. Reference:
-    // drop null rows, orient (min, max), dedup, then plain set
-    // arithmetic with 4-dp HALF_UP ratios (0 when a side is empty).
+    // drop null AND reflexive rows, orient (min, max), dedup, then
+    // plain set arithmetic with 4-dp HALF_UP ratios (0 when a side
+    // is empty).
     def round4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     for (seed <- 1 to 6) {
@@ -138,7 +139,7 @@ class PropertySpec extends GraftSuite {
           if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(9).toLong),
           if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(9).toLong)))
       def refSet(f: List[(Option[Long], Option[Long])]): Set[(Long, Long)] =
-        f.collect { case (Some(a), Some(b)) =>
+        f.collect { case (Some(a), Some(b)) if a != b =>
           (math.min(a, b), math.max(a, b)) }.toSet
       val cf = frame(rnd.nextInt(25))
       val tf = frame(rnd.nextInt(25) + 1)
