@@ -139,6 +139,18 @@ object ScaleProbe {
     // probe sides by construction (no refit is the operator contract).
     lazy val ivfStructs = graft.operators.Similarity.ivfPqFit(
       emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding", dim = 64)
+    // d16's serving state: the corpus's (id, comp) assignment, fixed
+    // vs K×-scaled. Shifting id AND comp together keeps the min-label
+    // keeper convention valid in every copy (labels stay component
+    // min ids) and the copies disjoint. The bridge slice pairs NEW
+    // doc ids (+1e9, above any K-shift any plausible K reaches) onto
+    // the 1× copy's docs, so the touched-component set is identical
+    // on both probe sides — only the assignment being scanned grows.
+    lazy val asg0 = Graph.connectedComponents(pairs).localCheckpoint()
+    lazy val asgK = scaled(asg0, Seq("id", "comp"))
+    lazy val bridge = pairs
+      .select((col("id_a") + lit(1_000_000_000L)).as("id_a"), col("id_b"))
+      .localCheckpoint()
     lazy val slice = docsFull.filter(col("doc_id") % 10 === 0)
       .select("doc_id", "text").localCheckpoint()
     lazy val corpus1 = docsFull.filter(col("doc_id") % 10 =!= 0)
@@ -268,6 +280,17 @@ object ScaleProbe {
           n = 3, tau = 0.5)),
         () => noop(Dedup.ngramJaccardAgainst(corpusK, slice, "doc_id", "text",
           n = 3, tau = 0.5))),
+      // d16: FIXED ingest slice (bridge pairs into the 1× copy's
+      // components), K× assignment (the corpus-grows direction). The
+      // rep-space iteration, the remap, and the delta are all
+      // slice-bounded by construction, so the only K-scaled stages
+      // are the two narrow broadcast-probe scans of the assignment —
+      // the ratio must stay FAR below K. A corpus-sized iteration
+      // (d7's shape, what this operator replaces per ingest cycle)
+      // would read ≈ K or worse.
+      ("d16 comp-delta",
+        () => noop(Graph.componentsDelta(asg0, bridge)),
+        () => noop(Graph.componentsDelta(asgK, bridge))),
       ("e8 classify",
         () => noop(graft.operators.Similarity.classifyKnn(knnBase, labels,
           "vec_id", "label")),
