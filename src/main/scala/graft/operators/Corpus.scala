@@ -281,11 +281,38 @@ object Corpus {
     * values, so DuckDB replays every bit.
     */
   def perplexityBuckets(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String): DataFrame =
+    perplexityBucketsWith(unigramFit(docs, idCol, textCol),
+      docs, idCol, textCol)
+
+  /** The unigram language model [[perplexityBuckets]] fits inline —
+    * (tok, cnt) counts over the model corpus — exposed so a serving
+    * pipeline can FIT ONCE, persist via
+    * [[graft.sinks.ModelStore]], and score every later slice against
+    * the same frozen model (the f15 registered query is the
+    * model-corpus == score-corpus special case). Purely declarative:
+    * no driver action at fit time; the total derives from the model
+    * at score time with one model-sized aggregate. */
+  def unigramFit(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** [[perplexityBuckets]] against a SUPPLIED unigram model
+    * ([[unigramFit]]'s (tok, cnt) shape, fresh or reloaded) — the
+    * serving form: tokens absent from the model are dropped from
+    * scoring (n_tokens counts MODELED occurrences only; with model =
+    * score corpus, i.e. f15, nothing is ever absent and this is
+    * byte-identical to the inline op — spec-pinned). Thresholds
+    * still interpolate over the SCORED docs: the terciles are a
+    * property of the population being bucketed, not of the model. */
+  def perplexityBucketsWith(model: DataFrame, docs: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(col("toks")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val freq = model.select(col("tok"), col("cnt"))
     val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
     // cut(): the scored frame feeds BOTH the percentile aggregate and
     // the final projection — without the lineage cut the whole
@@ -608,19 +635,71 @@ object Corpus {
     * determinism contract), the mean to 6 dp. Docs with < 2 tokens
     * survive with n_bigrams = 0 and NULL nll. Output: (id,
     * n_bigrams, nll). */
+  private def docBigrams(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = df
+    .select(col(idCol).as("id"),
+      explode(Text.shingles(Text.tokens(col(textCol)), 2)).as("bg"))
+
   def bigramNll(modelDocs: DataFrame, scoreDocs: DataFrame,
                 idCol: String, textCol: String): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"),
-        explode(Text.shingles(Text.tokens(col(textCol)), 2)).as("bg"))
-    val model = bigrams(modelDocs).groupBy("bg").agg(count(lit(1)).as("cb"))
-    val ctx = model
-      .groupBy(substring_index(col("bg"), " ", 1).as("t1"))
-      .agg(sum(col("cb")).as("cctx"))
+    val model = docBigrams(modelDocs, idCol, textCol)
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
     val vocab = modelDocs
       .select(explode(Text.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val scored = bigrams(scoreDocs)
+    bigramScore(model, vocab, scoreDocs, idCol, textCol)
+  }
+
+  /** The bigram language model [[bigramNll]] fits inline — (bg, cb)
+    * counts — exposed for the fit-once / persist / score-daily
+    * lifecycle ([[graft.sinks.ModelStore]]). The smoothing
+    * denominator needs |vocab| of the MODEL corpus, which bigram
+    * counts alone cannot reproduce (a corpus-final or single-token
+    * word reaches the vocabulary without reaching any bigram), so V
+    * is STAMPED into the schema metadata of every column — the PQ
+    * geometry-stamp pattern, and like [[Similarity.ivfPqFit]] this
+    * runs Spark jobs at FIT time (one countDistinct action; model
+    * fitting, not plan construction). [[bigramNllWith]] refuses a
+    * model without the stamp rather than guessing V. */
+  def bigramFit(modelDocs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val model = docBigrams(modelDocs, idCol, textCol)
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val v = modelDocs
+      .select(explode(Text.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("lm.vocab", v).build()
+    model.select(model.columns.toIndexedSeq.map(c => col(c).as(c, meta)): _*)
+  }
+
+  /** [[bigramNll]] against a SUPPLIED [[bigramFit]] model (fresh or
+    * reloaded): context counts re-derive from the model frame (a
+    * model-sized agg), V comes from the vocab stamp. Byte-identical
+    * to the inline op on the same corpora — spec-pinned across a
+    * ModelStore round-trip. */
+  def bigramNllWith(model: DataFrame, scoreDocs: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val md = model.schema.fields.map(_.metadata).find(_.contains("lm.vocab"))
+    require(md.nonEmpty,
+      "bigramNllWith: model carries no lm.vocab stamp — fit it with " +
+        "bigramFit (bigram counts alone cannot reproduce |vocab|)")
+    val vocab = scoreDocs.sparkSession.range(1)
+      .select(lit(md.get.getLong("lm.vocab")).as("v"))
+    bigramScore(model.select(col("bg"), col("cb")), vocab,
+      scoreDocs, idCol, textCol)
+  }
+
+  /** Shared scoring body of [[bigramNll]]/[[bigramNllWith]] — one
+    * definition, so the inline query and the persisted-model path
+    * cannot drift. `vocab` is a 1-row (v) frame. */
+  private def bigramScore(model: DataFrame, vocab: DataFrame,
+                          scoreDocs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val ctx = model
+      .groupBy(substring_index(col("bg"), " ", 1).as("t1"))
+      .agg(sum(col("cb")).as("cctx"))
+    val scored = docBigrams(scoreDocs, idCol, textCol)
       .join(model, Seq("bg"), "left")
       .join(ctx, substring_index(col("bg"), " ", 1) === col("t1"), "left")
       .crossJoin(broadcast(vocab))

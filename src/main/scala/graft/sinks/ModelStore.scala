@@ -1,0 +1,71 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistence for FITTED SERVING STRUCTURES — the artifacts a daily
+  * pipeline fits once and re-reads every ingest cycle: IVF centroids
+  * and PQ codebooks ([[graft.operators.Similarity.ivfPqFit]] →
+  * `ivfPqIndexDelta`), language-model count tables
+  * ([[graft.operators.Corpus.unigramFit]]/`bigramFit` →
+  * `perplexityBucketsWith`/`bigramNllWith`), the Bloom bitmap dim
+  * ([[graft.operators.Dedup.bloomBits]] → `bloomProbe`), and the
+  * component assignment [[graft.operators.Graph.componentsDelta]]
+  * upserts. (The reference persists its equivalents as RocksDB maps
+  * and cached JSONL between Airflow runs — collection-templates
+  * airflow/dags; here the store is plain parquet, readable by any
+  * engine.)
+  *
+  * The load side is a vanilla parquet scan, so reloaded dims behave
+  * exactly like freshly-fitted frames — including BROADCAST
+  * eligibility (file-sized stats are present without any checkpoint)
+  * and, critically, the SCHEMA-METADATA STAMPS some structures carry
+  * (the PQ (m, ds) geometry stamp, the bigram vocab stamp): Spark
+  * stores the full Catalyst schema in the parquet footer and restores
+  * it on read. A store that silently dropped the stamp would degrade
+  * every downstream geometry check to pure trust, so [[save]]
+  * VERIFIES survival — a guard against stamped columns landing in
+  * hive partition directories (whose values come back from directory
+  * names, metadata-less) and against format regressions — with one
+  * footer read, zero Spark jobs.
+  */
+object ModelStore {
+
+  private def stampedCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(f => f.metadata !=
+      org.apache.spark.sql.types.Metadata.empty).map(_.name).toSeq
+
+  /** Write a fitted structure under `path` (overwrite — the store
+    * holds the CURRENT model; version by path if history matters).
+    * `partitionCols` routes through [[PartitionedParquet]] for the
+    * rare corpus-scale dim (a billion-key bloom bitmap); the default
+    * unpartitioned write is right for model-sized frames. Fails
+    * loudly if any schema-metadata stamp would not survive the
+    * round-trip. */
+  def save(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+           sortCols: Seq[String] = Nil): Unit = {
+    val stamped = stampedCols(df)
+    require(partitionCols.intersect(stamped).isEmpty,
+      s"stamped columns ${partitionCols.intersect(stamped).mkString(", ")} " +
+        "cannot be hive partition columns — partition values are read back " +
+        "from directory names and lose their schema metadata, silently " +
+        "degrading downstream geometry verification to trust")
+    if (partitionCols.nonEmpty)
+      PartitionedParquet.write(df, path, partitionCols, sortCols)
+    else df.write.mode("overwrite").parquet(path)
+    // Survival check: footer metadata only — no job, no data read.
+    val back = df.sparkSession.read.parquet(path).schema
+    stamped.foreach { c =>
+      val in = df.schema(c).metadata
+      val out = back.fields.find(_.name == c).map(_.metadata)
+      require(out.contains(in),
+        s"schema-metadata stamp on column '$c' did not survive the parquet " +
+          s"round-trip at $path (wrote $in, read back ${out.orNull}) — " +
+          "downstream stamp verification would silently degrade to trust")
+    }
+  }
+
+  /** Reload a fitted structure. Plain scan: stats-backed (broadcast
+    * provable from file sizes), stamps restored from the footer. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

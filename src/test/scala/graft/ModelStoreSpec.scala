@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Similarity}
+import graft.sinks.ModelStore
+import org.apache.spark.sql.functions._
+
+/** Fitted-structure persistence: the serving lifecycle e11/f15/f22/d13
+  * imply — fit once, write the dims via ModelStore, reload, and feed
+  * the incremental/scoring operators — must be value-identical to the
+  * in-memory path, and the schema-metadata stamps (PQ geometry,
+  * bigram vocab) must survive the parquet round-trip ALIVE (still
+  * enforced, not silently degraded to trust).
+  */
+class ModelStoreSpec extends GraftSuite {
+  private val ss = SparkTestBase.spark
+  import ss.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$name").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "m").getAbsolutePath
+  }
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+    .select("vec_id", "embedding")
+  private lazy val docs = Tables(spark, sfDir, "documents")
+    .select("doc_id", "text")
+  private lazy val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+  private lazy val slice = emb.filter(col("vec_id") % 10 === 0)
+  private lazy val fitted =
+    Similarity.ivfPqFit(corpus, "vec_id", "embedding", dim = 64)
+
+  test("PQ geometry stamp survives the round-trip and still ENFORCES") {
+    val p = tmp("cb")
+    ModelStore.save(fitted._2, p)
+    val back = ModelStore.load(spark, p)
+    val md = back.schema.fields.map(_.metadata).find(_.contains("pq.m"))
+    assert(md.nonEmpty, "stamp lost in parquet round-trip")
+    assert(md.get.getLong("pq.m") == 8L && md.get.getLong("pq.ds") == 8L)
+    // Alive, not decorative: a wrong geometry against the RELOADED
+    // codebook must still throw (the silent-degrade-to-trust failure
+    // the store exists to prevent).
+    intercept[IllegalArgumentException] {
+      Similarity.quantizePq(emb, "vec_id", "embedding", back, m = 4, dim = 64)
+    }
+  }
+
+  test("e11 on reloaded dims is identical to in-memory dims") {
+    val (pc, pb) = (tmp("cent"), tmp("code"))
+    ModelStore.save(fitted._1, pc)
+    ModelStore.save(fitted._2, pb)
+    sameRows(
+      Similarity.ivfPqIndexDelta(slice, "vec_id", "embedding",
+        ModelStore.load(spark, pc), ModelStore.load(spark, pb),
+        m = 8, dim = 64),
+      Similarity.ivfPqIndexDelta(slice, "vec_id", "embedding",
+        fitted._1, fitted._2, m = 8, dim = 64))
+  }
+
+  test("bloom bitmap round-trip: probe verdicts identical") {
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val bits = Dedup.bloomBits(
+      Dedup.shingles(existing, "doc_id", "text", n = 3).select("shingle"),
+      "shingle")
+    val p = tmp("bloom")
+    ModelStore.save(bits, p)
+    val probes = Dedup.shingles(incoming, "doc_id", "text", n = 3)
+    sameRows(
+      Dedup.bloomProbe(ModelStore.load(spark, p), probes, "shingle"),
+      Dedup.bloomProbe(bits, probes, "shingle"))
+  }
+
+  test("unigram LM round-trip: persisted-model scoring equals inline f15") {
+    val p = tmp("uni")
+    ModelStore.save(Corpus.unigramFit(docs, "doc_id", "text"), p)
+    sameRows(
+      Corpus.perplexityBucketsWith(ModelStore.load(spark, p),
+        docs, "doc_id", "text"),
+      Corpus.perplexityBuckets(docs, "doc_id", "text"))
+  }
+
+  test("bigram LM round-trip: vocab stamp survives; scoring equals inline f22") {
+    val p = tmp("bi")
+    val model = Corpus.bigramFit(docs, "doc_id", "text")
+    ModelStore.save(model, p)
+    val back = ModelStore.load(spark, p)
+    assert(back.schema.fields.forall(_.metadata.contains("lm.vocab")))
+    sameRows(
+      Corpus.bigramNllWith(back, docs, "doc_id", "text"),
+      Corpus.bigramNll(docs, docs, "doc_id", "text"))
+    // A model without the stamp is refused, never guessed at.
+    intercept[IllegalArgumentException] {
+      Corpus.bigramNllWith(
+        // Rebuild BOTH columns: a plain alias keeps an attribute's
+        // metadata, a fresh expression strips it.
+        back.select(concat(col("bg"), lit("")).as("bg"),
+          (col("cb") + lit(0L)).as("cb")),
+        docs, "doc_id", "text")
+    }
+  }
+
+  test("save refuses to hive-partition a stamped column") {
+    intercept[IllegalArgumentException] {
+      ModelStore.save(fitted._2, tmp("bad"), partitionCols = Seq("s"))
+    }
+  }
+}
