@@ -221,12 +221,12 @@ object GroupD {
   /** Distinct (doc, 3-shingle) CTE chain shared by every Jaccard-based
     * oracle; gram construction comes from [[DuckSql]] (one definition
     * next to Text.shingles' parity contract). */
-  private val shingleCte =
+  private[queries] val shingleCte =
     s"""w AS (${DuckSql.wordsCte}),
        |sh AS (SELECT DISTINCT doc_id, unnest(${DuckSql.grams(3)}) AS shingle FROM w)""".stripMargin
 
   /** Jaccard ≥ 0.5 pair CTEs on top of [[shingleCte]] (d2/d7/d8). */
-  private val jaccardCte =
+  private[queries] val jaccardCte =
     s"""$shingleCte,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -269,7 +269,7 @@ object GroupD {
        |        GROUP BY 1, 2)""".stripMargin
 
   /** Min-label cluster CTEs on top of [[jaccardCte]] (d7/d8). */
-  private val componentCte =
+  private[queries] val componentCte =
     s"""$jaccardCte,
        |pairs AS (SELECT id_a, id_b
        |          FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id

@@ -146,7 +146,7 @@ object GroupE {
     * the ascending-fold dot, cid-ascending tiebreak — exactly
     * Similarity.ivfAssign), then the 9-dp-rounded spherical mean,
     * renormalized. Produces CTE `out`. */
-  private def lloydIter(prev: String, out: String): String =
+  private[queries] def lloydIter(prev: String, out: String): String =
     s"""p$out AS (SELECT id, cid, un FROM (
        |  SELECT q.*, row_number() OVER (PARTITION BY id
        |                 ORDER BY dot DESC, cid ASC) AS rn
@@ -173,7 +173,7 @@ object GroupE {
     * Similarity.assignPq, association (a + b) - (2 * c) preserved —
     * then the 9-dp-rounded per-(s, cid, pos) mean. Produces CTE
     * `out` = (s, cid, cvec). */
-  private def pqIter(prev: String, out: String): String =
+  private[queries] def pqIter(prev: String, out: String): String =
     s"""g$out AS (SELECT id, s, cid FROM (
        |  SELECT q.*, row_number() OVER (PARTITION BY id, s
        |                 ORDER BY d2r ASC, cid ASC) AS rn

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Collections, Corpus, Dedup, Sampling}
+import graft.operators.{Collections, Corpus, Dedup, Graph, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,21 @@ object GroupP {
     // of crashed); the existing index joins on collection_id.
     "p3_custom_pipeline" -> ((s, d) =>
       customPipeline(Tables(s, d, "customer"))),
+
+    // p4: the DAILY INGEST DAG — p2's incremental twin, the plan a
+    // serving corpus actually runs per cycle, composed from the
+    // proven incremental parts: d13's bloom gate (clear bit = proof
+    // of novelty) → d11's exact confirm on ONLY the maybe-sliver →
+    // d16's component merge in representative space → e11's ANN
+    // index delta on the paired embeddings. One verdict row per
+    // incoming doc. The oracle replays the confirm UNRESTRICTED (all
+    // incoming docs) — its equality with the sliver-gated Spark plan
+    // IS the bloom no-false-negative guarantee, proven through the
+    // hash gate; components replay as d7's full recursive CTE
+    // restricted to the slice (the d16 equivalence), and cid/codes
+    // replay e11's fit+assign chain.
+    "p4_ingest_pipeline" -> ((s, d) =>
+      ingestPipeline(Tables(s, d, "documents"), Tables(s, d, "embeddings"))),
   )
 
   /** p3's plan over an arbitrary customer frame (c_custkey, c_name,
@@ -187,7 +202,157 @@ object GroupP {
         expr(s"(n_tokens - 1) DIV ${GroupF2.ChunkStride} + 1").as("n_chunks"))
   }
 
+  /** p4's plan — one definition shared with any probe. Stage order is
+    * the scale contract: the bitmap gate is two corpus-linear passes
+    * and shrinks the confirm join to the maybe sliver; the confirm
+    * join is bipartite (slice × corpus index, never a self-join); the
+    * component merge iterates only in representative space
+    * ([[Graph.componentsDelta]]); the vector-side assignment touches
+    * two broadcast dims and the slice. Nothing re-pairs or re-labels
+    * the existing corpus. (The old-corpus assignment and the IVF/PQ
+    * structures are fit here because a registered query must be
+    * self-contained — a serving deployment reloads both via
+    * [[graft.sinks.ModelStore]] instead, the ModelStoreSpec-pinned
+    * path.) */
+  def ingestPipeline(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    // d13 gate: (doc_id, …, maybe_overlap) for every incoming doc.
+    val gate = GroupD.bloomPrefilterOf(docs)
+      .select(col("doc_id"), col("maybe_overlap"))
+    // d11 confirm on the maybe sliver only — the clear-bit docs are
+    // PROVEN novel, so dropping them cannot lose a pair (the oracle
+    // replays the confirm unrestricted; equality proves it).
+    val sliver = incoming
+      .join(gate.filter(col("maybe_overlap")).select("doc_id"), "doc_id")
+    val confirmed = Dedup.ngramJaccardAgainst(existing, sliver,
+      "doc_id", "text", n = 3, tau = 0.5)
+    val dupStats = confirmed.groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_old"),
+        max(col("jaccard")).as("best_jaccard"))
+    // d16 merge: slice pairs = confirmed cross pairs + new-new pairs.
+    val oldAssign = Graph.connectedComponents(
+      Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
+      strict = true)
+    val newPairs = confirmed
+      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
+        n = 3, tau = 0.5).select("id_a", "id_b"))
+    // Incoming ids are absent from the old assignment by construction,
+    // so their labels live entirely in the delta.
+    val comp = Graph.componentsDelta(oldAssign, newPairs, strict = true)
+      .filter(col("id") % 10 === 0)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    // e11 index delta: serving structures fit on the existing vectors,
+    // slice assigned with no refit (vec_id aligns with doc_id).
+    val (cent, cb) = Similarity.ivfPqFit(
+      embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+      dim = 64)
+    val idx = Similarity.ivfPqIndexDelta(
+        embeddings.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        cent, cb, m = 8, dim = 64)
+      .select(col("id").as("doc_id"), col("cid"),
+        concat_ws(",", col("codes")).as("codes"))
+    incoming.select("doc_id")
+      .join(gate, Seq("doc_id"), "left")
+      .join(dupStats, Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
+      .join(idx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("maybe_overlap"), lit(false)).as("maybe_overlap"),
+        coalesce(col("n_dup_old"), lit(0L)).as("n_dup_old"),
+        col("best_jaccard"), col("component"), col("cid"), col("codes"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // p4 composes the PROVEN replays: d7's recursive component CTE
+    // over ALL pairs (the d16 equivalence — incremental merge must
+    // equal full recompute), d11's bipartite confirm UNRESTRICTED
+    // (equality with the Spark side's bloom-gated sliver is the
+    // no-false-negative guarantee), d13's position-set bitmap
+    // replay, and e11's fit+assign chain. Only the sliver gate and
+    // the rep-space merge are Spark-side optimizations — the VALUES
+    // must be independent of both, and this hash gate proves it.
+    "p4_ingest_pipeline" ->
+      s"""WITH RECURSIVE ${GroupD.componentCte},
+         |comp AS (SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1),
+         |ex2 AS (SELECT doc_id AS old_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |inc2 AS (SELECT doc_id AS new_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |szo AS (SELECT old_id, count(*) AS n_old FROM ex2 GROUP BY 1),
+         |szn AS (SELECT new_id, count(*) AS n_new FROM inc2 GROUP BY 1),
+         |xsh AS (SELECT new_id, old_id, count(*) AS sh2
+         |        FROM inc2 JOIN ex2 USING (shingle) GROUP BY 1, 2),
+         |conf AS (SELECT new_id, old_id,
+         |           round(sh2 * 1.0 / (n_new + n_old - sh2), 6) AS jaccard
+         |         FROM xsh JOIN szn USING (new_id) JOIN szo USING (old_id)
+         |         WHERE sh2 * 1.0 / (n_new + n_old - sh2) >= 0.5),
+         |dups AS (SELECT new_id AS doc_id, count(*) AS n_dup_old,
+         |           max(jaccard) AS best_jaccard FROM conf GROUP BY 1),
+         |ks AS (SELECT unnest(generate_series(0, 6)) AS i),
+         |exg AS (SELECT DISTINCT shingle FROM ex2),
+         |expos AS (SELECT DISTINCT
+         |            ((${DuckSql.hash64md5("shingle || ':' || i")} % 1048576)
+         |             + 1048576) % 1048576 AS pos
+         |          FROM exg, ks),
+         |pp AS (SELECT new_id AS doc_id, shingle,
+         |         ((${DuckSql.hash64md5("shingle || ':' || i")} % 1048576)
+         |          + 1048576) % 1048576 AS pos
+         |       FROM inc2, ks),
+         |hit AS (SELECT doc_id, shingle, bool_and(e2.pos IS NOT NULL) AS hp
+         |        FROM pp LEFT JOIN expos e2 USING (pos) GROUP BY 1, 2),
+         |bagg AS (SELECT doc_id, max(hp) AS maybe_overlap FROM hit GROUP BY 1),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+         |nr AS (SELECT vec_id, vd,
+         |         sqrt(list_reduce(list_transform(vd, x -> x * x),
+         |              (a, b) -> a + b)) AS nrm FROM e),
+         |au AS (SELECT vec_id AS id,
+         |         CASE WHEN nrm = 0 THEN vd
+         |              ELSE list_transform(vd, x -> x / nrm) END AS un FROM nr),
+         |uu AS (SELECT id, un FROM au WHERE id % 10 <> 0),
+         |su AS (SELECT id, un FROM au WHERE id % 10 = 0),
+         |c0 AS (SELECT id AS cid, un AS cvec FROM uu WHERE id % 37 = 0),
+         |${GroupE.lloydIter("c0", "c1")},
+         |${GroupE.lloydIter("c1", "c2")},
+         |sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |sd AS (SELECT id, un FROM uu ORDER BY id LIMIT 16),
+         |cb0 AS (SELECT s, id AS cid, un[s * 8 + 1 : s * 8 + 8] AS cvec
+         |        FROM sd, sp),
+         |subs AS (SELECT id, s, un[s * 8 + 1 : s * 8 + 8] AS sub FROM uu, sp),
+         |${GroupE.pqIter("cb0", "cb1")},
+         |${GroupE.pqIter("cb1", "cb2")},
+         |asg AS (SELECT id, cid FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id
+         |                 ORDER BY dot DESC, cid ASC) AS rn
+         |  FROM (SELECT s2.id, c.cid,
+         |          list_reduce(list_transform(generate_series(1, 64),
+         |            i -> s2.un[i] * c.cvec[i]), (x, y) -> x + y) AS dot
+         |        FROM su s2, c2 c) q) WHERE rn = 1),
+         |ssub AS (SELECT id, s, un[s * 8 + 1 : s * 8 + 8] AS sub FROM su, sp),
+         |scd AS (SELECT id, s, cid AS code FROM (
+         |  SELECT q.*, row_number() OVER (PARTITION BY id, s
+         |                 ORDER BY d2r ASC, cid ASC) AS rn
+         |  FROM (SELECT sb.id, sb.s, c.cid,
+         |          round(list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> sb.sub[i] * sb.sub[i]), (x, y) -> x + y)
+         |            + list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * c.cvec[i]), (x, y) -> x + y)
+         |            - 2 * list_reduce(list_transform(generate_series(1, 8),
+         |                  i -> c.cvec[i] * sb.sub[i]), (x, y) -> x + y), 6) AS d2r
+         |        FROM ssub sb JOIN cb2 c USING (s)) q) WHERE rn = 1),
+         |cds AS (SELECT id, string_agg(cast(code AS string), ',' ORDER BY s)
+         |          AS codes
+         |        FROM scd GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(bagg.maybe_overlap, false) AS maybe_overlap,
+         |  coalesce(dups.n_dup_old, 0) AS n_dup_old,
+         |  dups.best_jaccard, comp.component, a.cid, c.codes
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN bagg USING (doc_id)
+         |LEFT JOIN dups USING (doc_id)
+         |LEFT JOIN comp USING (doc_id)
+         |LEFT JOIN asg a ON a.id = d.doc_id
+         |LEFT JOIN cds c ON c.id = d.doc_id""".stripMargin,
+
     "p1_pipeline" ->
       """WITH RECURSIVE
         |e AS (SELECT p_partkey AS src, p_partkey // 2 AS dst
