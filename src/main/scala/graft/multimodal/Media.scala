@@ -42,31 +42,62 @@ object Media {
         (col("n_chars") % 48 + 1).cast("int").as("height"),
         (col("doc_id") % 8 + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** ==== STUB ==== The real decoder (image decode + embedding model)
-    * goes here; this deterministic hash-based fake keeps the contract —
-    * `dim` floats in [0, 1) per payload — testable in this container. */
-  private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val base = scala.util.hashing.MurmurHash3.bytesHash(payload, 42)
-    Array.tabulate(dim) { i =>
-      val h = scala.util.hashing.MurmurHash3.orderedHash(Seq(base, i))
-      (h & 0x7fffffff).toFloat / Int.MaxValue
-    }
+  /** The pluggable embedding seam: a production model (ONNX via its
+    * Java API, a JNI-wrapped encoder, an HTTP sidecar) implements
+    * this ONE method and drops into [[decodeFeatures]] without
+    * touching any pipeline code. Contract: called once per
+    * partition-local batch with ONLY non-null payloads (null media
+    * propagates to null features in the plumbing, an embedder never
+    * sees it — MediaSpec pins both); must return exactly one `dim`-
+    * float vector per payload, in order; must be Serializable (the
+    * instance ships to executors inside the task closure, so model
+    * handles should be lazy/transient and materialize per-executor)
+    * and thread-safe across concurrent partitions. */
+  trait MediaEmbedder extends Serializable {
+    def embedBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]]
+  }
+
+  /** ==== STUB ==== The default [[MediaEmbedder]]: a deterministic
+    * hash-based fake — no model runtime in this container — keeping
+    * the contract (`dim` floats in [0, 1) per payload) testable. */
+  object StubEmbedder extends MediaEmbedder {
+    def embedBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+      payloads.map { payload =>
+        val base = scala.util.hashing.MurmurHash3.bytesHash(payload, 42)
+        Array.tabulate(dim) { i =>
+          val h = scala.util.hashing.MurmurHash3.orderedHash(Seq(base, i))
+          (h & 0x7fffffff).toFloat / Int.MaxValue
+        }
+      }
   }
 
   /** Feature extraction over the binary column: partition-local,
-    * batch-at-a-time (`batchSize` rows per decoder call — the shape a
-    * vectorized/GPU decoder needs), appending `features array<float>`.
-    * No shuffle: rows stay where the scan put them. */
-  def decodeFeatures(df: DataFrame, dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    * batch-at-a-time (`batchSize` rows per [[MediaEmbedder]] call —
+    * the shape a vectorized/GPU decoder needs), appending `features
+    * array<float>`. No shuffle: rows stay where the scan put them.
+    * Rows with null media keep their place with null features. */
+  def decodeFeatures(df: DataFrame, dim: Int = 8, batchSize: Int = 64,
+                     embedder: MediaEmbedder = StubEmbedder): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val mediaIdx = df.schema.fieldIndex("media")
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // One call per batch: a real decoder would process the whole
-        // Array[Array[Byte]] in a single vectorized invocation.
-        val features = batch.map(r => stubDecode(r.getAs[Array[Byte]](mediaIdx), dim))
-        batch.lazyZip(features).map { (r, f) => Row.fromSeq(r.toSeq :+ f) }
+        // One call per batch: a real decoder processes the whole
+        // payload sequence in a single vectorized invocation.
+        val payloads = batch.collect {
+          case r if !r.isNullAt(mediaIdx) => r.getAs[Array[Byte]](mediaIdx)
+        }
+        val feats =
+          if (payloads.isEmpty) Seq.empty
+          else embedder.embedBatch(payloads, dim)
+        require(feats.length == payloads.length,
+          s"embedder returned ${feats.length} vectors for " +
+            s"${payloads.length} payloads — the one-per-payload contract")
+        val it = feats.iterator
+        batch.map { r =>
+          Row.fromSeq(r.toSeq :+ (if (r.isNullAt(mediaIdx)) null else it.next()))
+        }
       }
     }(Encoders.row(outSchema))
   }

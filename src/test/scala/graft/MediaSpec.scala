@@ -156,4 +156,51 @@ class MediaSpec extends GraftSuite {
       .select($"id", ceil($"meta.n_frames" / 2.0).cast("long").as("want"))
     assert(perDoc.join(expect, "id").filter($"count" =!= $"want").count() == 0)
   }
+
+  test("MediaEmbedder seam: batch shape honored, nulls never reach the embedder") {
+    // A fifth of the rows lose their payload; the recording embedder
+    // must see only non-null payloads, in ≤ batchSize batches that
+    // cover them exactly once, and the null rows must come back with
+    // null features in their original places.
+    val withNulls = media.withColumn("media",
+      when($"id" % 5 === 0, lit(null).cast(BinaryType)).otherwise($"media"))
+    RecordingEmbedder.batches.clear()
+    val out = Media.decodeFeatures(withNulls, dim = 3, batchSize = 5,
+        embedder = RecordingEmbedder)
+      .select($"id", $"features").as[(Long, Option[Seq[Float]])]
+      .collect().toMap
+    assert(out.keySet == media.select($"id").as[Long].collect().toSet)
+    out.foreach { case (id, f) =>
+      if (id % 5 == 0) assert(f.isEmpty, s"null payload $id must yield null")
+      else assert(f.exists(_.length == 3), s"row $id lost its features")
+    }
+    val sizes = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(RecordingEmbedder.batches.iterator()).asScala
+      .map(_.intValue).toList
+    assert(sizes.sum == out.count { case (id, _) => id % 5 != 0 },
+      "embedder must see every non-null payload exactly once")
+    assert(sizes.forall(s => s >= 1 && s <= 5), s"batch sizes out of contract: $sizes")
+  }
+
+  test("MediaEmbedder seam: a wrong-arity embedder fails loudly") {
+    val broken = new Media.MediaEmbedder {
+      def embedBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+        payloads.drop(1).map(_ => Array.fill(dim)(0f))
+    }
+    intercept[org.apache.spark.SparkException] {
+      Media.decodeFeatures(media, dim = 2, batchSize = 8, embedder = broken)
+        .count()
+    }
+  }
+}
+
+/** Top-level object so Spark's closure serializer ships a module
+  * reference and readResolve hands every task the same singleton —
+  * the recorded batches are then visible to the driver in local mode. */
+object RecordingEmbedder extends graft.multimodal.Media.MediaEmbedder {
+  val batches = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  def embedBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] = {
+    batches.add(payloads.length)
+    payloads.map(p => Array.fill(dim)(p.length.toFloat))
+  }
 }
