@@ -181,6 +181,16 @@ object ScaleProbe {
           col("neighbor_id"), col("cosine"))
       }.reduce(_ unionByName _).localCheckpoint()
     lazy val knnK = scaled(knnBase, Seq("query_id"))
+    // d15's own operator (the generators' exponents are a25's and
+    // d3's, probed separately): pair frames amplified 8× like knnBase
+    // so the normalize/distinct/full-outer/agg dominates job latency;
+    // copy spacing k×SHIFT, disjoint from scaled()'s shifts.
+    lazy val peBase = (0 until 8).map { i =>
+        pairs.select(
+          (col("id_a") + lit(i.toLong * k * SHIFT)).as("id_a"),
+          (col("id_b") + lit(i.toLong * k * SHIFT)).as("id_b"))
+      }.reduce(_ unionByName _).localCheckpoint()
+    lazy val peK = scaled(peBase, Seq("id_a", "id_b"))
     lazy val labels = Tables(spark, sfDir, "embeddings")
       .select("vec_id", "label").localCheckpoint()
     lazy val docsLang = Tables(spark, sfDir, "documents")
@@ -324,6 +334,13 @@ object ScaleProbe {
       // f16: duplicated ids multiply domain counts, the rate table
       // stays |domains| rows — cost must scale on the two corpus
       // passes alone.
+      // d15: K× shifted pair frames on BOTH sides (each copy disjoint
+      // — no cross-copy matches manufactured): the oriented key
+      // normalization, per-side distinct, full-outer join and the
+      // single map-side-combinable agg must all scale on pair rows.
+      ("d15 pairs-eval",
+        () => noop(Dedup.pairsEval(peBase, peBase)),
+        () => noop(Dedup.pairsEval(peK, peK))),
       ("f16 mixture",
         () => noop(graft.operators.Sampling.mixtureSample(docsLang,
           col("doc_id"), col("lang"),
