@@ -71,6 +71,16 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       var last = 0.0
       for (_ <- 1 to reps) {
+        // Drop DEAD checkpoint blocks before timing (untimed): the
+        // iterative operators' localCheckpoint cuts stay registered
+        // after their query's write completes, and accumulating them
+        // across queries — and especially across reps of fit-heavy
+        // queries (p4 re-fits per rep) — taxes later runs with
+        // storage-memory pressure that is measurement debris, not
+        // operator cost. Everything persisted by a FINISHED run is
+        // dead here by construction (results went to the sink).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // Clean heap per query (untimed): without it a collect-heavy
         // predecessor taxes its successor with major-GC debt and the
         // per-query numbers smear run to run.
