@@ -385,7 +385,11 @@ object Graph {
       .select(asg("id"), col("__newc").as("comp"))
     // Ids the assignment has never seen: label = their rep's merged
     // label, or themselves when their pairs stayed within one rep.
-    val newRows = nodes.join(asg.select("id"), Seq("id"), "left_anti")
+    // Anti-join against `touched` (= assignment ∩ nodes, slice-
+    // bounded and already materialized), NOT the corpus-sized
+    // assignment — the same set difference without ever shuffling
+    // the assignment (PlanSpec pins the no-SortMergeJoin shape).
+    val newRows = nodes.join(touched.select("id"), Seq("id"), "left_anti")
       .join(repMap.select(col("id").as("__rid"), col("comp").as("__rc")),
             col("id") === col("__rid"), "left")
       .select(col("id"), coalesce(col("__rc"), col("id")).as("comp"))

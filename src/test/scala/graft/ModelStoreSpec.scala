@@ -107,6 +107,26 @@ class ModelStoreSpec extends GraftSuite {
     }
   }
 
+  test("component assignment round-trip: componentsDelta on reloaded assignment identical") {
+    // The d16 serving path: the (id, comp) assignment persists
+    // between ingest cycles and the next cycle's merge runs against
+    // the RELOADED frame — must be value-identical to the in-memory
+    // continuation.
+    import graft.operators.{Dedup, Graph}
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val asg = Graph.connectedComponents(
+      Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5))
+    val p = tmp("asg")
+    ModelStore.save(asg, p)
+    val newPairs = Dedup.ngramJaccardAgainst(existing, incoming,
+        "doc_id", "text", n = 3, tau = 0.5)
+      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+    sameRows(
+      Graph.componentsDelta(ModelStore.load(spark, p), newPairs),
+      Graph.componentsDelta(asg, newPairs))
+  }
+
   test("save refuses to hive-partition a stamped column") {
     intercept[IllegalArgumentException] {
       ModelStore.save(fitted._2, tmp("bad"), partitionCols = Seq("s"))

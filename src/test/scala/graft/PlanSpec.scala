@@ -96,6 +96,30 @@ class PlanSpec extends GraftSuite {
       s"expected exactly 2 pair-key exchanges (one dedup per side), got $pairExchanges\n$p")
   }
 
+  test("d16: componentsDelta's delta plan never shuffles the assignment") {
+    // The serving contract: the corpus-sized (id, comp) assignment is
+    // SCANNED (broadcast-probe joins), never shuffled. The slice-
+    // bounded frames (endpoint set, touched labels, rep remap) are
+    // checkpointed, so every join against the assignment must resolve
+    // as a BroadcastHashJoin — a SortMergeJoin anywhere in the delta
+    // plan means the assignment went through an exchange.
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val asg = graft.operators.Graph.connectedComponents(chain)
+    val delta = graft.operators.Graph.componentsDelta(asg,
+      Seq((1000L, 5L), (1001L, 1000L)).toDF("id_a", "id_b"))
+    val qe = delta.queryExecution
+    qe.executedPlan.execute().count()
+    // Assert on the FINAL adaptive plan only — AQE's toString keeps
+    // the pre-adaptive Initial Plan section, whose provisional SMJs
+    // are exactly what adaptivity replaces.
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"componentsDelta must never shuffle the assignment\n$p")
+  }
+
   test("a21: asof join costs exactly its two keyed shuffles, filters pushed") {
     val p = plan("a21_asof_join")
     // One exchange for the right-side (user, ts) dedup agg, one for the
