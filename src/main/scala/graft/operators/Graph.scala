@@ -396,6 +396,65 @@ object Graph {
     changedOld.union(newRows)
   }
 
+  /** INCREMENTAL transitive closure — [[componentsDelta]]'s sibling
+    * for the reachability family: fold a slice of NEW edges into an
+    * EXISTING closure without re-walking the old edge set (the
+    * subclass taxonomy grows a few hundred nodes per dump cycle;
+    * re-deriving a billion-pair closure for them is the d7-class
+    * recomputation this avoids). Returns DELTA rows only — the pairs
+    * the new edges create that the closure lacks — so
+    * closure ∪ delta ≡ a full closure over old ∪ new edges (pinned
+    * randomized in GraphSpec; the registered b4 proves it through
+    * b1's own recursive CTE).
+    *
+    * Correctness shape: every path in (old ∪ new) either uses no new
+    * edge (already in the closure) or decomposes at its new edges
+    * into segments of the form old-path? · new-edge · old-path?. The
+    * base relation B materializes exactly those segments — the new
+    * edges with optional closure prefix/suffix, two joins where the
+    * closure is SCANNED against the broadcast slice, never shuffled
+    * (the componentsDelta doctrine) — and chained-new-edge paths are
+    * B's own transitive closure, reached by semi-naive iteration on
+    * frontiers bounded by B (slice-cone-sized, never the corpus).
+    * Rounds = the longest chain of DISTINCT new edges on one path
+    * (ingest slices chain shallowly); `maxIter` guards with the
+    * usual warn/strict contract, and the per-round emptiness check
+    * is a declared scalar driver action like the closure loops
+    * above. */
+  def transitiveClosureDelta(closure: DataFrame, newEdges: DataFrame,
+                             maxIter: Int = 30,
+                             strict: Boolean = false): DataFrame = {
+    val c = closure.select(col("src"), col("dst")).cut()
+    val e0 = newEdges.select(col("src"), col("dst")).distinct().cut()
+    val pre = c.select(col("src"), col("dst").as("__m"))
+      .join(e0.select(col("src").as("__m"), col("dst")), "__m")
+      .select("src", "dst")
+    val withPrefix = e0.union(pre).distinct().cut()
+    val post = withPrefix.select(col("src"), col("dst").as("__m"))
+      .join(c.select(col("src").as("__m"), col("dst")), "__m")
+      .select("src", "dst")
+    val b = withPrefix.union(post).distinct().cut()
+    var total = b
+    var frontier = b
+    var iter = 0
+    while (!frontier.isEmpty && iter < maxIter) {
+      val next = frontier.select(col("src"), col("dst").as("__m"))
+        .join(b.select(col("src").as("__m"), col("dst")), "__m")
+        .select("src", "dst").distinct()
+        .join(total, Seq("src", "dst"), "left_anti").cut()
+      total = total.union(next)
+      frontier = next
+      iter += 1
+    }
+    if (!frontier.isEmpty) {
+      val msg = s"transitiveClosureDelta stopped at maxIter = $maxIter before " +
+        "convergence — delta is incomplete (a path chains more new edges); " +
+        "raise maxIter"
+      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+    }
+    total.join(c, Seq("src", "dst"), "left_anti").distinct()
+  }
+
   /** Reachability validation (filter_articles2.py main loop): a member
     * row is valid iff its `typeCol` node reaches the row's `targetCol`
     * node (or equals it). Returns the input plus a boolean `valid`.

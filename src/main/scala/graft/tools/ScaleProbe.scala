@@ -181,6 +181,18 @@ object ScaleProbe {
           col("neighbor_id"), col("cosine"))
       }.reduce(_ unionByName _).localCheckpoint()
     lazy val knnK = scaled(knnBase, Seq("query_id"))
+    // b4's serving state: the existing closure, fixed vs K×. Shifted
+    // copies of a closure ARE the closure of shifted edge copies
+    // (disjoint key spaces), so the K× side is exact without K× the
+    // fit cost. The bridge slice hangs NEW leaves (+1e9) under
+    // copy-0 nodes — same delta cone on both sides, only the closure
+    // being scanned grows.
+    lazy val closure0 = Graph.transitiveClosure(edges,
+      uniquePaths = true, stride = 4).localCheckpoint()
+    lazy val closureK = scaled(closure0, Seq("src", "dst"))
+    lazy val newLeaves = edges
+      .select((col("src") + lit(1_000_000_000L)).as("src"), col("dst"))
+      .localCheckpoint()
     // d15's own operator (the generators' exponents are a25's and
     // d3's, probed separately): pair frames amplified 8× like knnBase
     // so the normalize/distinct/full-outer/agg dominates job latency;
@@ -334,6 +346,14 @@ object ScaleProbe {
       // f16: duplicated ids multiply domain counts, the rate table
       // stays |domains| rows — cost must scale on the two corpus
       // passes alone.
+      // b4: FIXED new-edge slice, K× existing closure (the
+      // taxonomy-grows direction). The base relation is two
+      // broadcast-slice scans of the closure and the semi-naive
+      // rounds are B-bounded, so the ratio must stay far below K —
+      // a closure-sized re-walk (b1's shape) would read ≈ K.
+      ("b4 closure-delta",
+        () => noop(Graph.transitiveClosureDelta(closure0, newLeaves)),
+        () => noop(Graph.transitiveClosureDelta(closureK, newLeaves))),
       // d15: K× shifted pair frames on BOTH sides (each copy disjoint
       // — no cross-copy matches manufactured): the oriented key
       // normalization, per-side distinct, full-outer join and the

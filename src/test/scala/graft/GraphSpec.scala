@@ -289,6 +289,37 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("property: transitiveClosureDelta union ≡ full closure on random edge splits") {
+    // For any split into OLD (already closed) and NEW edges:
+    // closure(old) ∪ delta must equal closure(old ∪ new), delta rows
+    // must all be genuinely new, and cycles (closure includes
+    // self-pairs) must survive the fold. Random graphs cover new-new
+    // chains, new edges bridging old cones, and no-op slices.
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val n = 14
+      val all = (1 to 22).map(_ => (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }.distinct
+      val (oldE, newE) = all.partition(_ => rnd.nextInt(3) != 0)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val c = Graph.transitiveClosure(oldE.toDF("src", "dst"))
+        val delta = Graph.transitiveClosureDelta(c, newE.toDF("src", "dst"),
+          strict = true)
+        val got = pairs(c) ++ pairs(delta)
+        val want = pairs(Graph.transitiveClosure(all.toDF("src", "dst")))
+        assert(got === want, s"trial $trial old=$oldE new=$newE")
+        assert((pairs(delta) & pairs(c)).isEmpty,
+          s"trial $trial: delta repeats closure rows")
+      }
+    }
+  }
+
+  test("transitiveClosureDelta: empty slice yields empty delta") {
+    val c = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    assert(Graph.transitiveClosureDelta(c,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() === 0L)
+  }
+
   test("componentsDelta: empty slice yields empty delta; untouched components stay put") {
     val oldAssign = Graph.connectedComponents(
       Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
