@@ -107,6 +107,37 @@ class ModelStoreSpec extends GraftSuite {
     }
   }
 
+  test("CMS counter dim round-trip: estimates identical") {
+    // The f20 serving shape: the counter frame is a persisted dim the
+    // daily slices probe; reloaded counters must estimate identically.
+    import graft.operators.Sketches
+    import graft.functions.Text
+    val grams = docs.select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("gram"))
+    val counters = Sketches.cmsCounters(grams, "gram")
+    val p = tmp("cms")
+    ModelStore.save(counters, p)
+    val probes = grams.select("gram").distinct().limit(200)
+    sameRows(
+      Sketches.cmsEstimate(ModelStore.load(spark, p), probes, "gram"),
+      Sketches.cmsEstimate(counters, probes, "gram"))
+  }
+
+  test("closure round-trip: transitiveClosureDelta on reloaded closure identical") {
+    import graft.operators.Graph
+    val edges = Tables(spark, sfDir, "part")
+      .filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
+    val c = Graph.transitiveClosure(edges.filter(col("src") % 10 =!= 0),
+      uniquePaths = true, stride = 4)
+    val p = tmp("closure")
+    ModelStore.save(c, p)
+    val slice = edges.filter(col("src") % 10 === 0)
+    sameRows(
+      Graph.transitiveClosureDelta(ModelStore.load(spark, p), slice),
+      Graph.transitiveClosureDelta(c, slice))
+  }
+
   test("component assignment round-trip: componentsDelta on reloaded assignment identical") {
     // The d16 serving path: the (id, comp) assignment persists
     // between ingest cycles and the next cycle's merge runs against
