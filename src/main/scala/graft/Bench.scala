@@ -43,9 +43,11 @@ object Bench {
     // all columns the count doesn't need, so pure-projection queries
     // (namehash, tokenizers, PII scrub, ...) would benchmark a scan
     // instead of the operator under test.
-    // A failed query must not masquerade as a fast one: its time is
-    // still reported (the cost was paid) but its name lands in
-    // "errors" so the number is never read as a healthy measurement.
+    // A failed query must not masquerade as a measurement: only
+    // SUCCESSFUL runs record a time (a query whose every rep failed
+    // reports 0.0), and its name lands in "errors" — which also
+    // forces the nonzero exit below — so nothing in the JSON reads
+    // as a healthy number.
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local perf iteration
     // (the driver never sets it — its totals stay all-query).

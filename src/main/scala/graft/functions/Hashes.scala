@@ -40,22 +40,27 @@ object Hashes {
     * directory of whatever launched the session, which for sbt/driver
     * runs is the checkout root; `GRAFT_VECTORS_PATH` overrides when
     * the session runs elsewhere. */
-  // lazy: the existence check must fire on USE (a23 / its oracle
-  // dump), not on object init — Hashes.simhash callers in a foreign
-  // working directory never touch this path.
-  lazy val vectorsPath: String = {
-    val p = sys.env.getOrElse("GRAFT_VECTORS_PATH",
-      java.nio.file.Paths.get(
-        "src/main/resources/graft/namehash_vectors.parquet")
-        .toAbsolutePath.toString)
-    // Fail fast with the knob's name: a session launched from outside
-    // the checkout root (IDE runner, spark-submit elsewhere) would
-    // otherwise resolve a nonexistent default and surface only an
-    // opaque parquet error at a23 read time.
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
-      s"namehash expected-vectors parquet not found at $p — launch from " +
-        "the checkout root or set GRAFT_VECTORS_PATH to the file " +
-        "(src/main/resources/graft/namehash_vectors.parquet)")
-    p
+  // The PATH resolves with no existence check: it is interpolated
+  // into a23's oracle SQL inside GroupA3's `oracles` val, which query
+  // REGISTRATION forces — a check here would make every query in a
+  // foreign working directory fail at registry-construction time,
+  // not just a23. The check lives in [[vectorsPathChecked]], which
+  // only the actual parquet READ calls.
+  lazy val vectorsPath: String = sys.env.getOrElse("GRAFT_VECTORS_PATH",
+    java.nio.file.Paths.get(
+      "src/main/resources/graft/namehash_vectors.parquet")
+      .toAbsolutePath.toString)
+
+  /** [[vectorsPath]] with a fail-fast existence check naming the
+    * override knob — used by the READ side (a23's Spark plan), so a
+    * session launched outside the checkout root (IDE runner,
+    * spark-submit elsewhere) gets this message instead of an opaque
+    * parquet error, while non-a23 queries stay unaffected. */
+  def vectorsPathChecked: String = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(vectorsPath)),
+      s"namehash expected-vectors parquet not found at $vectorsPath — " +
+        "launch from the checkout root or set GRAFT_VECTORS_PATH to the " +
+        "file (src/main/resources/graft/namehash_vectors.parquet)")
+    vectorsPath
   }
 }

@@ -94,6 +94,11 @@ object Media {
         require(feats.length == payloads.length,
           s"embedder returned ${feats.length} vectors for " +
             s"${payloads.length} payloads — the one-per-payload contract")
+        require(feats.forall(_.length == dim),
+          s"embedder returned a ${feats.map(_.length).find(_ != dim).get}-" +
+            s"float vector where dim = $dim — a model ignoring the " +
+            "requested dimension must fail here, not feed mis-shaped " +
+            "arrays to fixed-dim consumers downstream")
         val it = feats.iterator
         batch.map { r =>
           Row.fromSeq(r.toSeq :+ (if (r.isNullAt(mediaIdx)) null else it.next()))

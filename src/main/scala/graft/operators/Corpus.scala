@@ -302,11 +302,13 @@ object Corpus {
   /** [[perplexityBuckets]] against a SUPPLIED unigram model
     * ([[unigramFit]]'s (tok, cnt) shape, fresh or reloaded) — the
     * serving form: tokens absent from the model are dropped from
-    * scoring (n_tokens counts MODELED occurrences only; with model =
-    * score corpus, i.e. f15, nothing is ever absent and this is
-    * byte-identical to the inline op — spec-pinned). Thresholds
-    * still interpolate over the SCORED docs: the terciles are a
-    * property of the population being bucketed, not of the model. */
+    * scoring (n_tokens counts MODELED occurrences only), but every
+    * input doc keeps its output row — a doc with NO modeled tokens
+    * (new language, new domain) surfaces as (n_tokens 0, nll NULL,
+    * bucket NULL) rather than silently vanishing and shifting the
+    * terciles, which interpolate over the scoreable docs only. With
+    * model = score corpus (f15) nothing is ever absent and this is
+    * value-identical to the inline op — spec-pinned. */
   def perplexityBucketsWith(model: DataFrame, docs: DataFrame,
                             idCol: String, textCol: String): DataFrame = {
     val toks = docs
@@ -332,9 +334,17 @@ object Corpus {
     val cuts = scored.agg(
       expr("percentile(nll, 1D/3)").as("t1"),
       expr("percentile(nll, 2D/3)").as("t2"))
-    scored.crossJoin(broadcast(cuts))
-      .select(col("id"), col("n_tokens"), col("nll"),
-        when(col("nll") <= col("t1"), lit("head"))
+    // LEFT join back onto the doc ids so all-out-of-vocabulary docs
+    // keep a row (NULL nll/bucket) instead of disappearing through
+    // the inner model join — with model = corpus (f15) this matches
+    // every row and changes nothing.
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .crossJoin(broadcast(cuts))
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("nll"),
+        when(col("nll").isNull, lit(null).cast("string"))
+          .when(col("nll") <= col("t1"), lit("head"))
           .when(col("nll") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }

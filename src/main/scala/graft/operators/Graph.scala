@@ -424,7 +424,14 @@ object Graph {
   def transitiveClosureDelta(closure: DataFrame, newEdges: DataFrame,
                              maxIter: Int = 30,
                              strict: Boolean = false): DataFrame = {
-    val c = closure.select(col("src"), col("dst")).cut()
+    // The closure is the caller's SERVING state (a transitiveClosure
+    // result — flat checkpointed lineage — or a ModelStore scan):
+    // never cut it (a localCheckpoint would materialize the corpus-
+    // sized frame into executor storage per call) and never shuffle
+    // it — it appears only as the streamed side of broadcast-slice
+    // joins, three scans total (PlanSpec pins no-SortMergeJoin, the
+    // componentsDelta doctrine).
+    val c = closure.select(col("src"), col("dst"))
     val e0 = newEdges.select(col("src"), col("dst")).distinct().cut()
     val pre = c.select(col("src"), col("dst").as("__m"))
       .join(e0.select(col("src").as("__m"), col("dst")), "__m")
@@ -452,7 +459,14 @@ object Graph {
         "raise maxIter"
       if (strict) throw new IllegalStateException(msg) else log.warn(msg)
     }
-    total.join(c, Seq("src", "dst"), "left_anti").distinct()
+    // Drop already-known pairs WITHOUT shuffling the closure: left_anti
+    // only builds right, so anti-joining `total` against corpus-sized
+    // `c` directly would sort-merge the whole closure. Semi-join c
+    // down to total's pairs first (c streamed, slice-bounded total on
+    // the broadcast build side — output ≤ |total|), then anti-join
+    // against that bounded set.
+    val cTouched = c.join(total, Seq("src", "dst"), "left_semi")
+    total.join(cTouched, Seq("src", "dst"), "left_anti").distinct()
   }
 
   /** Reachability validation (filter_articles2.py main loop): a member

@@ -105,7 +105,7 @@ object GroupA3 {
     // with a full rows+schema+hash gate while still reading the
     // corpus. KeccakSpec additionally pins the spec vectors in CI.
     "a23_namehash" -> ((s, d) => {
-      val vectors = s.read.parquet(graft.functions.Hashes.vectorsPath)
+      val vectors = s.read.parquet(graft.functions.Hashes.vectorsPathChecked)
         .select(col("name"))
       val hashed = vectors.select(
         col("name"),

@@ -434,11 +434,13 @@ object GroupF2 {
          |           GROUP BY 1),
          |cuts AS (SELECT quantile_cont(nll, 1.0/3) AS t1,
          |                quantile_cont(nll, 2.0/3) AS t2 FROM scored)
-         |SELECT doc_id, n_tokens, nll,
-         |  CASE WHEN nll <= t1 THEN 'head'
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, nll,
+         |  CASE WHEN nll IS NULL THEN NULL
+         |       WHEN nll <= t1 THEN 'head'
          |       WHEN nll <= t2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
-         |FROM scored CROSS JOIN cuts""".stripMargin,
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN scored USING (doc_id) CROSS JOIN cuts""".stripMargin,
 
     // f16 replays the rate derivation with the SAME fixed-order
     // double expressions: weights cast ::DOUBLE (DuckDB bare decimals

@@ -34,13 +34,24 @@ object ModelStore {
     df.schema.fields.filter(f => f.metadata !=
       org.apache.spark.sql.types.Metadata.empty).map(_.name).toSeq
 
-  /** Write a fitted structure under `path` (overwrite — the store
-    * holds the CURRENT model; version by path if history matters).
+  /** Write a fitted structure under `path` (the store holds the
+    * CURRENT model; version by path if history matters).
     * `partitionCols` routes through [[PartitionedParquet]] for the
     * rare corpus-scale dim (a billion-key bloom bitmap); the default
     * unpartitioned write is right for model-sized frames. Fails
     * loudly if any schema-metadata stamp would not survive the
-    * round-trip. */
+    * round-trip.
+    *
+    * STAGE-AND-SWAP, not overwrite-in-place: the serving lifecycle
+    * is load → fold a slice in → save to the SAME path, which means
+    * `df`'s lazy plan may still be READING this path — a plain
+    * overwrite would delete its own input mid-job (or be refused by
+    * Spark's self-overwrite check). The new model therefore
+    * materializes completely into a staging directory first (the
+    * stamp check runs there too), and only then replaces the old
+    * one — a failed write leaves the previous model intact. The
+    * swap itself is not atomic for concurrent readers; serve from
+    * versioned paths if readers overlap writers. */
   def save(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
            sortCols: Seq[String] = Nil): Unit = {
     val stamped = stampedCols(df)
@@ -49,11 +60,18 @@ object ModelStore {
         "cannot be hive partition columns — partition values are read back " +
         "from directory names and lose their schema metadata, silently " +
         "degrading downstream geometry verification to trust")
+    val spark = df.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".__staging__")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
     if (partitionCols.nonEmpty)
-      PartitionedParquet.write(df, path, partitionCols, sortCols)
-    else df.write.mode("overwrite").parquet(path)
-    // Survival check: footer metadata only — no job, no data read.
-    val back = df.sparkSession.read.parquet(path).schema
+      PartitionedParquet.write(df, staging.toString, partitionCols, sortCols)
+    else df.write.mode("overwrite").parquet(staging.toString)
+    // Survival check on the STAGED copy (footer metadata only — no
+    // job, no data read), so a failed check never clobbers the
+    // previous model.
+    val back = spark.read.parquet(staging.toString).schema
     stamped.foreach { c =>
       val in = df.schema(c).metadata
       val out = back.fields.find(_.name == c).map(_.metadata)
@@ -62,6 +80,9 @@ object ModelStore {
           s"round-trip at $path (wrote $in, read back ${out.orNull}) — " +
           "downstream stamp verification would silently degrade to trust")
     }
+    fs.delete(target, true)
+    require(fs.rename(staging, target),
+      s"could not move staged model into place: $staging -> $target")
   }
 
   /** Reload a fitted structure. Plain scan: stats-backed (broadcast

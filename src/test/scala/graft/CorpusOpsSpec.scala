@@ -296,4 +296,24 @@ class CorpusOpsSpec extends GraftSuite {
         dim = (1 << 20) + 1)
     }
   }
+
+  test("perplexityBucketsWith keeps all-out-of-vocabulary docs as NULL-bucket rows") {
+    import graft.operators.Corpus
+    // Model fit on English-ish docs; doc 3 shares no token with the
+    // model — it must keep its row (n_tokens 0, NULL nll/bucket), not
+    // vanish and silently shrink the tercile population.
+    val modelDocs = Seq((1L, "the cat sat"), (2L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val scoreDocs = modelDocs.unionByName(
+      Seq((3L, "zxq wvut ponm")).toDF("doc_id", "text"))
+    val out = Corpus.perplexityBucketsWith(
+        Corpus.unigramFit(modelDocs, "doc_id", "text"),
+        scoreDocs, "doc_id", "text")
+      .select($"id", $"n_tokens", $"nll".isNull, $"bucket".isNull)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map { case (id, n, a, b) => id -> ((n, a, b)) }.toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(3L) == ((0L, true, true)), s"OOV doc row: ${out(3L)}")
+    assert(!out(1L)._2 && !out(1L)._3, "modeled docs keep real scores")
+  }
 }

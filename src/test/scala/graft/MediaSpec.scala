@@ -182,14 +182,25 @@ class MediaSpec extends GraftSuite {
     assert(sizes.forall(s => s >= 1 && s <= 5), s"batch sizes out of contract: $sizes")
   }
 
-  test("MediaEmbedder seam: a wrong-arity embedder fails loudly") {
-    val broken = new Media.MediaEmbedder {
+  test("MediaEmbedder seam: wrong-arity and wrong-dim embedders fail loudly") {
+    val wrongArity = new Media.MediaEmbedder {
       def embedBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
         payloads.drop(1).map(_ => Array.fill(dim)(0f))
     }
     intercept[org.apache.spark.SparkException] {
-      Media.decodeFeatures(media, dim = 2, batchSize = 8, embedder = broken)
-        .count()
+      Media.decodeFeatures(media, dim = 2, batchSize = 8,
+        embedder = wrongArity).count()
+    }
+    // A model that ignores the requested dimension (512-d ONNX net
+    // plugged in while the pipeline asks for 8) must fail at the
+    // seam, not hand mis-shaped arrays to fixed-dim consumers.
+    val wrongDim = new Media.MediaEmbedder {
+      def embedBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+        payloads.map(_ => Array.fill(dim + 3)(0f))
+    }
+    intercept[org.apache.spark.SparkException] {
+      Media.decodeFeatures(media, dim = 2, batchSize = 8,
+        embedder = wrongDim).count()
     }
   }
 }

@@ -158,6 +158,30 @@ class ModelStoreSpec extends GraftSuite {
       Graph.componentsDelta(asg, newPairs))
   }
 
+  test("same-path update cycle: save(transform(load(p)), p) is safe") {
+    // The serving lifecycle the scaladoc pitches: the saved frame's
+    // lazy plan still READS the path being replaced. Stage-and-swap
+    // must materialize the new model before touching the old one.
+    import graft.operators.Graph
+    val p = tmp("cycle")
+    val asg0 = Graph.connectedComponents(
+      spark.range(1, 9).selectExpr("id AS id_a", "id + 1 AS id_b"))
+    ModelStore.save(asg0, p)
+    val loaded = ModelStore.load(spark, p)
+    val delta = Graph.componentsDelta(loaded,
+      spark.range(100, 103).selectExpr("id AS id_a", "5 AS id_b"))
+    val upserted = loaded.join(delta, Seq("id"), "left_anti")
+      .unionByName(delta)
+    ModelStore.save(upserted, p)
+    val back = ModelStore.load(spark, p).as[(Long, Long)].collect().toMap
+    val want = Graph.connectedComponents(
+        spark.range(1, 9).selectExpr("id AS id_a", "id + 1 AS id_b")
+          .unionByName(spark.range(100, 103)
+            .selectExpr("id AS id_a", "5 AS id_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(back == want)
+  }
+
   test("save refuses to hive-partition a stamped column") {
     intercept[IllegalArgumentException] {
       ModelStore.save(fitted._2, tmp("bad"), partitionCols = Seq("s"))

@@ -120,6 +120,29 @@ class PlanSpec extends GraftSuite {
       s"componentsDelta must never shuffle the assignment\n$p")
   }
 
+  test("b4: transitiveClosureDelta's delta plan never shuffles the closure") {
+    // Same contract as the d16 pin: the corpus-sized closure is the
+    // streamed side of broadcast joins (the slice semi-probe and the
+    // bounded anti-join) — an SMJ would mean it went through an
+    // exchange.
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    val edges = (2L until 40L).map(i => (i, i / 2)).toDF("src", "dst")
+    val c = graft.operators.Graph.transitiveClosure(edges)
+    // (6, 3) re-adds a known edge so the known-pair anti-join has a
+    // non-empty build side — with zero overlap AQE deletes the join
+    // from the final plan entirely (also fine, but then there is no
+    // join shape to pin).
+    val delta = graft.operators.Graph.transitiveClosureDelta(c,
+      Seq((1000L, 9L), (1001L, 1000L), (6L, 3L)).toDF("src", "dst"))
+    val qe = delta.queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"transitiveClosureDelta must never shuffle the closure\n$p")
+  }
+
   test("a21: asof join costs exactly its two keyed shuffles, filters pushed") {
     val p = plan("a21_asof_join")
     // One exchange for the right-side (user, ts) dedup agg, one for the
