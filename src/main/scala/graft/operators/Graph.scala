@@ -441,24 +441,17 @@ object Graph {
       .join(c.select(col("src").as("__m"), col("dst")), "__m")
       .select("src", "dst")
     val b = withPrefix.union(post).distinct().cut()
-    var total = b
-    var frontier = b
-    var iter = 0
-    while (!frontier.isEmpty && iter < maxIter) {
-      val next = frontier.select(col("src"), col("dst").as("__m"))
-        .join(b.select(col("src").as("__m"), col("dst")), "__m")
-        .select("src", "dst").distinct()
-        .join(total, Seq("src", "dst"), "left_anti").cut()
-      total = total.union(next)
-      frontier = next
-      iter += 1
-    }
-    if (!frontier.isEmpty) {
-      val msg = s"transitiveClosureDelta stopped at maxIter = $maxIter before " +
-        "convergence — delta is incomplete (a path chains more new edges); " +
-        "raise maxIter"
-      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
-    }
+    // B⁺ IS a transitive closure — of the slice-bounded base
+    // relation, not the edge set — so the tested semi-naive loop
+    // above computes it (frontier ∘ B rounds, per-round anti-join,
+    // same maxIter/strict contract; rounds = the longest chain of
+    // distinct new edges on one path).
+    val total =
+      try transitiveClosure(b, maxIter = maxIter, strict = strict)
+      catch {
+        case e: IllegalStateException => throw new IllegalStateException(
+          s"transitiveClosureDelta: ${e.getMessage}", e)
+      }
     // Drop already-known pairs WITHOUT shuffling the closure: left_anti
     // only builds right, so anti-joining `total` against corpus-sized
     // `c` directly would sort-merge the whole closure. Semi-join c

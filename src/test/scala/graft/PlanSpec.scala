@@ -120,6 +120,19 @@ class PlanSpec extends GraftSuite {
       s"componentsDelta must never shuffle the assignment\n$p")
   }
 
+  test("p4: ingest composition broadcasts its dims, never a cartesian product") {
+    // The composed daily plan inherits every part's shape: the IVF
+    // centroid dim rides e11's broadcast nested loop, the per-doc
+    // verdict joins are hash joins, and nothing degenerates to a
+    // cartesian product.
+    val q = SparkEntry.queries("p4_ingest_pipeline")(spark, sfDir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the centroid dim\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("b4: transitiveClosureDelta's delta plan never shuffles the closure") {
     // Same contract as the d16 pin: the corpus-sized closure is the
     // streamed side of broadcast joins (the slice semi-probe and the
