@@ -24,14 +24,21 @@ class QuickstartSpec extends GraftSuite {
     val nKept = deduped.count()
     assert(nKept > 0 && nKept <= nDocs)
 
-    // 3 — ANN: fit serving structures once, assign a daily slice with
-    // no refit; search via LSH. dim is caller metadata (64 here).
+    // 3 — ANN: fit serving structures once, persist via ModelStore,
+    // reload and assign a daily slice with no refit; search via LSH.
+    // dim is caller metadata (64 here).
     val (centroids, codebook) =
       Similarity.ivfPqFit(emb, "vec_id", "embedding", dim = 64, m = 8)
     val slice = emb.filter(col("vec_id") % 10 === 0)
-    val delta = Similarity.ivfPqIndexDelta(slice, "vec_id", "embedding",
-      centroids, codebook, m = 8, dim = 64)
-    assert(delta.count() == slice.count())
+    withTempDir("graft-quickstart-models-") { dir =>
+      graft.sinks.ModelStore.save(centroids, s"$dir/ivf-centroids")
+      graft.sinks.ModelStore.save(codebook, s"$dir/pq-codebook")
+      val delta = Similarity.ivfPqIndexDelta(slice, "vec_id", "embedding",
+        graft.sinks.ModelStore.load(spark, s"$dir/ivf-centroids"),
+        graft.sinks.ModelStore.load(spark, s"$dir/pq-codebook"),
+        m = 8, dim = 64)
+      assert(delta.count() == slice.count())
+    }
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val neighbors = Similarity.knnLsh(queries, emb, "vec_id", "embedding",
       k = 10, dim = 64)
