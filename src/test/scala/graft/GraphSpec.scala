@@ -320,6 +320,29 @@ class GraphSpec extends GraftSuite {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() === 0L)
   }
 
+  test("delta operators: strict throws before returning incomplete results") {
+    // A slice that CHAINS (12 new edges / 12 component merges) needs
+    // more rounds than maxIter = 1 allows — strict must throw, never
+    // hand back a silently-short delta.
+    val chain = (1L until 13L).map(i => (i, i + 1))
+    val emptyClosure = Seq((100L, 101L)).toDF("src", "dst")
+    val e1 = intercept[IllegalStateException] {
+      Graph.transitiveClosureDelta(
+        Graph.transitiveClosure(emptyClosure),
+        chain.toDF("src", "dst"), maxIter = 1, strict = true).count()
+    }
+    assert(e1.getMessage.startsWith("transitiveClosureDelta:"))
+    // componentsDelta: pair up isolated two-node comps, then chain
+    // them with a slice — rep-space diameter > 1.
+    val asg = Graph.connectedComponents(
+      (0L until 12L).map(i => (2 * i + 50, 2 * i + 51)).toDF("id_a", "id_b"))
+    intercept[IllegalStateException] {
+      Graph.componentsDelta(asg,
+        (0L until 11L).map(i => (2 * i + 50, 2 * i + 52)).toDF("id_a", "id_b"),
+        maxIter = 1, strict = true).count()
+    }
+  }
+
   test("componentsDelta: empty slice yields empty delta; untouched components stay put") {
     val oldAssign = Graph.connectedComponents(
       Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
