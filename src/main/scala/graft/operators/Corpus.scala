@@ -130,6 +130,55 @@ object Corpus {
           .as("dup_fraction"))
   }
 
+  /** Gram-count dim — the exact-substring family's persisted serving
+    * state: (gram, cnt) occurrence counts over the corpus, one
+    * map-side-combinable agg. Persist via
+    * [[graft.sinks.ModelStore]] and feed [[dupSpansAgainst]] per
+    * ingest cycle; fold a slice in by unioning its own gramCounts
+    * and re-aggregating (slice-proportional upkeep). */
+  def gramCounts(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(explode(Text.shingles(col("toks"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** [[dupSpans]] for an INCOMING slice against a persisted
+    * [[gramCounts]] dim — the exact-substring family's
+    * slice-proportional serving form (d11/d16/e11/b4's sibling): a
+    * slice occurrence is duplicated iff corpus count + slice count
+    * of its gram reaches `minOccurrences`, which is EXACTLY a full
+    * [[dupSpans]] over corpus ∪ slice restricted to the slice's
+    * docs (the registered d17 proves it through d10's own replay).
+    * Nothing re-aggregates the corpus: the slice gram stream builds
+    * once, slice-internal counts are a slice-keyed agg, and the
+    * corpus dim is STREAMED against the broadcast slice gram set
+    * (left semi) before the count join — never shuffled, the
+    * componentsDelta doctrine. */
+  def dupSpansAgainst(counts: DataFrame, incoming: DataFrame,
+                      idCol: String, textCol: String, n: Int,
+                      minOccurrences: Long = 2L): DataFrame = {
+    val grams = incoming
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(Text.shingles(col("toks"), n)).as("gram"))
+      .cut()
+    val sliceCnt = grams.groupBy("gram").agg(count(lit(1)).as("s_cnt"))
+    // Corpus counts restricted to grams the slice actually contains:
+    // the dim is the streamed side, the slice gram set the broadcast
+    // build side — slice-bounded output, no dim shuffle.
+    val dimCnt = counts.select(col("gram"), col("cnt"))
+      .join(grams.select("gram").distinct(), Seq("gram"), "left_semi")
+    val hot = sliceCnt.join(dimCnt, Seq("gram"), "left")
+      .filter(col("s_cnt") + coalesce(col("cnt"), lit(0L)) >= minOccurrences)
+      .select("gram").withColumn("hit", lit(1L))
+    grams.join(hot, Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+           coalesce(sum(col("hit")), lit(0L)).as("n_dup"))
+      .select(col("id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6)
+          .as("dup_fraction"))
+  }
+
   /** The composed C4/Gopher-style quality GATE: per document, the
     * keep/drop decision plus the reject reasons that made it — token
     * count in [minTokens, maxTokens], mean word length in [3, 8],

@@ -180,6 +180,23 @@ object GroupD {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
 
+    // d17: INCREMENTAL span-level duplication — d10's answer for an
+    // ingest slice against the PERSISTED gram-count dim, no corpus
+    // re-aggregation (the exact-substring family joins d11/d16/e11/b4
+    // in the slice-proportional club). A slice gram occurrence is
+    // duplicated iff corpus count + slice count ≥ 2, which equals
+    // the full d10 over all docs restricted to the slice — so d10's
+    // own replay (plus the restriction) is the oracle.
+    "d17_dup_spans_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.operators.Corpus.dupSpansAgainst(
+          graft.operators.Corpus.gramCounts(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"),
+          col("dup_fraction"))
+    }),
+
     // d13: Bloom-filter prefilter for incremental dedup — d11's
     // question ("which of today's docs might collide with the
     // corpus") answered WITHOUT touching the corpus again: the
@@ -419,6 +436,22 @@ object GroupD {
          |  coalesce(dup.n_dup, 0) AS n_dup,
          |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
          |FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin,
+
+    // d17's oracle IS d10's over the FULL corpus, restricted to the
+    // slice — incremental ≡ full recompute, the d16/b4 equivalence
+    // pattern.
+    "d17_dup_spans_incremental" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |gr AS (SELECT doc_id, unnest(${DuckSql.grams(3)}) AS gram FROM w),
+         |hot AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
+         |dup AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN hot USING (gram)
+         |        GROUP BY 1)
+         |SELECT doc_id, tot.n_grams,
+         |  coalesce(dup.n_dup, 0) AS n_dup,
+         |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
+         |FROM tot LEFT JOIN dup USING (doc_id)
+         |WHERE doc_id % 10 = 0""".stripMargin,
 
     "d9_decontaminate" ->
       s"""WITH $shingleCte,

@@ -193,6 +193,17 @@ object ScaleProbe {
     lazy val newLeaves = edges
       .select((col("src") + lit(1_000_000_000L)).as("src"), col("dst"))
       .localCheckpoint()
+    // d17's serving state: the corpus gram-count dim, fixed vs K×.
+    // VOWEL-ROTATED copies (the p2 direction) so each copy
+    // contributes mostly-distinct grams and the dim genuinely grows
+    // ~K× in rows — identical-text copies would only grow counts,
+    // leaving the streamed frame the same size. The probe slice is
+    // fixed, so only the dim being streamed grows.
+    lazy val gramDim0 = Corpus.gramCounts(corpus1, "doc_id", "text", 3)
+      .localCheckpoint()
+    lazy val gramDimK = Corpus.gramCounts(
+      (0 until k).map(vowelRotated(corpus1, _)).reduce(_ unionByName _),
+      "doc_id", "text", 3).localCheckpoint()
     // d15's own operator (the generators' exponents are a25's and
     // d3's, probed separately): pair frames amplified 8× like knnBase
     // so the normalize/distinct/full-outer/agg dominates job latency;
@@ -354,6 +365,16 @@ object ScaleProbe {
       ("b4 closure-delta",
         () => noop(Graph.transitiveClosureDelta(closure0, newLeaves)),
         () => noop(Graph.transitiveClosureDelta(closureK, newLeaves))),
+      // d17: FIXED ingest slice, K× gram-count dim (the corpus-grows
+      // direction). The dim is streamed against the broadcast slice
+      // gram set and everything downstream is slice-keyed, so the
+      // ratio must stay far below K — a dim shuffle or a corpus
+      // re-aggregation (d10's shape) would read ≈ K.
+      ("d17 span-delta",
+        () => noop(Corpus.dupSpansAgainst(gramDim0, slice,
+          "doc_id", "text", n = 3)),
+        () => noop(Corpus.dupSpansAgainst(gramDimK, slice,
+          "doc_id", "text", n = 3))),
       // d15: K× shifted pair frames on BOTH sides (each copy disjoint
       // — no cross-copy matches manufactured): the oriented key
       // normalization, per-side distinct, full-outer join and the

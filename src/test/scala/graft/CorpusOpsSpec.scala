@@ -297,6 +297,25 @@ class CorpusOpsSpec extends GraftSuite {
     }
   }
 
+  test("dupSpansAgainst equals the full dupSpans restricted to the slice") {
+    // The d17 contract on real documents: incremental measurement
+    // against the persisted gram dim ≡ full recompute over
+    // corpus ∪ slice, restricted to slice docs.
+    import graft.operators.Corpus
+    val docs = Tables(spark, sfDir, "documents")
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"n_grams", $"n_dup", $"dup_fraction")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val got = rows(Corpus.dupSpansAgainst(
+      Corpus.gramCounts(existing, "doc_id", "text", n = 3),
+      incoming, "doc_id", "text", n = 3))
+    val want = rows(Corpus.dupSpans(docs, "doc_id", "text", n = 3)
+      .filter($"id" % 10 === 0))
+    assert(got.nonEmpty && got == want)
+  }
+
   test("perplexityBucketsWith keeps all-out-of-vocabulary docs as NULL-bucket rows") {
     import graft.operators.Corpus
     // Model fit on English-ish docs; doc 3 shares no token with the
