@@ -433,6 +433,15 @@ object Corpus {
       .cut()
     val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences).select(col("gram"))
+    spanCutFromHot(toks, grams, hot, n)
+  }
+
+  /** Shared cut body of [[dupSpanCut]]/[[dupSpanCutAgainst]] — one
+    * definition, so the full and incremental paths cannot drift:
+    * hot-gram occurrences collapse to one per-doc sorted covered
+    * array, the cut is a narrow indexed filter. */
+  private def spanCutFromHot(toks: DataFrame, grams: DataFrame,
+                             hot: DataFrame, n: Int): DataFrame = {
     val covered = grams.join(hot, Seq("gram"))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tokpos"))
@@ -447,6 +456,35 @@ object Corpus {
       size(col("toks")).cast("long").as("n_tokens"),
       size(col("kept")).cast("long").as("n_kept"),
       md5(concat_ws(" ", col("kept")).cast("binary")).as("kept_hash"))
+  }
+
+  /** [[dupSpanCut]] for an INCOMING slice against a persisted
+    * [[gramCounts]] dim — the CUT half of d17's measurement, same
+    * equivalence: the slice's hot grams are those whose corpus count
+    * + slice count reaches `minOccurrences`, so the cleaned slice is
+    * byte-identical (kept_hash and all) to a full [[dupSpanCut]]
+    * over corpus ∪ slice restricted to the slice's docs (d12's own
+    * replay proves it as the registered d18). Same dim discipline as
+    * [[dupSpansAgainst]]: the corpus dim is streamed against the
+    * broadcast slice gram set, never shuffled. */
+  def dupSpanCutAgainst(counts: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        minOccurrences: Long = 2L): DataFrame = {
+    val toks = incoming
+      .select(col(idCol).as("id"),
+        Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .cut()
+    val grams = toks
+      .select(col("id"),
+        posexplode(Text.shingles(col("toks"), n)).as(Seq("pos", "gram")))
+      .cut()
+    val sliceCnt = grams.groupBy("gram").agg(count(lit(1)).as("s_cnt"))
+    val dimCnt = counts.select(col("gram"), col("cnt"))
+      .join(grams.select("gram").distinct(), Seq("gram"), "left_semi")
+    val hot = sliceCnt.join(dimCnt, Seq("gram"), "left")
+      .filter(col("s_cnt") + coalesce(col("cnt"), lit(0L)) >= minOccurrences)
+      .select("gram")
+    spanCutFromHot(toks, grams, hot, n)
   }
 
   /** The EXTRACTION half of the exact-substring family: the maximal

@@ -197,6 +197,20 @@ object GroupD {
           col("dup_fraction"))
     }),
 
+    // d18: the CUT half of d17 — d12's cleaned text for an ingest
+    // slice against the persisted gram-count dim, byte-identical
+    // (kept_hash and all) to the full recompute restricted to the
+    // slice.
+    "d18_dup_span_cut_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.operators.Corpus.dupSpanCutAgainst(
+          graft.operators.Corpus.gramCounts(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          col("kept_hash"))
+    }),
+
     // d13: Bloom-filter prefilter for incremental dedup — d11's
     // question ("which of today's docs might collide with the
     // corpus") answered WITHOUT touching the corpus again: the
@@ -500,6 +514,35 @@ object GroupD {
          |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
          |  md5(coalesce(s, '')) AS kept_hash
          |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // d18's oracle IS d12's over the FULL corpus, restricted to the
+    // slice — the hot set (and so every covered position and the
+    // kept_hash) depends only on corpus ∪ slice gram counts.
+    "d18_dup_span_cut_incremental" ->
+      s"""WITH w AS (${DuckSql.wordsCte}),
+         |g AS (SELECT doc_id,
+         |        unnest(${DuckSql.grams(3)}) AS gram,
+         |        unnest(generate_series(1, greatest(len(words) - 2, 0))) AS pos
+         |      FROM w),
+         |hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos
+         |        FROM g JOIN hot USING (gram)
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS off) o),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i
+         |        FROM w),
+         |kept AS (SELECT idx.doc_id, idx.i, idx.words[idx.i] AS tok
+         |         FROM idx
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |                           WHERE cov.doc_id = idx.doc_id
+         |                             AND cov.tokpos = idx.i)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY i) AS s
+         |        FROM kept GROUP BY 1)
+         |SELECT w.doc_id, cast(len(words) AS bigint) AS n_tokens,
+         |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
+         |  md5(coalesce(s, '')) AS kept_hash
+         |FROM w LEFT JOIN agg USING (doc_id)
+         |WHERE w.doc_id % 10 = 0""".stripMargin,
 
     // d14 replays span extraction with a DIFFERENT plan: duplicated-
     // 3-gram coverage, then maximal runs via gaps-and-islands

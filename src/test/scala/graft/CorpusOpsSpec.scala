@@ -316,6 +316,22 @@ class CorpusOpsSpec extends GraftSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("dupSpanCutAgainst equals the full dupSpanCut restricted to the slice") {
+    import graft.operators.Corpus
+    val docs = Tables(spark, sfDir, "documents")
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"n_tokens", $"n_kept", $"kept_hash")
+        .as[(Long, Long, Long, String)].collect().toSet
+    val got = rows(Corpus.dupSpanCutAgainst(
+      Corpus.gramCounts(existing, "doc_id", "text", n = 3),
+      incoming, "doc_id", "text", n = 3))
+    val want = rows(Corpus.dupSpanCut(docs, "doc_id", "text", n = 3)
+      .filter($"id" % 10 === 0))
+    assert(got.nonEmpty && got == want)
+  }
+
   test("perplexityBucketsWith keeps all-out-of-vocabulary docs as NULL-bucket rows") {
     import graft.operators.Corpus
     // Model fit on English-ish docs; doc 3 shares no token with the
