@@ -107,6 +107,19 @@ class ModelStoreSpec extends GraftSuite {
     }
   }
 
+  test("gram-count dim round-trip: incremental span measurement identical") {
+    import graft.operators.Corpus
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val dim = Corpus.gramCounts(existing, "doc_id", "text", n = 3)
+    val p = tmp("grams")
+    ModelStore.save(dim, p)
+    sameRows(
+      Corpus.dupSpansAgainst(ModelStore.load(spark, p), incoming,
+        "doc_id", "text", n = 3),
+      Corpus.dupSpansAgainst(dim, incoming, "doc_id", "text", n = 3))
+  }
+
   test("CMS counter dim round-trip: estimates identical") {
     // The f20 serving shape: the counter frame is a persisted dim the
     // daily slices probe; reloaded counters must estimate identically.
