@@ -136,11 +136,31 @@ object Corpus {
     * [[graft.sinks.ModelStore]] and feed [[dupSpansAgainst]] per
     * ingest cycle; fold a slice in by unioning its own gramCounts
     * and re-aggregating (slice-proportional upkeep). */
-  def gramCounts(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+  def gramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(Text.tokens(col(textCol)).as("toks"))
       .select(explode(Text.shingles(col("toks"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Shared hot-set derivation of [[dupSpansAgainst]] /
+    * [[dupSpanCutAgainst]] — one definition, so the measurement and
+    * cut halves cannot disagree on which grams are hot: a slice gram
+    * is hot iff corpus count + slice count ≥ `minOccurrences`. The
+    * slice gram SET is eagerly checkpointed (§5 broadcast-provability
+    * rule: its size is data-dependent, so the cut exposes the true
+    * materialized size) — the planner then broadcasts it under the
+    * corpus dim's semi-join exactly when genuinely small, and a
+    * slice too large to broadcast falls back to the keyed join
+    * itself. */
+  private def hotGramsAgainst(counts: DataFrame, grams: DataFrame,
+                              minOccurrences: Long): DataFrame = {
+    val sliceCnt = grams.groupBy("gram").agg(count(lit(1)).as("s_cnt"))
+    val sliceGrams = grams.select("gram").distinct().cut()
+    val dimCnt = counts.select(col("gram"), col("cnt"))
+      .join(sliceGrams, Seq("gram"), "left_semi")
+    sliceCnt.join(dimCnt, Seq("gram"), "left")
+      .filter(col("s_cnt") + coalesce(col("cnt"), lit(0L)) >= minOccurrences)
+      .select("gram")
+  }
 
   /** [[dupSpans]] for an INCOMING slice against a persisted
     * [[gramCounts]] dim — the exact-substring family's
@@ -151,9 +171,9 @@ object Corpus {
     * docs (the registered d17 proves it through d10's own replay).
     * Nothing re-aggregates the corpus: the slice gram stream builds
     * once, slice-internal counts are a slice-keyed agg, and the
-    * corpus dim is STREAMED against the broadcast slice gram set
-    * (left semi) before the count join — never shuffled, the
-    * componentsDelta doctrine. */
+    * corpus dim is STREAMED against the eagerly-checkpointed slice
+    * gram set (left semi, broadcast when the slice is genuinely
+    * small — see [[hotGramsAgainst]]) before the count join. */
   def dupSpansAgainst(counts: DataFrame, incoming: DataFrame,
                       idCol: String, textCol: String, n: Int,
                       minOccurrences: Long = 2L): DataFrame = {
@@ -161,15 +181,8 @@ object Corpus {
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(Text.shingles(col("toks"), n)).as("gram"))
       .cut()
-    val sliceCnt = grams.groupBy("gram").agg(count(lit(1)).as("s_cnt"))
-    // Corpus counts restricted to grams the slice actually contains:
-    // the dim is the streamed side, the slice gram set the broadcast
-    // build side — slice-bounded output, no dim shuffle.
-    val dimCnt = counts.select(col("gram"), col("cnt"))
-      .join(grams.select("gram").distinct(), Seq("gram"), "left_semi")
-    val hot = sliceCnt.join(dimCnt, Seq("gram"), "left")
-      .filter(col("s_cnt") + coalesce(col("cnt"), lit(0L)) >= minOccurrences)
-      .select("gram").withColumn("hit", lit(1L))
+    val hot = hotGramsAgainst(counts, grams, minOccurrences)
+      .withColumn("hit", lit(1L))
     grams.join(hot, Seq("gram"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
@@ -478,13 +491,8 @@ object Corpus {
       .select(col("id"),
         posexplode(Text.shingles(col("toks"), n)).as(Seq("pos", "gram")))
       .cut()
-    val sliceCnt = grams.groupBy("gram").agg(count(lit(1)).as("s_cnt"))
-    val dimCnt = counts.select(col("gram"), col("cnt"))
-      .join(grams.select("gram").distinct(), Seq("gram"), "left_semi")
-    val hot = sliceCnt.join(dimCnt, Seq("gram"), "left")
-      .filter(col("s_cnt") + coalesce(col("cnt"), lit(0L)) >= minOccurrences)
-      .select("gram")
-    spanCutFromHot(toks, grams, hot, n)
+    spanCutFromHot(toks, grams,
+      hotGramsAgainst(counts, grams.select("id", "gram"), minOccurrences), n)
   }
 
   /** The EXTRACTION half of the exact-substring family: the maximal

@@ -440,7 +440,11 @@ object Graph {
     val post = withPrefix.select(col("src"), col("dst").as("__m"))
       .join(c.select(col("src").as("__m"), col("dst")), "__m")
       .select("src", "dst")
-    val b = withPrefix.union(post).distinct().cut()
+    // No distinct/cut here: transitiveClosure's own base preparation
+    // distincts and checkpoints its edge input — doing it twice would
+    // pay a redundant shuffle and a second executor-storage
+    // materialization per delta call.
+    val b = withPrefix.union(post)
     // B⁺ IS a transitive closure — of the slice-bounded base
     // relation, not the edge set — so the tested semi-naive loop
     // above computes it (frontier ∘ B rounds, per-round anti-join,

@@ -191,7 +191,7 @@ object GroupD {
       val docs = Tables(s, d, "documents")
       graft.operators.Corpus.dupSpansAgainst(
           graft.operators.Corpus.gramCounts(
-            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3),
+            docs.filter(col("doc_id") % 10 =!= 0), "text", n = 3),
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
         .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"),
           col("dup_fraction"))
@@ -205,7 +205,7 @@ object GroupD {
       val docs = Tables(s, d, "documents")
       graft.operators.Corpus.dupSpanCutAgainst(
           graft.operators.Corpus.gramCounts(
-            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3),
+            docs.filter(col("doc_id") % 10 =!= 0), "text", n = 3),
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
           col("kept_hash"))
@@ -309,6 +309,48 @@ object GroupD {
        |        UNION SELECT id_b, id_a FROM pairs),
        |r AS (SELECT a AS id, a AS reach FROM und
        |      UNION SELECT r.id, u.b FROM r JOIN und u ON r.reach = u.a)""".stripMargin
+
+  /** d10's replay, shared verbatim with d17 (whose oracle IS this
+    * over the full corpus, plus a slice restriction) — one
+    * definition, so a DuckDB-semantics fix cannot reach one and miss
+    * the other. */
+  private val dupSpansOracle =
+    s"""WITH w AS (${DuckSql.wordsCte}),
+         |gr AS (SELECT doc_id, unnest(${DuckSql.grams(3)}) AS gram FROM w),
+         |hot AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
+         |dup AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN hot USING (gram)
+         |        GROUP BY 1)
+         |SELECT doc_id, tot.n_grams,
+         |  coalesce(dup.n_dup, 0) AS n_dup,
+         |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
+         |FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin
+
+  /** d12's replay, shared verbatim with d18 (same discipline). */
+  private val dupSpanCutOracle =
+    s"""WITH w AS (${DuckSql.wordsCte}),
+       |g AS (SELECT doc_id,
+       |        unnest(${DuckSql.grams(3)}) AS gram,
+       |        unnest(generate_series(1, greatest(len(words) - 2, 0))) AS pos
+       |      FROM w),
+       |hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos
+       |        FROM g JOIN hot USING (gram)
+       |        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS off) o),
+       |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i
+       |        FROM w),
+       |kept AS (SELECT idx.doc_id, idx.i, idx.words[idx.i] AS tok
+       |         FROM idx
+       |         WHERE NOT EXISTS (SELECT 1 FROM cov
+       |                           WHERE cov.doc_id = idx.doc_id
+       |                             AND cov.tokpos = idx.i)),
+       |agg AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(tok, ' ' ORDER BY i) AS s
+       |        FROM kept GROUP BY 1)
+       |SELECT w.doc_id, cast(len(words) AS bigint) AS n_tokens,
+       |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
+       |  md5(coalesce(s, '')) AS kept_hash
+       |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -439,33 +481,13 @@ object GroupD {
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
-    "d10_dup_spans" ->
-      s"""WITH w AS (${DuckSql.wordsCte}),
-         |gr AS (SELECT doc_id, unnest(${DuckSql.grams(3)}) AS gram FROM w),
-         |hot AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
-         |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
-         |dup AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN hot USING (gram)
-         |        GROUP BY 1)
-         |SELECT doc_id, tot.n_grams,
-         |  coalesce(dup.n_dup, 0) AS n_dup,
-         |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
-         |FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin,
+    "d10_dup_spans" -> dupSpansOracle,
 
-    // d17's oracle IS d10's over the FULL corpus, restricted to the
-    // slice — incremental ≡ full recompute, the d16/b4 equivalence
+    // d17's oracle IS d10's — the shared val — restricted to the
+    // slice: incremental ≡ full recompute, the d16/b4 equivalence
     // pattern.
     "d17_dup_spans_incremental" ->
-      s"""WITH w AS (${DuckSql.wordsCte}),
-         |gr AS (SELECT doc_id, unnest(${DuckSql.grams(3)}) AS gram FROM w),
-         |hot AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
-         |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
-         |dup AS (SELECT doc_id, count(*) AS n_dup FROM gr JOIN hot USING (gram)
-         |        GROUP BY 1)
-         |SELECT doc_id, tot.n_grams,
-         |  coalesce(dup.n_dup, 0) AS n_dup,
-         |  round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_grams, 6) AS dup_fraction
-         |FROM tot LEFT JOIN dup USING (doc_id)
-         |WHERE doc_id % 10 = 0""".stripMargin,
+      s"""SELECT * FROM ($dupSpansOracle) WHERE doc_id % 10 = 0""",
 
     "d9_decontaminate" ->
       s"""WITH $shingleCte,
@@ -490,59 +512,13 @@ object GroupD {
     // filter via NOT EXISTS vs Spark's narrow covered-array lambda) —
     // same values, proven per document by the kept_hash. Positions are
     // 1-based here, 0-based on the Spark side; both cover [pos, pos+2].
-    "d12_dup_span_cut" ->
-      s"""WITH w AS (${DuckSql.wordsCte}),
-         |g AS (SELECT doc_id,
-         |        unnest(${DuckSql.grams(3)}) AS gram,
-         |        unnest(generate_series(1, greatest(len(words) - 2, 0))) AS pos
-         |      FROM w),
-         |hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
-         |cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos
-         |        FROM g JOIN hot USING (gram)
-         |        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS off) o),
-         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i
-         |        FROM w),
-         |kept AS (SELECT idx.doc_id, idx.i, idx.words[idx.i] AS tok
-         |         FROM idx
-         |         WHERE NOT EXISTS (SELECT 1 FROM cov
-         |                           WHERE cov.doc_id = idx.doc_id
-         |                             AND cov.tokpos = idx.i)),
-         |agg AS (SELECT doc_id, count(*) AS n_kept,
-         |          string_agg(tok, ' ' ORDER BY i) AS s
-         |        FROM kept GROUP BY 1)
-         |SELECT w.doc_id, cast(len(words) AS bigint) AS n_tokens,
-         |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
-         |  md5(coalesce(s, '')) AS kept_hash
-         |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "d12_dup_span_cut" -> dupSpanCutOracle,
 
-    // d18's oracle IS d12's over the FULL corpus, restricted to the
-    // slice — the hot set (and so every covered position and the
-    // kept_hash) depends only on corpus ∪ slice gram counts.
+    // d18's oracle IS d12's — the shared val — restricted to the
+    // slice (the hot set, every covered position and the kept_hash
+    // depend only on corpus ∪ slice gram counts).
     "d18_dup_span_cut_incremental" ->
-      s"""WITH w AS (${DuckSql.wordsCte}),
-         |g AS (SELECT doc_id,
-         |        unnest(${DuckSql.grams(3)}) AS gram,
-         |        unnest(generate_series(1, greatest(len(words) - 2, 0))) AS pos
-         |      FROM w),
-         |hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
-         |cov AS (SELECT DISTINCT doc_id, pos + off AS tokpos
-         |        FROM g JOIN hot USING (gram)
-         |        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS off) o),
-         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i
-         |        FROM w),
-         |kept AS (SELECT idx.doc_id, idx.i, idx.words[idx.i] AS tok
-         |         FROM idx
-         |         WHERE NOT EXISTS (SELECT 1 FROM cov
-         |                           WHERE cov.doc_id = idx.doc_id
-         |                             AND cov.tokpos = idx.i)),
-         |agg AS (SELECT doc_id, count(*) AS n_kept,
-         |          string_agg(tok, ' ' ORDER BY i) AS s
-         |        FROM kept GROUP BY 1)
-         |SELECT w.doc_id, cast(len(words) AS bigint) AS n_tokens,
-         |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
-         |  md5(coalesce(s, '')) AS kept_hash
-         |FROM w LEFT JOIN agg USING (doc_id)
-         |WHERE w.doc_id % 10 = 0""".stripMargin,
+      s"""SELECT * FROM ($dupSpanCutOracle) WHERE doc_id % 10 = 0""",
 
     // d14 replays span extraction with a DIFFERENT plan: duplicated-
     // 3-gram coverage, then maximal runs via gaps-and-islands

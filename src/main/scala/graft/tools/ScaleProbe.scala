@@ -194,16 +194,22 @@ object ScaleProbe {
       .select((col("src") + lit(1_000_000_000L)).as("src"), col("dst"))
       .localCheckpoint()
     // d17's serving state: the corpus gram-count dim, fixed vs K×.
-    // VOWEL-ROTATED copies (the p2 direction) so each copy
-    // contributes mostly-distinct grams and the dim genuinely grows
-    // ~K× in rows — identical-text copies would only grow counts,
-    // leaving the streamed frame the same size. The probe slice is
-    // fixed, so only the dim being streamed grows.
-    lazy val gramDim0 = Corpus.gramCounts(corpus1, "doc_id", "text", 3)
+    // FULL-ALPHABET-rotated copies so each copy contributes distinct
+    // grams and the dim genuinely grows ~K× in ROWS for any K ≤ 26 —
+    // identical-text copies would only grow counts (same frame
+    // size), and the 5-vowel rotation collides for K > 5. The probe
+    // slice is fixed, so only the dim being streamed grows.
+    def alphaRotated(d: DataFrame, i: Int): DataFrame = {
+      val a = "abcdefghijklmnopqrstuvwxyz"
+      val r = i % 26
+      d.withColumn("doc_id", col("doc_id") + lit(i.toLong * SHIFT))
+        .withColumn("text", translate(col("text"), a, a.drop(r) + a.take(r)))
+    }
+    lazy val gramDim0 = Corpus.gramCounts(corpus1, "text", 3)
       .localCheckpoint()
     lazy val gramDimK = Corpus.gramCounts(
-      (0 until k).map(vowelRotated(corpus1, _)).reduce(_ unionByName _),
-      "doc_id", "text", 3).localCheckpoint()
+      (0 until k).map(alphaRotated(corpus1, _)).reduce(_ unionByName _),
+      "text", 3).localCheckpoint()
     // d15's own operator (the generators' exponents are a25's and
     // d3's, probed separately): pair frames amplified 8× like knnBase
     // so the normalize/distinct/full-outer/agg dominates job latency;

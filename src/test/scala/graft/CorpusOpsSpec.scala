@@ -309,7 +309,7 @@ class CorpusOpsSpec extends GraftSuite {
       df.select($"id", $"n_grams", $"n_dup", $"dup_fraction")
         .as[(Long, Long, Long, Double)].collect().toSet
     val got = rows(Corpus.dupSpansAgainst(
-      Corpus.gramCounts(existing, "doc_id", "text", n = 3),
+      Corpus.gramCounts(existing, "text", n = 3),
       incoming, "doc_id", "text", n = 3))
     val want = rows(Corpus.dupSpans(docs, "doc_id", "text", n = 3)
       .filter($"id" % 10 === 0))
@@ -325,7 +325,7 @@ class CorpusOpsSpec extends GraftSuite {
       df.select($"id", $"n_tokens", $"n_kept", $"kept_hash")
         .as[(Long, Long, Long, String)].collect().toSet
     val got = rows(Corpus.dupSpanCutAgainst(
-      Corpus.gramCounts(existing, "doc_id", "text", n = 3),
+      Corpus.gramCounts(existing, "text", n = 3),
       incoming, "doc_id", "text", n = 3))
     val want = rows(Corpus.dupSpanCut(docs, "doc_id", "text", n = 3)
       .filter($"id" % 10 === 0))

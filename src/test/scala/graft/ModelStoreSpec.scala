@@ -111,7 +111,7 @@ class ModelStoreSpec extends GraftSuite {
     import graft.operators.Corpus
     val existing = docs.filter(col("doc_id") % 10 =!= 0)
     val incoming = docs.filter(col("doc_id") % 10 === 0)
-    val dim = Corpus.gramCounts(existing, "doc_id", "text", n = 3)
+    val dim = Corpus.gramCounts(existing, "text", n = 3)
     val p = tmp("grams")
     ModelStore.save(dim, p)
     sameRows(

@@ -126,11 +126,35 @@ class PlanSpec extends GraftSuite {
     // verdict joins are hash joins, and nothing degenerates to a
     // cartesian product.
     val q = SparkEntry.queries("p4_ingest_pipeline")(spark, sfDir)
-    val p = q.queryExecution.executedPlan.toString
+    val qe = q.queryExecution
+    // Execute and assert on the FINAL adaptive plan (the d16/b4
+    // discipline) — the unexecuted initial plan can differ from what
+    // AQE actually runs.
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"centroid assignment must broadcast the centroid dim\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d17: the gram dim is streamed under broadcast joins, never shuffled") {
+    // Same contract as the d16/b4 pins, for the span family's dim:
+    // the slice gram set is eagerly checkpointed, so the corpus
+    // gram-count dim resolves as the streamed side of a broadcast
+    // semi-join and nothing in the delta plan sort-merges.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sfDir, "documents")
+    val dim = graft.operators.Corpus.gramCounts(
+      docs.filter(col("doc_id") % 10 =!= 0), "text", n = 3)
+    val delta = graft.operators.Corpus.dupSpansAgainst(dim,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+    val qe = delta.queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"dupSpansAgainst must never shuffle the gram dim\n$p")
   }
 
   test("b4: transitiveClosureDelta's delta plan never shuffles the closure") {
