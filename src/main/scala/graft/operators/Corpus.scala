@@ -370,7 +370,16 @@ object Corpus {
     * bucket NULL) rather than silently vanishing and shifting the
     * terciles, which interpolate over the scoreable docs only. With
     * model = score corpus (f15) nothing is ever absent and this is
-    * value-identical to the inline op — spec-pinned. */
+    * value-identical to the inline op — spec-pinned.
+    *
+    * CONTRACT: `idCol` must be unique per row — the per-doc output
+    * contract ("one row per input doc") rests on it. The scored frame
+    * left-joins back onto the doc-id projection, so duplicate ids
+    * would each emit a row carrying the SAME merged score (their
+    * token multisets aggregate under one id upstream) — deduplicate
+    * ids first if the input can repeat them. (f15's doc_id is
+    * unique; a distinct() here would tax every caller with a shuffle
+    * to protect against a malformed input.) */
   def perplexityBucketsWith(model: DataFrame, docs: DataFrame,
                             idCol: String, textCol: String): DataFrame = {
     val toks = docs

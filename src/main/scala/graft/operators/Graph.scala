@@ -350,7 +350,10 @@ object Graph {
     * which is exactly what a 100 TB corpus cannot afford to replay
     * per ingest cycle. `maxIter` bounds the rep-space rounds (slice
     * merge diameter, not corpus diameter) with
-    * [[connectedComponents]]'s warn/strict contract.
+    * [[connectedComponents]]'s warn/strict contract; `strict` ALSO
+    * validates the min-id precondition itself on the touched rows
+    * (comp ≤ id; labels exist and are fixpoints) so a non-canonical
+    * assignment fails loudly instead of merging wrong.
     */
   def componentsDelta(assignment: DataFrame, newPairs: DataFrame,
                       idA: String = "id_a", idB: String = "id_b",
@@ -366,6 +369,40 @@ object Graph {
     // build (endpoint) side broadcastable, so the corpus-sized
     // assignment is scanned, not shuffled.
     val touched = asg.join(nodes, Seq("id"), "left_semi").cut()
+    // strict: the merge is only correct under the min-id label
+    // convention documented as this function's precondition (labels =
+    // component min ids, every label a fixpoint). A non-canonical
+    // assignment — hand-built, migrated from another system,
+    // label-perturbed — would merge WRONG silently: a new node id can
+    // collide with a non-min component label and relabel an untouched
+    // component. Verify the cheap necessary conditions on the
+    // SLICE-BOUNDED touched frame so violations fail loudly instead:
+    // (a) comp <= id on every touched row (a min label never exceeds
+    // its members), and (b) every touched label exists in the
+    // assignment and labels ITSELF (min-id labels are fixpoints) —
+    // one more broadcast-probe scan of the assignment with the
+    // slice-bounded label set on the build side. Both are declared
+    // scalar driver actions, run only under strict.
+    if (strict) {
+      val badOrder = touched.filter(col("comp") > col("id")).limit(1).count()
+      require(badOrder == 0L,
+        "componentsDelta(strict = true): the assignment violates the min-id " +
+          "label convention (a touched row has comp > id) — merging on a " +
+          "non-canonical assignment silently corrupts labels; rebuild it " +
+          "with connectedComponents")
+      val reps = touched.select(col("comp").as("id")).distinct().cut()
+      val nReps = reps.count()
+      val repStats = asg.join(reps, Seq("id"), "left_semi")
+        .agg(count(lit(1)),
+          sum(when(col("comp") === col("id"), 0L).otherwise(1L)))
+        .head()
+      require(repStats.getLong(0) == nReps &&
+          (repStats.isNullAt(1) || repStats.getLong(1) == 0L),
+        "componentsDelta(strict = true): a touched component label is " +
+          "missing from the assignment or does not label itself " +
+          "(assignment(comp) must equal comp under the min-id convention) " +
+          "— rebuild the assignment with connectedComponents")
+    }
     val nodeRep = nodes.join(touched, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("rep")).cut()
     val compPairs = e0

@@ -49,9 +49,20 @@ object ModelStore {
     * Spark's self-overwrite check). The new model therefore
     * materializes completely into a staging directory first (the
     * stamp check runs there too), and only then replaces the old
-    * one — a failed write leaves the previous model intact. The
-    * swap itself is not atomic for concurrent readers; serve from
-    * versioned paths if readers overlap writers. */
+    * one — a failed write leaves the previous model intact, and the
+    * replaced model survives at `path + ".__prev__"` (one extra
+    * model-sized copy on disk) so even a failure INSIDE the swap
+    * window leaves a recoverable full model next to the target.
+    *
+    * The swap is two directory renames, which are atomic on HDFS and
+    * local filesystems — the filesystems this store assumes. On
+    * object stores (S3A and friends) "rename" is copy+delete and NOT
+    * atomic: a mid-rename failure can leave a partial target (the
+    * previous model still intact at `.__prev__`), so serve from
+    * VERSIONED paths plus a small pointer file there instead of
+    * swapping in place. The swap is also not atomic for concurrent
+    * readers on any filesystem; versioned paths likewise if readers
+    * overlap writers. */
   def save(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
            sortCols: Seq[String] = Nil): Unit = {
     val stamped = stampedCols(df)
@@ -80,7 +91,14 @@ object ModelStore {
           s"round-trip at $path (wrote $in, read back ${out.orNull}) — " +
           "downstream stamp verification would silently degrade to trust")
     }
-    fs.delete(target, true)
+    // Swap: retire the live model to `.__prev__` (kept — manual
+    // recovery if anything fails between the two renames), then move
+    // staging into place. Two renames, each atomic on HDFS/local.
+    val prev = new org.apache.hadoop.fs.Path(path + ".__prev__")
+    fs.delete(prev, true)
+    if (fs.exists(target))
+      require(fs.rename(target, prev),
+        s"could not retire the live model: $target -> $prev")
     require(fs.rename(staging, target),
       s"could not move staged model into place: $staging -> $target")
   }

@@ -343,6 +343,36 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("componentsDelta strict rejects a non-canonical assignment loudly") {
+    // The merge's precondition is the min-id label convention; a
+    // perturbed assignment must FAIL under strict, never merge wrong.
+    // (a) comp > id on a touched row:
+    val badOrder = Seq((1L, 2L), (2L, 2L)).toDF("id", "comp")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.componentsDelta(badOrder,
+        Seq((1L, 9L)).toDF("id_a", "id_b"), strict = true).count()
+    }
+    assert(e1.getMessage.contains("min-id"))
+    // (b) a touched label that is absent from the assignment (3's
+    // component rep 0 was never assigned — a migrated/truncated map):
+    val missingRep = Seq((3L, 0L)).toDF("id", "comp")
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.componentsDelta(missingRep,
+        Seq((3L, 9L)).toDF("id_a", "id_b"), strict = true).count()
+    }
+    assert(e2.getMessage.contains("label itself"))
+    // (c) a touched label that exists but does not label itself:
+    val e3 = intercept[IllegalArgumentException] {
+      Graph.componentsDelta(Seq((2L, 1L), (1L, 0L)).toDF("id", "comp"),
+        Seq((2L, 9L)).toDF("id_a", "id_b"), strict = true).count()
+    }
+    assert(e3.getMessage.contains("label itself"))
+    // The canonical form of the same inputs still merges fine.
+    val ok = Graph.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b"))
+    assert(Graph.componentsDelta(ok,
+      Seq((1L, 9L)).toDF("id_a", "id_b"), strict = true).count() === 1L)
+  }
+
   test("componentsDelta: empty slice yields empty delta; untouched components stay put") {
     val oldAssign = Graph.connectedComponents(
       Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
