@@ -503,6 +503,39 @@ object Graph {
     total.join(cTouched, Seq("src", "dst"), "left_anti").distinct()
   }
 
+  /** INCREMENTAL revalidation — the members-side consumer of
+    * [[transitiveClosureDelta]], closing the one per-cycle full
+    * recompute a taxonomy change still triggered: after the closure
+    * grows, [[validateReachable]] would re-join EVERY member
+    * (filter_articles2.py re-validates all members per dump), yet a
+    * closure only ever GAINS pairs, so validity is monotone — valid
+    * members stay valid, and an invalid member flips iff its
+    * (type, target) pair is among the delta's new pairs. Takes the
+    * ALREADY-validated members (a [[validateReachable]] output — the
+    * serving verdicts) and the closure delta; returns ONLY the rows
+    * whose verdict flips, `valid` rewritten to true — the family's
+    * delta convention ([[componentsDelta]] / [[transitiveClosureDelta]]
+    * return deltas too); the caller upserts or adjusts its counts.
+    *
+    * Scale shape: one scan of the verdict frame (the `!valid` filter
+    * prunes the — typically dominant — valid majority before any
+    * join) semi-probed against the BROADCAST delta pair set, so the
+    * members are never shuffled (PlanSpec pins no-SortMergeJoin) and
+    * the output is bounded by the affected members. Work per cycle ∝
+    * members scanned once + |delta|, against the full re-join's
+    * members × closure shuffle.
+    */
+  def revalidateDelta(validated: DataFrame, closureDelta: DataFrame,
+                      typeCol: String, targetCol: String): DataFrame = {
+    val hit = closureDelta
+      .select(col("src").as("__dsrc"), col("dst").as("__ddst")).distinct()
+    validated.filter(!col("valid"))
+      .join(broadcast(hit),
+        col(typeCol) === col("__dsrc") && col(targetCol) === col("__ddst"),
+        "left_semi")
+      .withColumn("valid", lit(true))
+  }
+
   /** Reachability validation (filter_articles2.py main loop): a member
     * row is valid iff its `typeCol` node reaches the row's `targetCol`
     * node (or equals it). Returns the input plus a boolean `valid`.

@@ -56,6 +56,46 @@ object GroupB {
       c.unionByName(delta)
     }),
 
+    // b5: INCREMENTAL revalidation — the serving consumer of b4's
+    // closure delta: yesterday's verdicts (b2's shape, validated
+    // against the OLD closure) fold in today's taxonomy growth via
+    // Graph.revalidateDelta — validity is monotone under closure
+    // growth, so only members whose (type, required) pair appears in
+    // the delta flip, found by ONE broadcast semi-probe of the
+    // verdict frame (never re-joining members × closure). Registered
+    // output adjusts the per-collection counts by the flips; b2's own
+    // replay over ALL edges oracles incremental ≡ full revalidation.
+    // (The old-closure build + full first validation run here are
+    // self-containment costs, the d16 pattern — a serving deployment
+    // holds both and pays only the flip probe per cycle.)
+    "b5_revalidate_incremental" -> ((s, d) => {
+      import graft.operators.Checkpoints.Cuttable
+      val all = edges(s, d)
+      val closure = Graph.transitiveClosure(all.filter(col("src") % 10 =!= 0),
+        uniquePaths = true, stride = 4)
+      val delta = Graph.transitiveClosureDelta(closure,
+        all.filter(col("src") % 10 === 0), strict = true)
+      val members = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables(s, d, "orders")
+                .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("required")),
+              col("l_orderkey") === col("o_orderkey"))
+      // cut(): the verdict frame feeds BOTH the baseline counts and
+      // the flip probe — without the lineage cut the whole
+      // members × closure validation join would execute twice.
+      val oldV = Graph.validateReachable(members, closure,
+        "l_partkey", "required").cut()
+      val oldCounts = oldV.groupBy("o_orderkey")
+        .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
+             sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
+      val flips = Graph.revalidateDelta(oldV, delta, "l_partkey", "required")
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_flip"))
+      oldCounts.join(flips, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          (col("valid_cnt") + coalesce(col("n_flip"), lit(0L))).as("valid_cnt"),
+          (col("invalid_cnt") - coalesce(col("n_flip"), lit(0L))).as("invalid_cnt"))
+    }),
+
     // b2: member-valid-iff-reachable + per-collection valid/invalid
     // counts (filter_articles2.py keeps both). Members are lineitem
     // rows typed by l_partkey; each order demands an ancestor type.
@@ -125,6 +165,22 @@ object GroupB {
     "b4_closure_incremental" ->
       s"""WITH RECURSIVE $edgeCte
          |SELECT src, dst FROM c""".stripMargin,
+
+    // b5's oracle IS b2's: the incremental flip fold must reproduce
+    // the full revalidation over the complete edge set, bit for bit
+    // (the b4-reuses-b1 pattern).
+    "b5_revalidate_incremental" ->
+      s"""WITH RECURSIVE $edgeCte
+         |SELECT o_orderkey,
+         |  cast(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS bigint) AS valid_cnt,
+         |  cast(sum(CASE WHEN valid THEN 0 ELSE 1 END) AS bigint) AS invalid_cnt
+         |FROM (
+         |  SELECT o_orderkey,
+         |    (c.src IS NOT NULL OR l_partkey = (o_orderkey % 30 + 2)) AS valid
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  LEFT JOIN c ON c.src = l_partkey AND c.dst = (o_orderkey % 30 + 2))
+         |GROUP BY 1""".stripMargin,
 
     "b2_validate_members" ->
       s"""WITH RECURSIVE $edgeCte

@@ -386,6 +386,29 @@ class GraphSpec extends GraftSuite {
     assert(delta === Map(5L -> 1L, 6L -> 1L, 9L -> 1L))
   }
 
+  test("revalidateDelta flips exactly the delta-covered invalid rows; upsert ≡ full revalidation") {
+    val oldE = Seq((3L, 2L)).toDF("src", "dst")
+    val newE = Seq((4L, 3L)).toDF("src", "dst")
+    val oldC = Graph.transitiveClosure(oldE)
+    val members = Seq((1L, 3L, 2L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 2L, 2L))
+      .toDF("id", "typ", "target")
+    val v = Graph.validateReachable(members, oldC, "typ", "target")
+    val delta = Graph.transitiveClosureDelta(oldC, newE)
+    val flips = Graph.revalidateDelta(v, delta, "typ", "target")
+      .select("id", "valid").as[(Long, Boolean)].collect().toMap
+    // Member 3 (type 4 now reaches 2 through the new edge) flips;
+    // member 2 stays invalid (1 is still unreachable); members 1 and
+    // 4 were already valid and must NOT reappear in the delta.
+    assert(flips === Map(3L -> true))
+    // Upsert(old verdicts, flips) ≡ validateReachable against the
+    // full closure — the monotonicity the operator rests on.
+    val updated = v.select("id", "valid").as[(Long, Boolean)].collect().toMap ++ flips
+    val full = Graph.validateReachable(members,
+        Graph.transitiveClosure(oldE.union(newE)), "typ", "target")
+      .select("id", "valid").as[(Long, Boolean)].collect().toMap
+    assert(updated === full)
+  }
+
   test("validateReachable marks reachable, equal, and unreachable") {
     val closure = Graph.transitiveClosure(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
     val members = Seq((10L, 1L, 3L), (11L, 1L, 1L), (12L, 3L, 1L))

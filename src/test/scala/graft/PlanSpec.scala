@@ -180,6 +180,29 @@ class PlanSpec extends GraftSuite {
       s"transitiveClosureDelta must never shuffle the closure\n$p")
   }
 
+  test("b5: revalidateDelta probes the verdict frame, never shuffles it") {
+    // Same contract as the d16/b4/d17 pins, for the members side: the
+    // verdict frame is the corpus-sized serving state, the closure
+    // delta the slice-bounded dim — the flip probe must resolve as a
+    // broadcast semi-join with the delta on the build side, never an
+    // exchange of the verdicts.
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    val edges = (2L until 40L).map(i => (i, i / 2)).toDF("src", "dst")
+    val c = graft.operators.Graph.transitiveClosure(edges)
+    val members = (2L until 40L).map(i => (i, i, 3L)).toDF("id", "typ", "target")
+    val v = graft.operators.Graph.validateReachable(members, c, "typ", "target")
+    val delta = graft.operators.Graph.transitiveClosureDelta(c,
+      Seq((41L, 12L)).toDF("src", "dst"))
+    val qe = graft.operators.Graph.revalidateDelta(v, delta, "typ", "target")
+      .queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"revalidateDelta must never shuffle the verdict frame\n$p")
+  }
+
   test("a21: asof join costs exactly its two keyed shuffles, filters pushed") {
     val p = plan("a21_asof_join")
     // One exchange for the right-side (user, ts) dedup agg, one for the
