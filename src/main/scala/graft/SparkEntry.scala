@@ -17,7 +17,7 @@ object SparkEntry {
       graft.queries.GroupD.queries ++ graft.queries.GroupE.queries ++
       graft.queries.GroupF.queries ++ graft.queries.GroupF2.queries ++
       graft.queries.GroupG.queries ++ graft.queries.GroupG2.queries ++
-      graft.queries.GroupP.queries
+      graft.queries.GroupH.queries ++ graft.queries.GroupP.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       graft.queries.GroupD.oracles ++ graft.queries.GroupE.oracles ++
       graft.queries.GroupF.oracles ++ graft.queries.GroupF2.oracles ++
       graft.queries.GroupG.oracles ++ graft.queries.GroupG2.oracles ++
-      graft.queries.GroupP.oracles
+      graft.queries.GroupH.oracles ++ graft.queries.GroupP.oracles
 }

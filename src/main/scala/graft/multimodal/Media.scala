@@ -292,6 +292,42 @@ object Media {
     }(Encoders.row(outSchema))
   }
 
+  /** Committed media fixtures (name, kind, media BINARY — real PNG and
+    * WAV payloads plus one corrupt one) and the expected features an
+    * INDEPENDENT implementation computed for them
+    * (tools/gen_media_fixtures.py: pure-Python struct+zlib PNG and
+    * stdlib-wave WAV encoders, features replicated with numpy float32
+    * — the a23 expected-vectors pattern). h1's Spark side decodes the
+    * fixtures with [[decodeImageStats]]/[[decodeAudioStats]]; the
+    * DuckDB oracle reads the expected parquet — so the hash gate
+    * proves the REAL codecs, not a stub, reproduce independently
+    * computed values. Plain filesystem paths (DuckDB reads outside
+    * the JVM), resolved from the checkout root; env overrides for
+    * sessions launched elsewhere. No existence check here — the
+    * oracle SQL interpolates [[expectedPath]] at registry
+    * construction (the vectorsPath rule); the read side calls
+    * [[fixturesPathChecked]]. */
+  lazy val fixturesPath: String =
+    sys.env.getOrElse("GRAFT_MEDIA_FIXTURES_PATH",
+      java.nio.file.Paths.get(
+        "src/main/resources/graft/media_fixtures.parquet")
+        .toAbsolutePath.toString)
+  lazy val expectedPath: String =
+    sys.env.getOrElse("GRAFT_MEDIA_EXPECTED_PATH",
+      java.nio.file.Paths.get(
+        "src/main/resources/graft/media_expected.parquet")
+        .toAbsolutePath.toString)
+
+  /** [[fixturesPath]] with a fail-fast existence check naming the
+    * override knob (the vectorsPathChecked pattern). */
+  def fixturesPathChecked: String = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(fixturesPath)),
+      s"media fixtures parquet not found at $fixturesPath — launch from " +
+        "the checkout root or set GRAFT_MEDIA_FIXTURES_PATH " +
+        "(src/main/resources/graft/media_fixtures.parquet)")
+    fixturesPath
+  }
+
   /** Declarative frame sampling for fixed-frame-size payloads: slice
     * the binary payload into `meta.n_frames` frames and keep every
     * `everyN`-th — binary `substring` + `explode`, no UDF, so the

@@ -203,6 +203,33 @@ class MediaSpec extends GraftSuite {
         embedder = wrongDim).count()
     }
   }
+
+  test("h1 fixtures decode bit-for-bit to the committed independent expected features") {
+    // The committed fixtures + expected parquets are the h1 machine
+    // oracle (tools/gen_media_fixtures.py); pin the same equality in
+    // CI so a codec or fixture regression fails before the driver's
+    // gate ever sees it. EXACT compare, no tolerance: the generator
+    // replicates the engine's float32 arithmetic.
+    val got = graft.queries.GroupH.queries("h1_media_decode")(ss, "")
+      .orderBy("name")
+      .select("name", "kind", "img_width", "img_height",
+        "mean_r", "mean_g", "mean_b",
+        "sample_rate", "n_channels", "n_samples", "rms")
+      .collect().map(_.toSeq)
+    val want = ss.read.parquet(Media.expectedPath)
+      .orderBy("name")
+      .select("name", "kind", "img_width", "img_height",
+        "mean_r", "mean_g", "mean_b",
+        "sample_rate", "n_channels", "n_samples", "rms")
+      .collect().map(_.toSeq)
+    assert(got.length == 6)
+    assert(got.toSeq == want.toSeq)
+    // The corrupt payload must be present and all-null — the
+    // "unparseable yields nulls, never a dead task" contract proven
+    // through the same gate.
+    val corrupt = got.find(_.head == "corrupt_bytes").get
+    assert(corrupt.drop(2).forall(_ == null))
+  }
 }
 
 /** Top-level object so Spark's closure serializer ships a module
