@@ -273,8 +273,29 @@ object Dedup {
   def ngramJaccardAgainst(existing: DataFrame, incoming: DataFrame,
                           idCol: String, textCol: String,
                           n: Int, tau: Double,
-                          dfCap: Long = 0L): DataFrame = {
-    val ex0 = shingles(existing, idCol, textCol, n, 0L).cut()
+                          dfCap: Long = 0L): DataFrame =
+    ngramJaccardAgainstIndex(shingles(existing, idCol, textCol, n, 0L).cut(),
+      incoming, idCol, textCol, n, tau, dfCap)
+
+  /** [[ngramJaccardAgainst]] with the existing side supplied as an
+    * ALREADY-BUILT (id, shingle) inverted index — the serving form: a
+    * daily pipeline shingles its corpus once, persists the index via
+    * [[graft.sinks.ModelStore]], and every later slice confirms
+    * against the RELOADED frame instead of re-shingling the corpus
+    * per cycle (a corpus-linear text pass this variant deletes from
+    * the serving path; p5 runs it). Same body, same output, so full
+    * and serving paths cannot drift — [[ngramJaccardAgainst]] IS this
+    * function applied to a freshly-shingled (and checkpointed)
+    * existing side. The index is consumed as-is: a ModelStore scan is
+    * stats-backed and needs no checkpoint, and cutting the
+    * corpus-sized dim here would materialize it into executor storage
+    * per call (the componentsDelta serving-state doctrine). */
+  def ngramJaccardAgainstIndex(exShingles: DataFrame,
+                               incoming: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int, tau: Double,
+                               dfCap: Long = 0L): DataFrame = {
+    val ex0 = exShingles.select(col("id"), col("shingle"))
     val inc0 = shingles(incoming, idCol, textCol, n, 0L)
       .select(col("id").as("new_id"), col("shingle"))
     val (ex, inc) =

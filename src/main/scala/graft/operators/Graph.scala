@@ -384,24 +384,38 @@ object Graph {
     // slice-bounded label set on the build side. Both are declared
     // scalar driver actions, run only under strict.
     if (strict) {
-      val badOrder = touched.filter(col("comp") > col("id")).limit(1).count()
-      require(badOrder == 0L,
+      // Two driver actions total (they run per delta call, so job
+      // latency matters more than data volume): one agg over the
+      // slice-bounded touched frame checks ordering AND counts the
+      // distinct labels; one broadcast-probe scan of the assignment
+      // checks the labels exist and are fixpoints. The label set is
+      // broadcast by hint — it is bounded by the touched rows (slice
+      // contract), and an agg-topped subtree carries no size estimate
+      // for the planner to prove the broadcast on its own (the
+      // overCapShingles rationale, without paying its checkpoint job).
+      val tStats = touched.agg(
+        coalesce(sum(when(col("comp") > col("id"), 1L).otherwise(0L)),
+          lit(0L)),
+        count_distinct(col("comp"))).head()
+      require(tStats.getLong(0) == 0L,
         "componentsDelta(strict = true): the assignment violates the min-id " +
           "label convention (a touched row has comp > id) — merging on a " +
           "non-canonical assignment silently corrupts labels; rebuild it " +
           "with connectedComponents")
-      val reps = touched.select(col("comp").as("id")).distinct().cut()
-      val nReps = reps.count()
-      val repStats = asg.join(reps, Seq("id"), "left_semi")
-        .agg(count(lit(1)),
-          sum(when(col("comp") === col("id"), 0L).otherwise(1L)))
-        .head()
-      require(repStats.getLong(0) == nReps &&
-          (repStats.isNullAt(1) || repStats.getLong(1) == 0L),
-        "componentsDelta(strict = true): a touched component label is " +
-          "missing from the assignment or does not label itself " +
-          "(assignment(comp) must equal comp under the min-id convention) " +
-          "— rebuild the assignment with connectedComponents")
+      val nReps = tStats.getLong(1)
+      if (nReps > 0L) {
+        val reps = touched.select(col("comp").as("id")).distinct()
+        val repStats = asg.join(reps.hint("broadcast"), Seq("id"), "left_semi")
+          .agg(count(lit(1)),
+            coalesce(sum(when(col("comp") === col("id"), 0L).otherwise(1L)),
+              lit(0L)))
+          .head()
+        require(repStats.getLong(0) == nReps && repStats.getLong(1) == 0L,
+          "componentsDelta(strict = true): a touched component label is " +
+            "missing from the assignment or does not label itself " +
+            "(assignment(comp) must equal comp under the min-id convention) " +
+            "— rebuild the assignment with connectedComponents")
+      }
     }
     val nodeRep = nodes.join(touched, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("rep")).cut()

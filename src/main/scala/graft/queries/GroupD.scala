@@ -235,6 +235,17 @@ object GroupD {
     val bits = Dedup.bloomBits(
       Dedup.shingles(existing, "doc_id", "text", n = 3).select("shingle"),
       "shingle")
+    bloomGateAgainst(bits, incoming)
+  }
+
+  /** The gate half of [[bloomPrefilterOf]] against a SUPPLIED bitmap
+    * (fresh or ModelStore-reloaded) — the serving form p5 runs: the
+    * corpus-side bitmap build is the fit, this probe is the per-cycle
+    * work. One definition, so the full (d13) and serving (p5) paths
+    * cannot hash differently. */
+  private[graft] def bloomGateAgainst(bits: org.apache.spark.sql.DataFrame,
+                                      incoming: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val perGram = Dedup.bloomProbe(bits,
       Dedup.shingles(incoming, "doc_id", "text", n = 3), "shingle")
     incoming.select(col("doc_id"))

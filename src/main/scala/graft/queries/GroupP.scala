@@ -3,6 +3,8 @@ package graft.queries
 import graft.Tables
 import graft.functions.Text
 import graft.operators.{Collections, Corpus, Dedup, Graph, Sampling, Similarity}
+import graft.operators.Checkpoints.Cuttable
+import graft.sinks.ModelStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,6 +135,15 @@ object GroupP {
     // replay e11's fit+assign chain.
     "p4_ingest_pipeline" -> ((s, d) =>
       ingestPipeline(Tables(s, d, "documents"), Tables(s, d, "embeddings"))),
+
+    // p5: p4's SERVING twin — the same DAG on ModelStore-RELOADED
+    // dims (fitted once per corpus fingerprint by
+    // ensureServingModels, persisted, reloaded here), so the
+    // registered cost is the per-cycle serving cost rather than p4's
+    // self-contained refit. Same oracle as p4: the values must be
+    // IDENTICAL — that equality is the proof that the persistence
+    // round-trip (stamps included) loses nothing.
+    "p5_serving_ingest" -> ((s, d) => servingIngest(s, d)),
   )
 
   /** p3's plan over an arbitrary customer frame (c_custkey, c_name,
@@ -264,17 +275,153 @@ object GroupP {
         col("best_jaccard"), col("component"), col("cid"), col("codes"))
   }
 
-  val oracles: Map[String, String] = Map(
-    // p4 composes the PROVEN replays: d7's recursive component CTE
-    // over ALL pairs (the d16 equivalence — incremental merge must
-    // equal full recompute), d11's bipartite confirm UNRESTRICTED
-    // (equality with the Spark side's bloom-gated sliver is the
-    // no-false-negative guarantee), d13's position-set bitmap
-    // replay, and e11's fit+assign chain. Only the sliver gate and
-    // the rep-space merge are Spark-side optimizations — the VALUES
-    // must be independent of both, and this hash gate proves it.
-    "p4_ingest_pipeline" ->
-      s"""WITH RECURSIVE ${GroupD.componentCte},
+  // ---- p5: the ModelStore-backed SERVING form of the ingest DAG ----
+
+  /** Root directory for the per-sfDir serving models (override with
+    * GRAFT_MODEL_DIR). Keyed by the sanitized data directory so
+    * models fitted at one scale factor can never serve another. */
+  private def modelRoot(dir: String): String = {
+    val base = sys.env.getOrElse("GRAFT_MODEL_DIR",
+      sys.props("java.io.tmpdir") + "/graft_models")
+    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
+  /** Content fingerprint of the ingest DAG's input tables — (file,
+    * size, mtime) of every file under documents/embeddings, hashed —
+    * so a regenerated testdata dir invalidates cached models instead
+    * of silently serving stale dims (a stale fit would fail the hash
+    * gate, but it should refit, not fail). */
+  private def fingerprintOf(dir: String): String = {
+    val parts = Seq("documents.parquet", "embeddings.parquet").flatMap { t =>
+      val p = java.nio.file.Paths.get(dir, t)
+      if (!java.nio.file.Files.exists(p)) Seq(s"$t:absent")
+      else {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+            .toSeq.sorted
+        } finally walk.close()
+      }
+    }
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Fit and persist the ingest DAG's serving dims for `dir` — the
+    * bloom bitmap, the corpus shingle index, the component
+    * assignment, the IVF centroids and the PQ codebook — via
+    * [[ModelStore]], once per input fingerprint: the deployment
+    * reality p4 cannot register (a self-contained query refits per
+    * invocation; a serving pipeline fits on corpus change and
+    * reloads per cycle). Returns the model root. Idempotent and
+    * cheap when current (one fingerprint file read); the fingerprint
+    * is written LAST so a crash mid-save refits instead of serving a
+    * half-written store. Callers that must keep the fit OUT of a
+    * measurement (Bench's warm-up) invoke this untimed first. */
+  def ensureServingModels(s: SparkSession, dir: String): String =
+    this.synchronized {
+      val root = modelRoot(dir)
+      val fp = fingerprintOf(dir)
+      val fpFile = java.nio.file.Paths.get(root, "_FINGERPRINT")
+      if (java.nio.file.Files.exists(fpFile) &&
+          new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fp)
+        return root
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      val docs = Tables(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val exSh = Dedup.shingles(existing, "doc_id", "text", n = 3)
+      ModelStore.save(exSh, s"$root/ex_shingles")
+      ModelStore.save(
+        Dedup.bloomBits(exSh.select("shingle"), "shingle"),
+        s"$root/bloom_bits")
+      ModelStore.save(
+        Graph.connectedComponents(
+          Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
+          strict = true),
+        s"$root/assignment")
+      val (cent, cb) = Similarity.ivfPqFit(
+        Tables(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dim = 64)
+      ModelStore.save(cent, s"$root/centroids")
+      ModelStore.save(cb, s"$root/codebook") // (m, ds) stamp verified by save
+      java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
+      root
+    }
+
+  /** p5's plan: [[ingestPipeline]]'s serving twin — the SAME
+    * gate → sliver-confirm → rep-merge → index-delta chain, run
+    * against the RELOADED dims instead of refitting them, composed
+    * from the same shared stage bodies (bloomGateAgainst /
+    * ngramJaccardAgainstIndex / componentsDelta / ivfPqIndexDelta) so
+    * the two paths cannot drift. Its cost IS the per-cycle serving
+    * cost: slice shingling + probes against scanned dims — nothing
+    * corpus-sized recomputes ([[ensureServingModels]] holds the fits,
+    * amortized across cycles). Oracled by p4's own replay: the values
+    * must be identical to the self-contained fit — that equality is
+    * the point, and proves the ModelStore round-trip loses nothing
+    * through the hash gate. */
+  def servingIngest(s: SparkSession, d: String): DataFrame = {
+    val root = ensureServingModels(s, d)
+    val docs = Tables(s, d, "documents")
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val bits = ModelStore.load(s, s"$root/bloom_bits")
+    val exSh = ModelStore.load(s, s"$root/ex_shingles")
+    val asg = ModelStore.load(s, s"$root/assignment")
+    val cent = ModelStore.load(s, s"$root/centroids")
+    val cb = ModelStore.load(s, s"$root/codebook")
+    // cut(): the gate feeds the sliver filter AND the final verdict
+    // join — the slice-sized probe result materializes once.
+    val gate = GroupD.bloomGateAgainst(bits, incoming)
+      .select(col("doc_id"), col("maybe_overlap"))
+      .cut()
+    val sliver = incoming
+      .join(gate.filter(col("maybe_overlap")).select("doc_id"), "doc_id")
+    val confirmed = Dedup.ngramJaccardAgainstIndex(exSh, sliver,
+      "doc_id", "text", n = 3, tau = 0.5)
+    val dupStats = confirmed.groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_old"),
+        max(col("jaccard")).as("best_jaccard"))
+    val newPairs = confirmed
+      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
+        n = 3, tau = 0.5).select("id_a", "id_b"))
+    val comp = Graph.componentsDelta(asg, newPairs, strict = true)
+      .filter(col("id") % 10 === 0)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    val idx = Similarity.ivfPqIndexDelta(
+        Tables(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", cent, cb, m = 8, dim = 64)
+      .select(col("id").as("doc_id"), col("cid"),
+        concat_ws(",", col("codes")).as("codes"))
+    incoming.select("doc_id")
+      .join(gate, Seq("doc_id"), "left")
+      .join(dupStats, Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
+      .join(idx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("maybe_overlap"), lit(false)).as("maybe_overlap"),
+        coalesce(col("n_dup_old"), lit(0L)).as("n_dup_old"),
+        col("best_jaccard"), col("component"), col("cid"), col("codes"))
+  }
+
+  // p4 composes the PROVEN replays: d7's recursive component CTE
+  // over ALL pairs (the d16 equivalence — incremental merge must
+  // equal full recompute), d11's bipartite confirm UNRESTRICTED
+  // (equality with the Spark side's bloom-gated sliver is the
+  // no-false-negative guarantee), d13's position-set bitmap
+  // replay, and e11's fit+assign chain. Only the sliver gate and
+  // the rep-space merge are Spark-side optimizations — the VALUES
+  // must be independent of both, and this hash gate proves it.
+  // p5 shares it VERBATIM: the serving path must reproduce the
+  // self-contained fit bit-for-bit through the ModelStore
+  // round-trip.
+  private val ingestOracle: String =
+    s"""WITH RECURSIVE ${GroupD.componentCte},
          |comp AS (SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1),
          |ex2 AS (SELECT doc_id AS old_id, shingle FROM sh WHERE doc_id % 10 <> 0),
          |inc2 AS (SELECT doc_id AS new_id, shingle FROM sh WHERE doc_id % 10 = 0),
@@ -351,7 +498,11 @@ object GroupP {
          |LEFT JOIN dups USING (doc_id)
          |LEFT JOIN comp USING (doc_id)
          |LEFT JOIN asg a ON a.id = d.doc_id
-         |LEFT JOIN cds c ON c.id = d.doc_id""".stripMargin,
+         |LEFT JOIN cds c ON c.id = d.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "p4_ingest_pipeline" -> ingestOracle,
+    "p5_serving_ingest" -> ingestOracle,
 
     "p1_pipeline" ->
       """WITH RECURSIVE

@@ -200,4 +200,32 @@ class ModelStoreSpec extends GraftSuite {
       ModelStore.save(fitted._2, tmp("bad"), partitionCols = Seq("s"))
     }
   }
+
+  test("p5 (serving, reloaded dims) is value-identical to p4 (self-contained fit)") {
+    // The whole point of the serving registration: the ModelStore
+    // round-trip of ALL five dims must change nothing — the driver
+    // proves it via p4's oracle, this pins the same equality in CI.
+    // ensureServingModels is exercised implicitly (first call fits
+    // and persists, the repeat is a fingerprint no-op).
+    //
+    // Compared on MATERIALIZED rows, not a combined exceptAll plan:
+    // the two live DAGs are near-identical self-join-style subtrees,
+    // and stitching them into one ExceptAll query trips a Catalyst
+    // canonicalization/reuse quirk where identical rows fail to
+    // cancel (verified: per-column and 2-column excepts are 0, the
+    // 3-column one is 50; parquet-materialized copies — and each
+    // live side against the other's materialized copy — agree in
+    // EVERY combination, so the values themselves are identical and
+    // only the combined plan is confused; the driver always runs
+    // queries in isolation, so this cannot touch the gate).
+    def rowsOf(name: String): Seq[Seq[Any]] =
+      graft.queries.GroupP.queries(name)(spark, sfDir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val p4 = rowsOf("p4_ingest_pipeline")
+    assert(p4.nonEmpty)
+    assert(rowsOf("p5_serving_ingest") == p4)
+    // Idempotence: a second invocation reuses the persisted store
+    // (same fingerprint) and still matches.
+    assert(rowsOf("p5_serving_ingest") == p4)
+  }
 }
