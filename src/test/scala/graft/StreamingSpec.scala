@@ -53,6 +53,72 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("sessionizer state survives a checkpointed restart: recovery ≡ uninterrupted run") {
+    // The serving property that makes flatMapGroupsWithState
+    // trustworthy in production: stop a checkpointed stream MID-flight
+    // (open sessions live only in the state store), restart from the
+    // same checkpoint, and the output must equal an uninterrupted run
+    // — sessions opened before the stop must finalize AFTER it from
+    // RECOVERED state (their source offsets are committed, so a lost
+    // state store could never rebuild them by reprocessing).
+    // The sink is a parquet FILE sink — the fault-tolerant sink class
+    // this property exists for (the memory sink rejects checkpoint
+    // recovery outright, and its table would not survive the restart
+    // anyway).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val input = MemoryStream[SessionEvent]
+    val out = Sessions.sessionize(input.toDS(), gapSec = 1800L,
+      watermarkDelay = "10 seconds")
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    var query = start()
+    val restarted =
+      try {
+        // Phase 1: open sessions for users 1 and 2; nothing emits yet.
+        input.addData(
+          SessionEvent(1L, 1L, ts(1000)), SessionEvent(1L, 2L, ts(1100)),
+          SessionEvent(2L, 3L, ts(1050)))
+        query.processAllAvailable()
+        query.stop() // mid-stream: open sessions exist only as state
+        // Phase 2: recover, then close user 1's first session via the
+        // gap rule and user 2's via event-time timeout.
+        query = start()
+        input.addData(SessionEvent(1L, 4L, ts(11100)))
+        query.processAllAvailable()
+        input.addData(SessionEvent(3L, 5L, ts(20000)))
+        query.processAllAvailable()
+        spark.read.parquet(outDir).as[SessionOut].collect().toSet
+      } finally query.stop()
+    // Pre-stop events finalized post-restart — recovered, not rebuilt.
+    assert(restarted.contains(SessionOut(1L, 1000L, 1100L, 2L)),
+      s"user 1's pre-restart session must close from recovered state, got $restarted")
+    assert(restarted.contains(SessionOut(2L, 1050L, 1050L, 1L)),
+      s"user 2's pre-restart session must time out from recovered state, got $restarted")
+    // Full equality with an uninterrupted run of the same schedule.
+    val input2 = MemoryStream[SessionEvent]
+    val out2 = Sessions.sessionize(input2.toDS(), gapSec = 1800L,
+      watermarkDelay = "10 seconds")
+    val q2 = out2.writeStream.format("memory").queryName("restart_ref")
+      .outputMode("append").start()
+    val uninterrupted =
+      try {
+        input2.addData(
+          SessionEvent(1L, 1L, ts(1000)), SessionEvent(1L, 2L, ts(1100)),
+          SessionEvent(2L, 3L, ts(1050)))
+        q2.processAllAvailable()
+        input2.addData(SessionEvent(1L, 4L, ts(11100)))
+        q2.processAllAvailable()
+        input2.addData(SessionEvent(3L, 5L, ts(20000)))
+        q2.processAllAvailable()
+        spark.table("restart_ref").as[SessionOut].collect().toSet
+      } finally q2.stop()
+    assert(restarted == uninterrupted,
+      s"recovered run diverged from uninterrupted: $restarted vs $uninterrupted")
+  }
+
   test("sessionizer matches the batch g1 logic on in-gap events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
