@@ -289,12 +289,28 @@ object Dedup {
     * existing side. The index is consumed as-is: a ModelStore scan is
     * stats-backed and needs no checkpoint, and cutting the
     * corpus-sized dim here would materialize it into executor storage
-    * per call (the componentsDelta serving-state doctrine). */
+    * per call (the componentsDelta serving-state doctrine).
+    *
+    * `exSizes` (optional, (id, n_old)): the existing side's per-doc
+    * shingle counts, PRE-AGGREGATED and persisted next to the index.
+    * Without it the sizes re-aggregate from the index per call — a
+    * corpus-sized SHUFFLE in what should be a slice-proportional
+    * serving path (the scan-vs-shuffle line the dim doctrine draws);
+    * a serving deployment persists both frames in one fit pass and
+    * the per-cycle plan touches the sizes dim only through the
+    * matched-pair join. Only valid with `dfCap = 0` — a cap cut
+    * changes the denominators, so capped calls must re-derive sizes
+    * from the capped index. */
   def ngramJaccardAgainstIndex(exShingles: DataFrame,
                                incoming: DataFrame,
                                idCol: String, textCol: String,
                                n: Int, tau: Double,
-                               dfCap: Long = 0L): DataFrame = {
+                               dfCap: Long = 0L,
+                               exSizes: Option[DataFrame] = None): DataFrame = {
+    require(dfCap <= 0L || exSizes.isEmpty,
+      "ngramJaccardAgainstIndex: supplied exSizes are only valid with " +
+        "dfCap = 0 — a cap cut changes every denominator, so capped calls " +
+        "must re-derive sizes from the capped index")
     val ex0 = exShingles.select(col("id"), col("shingle"))
     val inc0 = shingles(incoming, idCol, textCol, n, 0L)
       .select(col("id").as("new_id"), col("shingle"))
@@ -309,13 +325,15 @@ object Dedup {
         (ex0.join(drop, Seq("shingle"), "left_anti"),
           inc0.join(drop, Seq("shingle"), "left_anti").cut())
       }
-    val exSizes = ex.groupBy("id").agg(count(lit(1)).as("n_old"))
+    val szOld = exSizes
+      .map(_.select(col("id"), col("n_old")))
+      .getOrElse(ex.groupBy("id").agg(count(lit(1)).as("n_old")))
     val incSizes = inc.groupBy("new_id").agg(count(lit(1)).as("n_new"))
     inc.join(ex.select(col("id").as("old_id"), col("shingle")), "shingle")
       .groupBy("new_id", "old_id")
       .agg(count(lit(1)).as("shared"))
       .join(incSizes, "new_id")
-      .join(exSizes.select(col("id").as("old_id"), col("n_old")), "old_id")
+      .join(szOld.select(col("id").as("old_id"), col("n_old")), "old_id")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_new") + col("n_old") - col("shared")))
       .filter(col("jaccard") >= tau)

@@ -307,10 +307,17 @@ object GroupP {
         } finally walk.close()
       }
     }
+    // The store-format version rides the fingerprint: adding a dim to
+    // the store must invalidate caches fitted by older code, or a
+    // reused cache would fail on the missing dim's load.
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .digest((StoreFormatVersion + "\n" + parts.mkString("\n")).getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
   }
+
+  /** Bump when [[ensureServingModels]]'s dim set or any fit
+    * definition changes — existing stores refit on next ensure. */
+  private val StoreFormatVersion = "graft-serving-v2"
 
   /** Fit and persist the ingest DAG's serving dims for `dir` — the
     * bloom bitmap, the corpus shingle index, the component
@@ -336,6 +343,11 @@ object GroupP {
       val existing = docs.filter(col("doc_id") % 10 =!= 0)
       val exSh = Dedup.shingles(existing, "doc_id", "text", n = 3)
       ModelStore.save(exSh, s"$root/ex_shingles")
+      // Sizes persisted NEXT TO the index: re-aggregating them per
+      // cycle would be a corpus-sized shuffle in the serving path.
+      ModelStore.save(
+        exSh.groupBy("id").agg(count(lit(1)).as("n_old")),
+        s"$root/ex_sizes")
       ModelStore.save(
         Dedup.bloomBits(exSh.select("shingle"), "shingle"),
         s"$root/bloom_bits")
@@ -368,12 +380,25 @@ object GroupP {
   def servingIngest(s: SparkSession, d: String): DataFrame = {
     val root = ensureServingModels(s, d)
     val docs = Tables(s, d, "documents")
-    val incoming = docs.filter(col("doc_id") % 10 === 0)
-    val bits = ModelStore.load(s, s"$root/bloom_bits")
-    val exSh = ModelStore.load(s, s"$root/ex_shingles")
-    val asg = ModelStore.load(s, s"$root/assignment")
-    val cent = ModelStore.load(s, s"$root/centroids")
-    val cb = ModelStore.load(s, s"$root/codebook")
+    servingChain(
+      incoming = docs.filter(col("doc_id") % 10 === 0),
+      sliceEmb = Tables(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+      bits = ModelStore.load(s, s"$root/bloom_bits"),
+      exSh = ModelStore.load(s, s"$root/ex_shingles"),
+      exSizes = ModelStore.load(s, s"$root/ex_sizes"),
+      asg = ModelStore.load(s, s"$root/assignment"),
+      cent = ModelStore.load(s, s"$root/centroids"),
+      cb = ModelStore.load(s, s"$root/codebook"))
+  }
+
+  /** The serving chain itself, dims injected — one definition shared
+    * by the registered p5 (ModelStore-loaded dims) and ScaleProbe
+    * (fixed slice vs K×-scaled dims), so the probed plan cannot
+    * drift from the verified one. Every stage body is the shared one
+    * its full-path sibling runs. */
+  def servingChain(incoming: DataFrame, sliceEmb: DataFrame,
+                   bits: DataFrame, exSh: DataFrame, exSizes: DataFrame,
+                   asg: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
     // cut(): the gate feeds the sliver filter AND the final verdict
     // join — the slice-sized probe result materializes once.
     val gate = GroupD.bloomGateAgainst(bits, incoming)
@@ -382,7 +407,7 @@ object GroupP {
     val sliver = incoming
       .join(gate.filter(col("maybe_overlap")).select("doc_id"), "doc_id")
     val confirmed = Dedup.ngramJaccardAgainstIndex(exSh, sliver,
-      "doc_id", "text", n = 3, tau = 0.5)
+      "doc_id", "text", n = 3, tau = 0.5, exSizes = Some(exSizes))
     val dupStats = confirmed.groupBy(col("new_id").as("doc_id"))
       .agg(count(lit(1)).as("n_dup_old"),
         max(col("jaccard")).as("best_jaccard"))
@@ -393,8 +418,7 @@ object GroupP {
     val comp = Graph.componentsDelta(asg, newPairs, strict = true)
       .filter(col("id") % 10 === 0)
       .select(col("id").as("doc_id"), col("comp").as("component"))
-    val idx = Similarity.ivfPqIndexDelta(
-        Tables(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+    val idx = Similarity.ivfPqIndexDelta(sliceEmb,
         "vec_id", "embedding", cent, cb, m = 8, dim = 64)
       .select(col("id").as("doc_id"), col("cid"),
         concat_ws(",", col("codes")).as("codes"))

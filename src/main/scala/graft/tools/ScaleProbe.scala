@@ -210,6 +210,27 @@ object ScaleProbe {
     lazy val gramDimK = Corpus.gramCounts(
       (0 until k).map(alphaRotated(corpus1, _)).reduce(_ unionByName _),
       "text", 3).localCheckpoint()
+    // p5's serving dims, fixed vs K×: the shingle index (and its
+    // persisted sizes dim) grows ~K× in ROWS via the same
+    // full-alphabet rotation as d17's gram dim — copy 0 is the
+    // un-rotated corpus, so the slice's TRUE matches are identical on
+    // both sides and only unrelated index mass grows (exactly how a
+    // real serving corpus grows relative to one day's slice). The
+    // bloom bitmap is fixed at the 1× build on BOTH sides: its row
+    // count is ≤ mBits/64 whatever the corpus (the dim property), and
+    // feeding the K× shingle set would only raise the false-positive
+    // rate — measuring an un-retuned mBits knob, not the plan.
+    lazy val exShP0 = Dedup.shingles(corpus1, "doc_id", "text", 3)
+      .localCheckpoint()
+    lazy val exShPK = Dedup.shingles(
+      (0 until k).map(alphaRotated(corpus1, _)).reduce(_ unionByName _),
+      "doc_id", "text", 3).localCheckpoint()
+    lazy val exSizesP0 = exShP0.groupBy("id")
+      .agg(count(lit(1)).as("n_old")).localCheckpoint()
+    lazy val exSizesPK = exShPK.groupBy("id")
+      .agg(count(lit(1)).as("n_old")).localCheckpoint()
+    lazy val bitsP0 = Dedup.bloomBits(exShP0.select("shingle"), "shingle")
+      .localCheckpoint()
     // d15's own operator (the generators' exponents are a25's and
     // d3's, probed separately): pair frames amplified 8× like knnBase
     // so the normalize/distinct/full-outer/agg dominates job latency;
@@ -514,6 +535,22 @@ object ScaleProbe {
         () => noop(graft.operators.Similarity.ivfPqIndexDelta(
           embSliceK, "vec_id", "embedding",
           ivfStructs._1, ivfStructs._2, m = 8, dim = 64))),
+      // p5: the COMPOSED serving-ingest DAG — FIXED ingest slice (+ its
+      // embeddings), K× serving dims (rotated shingle index + sizes,
+      // d16-shifted assignment; bitmap and IVF/PQ structures are the
+      // fixed no-refit dims). Every stage is individually probed
+      // (d13/d11/d16/e11 above); what only THIS probe can catch is a
+      // composition losing slice-proportionality through one bad join
+      // order — the composed body is the registered
+      // GroupP.servingChain itself, so the probed plan is the served
+      // plan. Expected: far below K — the K-scaled stages are the two
+      // streamed dim scans (index + assignment), everything else
+      // slice-bounded.
+      ("p5 serving-ingest",
+        () => noop(GroupP.servingChain(slice, embSlice, bitsP0,
+          exShP0, exSizesP0, asg0, ivfStructs._1, ivfStructs._2)),
+        () => noop(GroupP.servingChain(slice, embSlice, bitsP0,
+          exShPK, exSizesPK, asgK, ivfStructs._1, ivfStructs._2))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the
