@@ -393,15 +393,20 @@ object Graph {
       // contract), and an agg-topped subtree carries no size estimate
       // for the planner to prove the broadcast on its own (the
       // overCapShingles rationale, without paying its checkpoint job).
+      // NULL-safe: `comp > id` evaluates to NULL for a null comp and
+      // count_distinct skips nulls, so a corrupted (id, null) row —
+      // e.g. from a bad outer-join upsert — would sail through both
+      // checks and then be treated as its own representative by the
+      // coalesce below. Count nulls explicitly in the same agg.
       val tStats = touched.agg(
-        coalesce(sum(when(col("comp") > col("id"), 1L).otherwise(0L)),
-          lit(0L)),
+        coalesce(sum(when(col("comp").isNull || col("comp") > col("id"), 1L)
+          .otherwise(0L)), lit(0L)),
         count_distinct(col("comp"))).head()
       require(tStats.getLong(0) == 0L,
         "componentsDelta(strict = true): the assignment violates the min-id " +
-          "label convention (a touched row has comp > id) — merging on a " +
-          "non-canonical assignment silently corrupts labels; rebuild it " +
-          "with connectedComponents")
+          "label convention (a touched row has comp > id, or a NULL comp) — " +
+          "merging on a non-canonical assignment silently corrupts labels; " +
+          "rebuild it with connectedComponents")
       val nReps = tStats.getLong(1)
       if (nReps > 0L) {
         val reps = touched.select(col("comp").as("id")).distinct()

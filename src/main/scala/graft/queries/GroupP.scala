@@ -278,12 +278,17 @@ object GroupP {
   // ---- p5: the ModelStore-backed SERVING form of the ingest DAG ----
 
   /** Root directory for the per-sfDir serving models (override with
-    * GRAFT_MODEL_DIR). Keyed by the sanitized data directory so
-    * models fitted at one scale factor can never serve another. */
+    * GRAFT_MODEL_DIR). Keyed by the sanitized data directory PLUS an
+    * md5 of the raw path — the sanitization is lossy ("/d/sf0 1" and
+    * "/d/sf0_1" both sanitize to "_d_sf0_1"), and two dirs sharing a
+    * root would fingerprint-thrash: every serve would refit inside
+    * the timed path while still reading as a healthy run. */
   private def modelRoot(dir: String): String = {
     val base = sys.env.getOrElse("GRAFT_MODEL_DIR",
       sys.props("java.io.tmpdir") + "/graft_models")
-    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
   }
 
   /** Content fingerprint of the ingest DAG's input tables — (file,
@@ -339,6 +344,32 @@ object GroupP {
           new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fp)
         return root
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      // `synchronized` only serializes THIS JVM; the store root is
+      // shared across processes (a bench concurrent with a test run),
+      // so take an OS-level lock for the fit-and-swap too — two
+      // writers interleaving six stage-and-swap cycles could leave
+      // mixed-generation dims under one fingerprint. Readers
+      // overlapping a swap remain the documented ModelStore caveat
+      // (serve from versioned paths when readers and writers overlap;
+      // the retired model stays at .__prev__ either way).
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root, "_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        // Re-check under the lock: the other process may have just
+        // finished this exact fit.
+        if (java.nio.file.Files.exists(fpFile) &&
+            new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fp)
+          return root
+        fitAndSave(s, dir, root, fp)
+      } finally { lock.release(); lockCh.close() }
+      root
+    }
+
+  private def fitAndSave(s: SparkSession, dir: String, root: String,
+                         fp: String): Unit = {
       val docs = Tables(s, dir, "documents")
       val existing = docs.filter(col("doc_id") % 10 =!= 0)
       val exSh = Dedup.shingles(existing, "doc_id", "text", n = 3)
@@ -361,9 +392,10 @@ object GroupP {
         "vec_id", "embedding", dim = 64)
       ModelStore.save(cent, s"$root/centroids")
       ModelStore.save(cb, s"$root/codebook") // (m, ds) stamp verified by save
-      java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
-      root
-    }
+      // Fingerprint written LAST — a crash mid-save refits next time.
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "_FINGERPRINT"),
+        fp.getBytes("UTF-8"))
+  }
 
   /** p5's plan: [[ingestPipeline]]'s serving twin — the SAME
     * gate → sliver-confirm → rep-merge → index-delta chain, run

@@ -231,6 +231,15 @@ object ScaleProbe {
       .agg(count(lit(1)).as("n_old")).localCheckpoint()
     lazy val bitsP0 = Dedup.bloomBits(exShP0.select("shingle"), "shingle")
       .localCheckpoint()
+    // p5's assignment is fit on the EXISTING corpus only (slice ids
+    // absent by construction — ensureServingModels' definition); the
+    // d16 probe's asg0 covers ALL docs, which would make the merge
+    // stage resolve slice ids as already-assigned touched rows and
+    // deviate from the served plan.
+    lazy val asgP0 = Graph.connectedComponents(
+        Dedup.ngramJaccardPairs(corpus1, "doc_id", "text", n = 3, tau = 0.5))
+      .localCheckpoint()
+    lazy val asgPK = scaled(asgP0, Seq("id", "comp"))
     // d15's own operator (the generators' exponents are a25's and
     // d3's, probed separately): pair frames amplified 8× like knnBase
     // so the normalize/distinct/full-outer/agg dominates job latency;
@@ -548,9 +557,9 @@ object ScaleProbe {
       // slice-bounded.
       ("p5 serving-ingest",
         () => noop(GroupP.servingChain(slice, embSlice, bitsP0,
-          exShP0, exSizesP0, asg0, ivfStructs._1, ivfStructs._2)),
+          exShP0, exSizesP0, asgP0, ivfStructs._1, ivfStructs._2)),
         () => noop(GroupP.servingChain(slice, embSlice, bitsP0,
-          exShPK, exSizesPK, asgK, ivfStructs._1, ivfStructs._2))),
+          exShPK, exSizesPK, asgPK, ivfStructs._1, ivfStructs._2))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the

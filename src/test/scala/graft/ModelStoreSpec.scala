@@ -210,14 +210,18 @@ class ModelStoreSpec extends GraftSuite {
     //
     // Compared on MATERIALIZED rows, not a combined exceptAll plan:
     // the two live DAGs are near-identical self-join-style subtrees,
-    // and stitching them into one ExceptAll query trips a Catalyst
-    // canonicalization/reuse quirk where identical rows fail to
-    // cancel (verified: per-column and 2-column excepts are 0, the
-    // 3-column one is 50; parquet-materialized copies — and each
-    // live side against the other's materialized copy — agree in
-    // EVERY combination, so the values themselves are identical and
-    // only the combined plan is confused; the driver always runs
-    // queries in isolation, so this cannot touch the gate).
+    // and stitching them into one ExceptAll query trips an AQE
+    // EXCHANGE-REUSE quirk where identical rows fail to cancel —
+    // isolated to stage reuse specifically: the same combined plan
+    // cancels to 0 with spark.sql.adaptive.enabled=false OR
+    // spark.sql.exchange.reuse=false, and per-column / 2-column
+    // projections cancel even with both on (a reused exchange from
+    // one side is substituted for a non-identical one on the other).
+    // Parquet-materialized copies — and each live side against the
+    // other's materialized copy — agree in EVERY combination, so the
+    // values themselves are identical and only the combined reused
+    // plan is wrong; the driver always runs queries in isolation, so
+    // this cannot touch the gate.
     def rowsOf(name: String): Seq[Seq[Any]] =
       graft.queries.GroupP.queries(name)(spark, sfDir)
         .orderBy("doc_id").collect().map(_.toSeq).toSeq

@@ -138,6 +138,23 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p5: the serving plan broadcasts its dims, no cartesian, confirm never shuffles the index by id") {
+    // The serving DAG inherits every part's shape on RELOADED dims:
+    // centroid assignment rides e11's broadcast nested loop, the
+    // verdict joins are hash joins, nothing degenerates to a
+    // cartesian — and the persisted-sizes path means no corpus-sized
+    // aggregation re-derives n_old per cycle (the sizes dim joins on
+    // matched old ids only).
+    val q = SparkEntry.queries("p5_serving_ingest")(spark, sfDir)
+    val qe = q.queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the centroid dim\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d17: the gram dim is streamed under broadcast joins, never shuffled") {
     // Same contract as the d16/b4 pins, for the span family's dim:
     // the slice gram set is eagerly checkpointed, so the corpus
