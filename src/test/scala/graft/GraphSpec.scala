@@ -386,6 +386,46 @@ class GraphSpec extends GraftSuite {
     assert(delta === Map(5L -> 1L, 6L -> 1L, 9L -> 1L))
   }
 
+  test("property: revalidateDelta ≡ full revalidation on random edge splits") {
+    // The b5 contract, randomized like componentsDelta's pin: for any
+    // split of a DAG edge set into OLD (folded into a closure +
+    // verdicts) and NEW (today's taxonomy growth), old verdicts
+    // updated by the flips equal validateReachable against the full
+    // closure. Random members cover the cases: already valid, flips
+    // through a delta pair, stays invalid, valid by equality.
+    val rnd = new scala.util.Random(417)
+    for (trial <- 1 to 5) {
+      val n = 24
+      // k -> k/2-ish forest plus random shortcuts kept acyclic
+      // (src > dst), so the closure terminates without uniquePaths.
+      val all = ((2 to n).map(k => (k.toLong, (k / 2).toLong)) ++
+        (1 to 10).map { _ =>
+          val a = rnd.nextInt(n - 1) + 2; (a.toLong, rnd.nextInt(a - 1).toLong + 1)
+        }).distinct.filter { case (a, b) => a > b }
+      val (oldE, newE) = all.partition(_ => rnd.nextInt(4) != 0)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val members = (1 to 40).map { i =>
+          (i.toLong, rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)
+        }.toDF("id", "typ", "target")
+        val oldC = Graph.transitiveClosure(oldE.toDF("src", "dst"))
+        val v = Graph.validateReachable(members, oldC, "typ", "target")
+        val delta = Graph.transitiveClosureDelta(oldC, newE.toDF("src", "dst"))
+        val flips = Graph.revalidateDelta(v, delta, "typ", "target")
+          .select("id", "valid").as[(Long, Boolean)].collect().toMap
+        val updated = v.select("id", "valid").as[(Long, Boolean)]
+          .collect().toMap ++ flips
+        val full = Graph.validateReachable(members,
+            Graph.transitiveClosure(all.toDF("src", "dst")), "typ", "target")
+          .select("id", "valid").as[(Long, Boolean)].collect().toMap
+        assert(updated === full, s"trial $trial old=$oldE new=$newE")
+        // Flips are genuine: every one was invalid before.
+        val before = v.select("id", "valid").as[(Long, Boolean)].collect().toMap
+        flips.keys.foreach { id =>
+          assert(!before(id), s"trial $trial: flip of already-valid $id") }
+      }
+    }
+  }
+
   test("revalidateDelta flips exactly the delta-covered invalid rows; upsert ≡ full revalidation") {
     val oldE = Seq((3L, 2L)).toDF("src", "dst")
     val newE = Seq((4L, 3L)).toDF("src", "dst")

@@ -222,7 +222,7 @@ class MediaSpec extends GraftSuite {
         "mean_r", "mean_g", "mean_b",
         "sample_rate", "n_channels", "n_samples", "rms")
       .collect().map(_.toSeq)
-    assert(got.length == 6)
+    assert(got.length == 8)
     assert(got.toSeq == want.toSeq)
     // The corrupt payload must be present and all-null — the
     // "unparseable yields nulls, never a dead task" contract proven

@@ -27,8 +27,13 @@ may differ; values cannot).
 import io
 import math
 import struct
+import warnings
 import wave
 import zlib
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    import aifc  # stdlib AIFF writer — the big-endian PCM16 fixture
 
 import numpy as np
 import pyarrow as pa
@@ -48,6 +53,45 @@ def png_rgb(w, h, pixel):
         for y in range(h))
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def bmp_rgb(w, h, pixel):
+    """Minimal 24-bit uncompressed BMP (bottom-up rows, BGR byte
+    order, rows padded to 4 bytes) — the second lossless JDK image
+    codec h1 proves, written byte-exactly with no library."""
+    row_size = (3 * w + 3) // 4 * 4
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                      2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixel(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    return header + dib + b"".join(rows)
+
+
+def aiff_pcm16(rate, channels, frames):
+    """Big-endian PCM16 AIFF — exercises the decoder's big-endian
+    sample-assembly branch, which the little-endian WAVs never do."""
+    class _KeepOpen(io.BytesIO):  # aifc.close() closes the buffer too
+        def close(self):
+            pass
+    buf = _KeepOpen()
+    a = aifc.open(buf, "wb")
+    a.setnchannels(channels)
+    a.setsampwidth(2)
+    a.setframerate(rate)
+    flat = [s for frame in frames for s in frame]
+    a.writeframes(struct.pack(">%dh" % len(flat), *flat))
+    a.close()
+    data = buf.getvalue()
+    io.BytesIO.close(buf)
+    return data
 
 
 def wav_pcm16(rate, channels, frames):
@@ -98,13 +142,14 @@ def main():
                              (c * x + d * y + 8) % 256,
                              (e * x + f * y + 29) % 256)
 
-    for name, w, h, pix in [
-        ("png_7x5", 7, 5, img_pixel(13, 7, 5, 11, 3, 17)),
-        ("png_16x9", 16, 9, img_pixel(31, 5, 17, 23, 7, 13)),
-        ("png_1x1", 1, 1, lambda x, y: (200, 100, 50)),
+    for name, w, h, enc, pix in [
+        ("png_7x5", 7, 5, png_rgb, img_pixel(13, 7, 5, 11, 3, 17)),
+        ("png_16x9", 16, 9, png_rgb, img_pixel(31, 5, 17, 23, 7, 13)),
+        ("png_1x1", 1, 1, png_rgb, lambda x, y: (200, 100, 50)),
+        ("bmp_9x7", 9, 7, bmp_rgb, img_pixel(7, 19, 11, 3, 23, 5)),
     ]:
         mr, mg, mb = image_expected(w, h, pix)
-        rows.append((name, "image", png_rgb(w, h, pix),
+        rows.append((name, "image", enc(w, h, pix),
                      w, h, mr, mg, mb, None, None, None, None))
 
     def mono_frames(n, amp, period):
@@ -123,6 +168,10 @@ def main():
     rows.append(("wav_stereo_44k", "audio", wav_pcm16(44100, 2, st),
                  None, None, None, None, None,
                  44100.0, 2, 300, audio_expected(st)))
+    ai = [((((i * 211 + 17) % 24001) - 12000,)) for i in range(256)]
+    rows.append(("aiff_mono_11k", "audio", aiff_pcm16(11025, 1, ai),
+                 None, None, None, None, None,
+                 11025.0, 1, 256, audio_expected(ai)))
 
     rows.append(("corrupt_bytes", "corrupt",
                  b"not-a-media-payload \x00\xff\x13\x37" * 9,
