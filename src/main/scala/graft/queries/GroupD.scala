@@ -180,6 +180,33 @@ object GroupD {
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
 
+    // d19: d16's SERVING form — the cluster family's p5: the
+    // assignment AND the confirm's shingle index + sizes come from
+    // the ModelStore-backed serving store (fitted once per corpus
+    // fingerprint by GroupP.ensureServingModels), so the registered
+    // cost is the per-cycle serving work alone — slice shingling,
+    // dim-probe confirm, rep-space merge — with nothing corpus-sized
+    // refit per invocation (the r9 verdict's d16 fit-conflation,
+    // closed for the standalone operator as p5 closed it for the
+    // composed DAG). Same oracle as d16/d7: the values must be
+    // IDENTICAL to the self-contained fit.
+    "d19_components_serving" -> ((s, d) => {
+      val root = GroupP.ensureServingModels(s, d)
+      val incoming = Tables(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+      val asg = graft.sinks.ModelStore.load(s, s"$root/assignment")
+      val newPairs = Dedup.ngramJaccardAgainstIndex(
+          graft.sinks.ModelStore.load(s, s"$root/ex_shingles"), incoming,
+          "doc_id", "text", n = 3, tau = 0.5,
+          exSizes = Some(graft.sinks.ModelStore.load(s, s"$root/ex_sizes")))
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
+          n = 3, tau = 0.5).select("id_a", "id_b"))
+      val delta = Graph.componentsDelta(asg, newPairs, strict = true)
+      asg.join(delta, Seq("id"), "left_anti").unionByName(delta)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    }),
+
     // d17: INCREMENTAL span-level duplication — d10's answer for an
     // ingest slice against the PERSISTED gram-count dim, no corpus
     // re-aggregation (the exact-substring family joins d11/d16/e11/b4
@@ -483,6 +510,14 @@ object GroupD {
     // strongest possible equivalence statement, and the whole point
     // of the operator.
     "d16_components_incremental" ->
+      s"""WITH RECURSIVE $componentCte
+         |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
+
+    // d19's oracle IS d16's/d7's: the serving path on reloaded dims
+    // must reproduce the full recompute bit for bit — the hash match
+    // proves both the incremental merge AND the persistence
+    // round-trip at once.
+    "d19_components_serving" ->
       s"""WITH RECURSIVE $componentCte
          |SELECT id AS doc_id, min(reach) AS component FROM r GROUP BY 1""".stripMargin,
 
