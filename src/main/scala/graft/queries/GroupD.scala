@@ -224,6 +224,32 @@ object GroupD {
           col("dup_fraction"))
     }),
 
+    // d20/d21: the span family's SERVING forms — d17/d18 with the
+    // gram-count dim reloaded from the ModelStore serving store
+    // instead of re-aggregated from the corpus per invocation (the
+    // per-cycle plan; the fit is ensureServingModels' once-per-
+    // fingerprint job). Oracles are d17's/d18's verbatim: values must
+    // be identical to the inline fit, which also proves the dim's
+    // (gram, cnt) round-trip.
+    "d20_spans_serving" -> ((s, d) => {
+      val root = GroupP.ensureServingModels(s, d)
+      graft.operators.Corpus.dupSpansAgainst(
+          graft.sinks.ModelStore.load(s, s"$root/gram_counts"),
+          Tables(s, d, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dup"),
+          col("dup_fraction"))
+    }),
+    "d21_span_cut_serving" -> ((s, d) => {
+      val root = GroupP.ensureServingModels(s, d)
+      graft.operators.Corpus.dupSpanCutAgainst(
+          graft.sinks.ModelStore.load(s, s"$root/gram_counts"),
+          Tables(s, d, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          col("kept_hash"))
+    }),
+
     // d18: the CUT half of d17 — d12's cleaned text for an ingest
     // slice against the persisted gram-count dim, byte-identical
     // (kept_hash and all) to the full recompute restricted to the
@@ -535,6 +561,11 @@ object GroupD {
     "d17_dup_spans_incremental" ->
       s"""SELECT * FROM ($dupSpansOracle) WHERE doc_id % 10 = 0""",
 
+    // d20's oracle IS d17's; the reloaded gram dim must change
+    // nothing.
+    "d20_spans_serving" ->
+      s"""SELECT * FROM ($dupSpansOracle) WHERE doc_id % 10 = 0""",
+
     "d9_decontaminate" ->
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
@@ -564,6 +595,10 @@ object GroupD {
     // slice (the hot set, every covered position and the kept_hash
     // depend only on corpus ∪ slice gram counts).
     "d18_dup_span_cut_incremental" ->
+      s"""SELECT * FROM ($dupSpanCutOracle) WHERE doc_id % 10 = 0""",
+
+    // d21's oracle IS d18's — same serving-equals-inline contract.
+    "d21_span_cut_serving" ->
       s"""SELECT * FROM ($dupSpanCutOracle) WHERE doc_id % 10 = 0""",
 
     // d14 replays span extraction with a DIFFERENT plan: duplicated-

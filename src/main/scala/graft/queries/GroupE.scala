@@ -131,6 +131,24 @@ object GroupE {
           org.apache.spark.sql.functions.concat_ws(",", col("codes")).as("codes"))
     }),
 
+    // e12: e11's SERVING form — the vector family's p5/d19: the IVF
+    // centroids and PQ codebook reload from the ModelStore serving
+    // store (fitted once per corpus fingerprint, broadcast-eligible
+    // with the (m, ds) geometry stamp intact and ENFORCED on the
+    // reloaded frame), so the registered cost is the per-cycle
+    // assignment + encoding alone. Same oracle as e11: values must be
+    // identical to the inline fit.
+    "e12_ann_serving" -> ((s, d) => {
+      val root = GroupP.ensureServingModels(s, d)
+      Similarity.ivfPqIndexDelta(
+          emb(s, d).filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          graft.sinks.ModelStore.load(s, s"$root/centroids"),
+          graft.sinks.ModelStore.load(s, s"$root/codebook"),
+          m = 8, dim = 64)
+        .select(col("id").as("vec_id"), col("cid"),
+          org.apache.spark.sql.functions.concat_ws(",", col("codes")).as("codes"))
+    }),
+
     // e10: radius retrieval — every corpus vector within cosine ≥ 0.35
     // of each query (the thresholded contract next to e2's top-k:
     // dedup candidate lookup / "all matches above the bar"). Same LSH
@@ -334,7 +352,22 @@ object GroupE {
     // argmax-dot (centroid) and 6-dp-rounded argmin (codes) contracts
     // as the Spark operators. Codes emit in canonical csv form like
     // e5.
-    "e11_ann_incremental" ->
+    "e11_ann_incremental" -> annDeltaOracle,
+
+    // e12's oracle IS e11's: the serving path on ModelStore-reloaded
+    // centroids/codebook must reproduce the inline fit bit for bit —
+    // the hash match proves assignment, encoding AND the persistence
+    // round-trip (stamps included) at once.
+    "e12_ann_serving" -> annDeltaOracle,
+  ) ++ moreOracles
+
+  // e11/e12 replay the e6 fit machinery restricted to the OLD corpus
+  // (CTE `uu` — the fit set every lloydIter/pqIter references, here
+  // ids % 10 != 0), then assign the slice (`su`) with the same
+  // argmax-dot (centroid) and 6-dp-rounded argmin (codes) contracts
+  // as the Spark operators. Shared val: a semantics fix can never
+  // reach one registration and miss the other.
+  private lazy val annDeltaOracle: String =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
          |nr AS (SELECT vec_id, vd,
          |         sqrt(list_reduce(list_transform(vd, x -> x * x),
@@ -377,8 +410,12 @@ object GroupE {
          |          AS codes
          |        FROM scd GROUP BY 1)
          |SELECT a.id AS vec_id, a.cid, c.codes
-         |FROM asg a JOIN cds c USING (id)""".stripMargin,
+         |FROM asg a JOIN cds c USING (id)""".stripMargin
 
+  // The remaining oracles (defined after [[annDeltaOracle]] so the
+  // shared val can sit next to its two registrations above; lazy —
+  // `oracles` initializes first and forces this on demand).
+  private lazy val moreOracles: Map[String, String] = Map(
     "e1_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),

@@ -277,99 +277,26 @@ object GroupP {
 
   // ---- p5: the ModelStore-backed SERVING form of the ingest DAG ----
 
-  /** Root directory for the per-sfDir serving models (override with
-    * GRAFT_MODEL_DIR). Keyed by the sanitized data directory PLUS an
-    * md5 of the raw path — the sanitization is lossy ("/d/sf0 1" and
-    * "/d/sf0_1" both sanitize to "_d_sf0_1"), and two dirs sharing a
-    * root would fingerprint-thrash: every serve would refit inside
-    * the timed path while still reading as a healthy run. */
-  private def modelRoot(dir: String): String = {
-    val base = sys.env.getOrElse("GRAFT_MODEL_DIR",
-      sys.props("java.io.tmpdir") + "/graft_models")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    base + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
-  }
-
-  /** Content fingerprint of the ingest DAG's input tables — (file,
-    * size, mtime) of every file under documents/embeddings, hashed —
-    * so a regenerated testdata dir invalidates cached models instead
-    * of silently serving stale dims (a stale fit would fail the hash
-    * gate, but it should refit, not fail). */
-  private def fingerprintOf(dir: String): String = {
-    val parts = Seq("documents.parquet", "embeddings.parquet").flatMap { t =>
-      val p = java.nio.file.Paths.get(dir, t)
-      if (!java.nio.file.Files.exists(p)) Seq(s"$t:absent")
-      else {
-        val walk = java.nio.file.Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
-              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
-            .toSeq.sorted
-        } finally walk.close()
-      }
-    }
-    // The store-format version rides the fingerprint: adding a dim to
-    // the store must invalidate caches fitted by older code, or a
-    // reused cache would fail on the missing dim's load.
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest((StoreFormatVersion + "\n" + parts.mkString("\n")).getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
-  }
-
-  /** Bump when [[ensureServingModels]]'s dim set or any fit
-    * definition changes — existing stores refit on next ensure. */
-  private val StoreFormatVersion = "graft-serving-v2"
-
   /** Fit and persist the ingest DAG's serving dims for `dir` — the
-    * bloom bitmap, the corpus shingle index, the component
-    * assignment, the IVF centroids and the PQ codebook — via
-    * [[ModelStore]], once per input fingerprint: the deployment
-    * reality p4 cannot register (a self-contained query refits per
-    * invocation; a serving pipeline fits on corpus change and
-    * reloads per cycle). Returns the model root. Idempotent and
-    * cheap when current (one fingerprint file read); the fingerprint
-    * is written LAST so a crash mid-save refits instead of serving a
-    * half-written store. Callers that must keep the fit OUT of a
+    * bloom bitmap, the corpus shingle index + its sizes, the gram-
+    * count dim, the component assignment, the IVF centroids and the
+    * PQ codebook — once per input fingerprint via
+    * [[graft.sinks.ServingStore.ensure]] (which owns the root
+    * keying, the content fingerprint over documents/embeddings, the
+    * cross-process lock, and the write-fingerprint-last crash
+    * contract): the deployment reality the self-contained fits
+    * (p4/d16/d17/d18/e11) cannot register — a serving pipeline fits
+    * on corpus change and reloads per cycle (p5/d19/d20/d21/e12).
+    * Returns the store root. Callers that must keep the fit OUT of a
     * measurement (Bench's warm-up) invoke this untimed first. */
   def ensureServingModels(s: SparkSession, dir: String): String =
-    this.synchronized {
-      val root = modelRoot(dir)
-      val fp = fingerprintOf(dir)
-      val fpFile = java.nio.file.Paths.get(root, "_FINGERPRINT")
-      if (java.nio.file.Files.exists(fpFile) &&
-          new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fp)
-        return root
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-      // `synchronized` only serializes THIS JVM; the store root is
-      // shared across processes (a bench concurrent with a test run),
-      // so take an OS-level lock for the fit-and-swap too — two
-      // writers interleaving six stage-and-swap cycles could leave
-      // mixed-generation dims under one fingerprint. Readers
-      // overlapping a swap remain the documented ModelStore caveat
-      // (serve from versioned paths when readers and writers overlap;
-      // the retired model stays at .__prev__ either way).
-      val lockCh = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(root, "_LOCK"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        // Re-check under the lock: the other process may have just
-        // finished this exact fit.
-        if (java.nio.file.Files.exists(fpFile) &&
-            new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fp)
-          return root
-        fitAndSave(s, dir, root, fp)
-      } finally { lock.release(); lockCh.close() }
-      root
-    }
+    graft.sinks.ServingStore.ensure(dir,
+      Seq(dir + "/documents.parquet", dir + "/embeddings.parquet"),
+      // Bump when the dim set or any fit definition changes — stale
+      // caches refit instead of failing on a missing dim's load.
+      "graft-serving-v3") { root => fitAndSave(s, dir, root) }
 
-  private def fitAndSave(s: SparkSession, dir: String, root: String,
-                         fp: String): Unit = {
+  private def fitAndSave(s: SparkSession, dir: String, root: String): Unit = {
       val docs = Tables(s, dir, "documents")
       val existing = docs.filter(col("doc_id") % 10 =!= 0)
       val exSh = Dedup.shingles(existing, "doc_id", "text", n = 3)
@@ -392,9 +319,9 @@ object GroupP {
         "vec_id", "embedding", dim = 64)
       ModelStore.save(cent, s"$root/centroids")
       ModelStore.save(cb, s"$root/codebook") // (m, ds) stamp verified by save
-      // Fingerprint written LAST — a crash mid-save refits next time.
-      java.nio.file.Files.write(java.nio.file.Paths.get(root, "_FINGERPRINT"),
-        fp.getBytes("UTF-8"))
+      // The span family's dim (d20/d21 reload it).
+      ModelStore.save(Corpus.gramCounts(existing, "text", n = 3),
+        s"$root/gram_counts")
   }
 
   /** p5's plan: [[ingestPipeline]]'s serving twin — the SAME
