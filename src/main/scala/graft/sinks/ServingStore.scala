@@ -59,6 +59,13 @@ object ServingStore {
     md5hex(version + "\n" + parts.mkString("\n"))
   }
 
+  // In-process serialization is PER ROOT, not object-wide: a single
+  // monitor would park a cheap already-current fingerprint check for
+  // an unrelated store behind another store's minutes-long fit (or
+  // behind a blocking OS lock wait).
+  private val rootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Ensure the store at [[rootFor]]`(key)` is current for `inputs`
     * at `version`, running `fit(root)` (which should [[ModelStore]]-
     * save every dim under the root) only when it is not. Returns the
@@ -66,7 +73,9 @@ object ServingStore {
     * changes — stale caches refit instead of failing on a missing or
     * drifted dim. */
   def ensure(key: String, inputs: Seq[String], version: String)
-            (fit: String => Unit): String = this.synchronized {
+            (fit: String => Unit): String =
+    rootMonitors.computeIfAbsent(rootFor(key), _ => new Object)
+      .synchronized {
     val root = rootFor(key)
     val fp = fingerprintOf(version, inputs)
     val fpFile = java.nio.file.Paths.get(root, "_FINGERPRINT")

@@ -394,6 +394,7 @@ class GraphSpec extends GraftSuite {
     // closure. Random members cover the cases: already valid, flips
     // through a delta pair, stays invalid, valid by equality.
     val rnd = new scala.util.Random(417)
+    var ran = 0
     for (trial <- 1 to 5) {
       val n = 24
       // k -> k/2-ish forest plus random shortcuts kept acyclic
@@ -422,8 +423,12 @@ class GraphSpec extends GraftSuite {
         val before = v.select("id", "valid").as[(Long, Boolean)].collect().toMap
         flips.keys.foreach { id =>
           assert(!before(id), s"trial $trial: flip of already-valid $id") }
+        ran += 1
       }
     }
+    // The empty-split guard must not be able to skip EVERY trial — a
+    // seed/count edit that vacuously greens this test fails here.
+    assert(ran > 0, "all randomized trials were skipped")
   }
 
   test("revalidateDelta flips exactly the delta-covered invalid rows; upsert ≡ full revalidation") {

@@ -27,13 +27,8 @@ may differ; values cannot).
 import io
 import math
 import struct
-import warnings
 import wave
 import zlib
-
-with warnings.catch_warnings():
-    warnings.simplefilter("ignore", DeprecationWarning)
-    import aifc  # stdlib AIFF writer — the big-endian PCM16 fixture
 
 import numpy as np
 import pyarrow as pa
@@ -75,23 +70,27 @@ def bmp_rgb(w, h, pixel):
     return header + dib + b"".join(rows)
 
 
+def _ext80(x):
+    """80-bit IEEE 754 extended float (AIFF's COMM sample-rate field)
+    for a positive integer: biased 15-bit exponent + explicit-leading-
+    one 64-bit mantissa."""
+    e = x.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, x << (63 - e))
+
+
 def aiff_pcm16(rate, channels, frames):
-    """Big-endian PCM16 AIFF — exercises the decoder's big-endian
+    """Big-endian PCM16 AIFF, hand-packed (FORM/COMM/SSND — the
+    bmp_rgb approach; the stdlib aifc module was removed in Python
+    3.13, PEP 594) — exercises the decoder's big-endian
     sample-assembly branch, which the little-endian WAVs never do."""
-    class _KeepOpen(io.BytesIO):  # aifc.close() closes the buffer too
-        def close(self):
-            pass
-    buf = _KeepOpen()
-    a = aifc.open(buf, "wb")
-    a.setnchannels(channels)
-    a.setsampwidth(2)
-    a.setframerate(rate)
     flat = [s for frame in frames for s in frame]
-    a.writeframes(struct.pack(">%dh" % len(flat), *flat))
-    a.close()
-    data = buf.getvalue()
-    io.BytesIO.close(buf)
-    return data
+    data = struct.pack(">%dh" % len(flat), *flat)
+    comm = struct.pack(">hLh", channels, len(frames), 16) + _ext80(rate)
+    ssnd = struct.pack(">LL", 0, 0) + data
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">L", len(comm)) + comm
+            + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">L", len(body)) + body
 
 
 def wav_pcm16(rate, channels, frames):
