@@ -522,6 +522,81 @@ object Graph {
     total.join(cTouched, Seq("src", "dst"), "left_anti").distinct()
   }
 
+  /** TARGET-RESTRICTED incremental reachability —
+    * [[transitiveClosureDelta]] without ever materializing the full
+    * closure: the pairs (x, t), t ∈ `targets`, that NEW edges make
+    * reachable, computed from two CONES instead of the O(V·depth)
+    * closure (the [[reachableTo]] asymmetry, carried into the
+    * incremental path — at 100 TB the full closure is exactly what a
+    * validation pipeline must never build, fresh OR as serving
+    * state).
+    *
+    * Correctness shape: a path using ≥ 1 new edge decomposes AT its
+    * new edges into old-segment? · new-edge · … · old-segment?. Every
+    * interior old segment ends at some new edge's SOURCE, so it lives
+    * in `coneToSources` = old-paths into `newEdges`' source set (a
+    * slice-shaped cone); the final old segment ends at a target, so
+    * it lives in `coneToTargets` = old-paths into `targets` (b2's
+    * validation cone, typically already in hand). The base relation
+    * (new edges with optional cone prefix) chains by the tested
+    * semi-naive loop — frontiers bounded by the base, rounds = the
+    * longest chain of distinct new edges — and the final suffix/
+    * target restriction and known-pair subtraction are broadcast-
+    * slice joins (the cones are only ever scanned or semi-probed,
+    * never shuffled whole).
+    *
+    * PRECONDITION (completeness, not exactness): `coneToSources`
+    * must contain EVERY old path ending at a `newEdges` source, and
+    * `coneToTargets` every old path ending at a target — supersets
+    * are harmless (pairs ending elsewhere drop out of the joins and
+    * the target restriction), so passing a full closure for either
+    * cone is valid, just wasteful. Build both with [[reachableTo]]
+    * over the old edge set. Returns DELTA pairs only (dst ∈ targets,
+    * absent from `coneToTargets`):
+    * coneToTargets ∪ delta ≡ reachableTo(old ∪ new, targets) —
+    * pinned randomized in GraphSpec against
+    * [[transitiveClosureDelta]]'s full-closure answer. `maxIter` /
+    * `strict` carry [[transitiveClosure]]'s contract for the chain
+    * rounds. */
+  def reachableToDelta(targets: DataFrame, coneToTargets: DataFrame,
+                       coneToSources: DataFrame, newEdges: DataFrame,
+                       maxIter: Int = 30,
+                       strict: Boolean = false): DataFrame = {
+    val cT = coneToTargets.select(col("src"), col("dst"))
+    val cS = coneToSources.select(col("src"), col("dst"))
+    val tSet = targets.select(col("dst")).distinct()
+    val e0 = newEdges.select(col("src"), col("dst")).distinct().cut()
+    // Old-path prefix into a new edge, then the edge itself. Cone
+    // pairs ending anywhere but a new-edge source drop out here —
+    // the superset tolerance.
+    val pre = cS.select(col("src"), col("dst").as("__m"))
+      .join(e0.select(col("src").as("__m"), col("dst")), "__m")
+      .select("src", "dst")
+    val base = e0.union(pre)
+    // Chains of (old-path? · new-edge) segments: the base relation's
+    // own transitive closure, via the tested semi-naive loop.
+    val bPlus =
+      try transitiveClosure(base, maxIter = maxIter, strict = strict)
+      catch {
+        case e: IllegalStateException => throw new IllegalStateException(
+          s"reachableToDelta: ${e.getMessage}", e)
+      }
+    // Final old segment into a target (or none, when the last new
+    // edge already lands on one); restrict to the target set BEFORE
+    // the known-pair subtraction so a superset coneToTargets cannot
+    // inject non-target rows.
+    val viaSuffix = bPlus.select(col("src"), col("dst").as("__m"))
+      .join(cT.select(col("src").as("__m"), col("dst")), "__m")
+      .select("src", "dst")
+    val delta0 = bPlus.union(viaSuffix)
+      .join(tSet, Seq("dst"), "left_semi").distinct().cut()
+    // Subtract already-known pairs without shuffling the cone: semi
+    // the cone down to delta0's (slice-bounded) pairs, anti against
+    // that bounded set — transitiveClosureDelta's subtraction shape.
+    val known = cT.join(delta0, Seq("src", "dst"), "left_semi")
+    delta0.join(known, Seq("src", "dst"), "left_anti")
+  }
+
   /** INCREMENTAL revalidation — the members-side consumer of
     * [[transitiveClosureDelta]], closing the one per-cycle full
     * recompute a taxonomy change still triggered: after the closure

@@ -87,25 +87,45 @@ object GroupB {
       closure.unionByName(delta)
     }),
 
-    // b5: INCREMENTAL revalidation — the serving consumer of b4's
-    // closure delta: yesterday's verdicts (b2's shape, validated
-    // against the OLD closure) fold in today's taxonomy growth via
+    // b5: INCREMENTAL revalidation — the serving consumer of the
+    // taxonomy delta: yesterday's verdicts (b2's shape, validated
+    // against the OLD target cone) fold in today's growth via
     // Graph.revalidateDelta — validity is monotone under closure
     // growth, so only members whose (type, required) pair appears in
     // the delta flip, found by ONE broadcast semi-probe of the
-    // verdict frame (never re-joining members × closure). Registered
-    // output adjusts the per-collection counts by the flips; b2's own
-    // replay over ALL edges oracles incremental ≡ full revalidation.
-    // (The old-closure build + full first validation run here are
-    // self-containment costs, the d16 pattern — a serving deployment
-    // holds both and pays only the flip probe per cycle.)
+    // verdict frame (never re-joining members × closure). The delta
+    // itself comes from Graph.reachableToDelta: CONES ONLY — the
+    // target cone b2 already validates with, plus the cone into
+    // today's new-edge sources — so NOTHING in this pipeline ever
+    // materializes the full O(V·depth) closure, fresh or as serving
+    // state (the reachableTo asymmetry, carried into the incremental
+    // path — at 100 TB this is what makes daily revalidation
+    // feasible). Registered output adjusts the per-collection counts
+    // by the flips; b2's own replay over ALL edges oracles
+    // incremental ≡ full revalidation. (The cone builds + full first
+    // validation run here are self-containment costs, the d16
+    // pattern — a serving deployment holds both and pays only the
+    // slice cone + flip probe per cycle.)
     "b5_revalidate_incremental" -> ((s, d) => {
       import graft.operators.Checkpoints.Cuttable
       val all = edges(s, d)
-      val closure = Graph.transitiveClosure(all.filter(col("src") % 10 =!= 0),
+      val oldE = all.filter(col("src") % 10 =!= 0)
+      val newE = all.filter(col("src") % 10 === 0)
+      val targets = Tables(s, d, "orders")
+        .select((col("o_orderkey") % 30 + 2).as("dst"))
+      // ONE cone over the UNION of both landing sets (validation
+      // targets + today's new-edge sources): reachableToDelta's
+      // superset tolerance lets the same frame serve as BOTH cone
+      // arguments (irrelevant-endpoint pairs drop out of each join),
+      // and validateReachable's (type, required) equi-join restricts
+      // it to the target cone by construction — so the stride
+      // precomposition and the backward BFS run once, not three
+      // times.
+      val cone = Graph.reachableTo(oldE,
+        targets.unionByName(newE.select(col("src").as("dst"))),
         uniquePaths = true, stride = 4)
-      val delta = Graph.transitiveClosureDelta(closure,
-        all.filter(col("src") % 10 === 0), strict = true)
+      val delta = Graph.reachableToDelta(targets, cone, cone, newE,
+        strict = true)
       val members = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(Tables(s, d, "orders")
@@ -113,8 +133,8 @@ object GroupB {
               col("l_orderkey") === col("o_orderkey"))
       // cut(): the verdict frame feeds BOTH the baseline counts and
       // the flip probe — without the lineage cut the whole
-      // members × closure validation join would execute twice.
-      val oldV = Graph.validateReachable(members, closure,
+      // members × cone validation join would execute twice.
+      val oldV = Graph.validateReachable(members, cone,
         "l_partkey", "required").cut()
       val oldCounts = oldV.groupBy("o_orderkey")
         .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),

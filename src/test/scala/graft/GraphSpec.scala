@@ -386,6 +386,48 @@ class GraphSpec extends GraftSuite {
     assert(delta === Map(5L -> 1L, 6L -> 1L, 9L -> 1L))
   }
 
+  test("property: reachableToDelta ≡ closure delta restricted to targets, from cones only") {
+    // The cone form must agree with the full-closure form
+    // (transitiveClosureDelta filtered to the target set) on any
+    // random DAG split — without ever being handed the closure. Also
+    // pins the superset tolerance: passing the FULL closure as either
+    // cone must change nothing.
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(733)
+    var ran = 0
+    for (trial <- 1 to 5) {
+      val n = 26
+      val all = ((2 to n).map(k => (k.toLong, (k / 2).toLong)) ++
+        (1 to 12).map { _ =>
+          val a = rnd.nextInt(n - 1) + 2; (a.toLong, rnd.nextInt(a - 1).toLong + 1)
+        }).distinct.filter { case (a, b) => a > b }
+      val (oldE, newE) = all.partition(_ => rnd.nextInt(4) != 0)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val targets = (1 to 6).map(_ => rnd.nextInt(n).toLong + 1)
+          .distinct.toDF("dst")
+        val oldDf = oldE.toDF("src", "dst")
+        val newDf = newE.toDF("src", "dst")
+        val coneT = Graph.reachableTo(oldDf, targets)
+        val coneS = Graph.reachableTo(oldDf,
+          newDf.select(col("src").as("dst")))
+        val got = Graph.reachableToDelta(targets, coneT, coneS, newDf)
+          .as[(Long, Long)].collect().toSet
+        val want = Graph.transitiveClosureDelta(
+            Graph.transitiveClosure(oldDf), newDf)
+          .join(targets, Seq("dst"), "left_semi")
+          .select("src", "dst").as[(Long, Long)].collect().toSet
+        assert(got === want, s"trial $trial old=$oldE new=$newE")
+        // Superset tolerance: the full closure works as either cone.
+        val full = Graph.transitiveClosure(oldDf)
+        val got2 = Graph.reachableToDelta(targets, full, full, newDf)
+          .as[(Long, Long)].collect().toSet
+        assert(got2 === want, s"trial $trial (full-closure cones)")
+        ran += 1
+      }
+    }
+    assert(ran > 0, "all randomized trials were skipped")
+  }
+
   test("property: revalidateDelta ≡ full revalidation on random edge splits") {
     // The b5 contract, randomized like componentsDelta's pin: for any
     // split of a DAG edge set into OLD (folded into a closure +
