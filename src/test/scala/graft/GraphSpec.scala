@@ -428,6 +428,29 @@ class GraphSpec extends GraftSuite {
     assert(ran > 0, "all randomized trials were skipped")
   }
 
+  test("reachableToDelta edges: empty slice, already-known pairs, new-edge landing on a target") {
+    import org.apache.spark.sql.functions.col
+    val oldE = Seq((4L, 2L), (2L, 1L)).toDF("src", "dst")
+    val targets = Seq(1L).toDF("dst")
+    val coneT = Graph.reachableTo(oldE, targets)
+    def coneS(n: org.apache.spark.sql.DataFrame) =
+      Graph.reachableTo(oldE, n.select(col("src").as("dst")))
+    // Empty slice → empty delta.
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.reachableToDelta(targets, coneT, coneS(none), none)
+      .count() === 0L)
+    // A new edge that only re-derives known reachability adds nothing.
+    val redundant = Seq((4L, 1L)).toDF("src", "dst")
+    assert(Graph.reachableToDelta(targets, coneT, coneS(redundant), redundant)
+      .count() === 0L)
+    // A new edge landing DIRECTLY on a target (no old suffix) and one
+    // chained through the old graph both surface, restricted to T.
+    val fresh = Seq((9L, 1L), (8L, 4L)).toDF("src", "dst")
+    val got = Graph.reachableToDelta(targets, coneT, coneS(fresh), fresh)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((9L, 1L), (8L, 1L)))
+  }
+
   test("property: revalidateDelta ≡ full revalidation on random edge splits") {
     // The b5 contract, randomized like componentsDelta's pin: for any
     // split of a DAG edge set into OLD (folded into a closure +
