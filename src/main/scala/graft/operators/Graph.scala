@@ -23,6 +23,26 @@ object Graph {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** (src, dst) path composition: left's dst meets right's src. The
+    * join shape both delta operators build their segment relations
+    * with — shared so their plan behavior cannot diverge. */
+  private def compose(left: DataFrame, right: DataFrame): DataFrame =
+    left.select(col("src"), col("dst").as("__m"))
+      .join(right.select(col("src").as("__m"), col("dst")), "__m")
+      .select("src", "dst")
+
+  /** Subtract `known` (src, dst) pairs from slice-bounded `delta0`
+    * WITHOUT shuffling the corpus-sized known frame: left_anti only
+    * builds right, so anti-joining against `known` directly would
+    * sort-merge it whole — semi `known` down to delta0's pairs first
+    * (known streamed, bounded delta0 on the broadcast build side),
+    * then anti against that bounded set. The componentsDelta-doctrine
+    * subtraction shape, shared by both delta operators. */
+  private def subtractKnown(delta0: DataFrame, known: DataFrame): DataFrame = {
+    val touched = known.join(delta0, Seq("src", "dst"), "left_semi")
+    delta0.join(touched, Seq("src", "dst"), "left_anti")
+  }
+
   /** Union of per-round increments. Each increment is already
     * checkpointed, so the union's lineage stays flat (depth 1) without
     * ever re-materializing the accumulated result — re-checkpointing
@@ -489,13 +509,9 @@ object Graph {
     // componentsDelta doctrine).
     val c = closure.select(col("src"), col("dst"))
     val e0 = newEdges.select(col("src"), col("dst")).distinct().cut()
-    val pre = c.select(col("src"), col("dst").as("__m"))
-      .join(e0.select(col("src").as("__m"), col("dst")), "__m")
-      .select("src", "dst")
+    val pre = compose(c, e0)
     val withPrefix = e0.union(pre).distinct().cut()
-    val post = withPrefix.select(col("src"), col("dst").as("__m"))
-      .join(c.select(col("src").as("__m"), col("dst")), "__m")
-      .select("src", "dst")
+    val post = compose(withPrefix, c)
     // No distinct/cut here: transitiveClosure's own base preparation
     // distincts and checkpoints its edge input — doing it twice would
     // pay a redundant shuffle and a second executor-storage
@@ -512,14 +528,10 @@ object Graph {
         case e: IllegalStateException => throw new IllegalStateException(
           s"transitiveClosureDelta: ${e.getMessage}", e)
       }
-    // Drop already-known pairs WITHOUT shuffling the closure: left_anti
-    // only builds right, so anti-joining `total` against corpus-sized
-    // `c` directly would sort-merge the whole closure. Semi-join c
-    // down to total's pairs first (c streamed, slice-bounded total on
-    // the broadcast build side — output ≤ |total|), then anti-join
-    // against that bounded set.
-    val cTouched = c.join(total, Seq("src", "dst"), "left_semi")
-    total.join(cTouched, Seq("src", "dst"), "left_anti").distinct()
+    // Drop already-known pairs without shuffling the closure — the
+    // shared [[subtractKnown]] shape (closure streamed, slice-bounded
+    // total on the broadcast build side).
+    subtractKnown(total, c).distinct()
   }
 
   /** TARGET-RESTRICTED incremental reachability —
@@ -569,10 +581,7 @@ object Graph {
     // Old-path prefix into a new edge, then the edge itself. Cone
     // pairs ending anywhere but a new-edge source drop out here —
     // the superset tolerance.
-    val pre = cS.select(col("src"), col("dst").as("__m"))
-      .join(e0.select(col("src").as("__m"), col("dst")), "__m")
-      .select("src", "dst")
-    val base = e0.union(pre)
+    val base = e0.union(compose(cS, e0))
     // Chains of (old-path? · new-edge) segments: the base relation's
     // own transitive closure, via the tested semi-naive loop.
     val bPlus =
@@ -585,16 +594,11 @@ object Graph {
     // edge already lands on one); restrict to the target set BEFORE
     // the known-pair subtraction so a superset coneToTargets cannot
     // inject non-target rows.
-    val viaSuffix = bPlus.select(col("src"), col("dst").as("__m"))
-      .join(cT.select(col("src").as("__m"), col("dst")), "__m")
-      .select("src", "dst")
-    val delta0 = bPlus.union(viaSuffix)
+    val delta0 = bPlus.union(compose(bPlus, cT))
       .join(tSet, Seq("dst"), "left_semi").distinct().cut()
-    // Subtract already-known pairs without shuffling the cone: semi
-    // the cone down to delta0's (slice-bounded) pairs, anti against
-    // that bounded set — transitiveClosureDelta's subtraction shape.
-    val known = cT.join(delta0, Seq("src", "dst"), "left_semi")
-    delta0.join(known, Seq("src", "dst"), "left_anti")
+    // Drop already-known pairs without shuffling the cone — the
+    // shared [[subtractKnown]] shape.
+    subtractKnown(delta0, cT)
   }
 
   /** INCREMENTAL revalidation — the members-side consumer of

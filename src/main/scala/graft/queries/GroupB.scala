@@ -111,8 +111,12 @@ object GroupB {
       val all = edges(s, d)
       val oldE = all.filter(col("src") % 10 =!= 0)
       val newE = all.filter(col("src") % 10 === 0)
+      // distinct() at the definition: targets feeds two downstream
+      // distincts (reachableTo's target set, reachableToDelta's
+      // restriction set) — pre-collapsing the orders-sized projection
+      // to its ~30 values once keeps both from re-aggregating it.
       val targets = Tables(s, d, "orders")
-        .select((col("o_orderkey") % 30 + 2).as("dst"))
+        .select((col("o_orderkey") % 30 + 2).as("dst")).distinct()
       // ONE cone over the UNION of both landing sets (validation
       // targets + today's new-edge sources): reachableToDelta's
       // superset tolerance lets the same frame serve as BOTH cone

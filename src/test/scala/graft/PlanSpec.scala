@@ -197,6 +197,38 @@ class PlanSpec extends GraftSuite {
       s"transitiveClosureDelta must never shuffle the closure\n$p")
   }
 
+  test("b5: reachableToDelta's delta plan never shuffles the cones") {
+    // Same contract as the b4/d16/d17 pins, for the cone-only delta:
+    // the cones are the (potentially corpus-sized) serving state and
+    // must appear only as the streamed side of broadcast joins — an
+    // SMJ anywhere in the delta plan means a cone went through an
+    // exchange, silently reintroducing the shuffle cost the operator
+    // exists to avoid.
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    // (6, 3) re-adds a known edge (the b4-pin trick) so the
+    // known-pair subtraction has a non-empty overlap — with zero
+    // overlap AQE deletes the join from the final plan entirely and
+    // there is no shape left to pin. The segment-composition joins
+    // upstream sit behind delta0's lineage cut and are covered by
+    // the b4 pin (one shared `compose` body); what THIS pin covers
+    // is the subtraction against the corpus-sized target cone.
+    val edges = (2L until 40L).map(i => (i, i / 2)).toDF("src", "dst")
+    val targets = Seq(1L, 3L).toDF("dst")
+    val coneT = graft.operators.Graph.reachableTo(edges, targets)
+    val newE = Seq((41L, 12L), (42L, 41L), (6L, 3L)).toDF("src", "dst")
+    val coneS = graft.operators.Graph.reachableTo(edges,
+      newE.select(col("src").as("dst")))
+    val qe = graft.operators.Graph
+      .reachableToDelta(targets, coneT, coneS, newE).queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"reachableToDelta must never shuffle the cones\n$p")
+  }
+
   test("b5: revalidateDelta probes the verdict frame, never shuffles it") {
     // Same contract as the d16/b4/d17 pins, for the members side: the
     // verdict frame is the corpus-sized serving state, the closure
