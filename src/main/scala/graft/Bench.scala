@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One query's measurements: wall/cpu/run in seconds, spill/peak
+    * columns in bytes (see CpuTally for the peak-sum semantics). */
+  private final case class BenchRow(name: String, wall: Double,
+    cpu: Double, run: Double, memSpill: Long, diskSpill: Long,
+    peakMem: Long)
   /** Sums executor CPU time (ns) and executor run time (ms) across
     * every finished task — the LOAD-INSENSITIVE measurement the
     * wall-clock numbers lack: two consecutive graded rounds read
@@ -16,12 +21,26 @@ object Bench {
   private final class CpuTally extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Spill/peak-memory columns (r10 verdict ask #2): per-query spill
+    // bytes make a pressure-contaminated artifact SELF-adjudicating —
+    // a 20× cpu outlier with zero spill delta is machine noise, one
+    // with GBs of spill is the checkpoint-block churn the uncut fix
+    // targets, provable without re-running anything. peakMemSum is
+    // the SUM over tasks of each task's peak execution memory — not a
+    // concurrent high-water mark, but as a per-query round-over-round
+    // signal a regression multiplies it the same way.
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakMemSum = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         cpuNs.addAndGet(m.executorCpuTime)
         runMs.addAndGet(m.executorRunTime)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peakMemSum.addAndGet(m.peakExecutionMemory)
       }
     }
   }
@@ -149,6 +168,9 @@ object Bench {
       var last = 0.0
       var lastCpu = 0.0
       var lastRun = 0.0
+      var lastMemSpill = 0L
+      var lastDiskSpill = 0L
+      var lastPeakMem = 0L
       for (_ <- 1 to reps) {
         // Drop DEAD checkpoint blocks before timing (untimed): the
         // iterative operators' localCheckpoint cuts stay registered
@@ -177,6 +199,9 @@ object Bench {
         drainListenerBus(spark.sparkContext)
         val cpu0 = tally.cpuNs.get()
         val run0 = tally.runMs.get()
+        val mem0 = tally.memSpill.get()
+        val disk0 = tally.diskSpill.get()
+        val peak0 = tally.peakMemSum.get()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -189,28 +214,38 @@ object Bench {
           drainListenerBus(spark.sparkContext)
           lastCpu = (tally.cpuNs.get() - cpu0) / 1e9
           lastRun = (tally.runMs.get() - run0) / 1e3
+          lastMemSpill = tally.memSpill.get() - mem0
+          lastDiskSpill = tally.diskSpill.get() - disk0
+          lastPeakMem = tally.peakMemSum.get() - peak0
         } catch { case e: Throwable =>
           if (!errors.contains(name)) errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      (name, last, lastCpu, lastRun)
+      BenchRow(name, last, lastCpu, lastRun,
+        lastMemSpill, lastDiskSpill, lastPeakMem)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qmap(f: BenchRow => String): String =
+      results.map(r => s"\"" + r.name + "\":" + f(r))
+        .mkString("{", ",", "}")
+    val qs = qmap(_.wall.toString)
     // Per-query CPU/run maps (seconds): the load-insensitive numbers
     // next to the wall-clock ones, in the SAME full-precision file —
     // round-over-round grading compares `cpu`, wall stays the
-    // end-to-end context number.
-    val cpuQs = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
-    val runQs = results.map { case (k, _, _, r) => s"\"" + k + "\":" + r }
-      .mkString("{", ",", "}")
+    // end-to-end context number. spill/peak maps are BYTES — the
+    // pressure self-adjudication columns (see CpuTally).
+    val cpuQs = qmap(_.cpu.toString)
+    val runQs = qmap(_.run.toString)
+    val memSpillQs = qmap(_.memSpill.toString)
+    val diskSpillQs = qmap(_.diskSpill.toString)
+    val peakMemQs = qmap(_.peakMem.toString)
     val errs = errors.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val cpuTotal = results.map(_._3).sum
-    val runTotal = results.map(_._4).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"errors":$errs,"sf":"$sfDir"}"""
+    val total = results.map(_.wall).sum
+    val cpuTotal = results.map(_.cpu).sum
+    val runTotal = results.map(_.run).sum
+    val memSpillTotal = results.map(_.memSpill).sum
+    val diskSpillTotal = results.map(_.diskSpill).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the full-name, full-precision line to a file FIRST: the
     // round-4 artifact lost its `total` and 12 per-query numbers to a
     // truncated stdout capture — a file write cannot be cut mid-stream
@@ -235,7 +270,7 @@ object Bench {
     // exact artifact-corruption class this line exists to prevent.
     def s3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    val shortKeys = results.map(_.name.takeWhile(_ != '_'))
     // A short-key collision must degrade the stdout line, never abort
     // the run: colliding entries keep their full names (still valid
     // JSON, marginally longer), everything else stays compact.
@@ -243,14 +278,14 @@ object Bench {
     if (dupShort.nonEmpty)
       System.err.println(s"[bench] short ids collide (falling back to " +
         s"full names for them): ${dupShort.mkString(", ")}")
-    val qsShort = results.zip(shortKeys).map { case ((name, v, _, _), sk) =>
-      "\"" + (if (dupShort(sk)) name else sk) + "\":" + s3(v)
+    val qsShort = results.zip(shortKeys).map { case (r, sk) =>
+      "\"" + (if (dupShort(sk)) r.name else sk) + "\":" + s3(r.wall)
     }.mkString("{", ",", "}")
     // cpu_total/run_total ride the compact line (two scalars fit the
     // tail window); the PER-QUERY cpu/run maps are in bench_out.json
     // only — a second 120-entry map would overflow the driver's
     // 2000-char stdout capture and corrupt the artifact.
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
     // A bench with errored queries must not ship as a healthy "rc 0"
     // run (r6 shipped 15 fast-failing queries inside a green-looking

@@ -328,6 +328,19 @@ object Media {
     fixturesPath
   }
 
+  /** [[expectedPath]] with the same fail-fast check — used where the
+    * h1 oracle SQL is BUILT (GroupH.oracles is a def, so sessions
+    * that never touch the oracles — Bench — never pay or trip the
+    * check), turning "opaque DuckDB read_parquet error later" into a
+    * message naming the knob now. */
+  def expectedPathChecked: String = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(expectedPath)),
+      s"media expected-features parquet not found at $expectedPath — " +
+        "launch from the checkout root or set GRAFT_MEDIA_EXPECTED_PATH " +
+        "(src/main/resources/graft/media_expected.parquet)")
+    expectedPath
+  }
+
   /** Declarative frame sampling for fixed-frame-size payloads: slice
     * the binary payload into `meta.n_frames` frames and keep every
     * `everyN`-th — binary `substring` + `explode`, no UDF, so the

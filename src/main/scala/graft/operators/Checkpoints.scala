@@ -45,8 +45,71 @@ private[graft] object Checkpoints {
     }
   }
 
-  /** `df.cut()` — the call-site form the operators use. */
+  /** Free the executor-storage blocks behind a SUPERSEDED cut — the
+    * other half of the cut contract. An iterative operator that cuts a
+    * corpus-sized frame per round (connectedComponents' labels, the
+    * doubling closure) otherwise accumulates live MEMORY_AND_DISK
+    * blocks ∝ rounds × |frame|: under storage pressure (the steady
+    * state of a busy multi-tenant cluster) every superseded round's
+    * blocks churn through spill/re-serialization — task CPU that
+    * multiplies with the remaining round count, turning a 12 s query
+    * into a 260 s one while the plan itself is unchanged.
+    *
+    * CONTRACT — the frame must be DEAD: a localCheckpoint discarded
+    * its lineage, so once the blocks are dropped a later read fails
+    * with missing-block errors instead of recomputing. Callers may
+    * only pass (a) the direct result of [[cut]] once every consumer
+    * of it has been MATERIALIZED into its own cut (cut is eager, so
+    * sequencing the uncut after the superseding cut() returns is
+    * sufficient), or (b) a pure union/select over such dead cuts —
+    * never a frame derived from cuts some OTHER live frame still
+    * needs, because this walks the whole analyzed plan and frees
+    * every checkpoint RDD it finds. Under reliable checkpointing
+    * ([[confKey]] set) the RDD's data lives in checkpoint files, not
+    * persisted blocks, so this is a harmless no-op and the files
+    * remain readable (cleaned with the checkpoint dir).
+    *
+    * Non-blocking (the freed memory is reclaimed asynchronously;
+    * nothing waits on it) and non-fallible: a cleanup that cannot
+    * run must degrade to the old keep-everything behavior, never
+    * fail the query. */
+  /** RDD.unpersist warns "locally checkpointed … cannot be recomputed
+    * after unpersisting" on every uncut — for a frame the contract
+    * declares dead that is not a warning but the intended effect, and
+    * at one line per freed round it would drown real warnings in the
+    * bench logs. Mute that one logger (the cut RDD is always the
+    * MapPartitionsRDD `execute().map(_.copy())` produces), once. */
+  private lazy val muteUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** A/B knob for pressure adjudication: `spark.graft.uncut=false`
+    * (session conf) or SPARK_GRAFT_UNCUT=0 (env) restores the pre-fix
+    * keep-every-round behavior, so a storage-constrained run can
+    * measure exactly what the superseded blocks cost — see
+    * tools/pressure_repro.sh. Default on. */
+  private def uncutEnabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.uncut")
+      .orElse(sys.env.get("SPARK_GRAFT_UNCUT"))
+      .forall(v => !(v.equalsIgnoreCase("false") || v == "0"))
+
+  def uncut(df: DataFrame): Unit =
+    try {
+      if (!uncutEnabled(df)) return
+      muteUnpersistWarn
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    } catch { case e: Throwable =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"uncut skipped (blocks stay live): ${e.getMessage}")
+    }
+
+  /** `df.cut()` / `df.uncut()` — the call-site forms the operators use. */
   implicit class Cuttable(private val df: DataFrame) extends AnyVal {
     def cut(): DataFrame = Checkpoints.cut(df)
+    def uncut(): Unit = Checkpoints.uncut(df)
   }
 }

@@ -348,6 +348,9 @@ object Similarity {
             "per Lloyd round; raise centroidMod or fit on a sample (fitKeep)")
     }
     var centroids = broadcast(seeds)
+    // Only rounds ≥ 2 supersede a cut WE made — the seed frame wraps
+    // the caller's live corpus cut, which uncut must never touch.
+    var priorCut: Option[org.apache.spark.sql.DataFrame] = None
     for (_ <- 1 to kmeansIters) {
       // Move each centroid to the renormalized mean of its cluster.
       // Empty clusters drop out — harmless, their list would be empty.
@@ -360,13 +363,16 @@ object Similarity {
       // Norm staged before the dividing lambda (the §4 rule: the
       // interpreted HOF would otherwise re-run the aggregate per
       // element). Centroid-count-sized, but the idiom is the contract.
-      centroids = broadcast(means
+      val refined = means
         .select(col("cid"), col("mean"),
           sqrt(aggregate(col("mean"), lit(0.0), (a, x) => a + x * x)).as("__n"))
         .select(col("cid"),
           when(col("__n") === 0.0, col("mean"))
             .otherwise(transform(col("mean"), x => x / col("__n"))).as("cvec"))
-        .cut())
+        .cut()
+      priorCut.foreach(Checkpoints.uncut)
+      priorCut = Some(refined)
+      centroids = broadcast(refined)
     }
     centroids
   }
@@ -673,7 +679,7 @@ object Similarity {
       for (_ <- 1 to lloydIters) {
         // Move each codeword to the mean of its assigned subvectors;
         // empty codewords drop out (their cell was never nearest).
-        cb = assignPq(subs, cb)
+        val next = assignPq(subs, cb)
           .join(subs, Seq("id", "s"))
           .select(col("s"), col("code").as("cid"),
             posexplode(col("sub")).as(Seq("pos", "x")))
@@ -682,8 +688,17 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
             p => p.getField("mv")).as("cvec"))
           .cut()
+        // Every cb in this loop (the seed codebook included) is a
+        // bare cut superseded by the round just materialized.
+        cb.uncut()
+        cb = next
       }
     }
+    // The corpus-as-doubles cut fed the seed codebook and the Lloyd
+    // assignments — both materialized; the returned stamped select is
+    // lazy only over the final cb cut. vc is the one corpus-sized
+    // frame this fit pins in executor storage: free it.
+    vc.uncut()
     // Stamp the build geometry into the schema so [[quantizePq]] can
     // verify its caller-supplied (m, dim) against the codebook with
     // zero driver jobs — a mismatched m would otherwise emit wrong,

@@ -45,13 +45,17 @@ object GroupH {
     }),
   )
 
-  val oracles: Map[String, String] = Map(
+  // A def, not a val: the expectedPathChecked fail-fast must trip
+  // only for consumers that BUILD the oracle SQL (Verify) — a Bench
+  // session launched outside the checkout root never reads oracles
+  // and must not die in GroupH's object init.
+  def oracles: Map[String, String] = Map(
     // The oracle is a pure read of the independently-computed
     // expected features — the Spark side must reproduce every value
     // through the real codecs for the hash to match.
     "h1_media_decode" ->
       s"""SELECT name, kind, img_width, img_height, mean_r, mean_g, mean_b,
          |  sample_rate, n_channels, n_samples, rms
-         |FROM read_parquet('${Media.expectedPath}')""".stripMargin,
+         |FROM read_parquet('${Media.expectedPathChecked}')""".stripMargin,
   )
 }

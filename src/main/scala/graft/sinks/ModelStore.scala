@@ -75,6 +75,22 @@ object ModelStore {
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".__staging__")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: a failure between the two swap renames below
+    // leaves no live model at `path` but a complete one at
+    // `.__prev__`. Standalone callers (outside ServingStore's
+    // generation protocol) get automatic restoration here — BEFORE
+    // the staging write, so even a failed new save leaves the
+    // restored previous model serving.
+    locally {
+      val prev = new org.apache.hadoop.fs.Path(path + ".__prev__")
+      if (!fs.exists(target) && fs.exists(prev)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ModelStore: no live model at $path but a retired one at $prev " +
+            "(a crash between swap renames) — restoring it before saving")
+        require(fs.rename(prev, target),
+          s"could not restore the retired model: $prev -> $target")
+      }
+    }
     fs.delete(staging, true)
     if (partitionCols.nonEmpty)
       PartitionedParquet.write(df, staging.toString, partitionCols, sortCols)

@@ -201,6 +201,30 @@ class ModelStoreSpec extends GraftSuite {
     }
   }
 
+  test("save auto-restores .__prev__ when a crash left no live model") {
+    val p = tmp("restore")
+    val m1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    ModelStore.save(m1, p)
+    ModelStore.save(Seq((3L, "c")).toDF("id", "v"), p) // m1 → .__prev__
+    // Simulate a crash between the two swap renames: live model gone,
+    // the retired generation still on disk.
+    val dir = new java.io.File(p)
+    val prev = new java.io.File(p + ".__prev__")
+    assert(prev.isDirectory)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+    assert(!dir.exists())
+    // The next save must restore .__prev__ first (standalone-caller
+    // recovery, ADVICE r10) and then swap the new model in — leaving
+    // the RESTORED model (m1: the crash destroyed the later one)
+    // retired at .__prev__, not lost.
+    ModelStore.save(Seq((4L, "d")).toDF("id", "v"), p)
+    sameRows(ModelStore.load(spark, p), Seq((4L, "d")).toDF("id", "v"))
+    sameRows(ModelStore.load(spark, p + ".__prev__"), m1)
+  }
+
   test("p5 (serving, reloaded dims) is value-identical to p4 (self-contained fit)") {
     // The whole point of the serving registration: the ModelStore
     // round-trip of ALL five dims must change nothing — the driver

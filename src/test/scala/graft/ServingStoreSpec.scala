@@ -59,4 +59,89 @@ class ServingStoreSpec extends GraftSuite {
     // Same key, same root — the cache is reusable across sessions.
     assert(ServingStore.rootFor("/d/sf0.1") == ServingStore.rootFor("/d/sf0.1"))
   }
+
+  test("generations: a reader resolved before a swap keeps a complete store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs3").toString
+    val data = java.nio.file.Paths.get(dir, "data.txt")
+    java.nio.file.Files.write(data, "gen-one".getBytes("UTF-8"))
+    def ensure(payload: String): String =
+      ServingStore.ensure(dir + "#gen", Seq(data.toString), "v1") { g =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(g, "dim.txt"), payload.getBytes("UTF-8"))
+      }
+    val g1 = ensure("one")
+    // The returned path is a fingerprint-stamped generation dir and
+    // CURRENT points at it.
+    assert(java.nio.file.Paths.get(g1).getFileName.toString.startsWith("gen-"))
+    val root = java.nio.file.Paths.get(g1).getParent
+    def current(): String = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("CURRENT")), "UTF-8").trim
+    assert(current() == java.nio.file.Paths.get(g1).getFileName.toString)
+    // A reader resolves g1, then the corpus changes and a new
+    // generation publishes. The reader's generation must survive the
+    // swap untouched (retirement keeps one superseded generation).
+    java.nio.file.Files.write(data, "gen-two!".getBytes("UTF-8"))
+    val g2 = ensure("two")
+    assert(g2 != g1)
+    assert(current() == java.nio.file.Paths.get(g2).getFileName.toString)
+    def dim(g: String): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(g, "dim.txt")), "UTF-8")
+    assert(dim(g1) == "one", "mid-swap reader must see its complete generation")
+    assert(dim(g2) == "two")
+    // A third swap retires g1 (one-generation-back policy): g2 stays.
+    java.nio.file.Files.write(data, "gen-three".getBytes("UTF-8"))
+    val g3 = ensure("three")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(g1)))
+    assert(dim(g2) == "two" && dim(g3) == "three")
+  }
+
+  test("inputs mutating during a fit refuse publication; settled inputs refit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs4").toString
+    val data = java.nio.file.Paths.get(dir, "data.txt")
+    java.nio.file.Files.write(data, "stable".getBytes("UTF-8"))
+    var fits = 0
+    def ensure(mutate: Boolean): String =
+      ServingStore.ensure(dir + "#mut", Seq(data.toString), "v1") { g =>
+        fits += 1
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(g, "dim.txt"), "x".getBytes("UTF-8"))
+        if (mutate)
+          java.nio.file.Files.write(data, "mutated".getBytes("UTF-8"))
+      }
+    // The fit reads inputs that change under it: the generation would
+    // be stamped with a fingerprint of data it did not read — refuse.
+    intercept[IllegalStateException] { ensure(mutate = true) }
+    assert(fits == 1)
+    // Nothing published: no CURRENT, and the torn generation is gone.
+    val root = java.nio.file.Paths.get(ServingStore.rootFor(dir + "#mut"))
+    assert(!java.nio.file.Files.exists(root.resolve("CURRENT")))
+    // Settled inputs fit and publish normally.
+    val g = ensure(mutate = false)
+    assert(fits == 2 && java.nio.file.Files.exists(
+      java.nio.file.Paths.get(g, "dim.txt")))
+  }
+
+  test("content signal: same-size rewrite inside one mtime granule refits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs5").toString
+    val data = java.nio.file.Paths.get(dir, "data.txt")
+    java.nio.file.Files.write(data, "aaaa".getBytes("UTF-8"))
+    var fits = 0
+    def ensure(): Unit = {
+      ServingStore.ensure(dir + "#sig", Seq(data.toString), "v1") { _ =>
+        fits += 1
+      }
+      ()
+    }
+    ensure()
+    val mtime = java.nio.file.Files.getLastModifiedTime(data)
+    // Same byte count, mtime forced back to the original: before the
+    // content signal this was the invisible-rewrite hazard ADVICE
+    // r10 flagged — (path, size, mtime) all match the stale store.
+    java.nio.file.Files.write(data, "bbbb".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(data, mtime)
+    ensure()
+    assert(fits == 2, "a same-size same-mtime rewrite must still refit")
+    ensure()
+    assert(fits == 2)
+  }
 }
