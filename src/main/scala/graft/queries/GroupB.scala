@@ -43,6 +43,40 @@ object GroupB {
         root + "/closure")
     }
 
+  /** b6's registered body, dims injected (the servingChain pattern —
+    * ScaleProbe drives THIS, so the probed plan is the served plan):
+    * fold the slice of new edges into the existing closure and emit
+    * closure ∪ delta. The closure appears only as the streamed side
+    * of broadcast-slice joins inside the delta plus the final union —
+    * the per-cycle serving cost. */
+  def closureServingOf(closure: DataFrame, newE: DataFrame): DataFrame =
+    closure.unionByName(
+      Graph.transitiveClosureDelta(closure, newE, strict = true))
+
+  /** b5's per-cycle body, state injected (the servingChain pattern):
+    * given the held serving state — the target cone and yesterday's
+    * verdict frame — and today's new edges, derive the cone-only
+    * closure delta ([[Graph.reachableToDelta]]; the full closure is
+    * never materialized), flip the affected verdicts via ONE
+    * broadcast semi-probe ([[Graph.revalidateDelta]]), and emit the
+    * adjusted per-collection counts. The verdict frame is scanned
+    * (never shuffled) twice — the baseline counts and the !valid flip
+    * probe; everything else is slice-cone-bounded. */
+  def revalidateChain(targets: DataFrame, cone: DataFrame,
+                      newE: DataFrame, oldV: DataFrame): DataFrame = {
+    val delta = Graph.reachableToDelta(targets, cone, cone, newE,
+      strict = true)
+    val oldCounts = oldV.groupBy("o_orderkey")
+      .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
+           sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
+    val flips = Graph.revalidateDelta(oldV, delta, "l_partkey", "required")
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_flip"))
+    oldCounts.join(flips, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        (col("valid_cnt") + coalesce(col("n_flip"), lit(0L))).as("valid_cnt"),
+        (col("invalid_cnt") - coalesce(col("n_flip"), lit(0L))).as("invalid_cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
     // b1: full transitive closure (the reference walks this per-member
     // with a RocksDB DFS). The k -> k/2 hierarchy is a forest, so
@@ -81,10 +115,8 @@ object GroupB {
     // delta AND the persistence round-trip in one hash match.
     "b6_closure_serving" -> ((s, d) => {
       val root = ensureTaxonomyModels(s, d)
-      val closure = graft.sinks.ModelStore.load(s, root + "/closure")
-      val delta = Graph.transitiveClosureDelta(closure,
-        edges(s, d).filter(col("src") % 10 === 0), strict = true)
-      closure.unionByName(delta)
+      closureServingOf(graft.sinks.ModelStore.load(s, root + "/closure"),
+        edges(s, d).filter(col("src") % 10 === 0))
     }),
 
     // b5: INCREMENTAL revalidation — the serving consumer of the
@@ -128,8 +160,6 @@ object GroupB {
       val cone = Graph.reachableTo(oldE,
         targets.unionByName(newE.select(col("src").as("dst"))),
         uniquePaths = true, stride = 4)
-      val delta = Graph.reachableToDelta(targets, cone, cone, newE,
-        strict = true)
       val members = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(Tables(s, d, "orders")
@@ -140,15 +170,7 @@ object GroupB {
       // members × cone validation join would execute twice.
       val oldV = Graph.validateReachable(members, cone,
         "l_partkey", "required").cut()
-      val oldCounts = oldV.groupBy("o_orderkey")
-        .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
-             sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
-      val flips = Graph.revalidateDelta(oldV, delta, "l_partkey", "required")
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n_flip"))
-      oldCounts.join(flips, Seq("o_orderkey"), "left")
-        .select(col("o_orderkey"),
-          (col("valid_cnt") + coalesce(col("n_flip"), lit(0L))).as("valid_cnt"),
-          (col("invalid_cnt") - coalesce(col("n_flip"), lit(0L))).as("invalid_cnt"))
+      revalidateChain(targets, cone, newE, oldV)
     }),
 
     // b2: member-valid-iff-reachable + per-collection valid/invalid

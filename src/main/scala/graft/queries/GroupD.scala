@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
 object GroupD {
   type Q = (SparkSession, String) => DataFrame
 
+  /** d19's registered body, dims injected (the servingChain pattern —
+    * ScaleProbe drives THIS, so the probed plan is the served plan):
+    * slice-confirm against the persisted shingle index (+ its sizes
+    * dim), new×new pairs, rep-space merge into the persisted
+    * assignment, then the full upsert emission — the assignment is
+    * scanned twice (broadcast-probe merge + anti-join), never
+    * shuffled, and the upsert's output is intrinsically
+    * assignment-sized (the registered contract: emit the whole
+    * updated assignment). */
+  def componentsServingOf(incoming: DataFrame, exSh: DataFrame,
+                          exSizes: DataFrame, asg: DataFrame): DataFrame = {
+    val newPairs = Dedup.ngramJaccardAgainstIndex(exSh, incoming,
+        "doc_id", "text", n = 3, tau = 0.5, exSizes = Some(exSizes))
+      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
+        n = 3, tau = 0.5).select("id_a", "id_b"))
+    val delta = Graph.componentsDelta(asg, newPairs, strict = true)
+    asg.join(delta, Seq("id"), "left_anti").unionByName(delta)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables(s, d, "documents"), "doc_id", "text")),
@@ -192,19 +213,11 @@ object GroupD {
     // IDENTICAL to the self-contained fit.
     "d19_components_serving" -> ((s, d) => {
       val root = GroupP.ensureServingModels(s, d)
-      val incoming = Tables(s, d, "documents")
-        .filter(col("doc_id") % 10 === 0)
-      val asg = graft.sinks.ModelStore.load(s, s"$root/assignment")
-      val newPairs = Dedup.ngramJaccardAgainstIndex(
-          graft.sinks.ModelStore.load(s, s"$root/ex_shingles"), incoming,
-          "doc_id", "text", n = 3, tau = 0.5,
-          exSizes = Some(graft.sinks.ModelStore.load(s, s"$root/ex_sizes")))
-        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-        .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
-          n = 3, tau = 0.5).select("id_a", "id_b"))
-      val delta = Graph.componentsDelta(asg, newPairs, strict = true)
-      asg.join(delta, Seq("id"), "left_anti").unionByName(delta)
-        .select(col("id").as("doc_id"), col("comp").as("component"))
+      componentsServingOf(
+        Tables(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        graft.sinks.ModelStore.load(s, s"$root/ex_shingles"),
+        graft.sinks.ModelStore.load(s, s"$root/ex_sizes"),
+        graft.sinks.ModelStore.load(s, s"$root/assignment"))
     }),
 
     // d17: INCREMENTAL span-level duplication — d10's answer for an

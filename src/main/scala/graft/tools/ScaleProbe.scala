@@ -258,6 +258,31 @@ object ScaleProbe {
     lazy val cust = Tables(spark, sfDir, "customer")
       .select("c_custkey", "c_name", "c_mktsegment").localCheckpoint()
     lazy val custK = scaled(cust, Seq("c_custkey"))
+    // b5's serving state: the target cone + yesterday's verdict
+    // frame, fixed vs K×-scaled VERDICTS (shifted o_orderkey = more
+    // collections with the same type distribution — the members-grow
+    // direction; the taxonomy cone and today's edge slice are the
+    // fixed dims). Per-copy flip structure is identical because
+    // l_partkey/required/valid don't shift.
+    lazy val oldEb5 = edges.filter(col("src") % 10 =!= 0).localCheckpoint()
+    lazy val newEb5 = edges.filter(col("src") % 10 === 0).localCheckpoint()
+    lazy val targetsB5 = Tables(spark, sfDir, "orders")
+      .select((col("o_orderkey") % 30 + 2).as("dst")).distinct()
+      .localCheckpoint()
+    lazy val coneB5 = Graph.reachableTo(oldEb5,
+        targetsB5.unionByName(newEb5.select(col("src").as("dst"))),
+        uniquePaths = true, stride = 4)
+      .localCheckpoint()
+    lazy val oldVb5 = Graph.validateReachable(
+        Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables(spark, sfDir, "orders")
+                  .select(col("o_orderkey"),
+                    (col("o_orderkey") % 30 + 2).as("required")),
+                col("l_orderkey") === col("o_orderkey")),
+        coneB5, "l_partkey", "required")
+      .localCheckpoint()
+    lazy val oldVb5K = scaled(oldVb5, Seq("o_orderkey"))
 
     // ---- probe shapes
     // a6: group-collect per collection.
@@ -560,6 +585,44 @@ object ScaleProbe {
           exShP0, exSizesP0, asgP0, ivfStructs._1, ivfStructs._2)),
         () => noop(GroupP.servingChain(slice, embSlice, bitsP0,
           exShPK, exSizesPK, asgPK, ivfStructs._1, ivfStructs._2))),
+      // d19: the registered componentsServingOf body (GroupD) — FIXED
+      // slice, K× persisted dims (rotated shingle index + sizes,
+      // shifted assignment; the p5 probe's inputs). Beyond d16's
+      // delta probe this includes the slice-confirm against the K×
+      // index and the UPSERT EMISSION — the one intrinsically
+      // assignment-linear stage (the registered contract emits the
+      // whole updated assignment): a scan + broadcast anti-join +
+      // K×-row output, so the ratio carries a linear term by design;
+      // what the probe must rule out is anything super-linear (an
+      // assignment shuffle would read >> the emission's slope).
+      ("d19 comp-serving",
+        () => noop(graft.queries.GroupD.componentsServingOf(
+          slice, exShP0, exSizesP0, asgP0)),
+        () => noop(graft.queries.GroupD.componentsServingOf(
+          slice, exShPK, exSizesPK, asgPK))),
+      // b6: the registered closureServingOf body (GroupB) — FIXED
+      // new-edge slice, K× closure. b4's probe pins the delta fold
+      // alone; this adds the closure ∪ delta union emission (closure-
+      // linear by contract, like d19's upsert). Expected: the delta
+      // stages stay slice-bounded (three broadcast-slice scans of the
+      // streamed closure), emission linear, nothing super-linear.
+      ("b6 closure-serving",
+        () => noop(graft.queries.GroupB.closureServingOf(closure0, newLeaves)),
+        () => noop(graft.queries.GroupB.closureServingOf(closureK, newLeaves))),
+      // b5: the registered revalidateChain body (GroupB) — FIXED
+      // taxonomy cone + edge slice, K× verdict frame (the members-
+      // grow direction). The cone-delta stages are fixed-cost across
+      // sides; the K-scaled stages are the two narrow verdict scans
+      // (baseline counts + the !valid flip semi-probe against the
+      // broadcast delta) and the per-collection count agg — all
+      // row-linear; a members × closure re-join (b2's full shape,
+      // what this operator replaces per cycle) would read ≈ K with a
+      // far steeper slope.
+      ("b5 revalidate",
+        () => noop(graft.queries.GroupB.revalidateChain(
+          targetsB5, coneB5, newEb5, oldVb5)),
+        () => noop(graft.queries.GroupB.revalidateChain(
+          targetsB5, coneB5, newEb5, oldVb5K))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the
