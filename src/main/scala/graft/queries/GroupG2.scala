@@ -121,6 +121,23 @@ object GroupG2 {
     "g14_stream_tumbling" -> ((s, d) =>
       Sessions.tumblingCounts(events(s, d))),
 
+    // g16: the DETERMINISTIC streaming dedup lambda on the full
+    // history — keeps the min-(event time μs, event_id) row per
+    // (user_id, event_type) key via flatMapGroupsWithState (the
+    // oracle-able sibling of the spec-only dropDuplicates-based
+    // dedupStream, whose kept ROW is shuffle-arbitrary); in batch
+    // mode one invocation sees each key whole, so the emission equals
+    // the a9 firstByKey shape on events.
+    "g16_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      Sessions.dedupKeyedMin(
+          events(s, d)
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts"))
+            .as[graft.streaming.FunnelEvent])
+        .toDF()
+    }),
+
     // g15: the streaming validation composition (stream-static join
     // through Graph.validateReachable + running per-collection
     // counts) on the batch tables — b2's semantics through the
@@ -214,6 +231,18 @@ object GroupG2 {
         |  cast(CASE WHEN z IS NOT NULL AND abs(z) > 3 THEN 1 ELSE 0 END AS int)
         |    AS is_anomaly
         |FROM z""".stripMargin,
+
+    // g16 = a9's keyed-min shape on events: first row per
+    // (user_id, event_type) in (full-precision event time, event_id)
+    // order — epoch_us for the ordering (the g13 precision
+    // convention), floored seconds in the output.
+    "g16_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, es FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    cast(floor(epoch(ts)) AS bigint) AS es,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     // g12 = g1's sessions without the per-user ordinal.
     "g12_stream_sessionize" ->

@@ -41,6 +41,16 @@ case class FunnelProgress(t_view: Long, t_click: Long, t_purchase: Long)
 /** A change operation emitted by [[Sessions.changeOps]]. */
 case class ChangeOp(doc_id: String, op: String)
 
+/** The kept row emitted by [[Sessions.dedupKeyedMin]] — the keyed-min
+  * keeper with its event time floored to epoch seconds (the repo's
+  * canonical es convention). */
+case class DedupKept(user_id: Long, event_type: String, event_id: Long,
+                     es: Long)
+
+/** [[Sessions.dedupKeyedMin]] state: the keeper has been emitted for
+  * this key (its id kept for debuggability; presence is the signal). */
+case class DedupSeen(event_id: Long)
+
 /** A finalized window count entering [[Sessions.anomalyScores]] —
   * the shape [[Sessions.tumblingCounts]] emits once the watermark
   * closes a window. */
@@ -105,6 +115,61 @@ object Sessions {
                   watermarkDelay: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** DETERMINISTIC streaming dedup — the oracle-able sibling of
+    * [[dedupStream]]: where `dropDuplicatesWithinWatermark` keeps
+    * whichever row the shuffle happens to deliver first (correct as a
+    * set of keys, arbitrary as rows — the reason it stayed spec-only),
+    * this keeps the MIN row per (user_id, event_type) key in full-
+    * precision (event time, event_id) order, via the same
+    * `flatMapGroupsWithState` machinery as the funnel/sessionizer.
+    * State per key is one emitted-keeper marker ([[DedupSeen]], 8
+    * bytes) — bounded by key cardinality, never stream length.
+    *
+    * Batch-mode contract (the g10/g12 pattern): one invocation sees a
+    * key's whole history, so the emission IS the keyed minimum —
+    * equal to the a9 `firstByKey` shape, which is what lets the
+    * correctness gate oracle this code path (g16). Streaming is
+    * PREFIX-CORRECT like [[funnelStages]]: the keeper is minimal over
+    * the rows seen up to its first batch; a later batch's
+    * earlier-timed row is dropped, not retracted (append mode cannot
+    * unsay an emission) — feed late-tolerant analyses through the
+    * batch a9 instead. Ordering compares event time at MICROsecond
+    * precision (the g13 epoch_us convention) with event_id as the
+    * deterministic tie-break; the emitted `es` is floored seconds,
+    * the repo's canonical output convention. */
+  def dedupKeyedMin(events: Dataset[FunnelEvent]): Dataset[DedupKept] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DedupSeen, DedupKept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[FunnelEvent],
+         state: GroupState[DedupSeen]) =>
+          if (state.exists) Iterator.empty // keeper already emitted
+          else {
+            // Single O(1)-memory pass: track the (micros, event_id)
+            // minimum. floorDiv handles pre-epoch times; getNanos
+            // carries the full sub-second part (getTime only millis).
+            var bestUs = Long.MaxValue
+            var bestId = Long.MaxValue
+            var found = false
+            batch.foreach { e =>
+              val sec = Math.floorDiv(e.ts.getTime, 1000L)
+              val us = sec * 1000000L + e.ts.getNanos / 1000L
+              if (!found || us < bestUs ||
+                  (us == bestUs && e.event_id < bestId)) {
+                bestUs = us; bestId = e.event_id; found = true
+              }
+            }
+            if (!found) Iterator.empty
+            else {
+              state.update(DedupSeen(bestId))
+              Iterator.single(DedupKept(key._1, key._2, bestId,
+                Math.floorDiv(bestUs, 1000000L)))
+            }
+          }
+      }
+  }
 
   /** Stream-stream interval join: each purchase pairs with the same
     * user's clicks in the `joinWindow` before it. Both sides carry

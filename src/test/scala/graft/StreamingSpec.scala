@@ -259,6 +259,31 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("deterministic dedup keeps the keyed-min row; later batches drop, not retract") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.FunnelEvent]
+    val out = graft.streaming.Sessions.dedupKeyedMin(input.toDS())
+    val query = out.writeStream.format("memory").queryName("dkm_out")
+      .outputMode("append").start()
+    import graft.streaming.{DedupKept => DK, FunnelEvent => FE}
+    try {
+      // Batch 1: u1/view has three rows — the min-(ts, event_id) one
+      // wins WITHIN the batch (event_id 7 ties id 9 on ts and wins the
+      // tie-break); u2/click emits its only row.
+      input.addData(FE(1L, 9L, "view", ts(100)), FE(1L, 7L, "view", ts(100)),
+        FE(1L, 8L, "view", ts(300)), FE(2L, 3L, "click", ts(50)))
+      query.processAllAvailable()
+      // Batch 2: a LATER batch brings an EARLIER-timed u1/view — the
+      // prefix-correctness contract drops it (append mode cannot
+      // retract the emitted keeper); a new key still emits.
+      input.addData(FE(1L, 5L, "view", ts(10)), FE(2L, 6L, "view", ts(40)))
+      query.processAllAvailable()
+      val rows = spark.table("dkm_out").as[DK].collect().toSet
+      assert(rows == Set(DK(1L, "view", 7L, 100L), DK(2L, "click", 3L, 50L),
+        DK(2L, "view", 6L, 40L)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("stream-stream click attribution joins within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
