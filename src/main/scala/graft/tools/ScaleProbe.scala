@@ -354,6 +354,15 @@ object ScaleProbe {
       ("d7 components",
         () => noop(Graph.connectedComponents(pairs)),
         () => noop(Graph.connectedComponents(pairsK))),
+      // The r11 pointer-jumping flag on the same dedup-shaped pairs:
+      // near-clique components converge in 3-4 hook rounds, so the
+      // per-round extra comp-keyed self-join + cut is pure overhead
+      // here — this point documents the trade that keeps the flag
+      // OPT-IN (its win is long-diameter graphs: chain:300 via
+      // StoragePeak runs ~9 rounds vs ~300, 10 s vs 56 s).
+      ("d7 components-star",
+        () => noop(Graph.connectedComponents(pairs, shortcut = true)),
+        () => noop(Graph.connectedComponents(pairsK, shortcut = true))),
       ("d8 canonical-cut",
         () => noop(Dedup.keepCanonical(docs, pairs, "doc_id")),
         () => noop(Dedup.keepCanonical(docsK, pairsK, "doc_id"))),

@@ -42,14 +42,20 @@ object StoragePeak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // chain:<n> = plain min-label propagation on an n-node path
+    // (≈ n rounds); chainstar:<n> = the same graph through the
+    // pointer-jumping shortcut flag (≈ log₂ n rounds) — the r11
+    // diameter-contraction comparison point.
     val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      if (name.startsWith("chain:")) {
-        val n = name.stripPrefix("chain:").toInt
+      if (name.startsWith("chain:") || name.startsWith("chainstar:")) {
+        val n = name.dropWhile(_ != ':').tail.toInt
+        val star = name.startsWith("chainstar:")
         (s, _) => {
           import org.apache.spark.sql.functions._
           val pairs = s.range(1, n.toLong)
             .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
-          graft.operators.Graph.connectedComponents(pairs, maxIter = n)
+          graft.operators.Graph.connectedComponents(pairs, maxIter = n,
+            shortcut = star)
         }
       } else graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))

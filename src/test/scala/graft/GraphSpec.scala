@@ -251,7 +251,27 @@ class GraphSpec extends GraftSuite {
       val got = Graph.connectedComponents(edges.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
       assert(got === want, s"trial $trial")
+      // The pointer-jumping variant must land on the IDENTICAL
+      // fixpoint — same min-id labels, just fewer rounds.
+      val gotShortcut = Graph.connectedComponents(
+          edges.toDF("id_a", "id_b"), shortcut = true)
+        .as[(Long, Long)].collect().toMap
+      assert(gotShortcut === want, s"trial $trial (shortcut)")
     }
+  }
+
+  test("shortcut converges in log rounds where plain propagation needs the diameter") {
+    // A 200-link chain: plain min-label propagation moves the min one
+    // hop per round, so maxIter = 12 is nowhere near enough (strict
+    // throws); pointer jumping contracts label depth geometrically
+    // and lands the same answer within those 12 rounds.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, maxIter = 12, strict = true).count()
+    }
+    val got = Graph.connectedComponents(chain, maxIter = 12, strict = true,
+      shortcut = true).as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 1L))
   }
 
   test("property: componentsDelta upsert ≡ full recompute on random edge splits") {
