@@ -280,6 +280,39 @@ object GroupA4 {
           Array(col("acctbal"), col("nationkey")), "metric", "value")
     }),
 
+    // a37: per-collection rank correlation between two member
+    // orderings (research/sort_members/sort.py:15-20 — `spear`
+    // compares the rank-ordering vs the interesting-score ordering of
+    // each collection's members with Spearman's rho to pick the
+    // serving sort). Orderings are made TOTAL (score desc, member id
+    // asc), so ranks are the permutations row_number assigns and rho
+    // has the closed form 1 − 6·Σd²/(n(n²−1)) — Σd² is an EXACT
+    // integer on both engines, so the only float op is one final
+    // division (no corr() accumulation-order drift). Plan shape: the
+    // two windows share one partition key, so Catalyst plans ONE
+    // exchange on coll with two sorts over it; the final agg is
+    // map-side combinable.
+    "a37_rank_correlation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+        .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("s1"),
+             max(col("l_quantity")).as("s2"))
+      val w1 = Window.partitionBy("coll").orderBy(col("s1").desc, col("member"))
+      val w2 = Window.partitionBy("coll").orderBy(col("s2").desc, col("member"))
+      m.withColumn("r1", row_number().over(w1))
+        .withColumn("r2", row_number().over(w2))
+        .groupBy("coll")
+        .agg(count(lit(1)).as("n_members"),
+          sum(((col("r1") - col("r2")) * (col("r1") - col("r2"))).cast("long"))
+            .as("__sd2"))
+        .filter(col("n_members") >= 2)
+        .select(col("coll").as("o_orderkey"), col("n_members"),
+          round(lit(1.0) - lit(6.0) * col("__sd2") /
+            (col("n_members") * (col("n_members") * col("n_members") - 1)), 6)
+            .as("spearman"))
+    }),
+
     // a30: multi-granularity stats in ONE pass — CUBE over
     // (event_type, cohort) computes the per-cell, both per-margin and
     // grand-total aggregates the reference derives in separate
@@ -299,6 +332,25 @@ object GroupA4 {
   )
 
   val oracles: Map[String, String] = Map(
+    // a37: Σd² over row_number ranks is exact integer arithmetic on
+    // both engines; rho's one division replays bit-for-bit.
+    "a37_rank_correlation" ->
+      """WITH m AS (
+        |  SELECT l_orderkey AS coll, l_partkey AS member,
+        |    max(cast(l_extendedprice AS decimal(18,2))) AS s1,
+        |    max(l_quantity) AS s2
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT coll, member,
+        |    row_number() OVER (PARTITION BY coll ORDER BY s1 DESC, member) AS r1,
+        |    row_number() OVER (PARTITION BY coll ORDER BY s2 DESC, member) AS r2
+        |  FROM m)
+        |SELECT coll AS o_orderkey,
+        |  cast(count(*) AS bigint) AS n_members,
+        |  round(1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
+        |          / (count(*) * (count(*) * count(*) - 1)), 6) AS spearman
+        |FROM r GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
     "a36_partial_updates" ->
       """WITH prev AS (
         |  SELECT o_orderkey,

@@ -121,6 +121,33 @@ class ServingStoreSpec extends GraftSuite {
       java.nio.file.Paths.get(g, "dim.txt")))
   }
 
+  test("concurrent ensures serialize: one fit, every caller gets the same generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs6").toString
+    val data = java.nio.file.Paths.get(dir, "data.txt")
+    java.nio.file.Files.write(data, "race".getBytes("UTF-8"))
+    val fits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val r = ServingStore.ensure(dir + "#race", Seq(data.toString), "v1") {
+          g =>
+            fits.incrementAndGet()
+            // A slow fit widens the race window the per-root monitor
+            // must close.
+            Thread.sleep(100)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(g, "dim.txt"), "x".getBytes("UTF-8"))
+        }
+        results.add(r); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(fits.get() == 1, "exactly one thread must run the fit")
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet.size == 1,
+      "every caller must resolve the same generation")
+  }
+
   test("content signal: same-size rewrite inside one mtime granule refits") {
     val dir = java.nio.file.Files.createTempDirectory("graft-svs5").toString
     val data = java.nio.file.Paths.get(dir, "data.txt")
