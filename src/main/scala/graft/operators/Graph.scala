@@ -693,6 +693,54 @@ object Graph {
     subtractKnown(delta0, cT)
   }
 
+  /** CYCLE AUDIT — the nodes of `edges` (src, dst) that lie on or
+    * can reach a directed cycle, WITHOUT materializing any closure
+    * (reference anchor: research/subtype/subtypes.ipynb checks
+    * `is_directed_acyclic_graph` / `find_cycle` on the subclass graph
+    * before trusting its DFS walks — the hazard every closure
+    * operator's `maxIter` guard here cites; this is the audit that
+    * finds the offending region at scale).
+    *
+    * Iterative SINK PEELING (Kahn's order, run to fixpoint): each
+    * round keeps only edges whose dst still has an outgoing edge —
+    * a node whose every path terminates loses its edges within
+    * longest-acyclic-tail rounds, while an edge on or leading to a
+    * cycle always has a continuation and survives. The fixpoint is
+    * the maximal subgraph with min-out-degree ≥ 1, whose sources are
+    * exactly the nodes with an unbounded (hence cycle-hitting) walk.
+    * Work per round is one semi-join of the remaining edges against
+    * their own src set — ∝ surviving edges, never closure-sized;
+    * convergence is one scalar count per round (a declared driver
+    * action, the [[connectedComponents]] labelSum class); superseded
+    * per-round cuts are freed eagerly ([[Checkpoints.uncut]]).
+    * Returns one `id` column (distinct), empty on a DAG. `maxIter`
+    * bounds rounds = the longest acyclic tail feeding a cycle, with
+    * the family's warn/strict contract.
+    */
+  def reachesCycle(edges: DataFrame, maxIter: Int = 50,
+                   strict: Boolean = false): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).distinct().cut()
+    var prevCount = e.count()
+    var iter = 0
+    var done = prevCount == 0L
+    while (!done && iter < maxIter) {
+      val alive = e.select(col("src").as("dst")).distinct()
+      val next = e.join(alive, Seq("dst"), "left_semi").cut()
+      e.uncut()
+      val n = next.count()
+      e = next
+      if (n == prevCount) done = true
+      else { prevCount = n; iter += 1 }
+    }
+    if (!done) {
+      val msg = s"reachesCycle stopped at maxIter = $maxIter before the peel " +
+        "converged — the result may still contain purely-terminating nodes " +
+        "(an acyclic tail longer than maxIter); raise maxIter"
+      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+    }
+    e.select(col("src").as("id")).distinct()
+  }
+
   /** INCREMENTAL revalidation — the members-side consumer of
     * [[transitiveClosureDelta]], closing the one per-cycle full
     * recompute a taxonomy change still triggered: after the closure

@@ -21,12 +21,38 @@ object GroupB {
       .filter(col("p_partkey") >= 2)
       .select(col("p_partkey").as("src"), expr("p_partkey DIV 2").as("dst"))
 
+  /** The hierarchy with PLANTED CYCLES for the b7 audit: the forest
+    * plus a back edge k/2 → k per k % 97 == 0 (2-cycles) and a skip
+    * edge k/4 → k per k % 101 == 0, k ≥ 4 (3-cycles k → k/2 → k/4 →
+    * k) — deterministic from part keys so DuckDB builds the identical
+    * graph. */
+  private def cyclicEdges(s: SparkSession, d: String): DataFrame = {
+    val p = Tables(s, d, "part")
+    edges(s, d)
+      .unionByName(p.filter(col("p_partkey") >= 2 && col("p_partkey") % 97 === 0)
+        .select(expr("p_partkey DIV 2").as("src"), col("p_partkey").as("dst")))
+      .unionByName(p.filter(col("p_partkey") >= 4 && col("p_partkey") % 101 === 0)
+        .select(expr("p_partkey DIV 4").as("src"), col("p_partkey").as("dst")))
+  }
+
   private val edgeCte =
     """e AS (SELECT p_partkey AS src, p_partkey // 2 AS dst
       |       FROM part WHERE p_partkey >= 2),
       |c AS (SELECT src, dst FROM e
       |      UNION
       |      SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src)""".stripMargin
+
+  /** [[cyclicEdges]] + its (cycle-safe: UNION is distinct) closure as
+    * a CTE prefix, shared by the b7/b8 oracles. */
+  private val cyclicEdgeCte =
+    """e AS (SELECT p_partkey AS src, p_partkey // 2 AS dst
+      |       FROM part WHERE p_partkey >= 2
+      |      UNION ALL
+      |      SELECT p_partkey // 2 AS src, p_partkey AS dst
+      |       FROM part WHERE p_partkey >= 2 AND p_partkey % 97 = 0
+      |      UNION ALL
+      |      SELECT p_partkey // 4 AS src, p_partkey AS dst
+      |       FROM part WHERE p_partkey >= 4 AND p_partkey % 101 = 0)""".stripMargin
 
   /** Fit-once store for the taxonomy family's serving state: the
     * closure of the EXISTING edge set, keyed per data dir with a
@@ -173,6 +199,32 @@ object GroupB {
       revalidateChain(targets, cone, newE, oldV)
     }),
 
+    // b7: the DAG/cycle audit (research/subtype/subtypes.ipynb runs
+    // networkx is_directed_acyclic_graph + find_cycle on the subclass
+    // graph before trusting DFS walks — the hazard every closure
+    // maxIter guard here cites). Graph.reachesCycle peels sinks to
+    // fixpoint — work ∝ surviving edges per round, NO closure — on
+    // the hierarchy with planted 2- and 3-cycles; the oracle derives
+    // the same node set from the recursive closure's self-reaching
+    // rows (cheap at oracle scale, exactly what the engine must never
+    // build at 100 TB).
+    "b7_cycle_reach" -> ((s, d) =>
+      Graph.reachesCycle(cyclicEdges(s, d), strict = true)),
+
+    // b8: degree histogram of the same graph (subtypes.ipynb's
+    // instance_of_lengths Counter — the capacity-planning shape for
+    // the KV layout): nodes per (direction, degree), two map-side-
+    // combinable aggs.
+    "b8_degree_histogram" -> ((s, d) => {
+      val e = cyclicEdges(s, d)
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+        .withColumn("dir", lit("out"))
+        .unionByName(
+          e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("degree"))
+            .withColumn("dir", lit("in")))
+        .groupBy("dir", "degree").agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // b2: member-valid-iff-reachable + per-collection valid/invalid
     // counts (filter_articles2.py keeps both). Members are lineitem
     // rows typed by l_partkey; each order demands an ancestor type.
@@ -264,6 +316,29 @@ object GroupB {
          |  JOIN orders ON l_orderkey = o_orderkey
          |  LEFT JOIN c ON c.src = l_partkey AND c.dst = (o_orderkey % 30 + 2))
          |GROUP BY 1""".stripMargin,
+
+    // b7: a node reaches a cycle iff it is self-reaching in the
+    // closure or reaches a self-reaching node.
+    "b7_cycle_reach" ->
+      s"""WITH RECURSIVE $cyclicEdgeCte,
+         |c AS (SELECT src, dst FROM e
+         |      UNION
+         |      SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src),
+         |cyc AS (SELECT DISTINCT src AS id FROM c WHERE src = dst)
+         |SELECT DISTINCT id FROM (
+         |  SELECT c.src AS id FROM c JOIN cyc ON c.dst = cyc.id
+         |  UNION ALL
+         |  SELECT id FROM cyc)""".stripMargin,
+
+    "b8_degree_histogram" ->
+      s"""WITH $cyclicEdgeCte,
+         |o AS (SELECT 'out' AS dir, cast(count(*) AS bigint) AS degree
+         |      FROM e GROUP BY src),
+         |i AS (SELECT 'in' AS dir, cast(count(*) AS bigint) AS degree
+         |      FROM e GROUP BY dst)
+         |SELECT dir, degree, cast(count(*) AS bigint) AS n_nodes
+         |FROM (SELECT * FROM o UNION ALL SELECT * FROM i)
+         |GROUP BY 1, 2""".stripMargin,
 
     "b2_validate_members" ->
       s"""WITH RECURSIVE $edgeCte

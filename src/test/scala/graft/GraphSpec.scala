@@ -260,6 +260,46 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("reachesCycle: empty on DAGs, finds exactly the cycle-reaching set") {
+    // A DAG (diamond) peels to nothing.
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.reachesCycle(dag, strict = true).count() === 0)
+    // Tail → cycle → exit: 1 → 2 → 3 → 4 → 2 (cycle {2,3,4}), plus
+    // 4 → 5 (an exit edge: 5 is REACHED FROM the cycle but reaches
+    // nothing — must not be reported), plus a disconnected DAG edge.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.reachesCycle(g, strict = true).as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("property: reachesCycle matches an in-memory reachability oracle") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 4) {
+      val n = 24
+      val edges = (1 to 34).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // v reaches a cycle iff some node reachable from v (v included
+      // via a non-empty walk) can reach itself.
+      def reach(v: Long): Set[Long] = {
+        var seen = Set.empty[Long]
+        var frontier = adj.getOrElse(v, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty)) -- seen
+        }
+        seen
+      }
+      val onCycle = edges.map(_._1).distinct.filter(v => reach(v).contains(v)).toSet
+      val want = edges.map(_._1).distinct
+        .filter(v => onCycle.contains(v) || reach(v).exists(onCycle.contains)).toSet
+      val got = Graph.reachesCycle(edges.toDF("src", "dst"), strict = true)
+        .as[Long].collect().toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("shortcut converges in log rounds where plain propagation needs the diameter") {
     // A 200-link chain: plain min-label propagation moves the min one
     // hop per round, so maxIter = 12 is nowhere near enough (strict
