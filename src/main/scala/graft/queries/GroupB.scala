@@ -26,7 +26,7 @@ object GroupB {
     * edge k/4 → k per k % 101 == 0, k ≥ 4 (3-cycles k → k/2 → k/4 →
     * k) — deterministic from part keys so DuckDB builds the identical
     * graph. */
-  private def cyclicEdges(s: SparkSession, d: String): DataFrame = {
+  def cyclicEdges(s: SparkSession, d: String): DataFrame = {
     val p = Tables(s, d, "part")
     edges(s, d)
       .unionByName(p.filter(col("p_partkey") >= 2 && col("p_partkey") % 97 === 0)

@@ -264,6 +264,13 @@ object ScaleProbe {
     // direction; the taxonomy cone and today's edge slice are the
     // fixed dims). Per-copy flip structure is identical because
     // l_partkey/required/valid don't shift.
+    // b7's input: the planted-cycle hierarchy, fixed vs K shifted
+    // copies (each copy carries its own cycles — cycle count scales,
+    // acyclic-tail DEPTH does not, so rounds stay ~depth while
+    // per-round work scales on edges: the operator's scale claim).
+    lazy val cyc = graft.queries.GroupB.cyclicEdges(spark, sfDir)
+      .localCheckpoint()
+    lazy val cycK = scaled(cyc, Seq("src", "dst"))
     lazy val oldEb5 = edges.filter(col("src") % 10 =!= 0).localCheckpoint()
     lazy val newEb5 = edges.filter(col("src") % 10 === 0).localCheckpoint()
     lazy val targetsB5 = Tables(spark, sfDir, "orders")
@@ -632,6 +639,15 @@ object ScaleProbe {
           targetsB5, coneB5, newEb5, oldVb5)),
         () => noop(graft.queries.GroupB.revalidateChain(
           targetsB5, coneB5, newEb5, oldVb5K))),
+      // b7: K disjoint copies of the planted-cycle hierarchy — K×
+      // edges and K× cycles at the SAME acyclic-tail depth, so the
+      // peel's round count stays ~depth while each round's semi-join
+      // scales on surviving edges. Expected ≈ K or below (per-round
+      // fixed job latency flattens it); super-linear would expose a
+      // round count growing with graph SIZE rather than depth.
+      ("b7 cycle-peel",
+        () => noop(Graph.reachesCycle(cyc, strict = true)),
+        () => noop(Graph.reachesCycle(cycK, strict = true))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the

@@ -82,6 +82,19 @@ class PlanSpec extends GraftSuite {
       s"codebook join must broadcast\n$p")
   }
 
+  test("a37: both rank windows and the final agg share one collection-key exchange") {
+    val p = plan("a37_rank_correlation")
+    // Expected: one (coll, member) exchange for the member collapse,
+    // then ONE (coll) exchange serving BOTH row_number windows (same
+    // partition key, two sorts over one shuffle) AND the final
+    // per-collection aggregate (already partitioned — no third
+    // exchange). A plan that re-shuffled per window or for the agg
+    // would read 3+.
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 exchanges (member collapse + one shared coll), got $n\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2, s"both rank windows must plan\n$p")
+  }
+
   test("d15: each pair side shuffles once; the dedup partitioning feeds the join") {
     val p = plan("d15_dedup_eval")
     assert(!p.contains("CartesianProduct") &&
