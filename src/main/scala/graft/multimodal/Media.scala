@@ -328,16 +328,21 @@ object Media {
     fixturesPath
   }
 
-  /** [[expectedPath]] with the same fail-fast check — used where the
-    * h1 oracle SQL is BUILT (GroupH.oracles is a def, so sessions
-    * that never touch the oracles — Bench — never pay or trip the
-    * check), turning "opaque DuckDB read_parquet error later" into a
-    * message naming the knob now. */
+  /** [[expectedPath]] for the h1 oracle interpolation: when the file
+    * is missing, WARN loudly naming the knob but still return the
+    * path — building the oracle map must never throw, because the
+    * map is constructed as a whole and one missing media fixture
+    * would take every unrelated query's oracle down with it (the
+    * round-11 review's blast-radius point); the h1 row then fails
+    * alone in DuckDB, now with the named-knob warning on record
+    * instead of only the opaque read_parquet error. */
   def expectedPathChecked: String = {
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(expectedPath)),
-      s"media expected-features parquet not found at $expectedPath — " +
-        "launch from the checkout root or set GRAFT_MEDIA_EXPECTED_PATH " +
-        "(src/main/resources/graft/media_expected.parquet)")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(expectedPath)))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"media expected-features parquet not found at $expectedPath — the " +
+          "h1 oracle will fail in DuckDB; launch from the checkout root or " +
+          "set GRAFT_MEDIA_EXPECTED_PATH " +
+          "(src/main/resources/graft/media_expected.parquet)")
     expectedPath
   }
 

@@ -77,31 +77,47 @@ private[graft] object Checkpoints {
     * after unpersisting" on every uncut — for a frame the contract
     * declares dead that is not a warning but the intended effect, and
     * at one line per freed round it would drown real warnings in the
-    * bench logs. Mute that one logger (the cut RDD is always the
-    * MapPartitionsRDD `execute().map(_.copy())` produces), once. */
-  private lazy val muteUnpersistWarn: Unit =
+    * bench logs. The mute is SCOPED to our own unpersist calls
+    * (save level → ERROR → restore in finally), so a user unpersisting
+    * THEIR live checkpoint outside an uncut still gets the diagnostic
+    * — a permanent JVM-wide mute would hide the one line that names
+    * the cause of a later missing-block failure (round-11 review).
+    * Concurrent non-graft unpersists inside the microseconds-wide
+    * window may lose the line; accepted trade. */
+  private def withUnpersistWarnMuted(body: => Unit): Unit = {
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prior =
+      try Option(org.apache.logging.log4j.LogManager.getLogger(name).getLevel)
+      catch { case _: Throwable => None }
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+      name, org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
+    try body
+    finally prior.foreach { lvl =>
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(name, lvl)
+      catch { case _: Throwable => () }
+    }
+  }
 
   /** A/B knob for pressure adjudication: `spark.graft.uncut=false`
     * (session conf) or SPARK_GRAFT_UNCUT=0 (env) restores the pre-fix
     * keep-every-round behavior, so a storage-constrained run can
     * measure exactly what the superseded blocks cost — see
-    * tools/pressure_repro.sh. Default on. */
-  private def uncutEnabled(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption("spark.graft.uncut")
+    * tools/pressure_repro.sh. Default on. Package-visible as the ONE
+    * definition of the knob (StoragePeak reports it). */
+  private[graft] def uncutEnabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.uncut")
       .orElse(sys.env.get("SPARK_GRAFT_UNCUT"))
       .forall(v => !(v.equalsIgnoreCase("false") || v == "0"))
 
   def uncut(df: DataFrame): Unit =
     try {
-      if (!uncutEnabled(df)) return
-      muteUnpersistWarn
-      df.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      if (!uncutEnabled(df.sparkSession)) return
+      withUnpersistWarnMuted {
+        df.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
     } catch { case e: Throwable =>
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"uncut skipped (blocks stay live): ${e.getMessage}")

@@ -164,7 +164,16 @@ object Graph {
       val msg = s"transitiveClosure stopped at maxIter = $maxIter with a non-empty " +
         "frontier — the returned closure is incomplete (deeper chains, or a cycle " +
         "under uniquePaths = true); raise maxIter"
-      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+      if (strict) {
+        // Nothing is returned on the strict path, so EVERY cut this
+        // call made is dead — free them, or a serving loop that
+        // catches and retries accumulates exactly the rounds×|frame|
+        // storage the uncut contract exists to bound (double-free of
+        // the stride==1 seed/step alias is a harmless no-op).
+        increments.foreach(Checkpoints.uncut)
+        step.uncut()
+        throw new IllegalStateException(msg)
+      } else log.warn(msg)
     }
     // stride > 1: the k-hop step set fed only the (now-cut) rounds;
     // the returned union holds seed + novels, never step. stride == 1
@@ -282,7 +291,13 @@ object Graph {
       val msg = s"reachableTo stopped at maxIter = $maxIter with a non-empty " +
         "frontier — the result is incomplete (deeper chains, or a cycle under " +
         "uniquePaths = true); raise maxIter"
-      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+      if (strict) {
+        // Strict path returns nothing: free every cut (see
+        // transitiveClosure; alias double-frees are no-ops).
+        increments.foreach(Checkpoints.uncut)
+        step.uncut()
+        throw new IllegalStateException(msg)
+      } else log.warn(msg)
     }
     // The returned union holds seed + per-round cones; the edge/step
     // set is done in every stride case (stride == 1: step === e ===
@@ -396,7 +411,11 @@ object Graph {
       val msg = s"connectedComponents stopped at maxIter = $maxIter before " +
         "convergence — labels are incomplete (a component with diameter > " +
         "maxIter); raise maxIter"
-      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+      if (strict) {
+        // Strict path returns nothing: free the live cuts too.
+        und.uncut(); labels.uncut()
+        throw new IllegalStateException(msg)
+      } else log.warn(msg)
     }
     // The result references only the final labels cut — the mirrored
     // edge set is done.
@@ -476,7 +495,18 @@ object Graph {
     // one more broadcast-probe scan of the assignment with the
     // slice-bounded label set on the build side. Both are declared
     // scalar driver actions, run only under strict.
-    if (strict) {
+    // Failure cleanup: a strict-mode require or the rep-space loop's
+    // maxIter throw returns nothing to the caller, so the slice cuts
+    // die with it — free them on the way out (the error-path half of
+    // the uncut contract; a serving loop that catches and retries per
+    // cycle must not accumulate them).
+    def failing[T](body: => T): T =
+      try body
+      catch { case t: Throwable =>
+        e0.uncut(); nodes.uncut(); touched.uncut()
+        throw t
+      }
+    if (strict) failing {
       // Two driver actions total (they run per delta call, so job
       // latency matters more than data volume): one agg over the
       // slice-bounded touched frame checks ordering AND counts the
@@ -526,8 +556,10 @@ object Graph {
     // above, so this graph holds only reps that actually merge.
     // connectedComponents always returns a checkpointed frame — no
     // re-cut (a second materialization for nothing).
-    val repMap = connectedComponents(compPairs, maxIter = maxIter,
-      strict = strict)
+    val repMap = failing {
+      try connectedComponents(compPairs, maxIter = maxIter, strict = strict)
+      catch { case t: Throwable => nodeRep.uncut(); throw t }
+    }
     // compPairs was consumed by connectedComponents' own eager input
     // cut, so the slice pair set and the rep lift are dead; `nodes`
     // and `touched` stay live inside the returned lazy delta.
@@ -605,8 +637,11 @@ object Graph {
     val total =
       try transitiveClosure(b, maxIter = maxIter, strict = strict)
       catch {
-        case e: IllegalStateException => throw new IllegalStateException(
-          s"transitiveClosureDelta: ${e.getMessage}", e)
+        case e: IllegalStateException =>
+          // The inner strict path freed its own cuts; ours die here.
+          e0.uncut(); withPrefix.uncut()
+          throw new IllegalStateException(
+            s"transitiveClosureDelta: ${e.getMessage}", e)
       }
     // The base relation b was consumed by transitiveClosure's eager
     // input cut; the slice and prefixed-slice cuts feeding it are dead
@@ -672,8 +707,10 @@ object Graph {
     val bPlus =
       try transitiveClosure(base, maxIter = maxIter, strict = strict)
       catch {
-        case e: IllegalStateException => throw new IllegalStateException(
-          s"reachableToDelta: ${e.getMessage}", e)
+        case e: IllegalStateException =>
+          e0.uncut() // inner strict path freed its own cuts
+          throw new IllegalStateException(
+            s"reachableToDelta: ${e.getMessage}", e)
       }
     // Final old segment into a target (or none, when the last new
     // edge already lands on one); restrict to the target set BEFORE
@@ -736,7 +773,10 @@ object Graph {
       val msg = s"reachesCycle stopped at maxIter = $maxIter before the peel " +
         "converged — the result may still contain purely-terminating nodes " +
         "(an acyclic tail longer than maxIter); raise maxIter"
-      if (strict) throw new IllegalStateException(msg) else log.warn(msg)
+      if (strict) {
+        e.uncut() // nothing returned: the surviving-edge cut dies too
+        throw new IllegalStateException(msg)
+      } else log.warn(msg)
     }
     e.select(col("src").as("id")).distinct()
   }

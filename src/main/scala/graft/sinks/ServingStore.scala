@@ -62,6 +62,22 @@ object ServingStore {
       md5hex(key).take(12)
   }
 
+  // Content signals memoized per (absolute path, size, mtime): a
+  // current-store ensure() runs inside registered serving queries'
+  // TIMED bodies, and re-reading 128 KiB + md5 per input file per
+  // invocation would put repeat data I/O into every serving
+  // measurement (round-11 review). After the first computation the
+  // fast path is stat-only again. RECENCY GUARD: a rewrite masked by
+  // a coarse mtime granule maps to the SAME cache key, so entries
+  // are only written — and only trusted — when the mtime is at
+  // least [[signalSettleMs]] in the past: an actively-changing input
+  // always re-reads from disk (the ADVICE-r10 hazard the signal
+  // exists for), while the steady-state corpus (mtime days old) is
+  // stat-only after its first ensure.
+  private val signalSettleMs = 5000L
+  private val signalCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
   /** First+last-64-KiB md5 (whole file ≤ 128 KiB) — the cheap content
     * signal that catches same-size same-mtime-granule rewrites; two
     * bounded reads per file, never a full scan of a corpus-sized
@@ -100,9 +116,14 @@ object ServingStore {
             .filter(java.nio.file.Files.isRegularFile(_))
             .map { f =>
               val size = java.nio.file.Files.size(f)
-              s"${p.relativize(f)}:$size:" +
-                s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}:" +
-                contentSignal(f, size)
+              val mtime = java.nio.file.Files.getLastModifiedTime(f).toMillis
+              val sig =
+                if (System.currentTimeMillis() - mtime < signalSettleMs)
+                  contentSignal(f, size) // still settling: never cache
+                else signalCache.computeIfAbsent(
+                  (f.toAbsolutePath.toString, size, mtime),
+                  _ => contentSignal(f, size))
+              s"${p.relativize(f)}:$size:$mtime:$sig"
             }
             .toSeq.sorted
         } finally walk.close()

@@ -88,13 +88,18 @@ object StoragePeak {
     // briefly so async unpersists finish counting.
     Thread.sleep(500)
     val endInfos = sc.getRDDStorageInfo
-    val uncutOn = sys.env.get("SPARK_GRAFT_UNCUT")
-      .forall(v => !(v.equalsIgnoreCase("false") || v == "0"))
+    // The ONE knob definition (Checkpoints owns conf+env precedence) —
+    // a local reimplementation would silently drift from the mode the
+    // measurement actually ran under.
+    val uncutOn = graft.operators.Checkpoints.uncutEnabled(spark)
+    // Locale.ROOT: a comma-decimal default locale would print invalid
+    // JSON (the Bench.s3 rule).
+    val wallStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(wall))
     println(s"""{"query":"$name","uncut":$uncutOn,"peak_rdds":$peakRdds,""" +
       s""""peak_mem_bytes":$peakMem,"peak_disk_bytes":$peakDisk,""" +
       s""""end_rdds":${endInfos.length},""" +
       s""""end_mem_bytes":${endInfos.map(_.memSize).sum},""" +
-      s""""wall_sec":${"%.3f".format(wall)}}""")
+      s""""wall_sec":$wallStr}""")
     spark.stop()
   }
 }
