@@ -44,6 +44,31 @@ object GroupA4 {
       |     WHEN p_partkey % 4 = 2 THEN p_name || ' 👍🏽 👨‍👩‍👧'
       |     ELSE p_name END""".stripMargin
 
+  /** a37's registered body (shared with ScaleProbe so the probe runs
+    * the served plan, not a lookalike): per-collection Spearman rho
+    * between the two total orders (s1 desc, member) and (s2 desc,
+    * member) of a (coll, member, s1, s2) frame. Both row_number
+    * windows partition on coll, so Catalyst plans ONE exchange with
+    * two sorts over it; Σd² stays exact integer arithmetic and the
+    * only float op is rho's final division (no corr() accumulation-
+    * order drift). Reference: research/sort_members/sort.py:15-20. */
+  def rankCorrelationOf(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy("coll").orderBy(col("s1").desc, col("member"))
+    val w2 = Window.partitionBy("coll").orderBy(col("s2").desc, col("member"))
+    m.withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .groupBy("coll")
+      .agg(count(lit(1)).as("n_members"),
+        sum(((col("r1") - col("r2")) * (col("r1") - col("r2"))).cast("long"))
+          .as("__sd2"))
+      .filter(col("n_members") >= 2)
+      .select(col("coll").as("o_orderkey"), col("n_members"),
+        round(lit(1.0) - lit(6.0) * col("__sd2") /
+          (col("n_members") * (col("n_members") * col("n_members") - 1)), 6)
+          .as("spearman"))
+  }
+
   val queries: Map[String, Q] = Map(
     // a34: emoji-aware name tokenization (load_custom_collections.py:
     // 126-158): emoji survive as their own tokens — ZWJ sequences and
@@ -292,26 +317,11 @@ object GroupA4 {
     // two windows share one partition key, so Catalyst plans ONE
     // exchange on coll with two sorts over it; the final agg is
     // map-side combinable.
-    "a37_rank_correlation" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val m = Tables(s, d, "lineitem")
+    "a37_rank_correlation" -> ((s, d) =>
+      rankCorrelationOf(Tables(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
         .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("s1"),
-             max(col("l_quantity")).as("s2"))
-      val w1 = Window.partitionBy("coll").orderBy(col("s1").desc, col("member"))
-      val w2 = Window.partitionBy("coll").orderBy(col("s2").desc, col("member"))
-      m.withColumn("r1", row_number().over(w1))
-        .withColumn("r2", row_number().over(w2))
-        .groupBy("coll")
-        .agg(count(lit(1)).as("n_members"),
-          sum(((col("r1") - col("r2")) * (col("r1") - col("r2"))).cast("long"))
-            .as("__sd2"))
-        .filter(col("n_members") >= 2)
-        .select(col("coll").as("o_orderkey"), col("n_members"),
-          round(lit(1.0) - lit(6.0) * col("__sd2") /
-            (col("n_members") * (col("n_members") * col("n_members") - 1)), 6)
-            .as("spearman"))
-    }),
+             max(col("l_quantity")).as("s2")))),
 
     // a30: multi-granularity stats in ONE pass — CUBE over
     // (event_type, cohort) computes the per-cell, both per-margin and

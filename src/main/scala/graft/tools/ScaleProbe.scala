@@ -97,6 +97,14 @@ object ScaleProbe {
     // distribution fixed and multiplies the edges — the corpus-grows
     // direction.
     lazy val liKBoth = scaled(li, Seq("l_orderkey", "l_partkey"))
+    // a37's collapsed member frame: coll-only shift = K× collections
+    // over the SAME member vocabulary, each copy carrying identical
+    // per-collection rank structure — the more-collections direction.
+    lazy val memA37 = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+      .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("s1"),
+           max(col("l_quantity")).as("s2")).localCheckpoint()
+    lazy val memA37K = scaled(memA37, Seq("coll"))
     lazy val edges = GroupP.typeEdgesOf(spark, sfDir).localCheckpoint()
     lazy val orders = GroupP.collectionsOf(spark, sfDir).localCheckpoint()
     lazy val ordersK = scaled(orders, Seq("collection_id"))
@@ -648,6 +656,16 @@ object ScaleProbe {
       ("b7 cycle-peel",
         () => noop(Graph.reachesCycle(cyc, strict = true)),
         () => noop(Graph.reachesCycle(cycK, strict = true))),
+      // a37: K coll-shifted copies of the collapsed member frame —
+      // K× collections, identical per-collection rank work. Both
+      // row_number windows and the final agg ride ONE exchange on
+      // coll (PlanSpec pins the two-exchange total incl. the member
+      // collapse, which this probe's input pre-pays), so expected
+      // ≈ K; super-linear would mean the windows stopped sharing
+      // the partitioning. Probes the REGISTERED body.
+      ("a37 rank-corr",
+        () => noop(graft.queries.GroupA4.rankCorrelationOf(memA37)),
+        () => noop(graft.queries.GroupA4.rankCorrelationOf(memA37K))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the
