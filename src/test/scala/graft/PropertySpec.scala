@@ -154,4 +154,52 @@ class PropertySpec extends GraftSuite {
       assert(got == want, s"seed=$seed cand=$cf truth=$tf")
     }
   }
+
+  test("rankCorrelationOf matches brute-force Spearman on random frames") {
+    // a37's registered body on random (coll, member, s1, s2) frames
+    // with deliberate score TIES (small value domains) — the case the
+    // member-id tiebreak exists for — vs an in-memory reference that
+    // ranks with the same total order and applies the closed form.
+    // Value-level guard beside the DuckDB oracle: this one covers the
+    // ad-hoc caller feeding the PUBLIC function frames the registered
+    // lineitem collapse never produces (ties across both scores,
+    // single-member collections, negative scores).
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refRho(rows: Seq[(Long, Long, Double, Double)])
+        : Map[Long, (Long, Double)] =
+      rows.groupBy(_._1).collect { case (coll, g) if g.size >= 2 =>
+        def ranks(score: ((Long, Long, Double, Double)) => Double) =
+          g.sortBy(r => (-score(r), r._2)).zipWithIndex
+            .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+        val (r1, r2) = (ranks(_._3), ranks(_._4))
+        val n = g.size.toLong
+        val sd2 = g.map(r => { val d = r1(r._2) - r2(r._2); d * d }).sum
+        coll -> (n, round6(1.0 - 6.0 * sd2 / (n * (n * n - 1))))
+      }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(900 + seed)
+      val rows = for {
+        coll <- (0L until (rnd.nextInt(6) + 1)).toList
+        member <- rnd.shuffle((0L to 20L).toList).take(rnd.nextInt(8) + 1)
+      } yield (coll, member,
+        (rnd.nextInt(5) - 2).toDouble,  // ties + negatives on purpose
+        (rnd.nextInt(5) - 2).toDouble)
+      val got = graft.queries.GroupA4.rankCorrelationOf(
+          rows.toDF("coll", "member", "s1", "s2"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (c, n, rho) => c -> (n, rho) }.toMap
+      assert(got == refRho(rows), s"seed=$seed rows=$rows")
+    }
+    // Deterministic pins: identical orderings → rho 1; exactly
+    // reversed → rho −1; a single-member collection is filtered.
+    val pinned = Seq(
+      (1L, 10L, 3.0, 30.0), (1L, 11L, 2.0, 20.0), (1L, 12L, 1.0, 10.0),
+      (2L, 10L, 3.0, 10.0), (2L, 11L, 2.0, 20.0), (2L, 12L, 1.0, 30.0),
+      (3L, 10L, 9.0, 9.0))
+    val pins = graft.queries.GroupA4.rankCorrelationOf(
+        pinned.toDF("coll", "member", "s1", "s2"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(pins == Map(1L -> 1.0, 2L -> -1.0))
+  }
 }
