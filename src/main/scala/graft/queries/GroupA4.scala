@@ -69,7 +69,103 @@ object GroupA4 {
           .as("spearman"))
   }
 
+  /** a38's registered body (research/custom-collections/
+    * analyze-ranks.py — the rank-distribution audit run before
+    * trusting a custom-collection batch): three rank series —
+    * per-collection rank, per-collection MEAN member rank, and
+    * per-collection MAX member rank with the arg-max member in the
+    * label (the reference's "collection / member" key) — each
+    * described as pandas .describe() does (n, mean, std, min,
+    * p25/p50/p75, max) plus the nlargest(10) labels.
+    *
+    * Determinism contract (the hash gate): every value is quantized
+    * to CENTS (an exact long) before any aggregation, so sums and
+    * sums-of-squares are exact decimal integer arithmetic on both
+    * engines; mean/std are computed from those exact moments with
+    * identical final double expressions, and percentiles use the
+    * exact (n−1)p interpolation both engines share (the f7 pattern).
+    * Arg-max ties break on the smallest member id (the struct-max
+    * (rank, −member) on the Spark side ≡ the (rank DESC, member)
+    * window on the oracle side). Scale note (same declaration as
+    * f7): exact percentile and the per-series top-10 sort are the
+    * oracle-able forms; at 100 TB the same shape runs
+    * approx_percentile and keeps topKPerGroup, which already windows
+    * per series. */
+  def rankDescribeOf(s: SparkSession, d: String): DataFrame =
+    rankDescribe(
+      Tables(s, d, "orders")
+        .select(col("o_orderkey").as("coll"),
+          col("o_totalprice").cast("decimal(18,2)").as("r")),
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+        .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("rank")))
+
+  /** Core of a38 over a (coll, r) collection-rank frame and a
+    * (coll, member, rank) member-rank frame — split from the table
+    * wiring so ScaleProbe runs the registered plan on K× inputs. */
+  def rankDescribe(collRanks: DataFrame, mem: DataFrame): DataFrame = {
+    // One exchange on coll serves count, exact sum, and the arg-max
+    // struct; the reference skips collections without members, hence
+    // the semi-join gating the collection-rank series.
+    val perColl = mem.groupBy("coll").agg(
+      count(lit(1)).as("nm"),
+      sum(col("rank")).as("rsum"),
+      max(struct(col("rank").as("r"), (-col("member")).as("negm"))).as("mx"))
+    val collRank = collRanks
+      .join(perColl.select("coll"), Seq("coll"), "left_semi")
+      .select(lit("collection_rank").as("series"),
+        col("coll").cast("string").as("label"),
+        (col("r") * 100).cast("long").as("v_cents"))
+    // Mean cents by integer half-up division — (2·tc + n) div (2·n) —
+    // so the quantization itself never touches a double (a
+    // round(double, 2) here disagreed between engines on rounding
+    // edges: ±1 cent on a handful of collections, caught by the
+    // moments).
+    val meanRank = perColl.select(lit("mean_member_rank").as("series"),
+      col("coll").cast("string").as("label"),
+      expr("CAST((2 * CAST(rsum * 100 AS BIGINT) + nm) DIV (2 * nm) AS BIGINT)")
+        .as("v_cents"))
+    val maxRank = perColl.select(lit("max_member_rank").as("series"),
+      concat(col("coll").cast("string"), lit("/"),
+        (-col("mx.negm")).cast("string")).as("label"),
+      (col("mx.r") * 100).cast("long").as("v_cents"))
+    // The union feeds two consumers (moments agg + top-10 window);
+    // cut so neither recomputes the upstream collapse (Catalyst does
+    // not dedupe common subplans across the union's reuse).
+    val series = collRank.unionByName(meanRank).unionByName(maxRank).cut()
+    val stats = series.groupBy("series").agg(
+      count(lit(1)).as("n"),
+      sum(col("v_cents").cast("decimal(38,0)")).as("sc"),
+      sum((col("v_cents") * col("v_cents")).cast("decimal(38,0)")).as("sq"),
+      min(col("v_cents")).as("mn"),
+      max(col("v_cents")).as("mxv"),
+      expr("percentile(v_cents, 0.25D)").as("q25"),
+      expr("percentile(v_cents, 0.5D)").as("q50"),
+      expr("percentile(v_cents, 0.75D)").as("q75"))
+    val top = Relational.topKPerGroup(series, Seq(col("series")),
+        Seq(col("v_cents").desc, col("label").asc), k = 10, rankCol = "rn")
+      .groupBy("series")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("label")))),
+        x => x("label")), ",").as("top10"))
+    stats.join(top, "series").select(
+      col("series"), col("n"),
+      round(col("sc").cast("double") / col("n") / 100, 6).as("mean"),
+      round(sqrt(greatest(
+          (col("sq").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double") / col("n"))
+            / (col("n") - 1), lit(0.0))) / 100, 6).as("std"),
+      round(col("mn") / lit(100.0), 6).as("vmin"),
+      round(col("q25") / 100, 6).as("p25"),
+      round(col("q50") / 100, 6).as("p50"),
+      round(col("q75") / 100, 6).as("p75"),
+      round(col("mxv") / lit(100.0), 6).as("vmax"),
+      col("top10"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a38_rank_describe" -> ((s, d) => rankDescribeOf(s, d)),
+
     // a34: emoji-aware name tokenization (load_custom_collections.py:
     // 126-158): emoji survive as their own tokens — ZWJ sequences and
     // skin-tone modifiers as ONE token — while the text between them
@@ -342,6 +438,71 @@ object GroupA4 {
   )
 
   val oracles: Map[String, String] = Map(
+    // a38: cents-quantized moments are exact integer sums on both
+    // engines; the only float ops are the shared final expressions
+    // (mean/std from exact moments, the (n−1)p percentile
+    // interpolation, one round). Arg-max: (rank DESC, member) row 1
+    // ≡ Spark's max(struct(rank, −member)).
+    "a38_rank_describe" ->
+      """WITH mem AS (
+        |  SELECT l_orderkey AS coll, l_partkey AS member,
+        |    max(cast(l_extendedprice AS decimal(18,2))) AS rank
+        |  FROM lineitem GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT coll, count(*) AS nm, sum(rank) AS rsum
+        |  FROM mem GROUP BY 1),
+        |mx AS (
+        |  SELECT coll, rank AS r, member FROM (
+        |    SELECT coll, rank, member,
+        |      row_number() OVER (PARTITION BY coll
+        |                         ORDER BY rank DESC, member) AS rn
+        |    FROM mem) WHERE rn = 1),
+        |ser AS (
+        |  SELECT 'collection_rank' AS series,
+        |    cast(o_orderkey AS varchar) AS label,
+        |    cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+        |      AS v_cents
+        |  FROM orders WHERE o_orderkey IN (SELECT coll FROM pc)
+        |  UNION ALL
+        |  SELECT 'mean_member_rank', cast(coll AS varchar),
+        |    cast((2 * cast(rsum * 100 AS bigint) + nm) // (2 * nm)
+        |         AS bigint)
+        |  FROM pc
+        |  UNION ALL
+        |  SELECT 'max_member_rank',
+        |    cast(coll AS varchar) || '/' || cast(member AS varchar),
+        |    cast(r * 100 AS bigint)
+        |  FROM mx),
+        |stats AS (
+        |  SELECT series, cast(count(*) AS bigint) AS n,
+        |    sum(cast(v_cents AS decimal(38,0))) AS sc,
+        |    sum(cast(v_cents * v_cents AS decimal(38,0))) AS sq,
+        |    min(v_cents) AS mn, max(v_cents) AS mxv,
+        |    quantile_cont(v_cents, 0.25) AS q25,
+        |    quantile_cont(v_cents, 0.5) AS q50,
+        |    quantile_cont(v_cents, 0.75) AS q75
+        |  FROM ser GROUP BY 1),
+        |top AS (
+        |  SELECT series, string_agg(label, ',' ORDER BY rn) AS top10
+        |  FROM (SELECT series, label,
+        |          row_number() OVER (PARTITION BY series
+        |                             ORDER BY v_cents DESC, label) AS rn
+        |        FROM ser) WHERE rn <= 10
+        |  GROUP BY 1)
+        |SELECT s.series, s.n,
+        |  round(cast(s.sc AS double) / s.n / 100, 6) AS mean,
+        |  round(sqrt(greatest(
+        |      (cast(s.sq AS double)
+        |        - cast(s.sc AS double) * cast(s.sc AS double) / s.n)
+        |        / (s.n - 1), 0.0)) / 100, 6) AS std,
+        |  round(s.mn / 100.0, 6) AS vmin,
+        |  round(s.q25 / 100, 6) AS p25,
+        |  round(s.q50 / 100, 6) AS p50,
+        |  round(s.q75 / 100, 6) AS p75,
+        |  round(s.mxv / 100.0, 6) AS vmax,
+        |  t.top10
+        |FROM stats s JOIN top t USING (series)""".stripMargin,
+
     // a37: Σd² over row_number ranks is exact integer arithmetic on
     // both engines; rho's one division replays bit-for-bit.
     "a37_rank_correlation" ->

@@ -105,6 +105,14 @@ object ScaleProbe {
       .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("s1"),
            max(col("l_quantity")).as("s2")).localCheckpoint()
     lazy val memA37K = scaled(memA37, Seq("coll"))
+    // a38 reuses a37's collapsed frame shape plus the orders ranks.
+    lazy val memA38 = memA37.select(col("coll"), col("member"),
+      col("s1").as("rank")).localCheckpoint()
+    lazy val memA38K = scaled(memA38, Seq("coll"))
+    lazy val collRanksA38 = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("coll"),
+        col("o_totalprice").cast("decimal(18,2)").as("r")).localCheckpoint()
+    lazy val collRanksA38K = scaled(collRanksA38, Seq("coll"))
     lazy val edges = GroupP.typeEdgesOf(spark, sfDir).localCheckpoint()
     lazy val orders = GroupP.collectionsOf(spark, sfDir).localCheckpoint()
     lazy val ordersK = scaled(orders, Seq("collection_id"))
@@ -666,6 +674,14 @@ object ScaleProbe {
       ("a37 rank-corr",
         () => noop(graft.queries.GroupA4.rankCorrelationOf(memA37)),
         () => noop(graft.queries.GroupA4.rankCorrelationOf(memA37K))),
+      // a38: both inputs coll-shifted — K× collections, same member
+      // vocabulary. The moments agg is map-side combinable except
+      // the exact percentile (declared: approx_percentile at scale)
+      // and the top-10 plans as WindowGroupLimit (per-partition
+      // partial top-k before the exchange), so expected ≈ K.
+      ("a38 rank-describe",
+        () => noop(graft.queries.GroupA4.rankDescribe(collRanksA38, memA38)),
+        () => noop(graft.queries.GroupA4.rankDescribe(collRanksA38K, memA38K))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the
