@@ -166,6 +166,74 @@ object GroupA4 {
   val queries: Map[String, Q] = Map(
     "a38_rank_describe" -> ((s, d) => rankDescribeOf(s, d)),
 
+    // a39: dump order audit (research/parsing-wiki-dumps/is_sorted.py
+    // — the pre-flight check that a dump is sorted by its key before
+    // anything binary-searches or merge-joins it; the reference
+    // scans the CSV once and exits at the first out-of-order pair).
+    // Engine form: ONE window pass per stream (user) checks the
+    // event time is monotone along the declared sequence (event_id)
+    // and reports each stream's violation count and first violating
+    // id — the whole-corpus answer the single-pass scan cannot give.
+    // The generator emits events already sorted (0 natural
+    // violations = a trivially-empty oracle), so the audited column
+    // plants deterministic late-arrivals — event_id % 101 == 0 rows
+    // shifted an hour early — the same planted-fixture pattern as
+    // a13's % diffs and b7's planted cycles; both engines apply the
+    // identical expression. Epoch-seconds arithmetic per the G-family
+    // parity contract.
+    "a39_sort_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          (col("ts").cast("long") -
+            when(col("event_id") % 101 === 0, 3600L).otherwise(0L)).as("es"))
+        .withColumn("prev_es", lag(col("es"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("prev_es") > col("es"), 1L).otherwise(0L))
+            .as("n_violations"),
+          min(when(col("prev_es") > col("es"), col("event_id")))
+            .as("first_violation_id"))
+        .filter(col("n_violations") > 0)
+    }),
+
+    // a40: corpus snapshot comparison (research/parsing-wiki-dumps/
+    // compare-members.py — the two-dump audit run before swapping a
+    // new wiki parse in: per-side collection counts, mean member
+    // counts, and which collections exist in only one side). Engine
+    // form: two derived membership snapshots (a13's % filters), one
+    // exact-moment aggregate per side (mean as cents by the a38
+    // integer half-up division), anti-joins both ways for the
+    // only-in counts, and the reference's arbitrary [30:60] id slice
+    // becomes the DETERMINISTIC 30 smallest ids (orderBy+limit plans
+    // as TakeOrderedAndProject — no global sort materialized). All
+    // 1-row branches; the final assembly is broadcast cross-joins.
+    "a40_snapshot_compare" -> ((s, d) => {
+      val mem = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+      def collsOf(f: DataFrame): DataFrame =
+        f.distinct().groupBy("coll").agg(count(lit(1)).as("nm"))
+      val c1 = collsOf(mem.filter(col("coll") % 3 =!= 0)).cut()
+      val c2 = collsOf(mem.filter(col("coll") % 5 =!= 0)).cut()
+      def sideStats(c: DataFrame, tag: String): DataFrame =
+        c.agg(count(lit(1)).as(s"n_colls_$tag"),
+          expr("CAST((2 * sum(nm) + count(1)) DIV (2 * count(1)) AS BIGINT)")
+            .as(s"mean_members_c_$tag"))
+      def onlyIn(a: DataFrame, b: DataFrame, tag: String): DataFrame = {
+        val only = a.select("coll")
+          .join(b.select("coll"), Seq("coll"), "left_anti").cut()
+        val sample = only.orderBy("coll").limit(30)
+          .agg(array_join(transform(sort_array(collect_list(col("coll"))),
+            x => x.cast("string")), ",").as(s"sample_only_$tag"))
+        only.agg(count(lit(1)).as(s"n_only_$tag")).crossJoin(sample)
+      }
+      sideStats(c1, "1").crossJoin(sideStats(c2, "2"))
+        .crossJoin(onlyIn(c1, c2, "1"))
+        .crossJoin(onlyIn(c2, c1, "2"))
+    }),
+
     // a34: emoji-aware name tokenization (load_custom_collections.py:
     // 126-158): emoji survive as their own tokens — ZWJ sequences and
     // skin-tone modifiers as ONE token — while the text between them
@@ -502,6 +570,58 @@ object GroupA4 {
         |  round(s.mxv / 100.0, 6) AS vmax,
         |  t.top10
         |FROM stats s JOIN top t USING (series)""".stripMargin,
+
+    // a39: epoch-seconds + the planted-perturbation expression are
+    // identical on both engines; event_id is unique, so the lag
+    // order is total.
+    "a39_sort_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    cast(floor(epoch(ts)) AS bigint)
+        |      - CASE WHEN event_id % 101 = 0 THEN 3600 ELSE 0 END AS es
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, event_id, es,
+        |    lag(es) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev_es
+        |  FROM e)
+        |SELECT user_id, cast(count(*) AS bigint) AS n_events,
+        |  cast(coalesce(sum(CASE WHEN prev_es > es THEN 1 ELSE 0 END), 0)
+        |    AS bigint) AS n_violations,
+        |  min(CASE WHEN prev_es > es THEN event_id END)
+        |    AS first_violation_id
+        |FROM m GROUP BY 1
+        |HAVING coalesce(sum(CASE WHEN prev_es > es THEN 1 ELSE 0 END), 0) > 0
+        |""".stripMargin,
+
+    // a40: counts and integer-division means are exact on both
+    // engines; the sample strings join the 30 smallest ids.
+    "a40_snapshot_compare" ->
+      """WITH m1 AS (
+        |  SELECT DISTINCT l_orderkey AS coll, l_partkey AS member
+        |  FROM lineitem WHERE l_orderkey % 3 <> 0),
+        |m2 AS (
+        |  SELECT DISTINCT l_orderkey AS coll, l_partkey AS member
+        |  FROM lineitem WHERE l_orderkey % 5 <> 0),
+        |c1 AS (SELECT coll, count(*) AS nm FROM m1 GROUP BY 1),
+        |c2 AS (SELECT coll, count(*) AS nm FROM m2 GROUP BY 1),
+        |s1 AS (SELECT cast(count(*) AS bigint) AS n_colls_1,
+        |         cast((2 * sum(nm) + count(*)) // (2 * count(*))
+        |           AS bigint) AS mean_members_c_1 FROM c1),
+        |s2 AS (SELECT cast(count(*) AS bigint) AS n_colls_2,
+        |         cast((2 * sum(nm) + count(*)) // (2 * count(*))
+        |           AS bigint) AS mean_members_c_2 FROM c2),
+        |o1 AS (SELECT coll FROM c1 WHERE coll NOT IN (SELECT coll FROM c2)),
+        |o2 AS (SELECT coll FROM c2 WHERE coll NOT IN (SELECT coll FROM c1)),
+        |d1 AS (SELECT cast(count(*) AS bigint) AS n_only_1 FROM o1),
+        |d2 AS (SELECT cast(count(*) AS bigint) AS n_only_2 FROM o2),
+        |x1 AS (SELECT coalesce(string_agg(cast(coll AS varchar), ','
+        |                ORDER BY coll), '') AS sample_only_1
+        |       FROM (SELECT coll FROM o1 ORDER BY coll LIMIT 30)),
+        |x2 AS (SELECT coalesce(string_agg(cast(coll AS varchar), ','
+        |                ORDER BY coll), '') AS sample_only_2
+        |       FROM (SELECT coll FROM o2 ORDER BY coll LIMIT 30))
+        |SELECT * FROM s1, s2, d1, x1, d2, x2""".stripMargin,
 
     // a37: Σd² over row_number ranks is exact integer arithmetic on
     // both engines; rho's one division replays bit-for-bit.
