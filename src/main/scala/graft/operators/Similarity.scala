@@ -836,6 +836,51 @@ object Similarity {
           col("n_exact"), 4).as("recall"))
   }
 
+  /** NDCG@k of a ranked retrieval against the exact ranking
+    * (reference: research/learning-to-rank/compare_window_sizes.py:
+    * 191-211 — the window-size study's quality metric; graded
+    * relevance where [[recallAt]] only counts membership).
+    *
+    * Inputs are two kNN frames with (query_id, neighbor_id, cosine,
+    * rank): `ann` supplies the retrieved ORDER and each hit's true
+    * grade (its exact cosine — the LSH path rescores exactly), and
+    * `exact` the ideal ordering. Per the reference: dcg folds the
+    * retrieved grades AS-IS while idcg floors the ideal grades at
+    * `defaultScore` (its asymmetry, kept); ndcg = 0 when idcg = 0 or
+    * the retrieval returned nothing. The reference's default grade
+    * floor is 2.0 for 0–4 human annotations; cosine grades live in
+    * [-1, 1], so the registered call floors at 0.0 instead.
+    *
+    * Determinism: a groupBy sum of doubles commits to no accumulation
+    * order, so each ≤k-term series folds LEFT-TO-RIGHT in rank order
+    * via aggregate() over a rank-sorted array — the oracle mirrors it
+    * with list_reduce over list(term ORDER BY rank), and IEEE
+    * addition replays bit-for-bit (the 0.0 init is exact: 0.0 + x =
+    * x for every finite x). */
+  def ndcgAt(ann: DataFrame, exact: DataFrame,
+             defaultScore: Double = 0.0): DataFrame = {
+    def foldDcg(df: DataFrame, grade: Column, out: String): DataFrame =
+      df.select(col("query_id"), col("rank"),
+          (grade / log2(col("rank").cast("double") + 1.0)).as("term"))
+        .groupBy("query_id")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("rank"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as(out))
+    val dcg = foldDcg(ann.select("query_id", "rank", "cosine"),
+      col("cosine"), "dcg")
+    val idcg = foldDcg(exact.select("query_id", "rank", "cosine"),
+      greatest(col("cosine"), lit(defaultScore)), "idcg")
+    // Exact side is the spine: every query has ideal rows, while a
+    // retrieval can come back empty (no shared LSH bucket) -> dcg 0.
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(when(col("idcg") > 0,
+            coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg"))
+  }
+
   /** (id, unit) with `unit` the L2-normalized vector in doubles;
     * zero vectors pass through unchanged (cosine 0 downstream).
     * One fused codegen pass ([[graft.functions.expr.ArrayNormalize]]

@@ -110,6 +110,19 @@ object GroupE {
         Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
           "vec_id", "embedding", k = 10))),
 
+    // e13: NDCG@k of the LSH retrieval against the exact ranking —
+    // e9's graded sibling (compare_window_sizes.py:191-211): recall
+    // counts membership, NDCG scores the ORDER, each hit graded by
+    // its exact cosine and discounted by log2(rank+1). Ideal grades
+    // floor at 0.0 (the reference's 2.0 suits 0–4 human annotations;
+    // cosine grades live in [-1, 1]).
+    "e13_ndcg_eval" -> ((s, d) =>
+      Similarity.ndcgAt(
+        Similarity.knnLsh(queriesSet(s, d), emb(s, d),
+          "vec_id", "embedding", k = 10, dim = 64),
+        Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
+          "vec_id", "embedding", k = 10))),
+
     // e11: incremental ANN index maintenance — the vector-side
     // analogue of d11's incremental dedup. The serving structures
     // (IVF centroids + PQ codebook, e6's exact fit recipe) are built
@@ -569,6 +582,56 @@ object GroupE {
          |  round(cast(coalesce(m.n_matched, 0) AS double) / g.n_exact, 4) AS recall
          |FROM (SELECT query_id, count(*) AS n_exact FROM eknn GROUP BY 1) g
          |LEFT JOIN m USING (query_id)""".stripMargin,
+
+    // e13 composes the SAME two proven paths as e9 but keeps
+    // (cosine, rank) on both sides and folds each ≤10-term series
+    // left-to-right in rank order (list_reduce over list(term ORDER
+    // BY rank) ≡ the Spark side's aggregate over a rank-sorted
+    // array; list_reduce seeds with the first element where Spark
+    // seeds 0.0 — equal, since 0.0 + x = x exactly). Terms are 4-dp
+    // cosines over log2(rank+1); dcg keeps raw grades, idcg floors
+    // at 0.0 — the reference's asymmetry at the cosine grade scale.
+    "e13_ndcg_eval" ->
+      s"""WITH ${DuckSql.lshCtes},
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         |         WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |lsc AS (SELECT query_id, neighbor_id,
+         |          round(list_reduce(list_transform(generate_series(1, 64),
+         |            i -> a.u[i] * b.u[i]), (x, y) -> x + y), 4) AS cosine
+         |        FROM cand JOIN u a ON a.vec_id = query_id
+         |                  JOIN u b ON b.vec_id = neighbor_id),
+         |lknn AS (SELECT query_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM lsc) WHERE rank <= 10),
+         |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |eq AS (SELECT vec_id, v FROM ee WHERE vec_id % 50 = 0),
+         |esc AS (SELECT eq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          round(list_cosine_similarity(eq.v, c.v), 4) AS cosine
+         |        FROM eq JOIN ee c ON eq.vec_id <> c.vec_id),
+         |eknn AS (SELECT query_id, cosine, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM esc) WHERE rank <= 10),
+         |d AS (SELECT query_id,
+         |        list_reduce(list(cosine / log2(rank + 1) ORDER BY rank),
+         |                    (acc, x) -> acc + x) AS dcg
+         |      FROM lknn GROUP BY 1),
+         |i AS (SELECT query_id,
+         |        list_reduce(list(greatest(cosine, 0.0) / log2(rank + 1)
+         |                         ORDER BY rank),
+         |                    (acc, x) -> acc + x) AS idcg
+         |      FROM eknn GROUP BY 1)
+         |SELECT i.query_id,
+         |  round(coalesce(d.dcg, 0.0), 6) AS dcg,
+         |  round(i.idcg, 6) AS idcg,
+         |  round(CASE WHEN i.idcg > 0
+         |             THEN coalesce(d.dcg, 0.0) / i.idcg
+         |             ELSE 0.0 END, 6) AS ndcg
+         |FROM i LEFT JOIN d USING (query_id)""".stripMargin,
 
     // e10 = e2's replay with the rank stage swapped for the 4-dp
     // threshold (the rounding is part of both engines' contract, so
