@@ -60,7 +60,13 @@ object GroupA4 {
       .withColumn("r2", row_number().over(w2))
       .groupBy("coll")
       .agg(count(lit(1)).as("n_members"),
-        sum(((col("r1") - col("r2")) * (col("r1") - col("r2"))).cast("long"))
+        // Difference cast to long BEFORE squaring: row_number is an
+        // int, and an int d*d wraps past |d| > 46340 — reachable on
+        // the ad-hoc frames this public helper accepts (a 50k-member
+        // ordering reversal), even though the registered collapse
+        // never produces them.
+        sum((col("r1") - col("r2")).cast("long") *
+            (col("r1") - col("r2")).cast("long"))
           .as("__sd2"))
       .filter(col("n_members") >= 2)
       .select(col("coll").as("o_orderkey"), col("n_members"),
@@ -107,10 +113,15 @@ object GroupA4 {
     // One exchange on coll serves count, exact sum, and the arg-max
     // struct; the reference skips collections without members, hence
     // the semi-join gating the collection-rank series.
+    // Cut: three branches consume perColl with DIFFERENT column
+    // prunings (coll alone for the semi-join, (nm, rsum), (mx)), so
+    // ReuseExchange cannot dedupe them and the lineitem collapse
+    // would re-execute per branch without the checkpoint.
     val perColl = mem.groupBy("coll").agg(
       count(lit(1)).as("nm"),
       sum(col("rank")).as("rsum"),
       max(struct(col("rank").as("r"), (-col("member")).as("negm"))).as("mx"))
+      .cut()
     val collRank = collRanks
       .join(perColl.select("coll"), Seq("coll"), "left_semi")
       .select(lit("collection_rank").as("series"),
@@ -219,14 +230,14 @@ object GroupA4 {
       val c2 = collsOf(mem.filter(col("coll") % 5 =!= 0)).cut()
       def sideStats(c: DataFrame, tag: String): DataFrame =
         c.agg(count(lit(1)).as(s"n_colls_$tag"),
-          expr("CAST((2 * sum(nm) + count(1)) DIV (2 * count(1)) AS BIGINT)")
-            .as(s"mean_members_c_$tag"))
+          expr("CAST((2 * sum(nm) * 100 + count(1)) DIV (2 * count(1)) " +
+            "AS BIGINT)").as(s"mean_members_c_$tag"))
       def onlyIn(a: DataFrame, b: DataFrame, tag: String): DataFrame = {
         val only = a.select("coll")
           .join(b.select("coll"), Seq("coll"), "left_anti").cut()
         val sample = only.orderBy("coll").limit(30)
-          .agg(array_join(transform(sort_array(collect_list(col("coll"))),
-            x => x.cast("string")), ",").as(s"sample_only_$tag"))
+          .agg(concat_ws(",", sort_array(collect_list(col("coll"))))
+            .as(s"sample_only_$tag"))
         only.agg(count(lit(1)).as(s"n_only_$tag")).crossJoin(sample)
       }
       sideStats(c1, "1").crossJoin(sideStats(c2, "2"))
@@ -606,10 +617,10 @@ object GroupA4 {
         |c1 AS (SELECT coll, count(*) AS nm FROM m1 GROUP BY 1),
         |c2 AS (SELECT coll, count(*) AS nm FROM m2 GROUP BY 1),
         |s1 AS (SELECT cast(count(*) AS bigint) AS n_colls_1,
-        |         cast((2 * sum(nm) + count(*)) // (2 * count(*))
+        |         cast((2 * sum(nm) * 100 + count(*)) // (2 * count(*))
         |           AS bigint) AS mean_members_c_1 FROM c1),
         |s2 AS (SELECT cast(count(*) AS bigint) AS n_colls_2,
-        |         cast((2 * sum(nm) + count(*)) // (2 * count(*))
+        |         cast((2 * sum(nm) * 100 + count(*)) // (2 * count(*))
         |           AS bigint) AS mean_members_c_2 FROM c2),
         |o1 AS (SELECT coll FROM c1 WHERE coll NOT IN (SELECT coll FROM c2)),
         |o2 AS (SELECT coll FROM c2 WHERE coll NOT IN (SELECT coll FROM c1)),
