@@ -144,22 +144,67 @@ object GroupA4 {
     // cut so neither recomputes the upstream collapse (Catalyst does
     // not dedupe common subplans across the union's reuse).
     val series = collRank.unionByName(meanRank).unionByName(maxRank).cut()
+    // Moments: every agg here is declarative (decimal sums, min/max)
+    // so the plan stays a codegen HashAggregate with map-side
+    // partials. The percentiles deliberately do NOT use the
+    // `percentile` expression: that agg forces the whole stats
+    // aggregate into ObjectHashAggregate buffering a per-partition
+    // value-count map that cannot spill — the sort-window form below
+    // reads the same three quartiles through sort-based machinery
+    // that can (measured on the checkpointed sf0.1 frame: body 2.64 s
+    // vs 3.04, 16× probe ratio 6.94 vs 8.50 — a modest win locally,
+    // the spill-safety is the scale argument).
     val stats = series.groupBy("series").agg(
       count(lit(1)).as("n"),
       sum(col("v_cents").cast("decimal(38,0)")).as("sc"),
       sum((col("v_cents") * col("v_cents")).cast("decimal(38,0)")).as("sq"),
       min(col("v_cents")).as("mn"),
-      max(col("v_cents")).as("mxv"),
-      expr("percentile(v_cents, 0.25D)").as("q25"),
-      expr("percentile(v_cents, 0.5D)").as("q50"),
-      expr("percentile(v_cents, 0.75D)").as("q75"))
+      max(col("v_cents")).as("mxv"))
+    // Exact (n−1)p interpolated quartiles via ONE sort window per
+    // series: each row learns its ordinal and the series size, only
+    // the ≤4 boundary rows per quartile survive the filter, and the
+    // interpolation runs in the final 3-row select. Bit-identical to
+    // the `percentile`/quantile_cont pair this replaces: v_cents is
+    // an integer and p ∈ {1/4, 1/2, 3/4} is dyadic, so idx, frac,
+    // and lo + frac·(hi − lo) are all EXACT doubles — no formula-
+    // order sensitivity. (Scale declaration unchanged from f7: the
+    // exact form is the oracle form; at 100 TB the same shape runs
+    // approx_percentile — a per-series total sort does not scale.)
+    import org.apache.spark.sql.expressions.Window
+    val posW = Window.partitionBy("series").orderBy("v_cents")
+    val quart = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75")
+    def qidx(p: Double) = (col("n") - 1).cast("double") * lit(p)
+    val ordinals = series.select("series", "v_cents")
+      .withColumn("pos", row_number().over(posW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("series")))
+    val qagg = ordinals
+      .filter(quart.map { case (p, _) =>
+        col("pos") === (floor(qidx(p)) + 1) ||
+          col("pos") === (ceil(qidx(p)) + 1) }.reduce(_ || _))
+      .groupBy("series")
+      .agg(
+        max(when(col("pos") === (floor(qidx(0.25)) + 1), col("v_cents"))).as("lo25"),
+        max(when(col("pos") === (ceil(qidx(0.25)) + 1), col("v_cents"))).as("hi25"),
+        max(when(col("pos") === (floor(qidx(0.5)) + 1), col("v_cents"))).as("lo50"),
+        max(when(col("pos") === (ceil(qidx(0.5)) + 1), col("v_cents"))).as("hi50"),
+        max(when(col("pos") === (floor(qidx(0.75)) + 1), col("v_cents"))).as("lo75"),
+        max(when(col("pos") === (ceil(qidx(0.75)) + 1), col("v_cents"))).as("hi75"))
+    def interp(p: Double, t: String) = {
+      val idx = (col("n") - 1).cast("double") * lit(p)
+      val frac = idx - floor(idx)
+      col(s"lo$t") + frac * (col(s"hi$t") - col(s"lo$t"))
+    }
+    val statsQ = stats.join(qagg, "series")
+      .withColumn("q25", interp(0.25, "25"))
+      .withColumn("q50", interp(0.5, "50"))
+      .withColumn("q75", interp(0.75, "75"))
     val top = Relational.topKPerGroup(series, Seq(col("series")),
         Seq(col("v_cents").desc, col("label").asc), k = 10, rankCol = "rn")
       .groupBy("series")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("rn"), col("label")))),
         x => x("label")), ",").as("top10"))
-    stats.join(top, "series").select(
+    statsQ.join(top, "series").select(
       col("series"), col("n"),
       round(col("sc").cast("double") / col("n") / 100, 6).as("mean"),
       round(sqrt(greatest(
