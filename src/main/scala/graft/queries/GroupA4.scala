@@ -207,10 +207,14 @@ object GroupA4 {
     statsQ.join(top, "series").select(
       col("series"), col("n"),
       round(col("sc").cast("double") / col("n") / 100, 6).as("mean"),
-      round(sqrt(greatest(
+      // Sample std is NULL for a 1-value series (stddev_samp
+      // semantics): without the guard the (n−1) division is an ANSI
+      // DIVIDE_BY_ZERO — unreachable on the registered tables, found
+      // by the PropertySpec brute-force on random frames.
+      round(when(col("n") > 1, sqrt(greatest(
           (col("sq").cast("double") -
             col("sc").cast("double") * col("sc").cast("double") / col("n"))
-            / (col("n") - 1), lit(0.0))) / 100, 6).as("std"),
+            / (col("n") - 1), lit(0.0))) / 100), 6).as("std"),
       round(col("mn") / lit(100.0), 6).as("vmin"),
       round(col("q25") / 100, 6).as("p25"),
       round(col("q50") / 100, 6).as("p50"),
@@ -615,10 +619,10 @@ object GroupA4 {
         |  GROUP BY 1)
         |SELECT s.series, s.n,
         |  round(cast(s.sc AS double) / s.n / 100, 6) AS mean,
-        |  round(sqrt(greatest(
+        |  round(CASE WHEN s.n > 1 THEN sqrt(greatest(
         |      (cast(s.sq AS double)
         |        - cast(s.sc AS double) * cast(s.sc AS double) / s.n)
-        |        / (s.n - 1), 0.0)) / 100, 6) AS std,
+        |        / (s.n - 1), 0.0)) / 100 END, 6) AS std,
         |  round(s.mn / 100.0, 6) AS vmin,
         |  round(s.q25 / 100, 6) AS p25,
         |  round(s.q50 / 100, 6) AS p50,

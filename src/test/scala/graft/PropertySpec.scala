@@ -202,4 +202,89 @@ class PropertySpec extends GraftSuite {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(pins == Map(1L -> 1.0, 2L -> -1.0))
   }
+
+  test("rankDescribe matches a brute-force in-memory describe on random frames") {
+    // a38's registered body on random (coll, r) / (coll, member, rank)
+    // frames vs an in-memory reference that quantizes to cents,
+    // interpolates (n−1)p quartiles on the sorted values, and applies
+    // the same final double expressions in the same operation order.
+    // Value-level guard for the sort-window quartile form: the DuckDB
+    // oracle proves two fixed datasets; this covers the edges those
+    // never hit — 1-value series (sample std is NaN by definition),
+    // all-equal series (zero-width quartiles), heavy value ties across
+    // a quartile boundary, and colls present on only one input side
+    // (mean/max series keep them, collection_rank semi-joins them out).
+    def round6(x: Double) = if (x.isNaN) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Sample std of a 1-value series is NULL (stddev_samp semantics —
+    // the unguarded (n−1) division was an ANSI DIVIDE_BY_ZERO this
+    // test caught); the sentinel stands in for NULL on both sides.
+    val NullStd = -987654321.0
+    def describe(vals: Seq[(String, Long)]) = {
+      val cents = vals.map(_._2)
+      val n = cents.size.toLong
+      val sc = cents.sum.toDouble
+      val sq = cents.map(c => c * c).sum.toDouble
+      val sorted = cents.sorted
+      def q(p: Double) = {
+        val idx = (n - 1).toDouble * p
+        val lo = sorted(math.floor(idx).toInt).toDouble
+        val hi = sorted(math.ceil(idx).toInt).toDouble
+        round6((lo + (idx - math.floor(idx)) * (hi - lo)) / 100)
+      }
+      val top = vals.sortBy { case (l, v) => (-v, l) }.take(10).map(_._1)
+      (n, round6(sc / n / 100),
+        if (n == 1) NullStd
+        else round6(math.sqrt(math.max((sq - sc * sc / n) / (n - 1), 0.0)) / 100),
+        round6(sorted.head / 100.0), q(0.25), q(0.5), q(0.75),
+        round6(sorted.last / 100.0), top.mkString(","))
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(3800 + seed)
+      val colls = (0L until (rnd.nextInt(5) + 1)).toList
+      // Cents with heavy ties (4 distinct values) so quartile
+      // boundaries and the top-10 tiebreak both land on ties.
+      val mem = (for {
+        c <- colls if rnd.nextInt(10) > 0
+        m <- rnd.shuffle((0L to 15L).toList).take(rnd.nextInt(5) + 1)
+      } yield (c, m, (rnd.nextInt(4) * 25 + 50).toLong))
+      val collRanks = (colls ++ List(99L))
+        .filter(_ => rnd.nextInt(10) > 1)
+        .map(c => (c, (rnd.nextInt(5) * 10 + 10).toLong))
+      // Reference: per-coll moments in exact integer cents, mean by
+      // the same (2·tc + n) div (2·n) half-up, arg-max tie to the
+      // smallest member — then describe each non-empty series.
+      val perColl = mem.groupBy(_._1).toSeq.map { case (c, g) =>
+        val nm = g.size.toLong
+        val tc = g.map(_._3).sum
+        val (mr, mm) = g.map(r => (r._3, r._2))
+          .max(Ordering.by((t: (Long, Long)) => (t._1, -t._2)))
+        (c, nm, (2 * tc + nm) / (2 * nm), mr, mm)
+      }
+      val memColls = perColl.map(_._1).toSet
+      val series = Map(
+        "collection_rank" -> collRanks.filter(r => memColls(r._1))
+          .map { case (c, rc) => (c.toString, rc) },
+        "mean_member_rank" -> perColl.map(p => (p._1.toString, p._3)),
+        "max_member_rank" -> perColl.map(p => (s"${p._1}/${p._5}", p._4)))
+      val expected = series.collect {
+        case (name, vals) if vals.nonEmpty => name -> describe(vals)
+      }
+      val got = graft.queries.GroupA4.rankDescribe(
+          collRanks.toDF("coll", "c")
+            .select(col("coll"), (col("c").cast("decimal(38,10)") / 100)
+              .cast("decimal(18,2)").as("r")),
+          mem.toDF("coll", "member", "c")
+            .select(col("coll"), col("member"),
+              (col("c").cast("decimal(38,10)") / 100)
+                .cast("decimal(18,2)").as("rank")))
+        .collect().map { r =>
+          r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+            if (r.isNullAt(3)) NullStd else r.getDouble(3),
+            r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getString(9)))
+        }.toMap
+      assert(got == expected, s"seed=$seed mem=$mem collRanks=$collRanks")
+    }
+  }
 }
