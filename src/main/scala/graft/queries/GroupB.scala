@@ -35,6 +35,46 @@ object GroupB {
         .select(expr("p_partkey DIV 4").as("src"), col("p_partkey").as("dst")))
   }
 
+  /** Member→type fact table for b9/b10 (types_to_validate.py's
+    * articles_types input: per article the instanceof + subclassof
+    * type lists, with the reference's documented sparsity — 21% of
+    * articles lack instanceof, 96% lack subclassof). Deterministic
+    * from part so DuckDB derives the identical table: instanceof
+    * t = k % 50 (skipped when k % 7 = 0), a second instanceof
+    * t = k % 13 + 100 when k % 3 = 0 (the multi-valued lists),
+    * subclassof t = k % 30 + 20 (skipped when k % 11 = 0; the range
+    * overlaps instanceof ON PURPOSE so the per-article set union
+    * genuinely dedups — e.g. k = 120 yields t = 20 via both kinds,
+    * the `set(instanceof + subclassof)` semantics). Three narrow
+    * filtered projections of one part scan — no shuffle. */
+  private def memberTypes(s: SparkSession, d: String): DataFrame = {
+    val p = Tables(s, d, "part").select("p_partkey")
+    p.filter(col("p_partkey") % 7 =!= 0)
+      .select(col("p_partkey").as("article"),
+        (col("p_partkey") % 50).as("t"), lit("instanceof").as("kind"))
+      .unionByName(p.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("article"),
+          (col("p_partkey") % 13 + 100).as("t"), lit("instanceof").as("kind")))
+      .unionByName(p.filter(col("p_partkey") % 11 =!= 0)
+        .select(col("p_partkey").as("article"),
+          (col("p_partkey") % 30 + 20).as("t"), lit("subclassof").as("kind")))
+  }
+
+  /** [[memberTypes]] + its per-article distinct (article, t) set as a
+    * CTE prefix, shared by the b9/b10 oracles. */
+  private val mtCte =
+    """mt AS (
+      |  SELECT p_partkey AS article, p_partkey % 50 AS t,
+      |         'instanceof' AS kind
+      |  FROM part WHERE p_partkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey % 13 + 100, 'instanceof'
+      |  FROM part WHERE p_partkey % 3 = 0
+      |  UNION ALL
+      |  SELECT p_partkey, p_partkey % 30 + 20, 'subclassof'
+      |  FROM part WHERE p_partkey % 11 <> 0),
+      |mtd AS (SELECT DISTINCT article, t FROM mt)""".stripMargin
+
   private val edgeCte =
     """e AS (SELECT p_partkey AS src, p_partkey // 2 AS dst
       |       FROM part WHERE p_partkey >= 2),
@@ -225,6 +265,74 @@ object GroupB {
         .groupBy("dir", "degree").agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // b9: the validation-pair generator (types_to_validate.py — the
+    // upstream of b2's validation: per collection TYPE, the distinct
+    // set of member article types, the script's json.dump output).
+    // Memberships dedupe BEFORE the article-keyed join (two orders of
+    // the same type sharing an article contribute one pair), pairs
+    // dedupe again after it; the per-type set is bounded by the type
+    // VOCABULARY (the reference's own numbers: 8.6k collection types
+    // × ~227 avg member types from a 10M-article corpus), so the
+    // collect_list is dim-sized however large the corpus — the same
+    // bounded-state argument as a6. A type whose members all lack
+    // types keeps its row with an empty list (the defaultdict
+    // semantics), via the left join's null t that count()/
+    // collect_list() then skip.
+    "b9_types_to_validate" -> ((s, d) => {
+      val mm = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables(s, d, "orders")
+                .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("ct"), col("l_partkey").as("article")).distinct()
+      val mtd = memberTypes(s, d).select("article", "t").distinct()
+      mm.join(mtd, Seq("article"), "left")
+        .select("ct", "t").distinct()
+        .groupBy("ct")
+        .agg(count(col("t")).as("n_member_types"),
+          array_join(transform(array_sort(collect_list(col("t"))),
+            x => x.cast("string")), ",").as("member_types"))
+    }),
+
+    // b10: the same script's printed corpus audit as one row — the
+    // numbers the reference ships as comments in the source (articles
+    // with/without each type kind, per-membership type mentions,
+    // unique member types, unique (collection type, member type)
+    // pairs, distinct collection types). Exact count-distincts are
+    // the oracle form; at 100 TB the same shape runs
+    // approx_count_distinct (the f7/a38 declaration pattern). The two
+    // 1-row branches assemble by a broadcast cross-join (the a40
+    // pattern).
+    "b10_type_coverage_audit" -> ((s, d) => {
+      val mt = memberTypes(s, d)
+      val perArt = Tables(s, d, "part")
+        .select(col("p_partkey").as("article"))
+        .join(mt, Seq("article"), "left")
+        .groupBy("article")
+        .agg(max(when(col("kind") === "instanceof", 1).otherwise(0)).as("hi"),
+             max(when(col("kind") === "subclassof", 1).otherwise(0)).as("hs"))
+      val aAgg = perArt.agg(
+        count(lit(1)).as("n_articles"),
+        sum(when(col("hi") === 0 && col("hs") === 0, 1L).otherwise(0L)).as("wo_types"),
+        sum(when(col("hi") === 0, 1L).otherwise(0L)).as("wo_instanceof"),
+        sum(when(col("hs") === 0, 1L).otherwise(0L)).as("wo_subclassof"))
+      val mj = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .join(Tables(s, d, "orders")
+                .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("ct"), col("l_partkey").as("article"))
+        .join(mt.select("article", "t").distinct(), Seq("article"), "left")
+      val mAgg = mj.agg(
+        count(col("t")).as("type_mentions"),
+        countDistinct(col("t")).as("uniq_member_types"),
+        // multi-column count-distinct skips null-t rows — exactly the
+        // real-pairs-only semantics (ct is never null).
+        countDistinct(col("ct"), col("t")).as("uniq_pairs"),
+        countDistinct(col("ct")).as("n_coll_types"))
+      aAgg.crossJoin(mAgg)
+    }),
+
     // b2: member-valid-iff-reachable + per-collection valid/invalid
     // counts (filter_articles2.py keeps both). Members are lineitem
     // rows typed by l_partkey; each order demands an ancestor type.
@@ -339,6 +447,51 @@ object GroupB {
          |SELECT dir, degree, cast(count(*) AS bigint) AS n_nodes
          |FROM (SELECT * FROM o UNION ALL SELECT * FROM i)
          |GROUP BY 1, 2""".stripMargin,
+
+    // b9/b10: the mt derivation is the same three filtered
+    // projections on both engines; counts are exact integers and the
+    // csv is string_agg ORDER BY t ≡ array_join(array_sort(...)).
+    "b9_types_to_validate" ->
+      s"""WITH $mtCte,
+         |mm AS (SELECT DISTINCT (o_orderkey % 30 + 2) AS ct,
+         |         l_partkey AS article
+         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |pr AS (SELECT DISTINCT ct, t
+         |       FROM mm LEFT JOIN mtd ON mtd.article = mm.article)
+         |SELECT ct, cast(count(t) AS bigint) AS n_member_types,
+         |  coalesce(string_agg(cast(t AS varchar), ',' ORDER BY t), '')
+         |    AS member_types
+         |FROM pr GROUP BY 1""".stripMargin,
+
+    "b10_type_coverage_audit" ->
+      s"""WITH $mtCte,
+         |pa AS (
+         |  SELECT p_partkey AS article,
+         |    max(CASE WHEN kind = 'instanceof' THEN 1 ELSE 0 END) AS hi,
+         |    max(CASE WHEN kind = 'subclassof' THEN 1 ELSE 0 END) AS hs
+         |  FROM part LEFT JOIN mt ON mt.article = p_partkey
+         |  GROUP BY 1),
+         |a AS (SELECT cast(count(*) AS bigint) AS n_articles,
+         |  cast(sum(CASE WHEN hi = 0 AND hs = 0 THEN 1 ELSE 0 END)
+         |    AS bigint) AS wo_types,
+         |  cast(sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS bigint)
+         |    AS wo_instanceof,
+         |  cast(sum(CASE WHEN hs = 0 THEN 1 ELSE 0 END) AS bigint)
+         |    AS wo_subclassof
+         |  FROM pa),
+         |ms AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |mj AS (SELECT (o_orderkey % 30 + 2) AS ct, t
+         |       FROM ms JOIN orders ON l_orderkey = o_orderkey
+         |       LEFT JOIN mtd ON mtd.article = l_partkey),
+         |m AS (SELECT
+         |  cast(count(t) AS bigint) AS type_mentions,
+         |  cast(count(DISTINCT t) AS bigint) AS uniq_member_types,
+         |  cast((SELECT count(*) FROM
+         |          (SELECT DISTINCT ct, t FROM mj WHERE t IS NOT NULL))
+         |    AS bigint) AS uniq_pairs,
+         |  cast(count(DISTINCT ct) AS bigint) AS n_coll_types
+         |  FROM mj)
+         |SELECT * FROM a, m""".stripMargin,
 
     "b2_validate_members" ->
       s"""WITH RECURSIVE $edgeCte

@@ -476,6 +476,29 @@ class PlanSpec extends GraftSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b9: pair generation joins keyed, no nested loops; scans pruned") {
+    val p = plan("b9_types_to_validate")
+    // Both join sides are corpus-scale (memberships × the member-type
+    // dim keyed on article), so keyed shuffles are right and the pin
+    // is the absence of anything worse.
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), p)
+  }
+
+  test("b10: audit joins keyed; only the 1-row assembly nests") {
+    val p = plan("b10_type_coverage_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    // The single nested-loop is the broadcast cross-join gluing the
+    // two 1-row audit branches (the a40 pattern).
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    // The multi-count-distinct runs through Expand (one grouping per
+    // distinct spec) — the exact oracle form; approx_count_distinct
+    // is the declared 100 TB shape.
+    assert(p.contains("Expand"), p)
+  }
+
   test("a25: the dfCap over-cap anti join broadcasts in the executed plan") {
     // a25's overlapPairs(dfCap=40) cuts ubiquitous members via a LEFT
     // ANTI against the over-cap element set (Relational.scala:147),
