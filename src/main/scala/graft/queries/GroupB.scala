@@ -60,6 +60,24 @@ object GroupB {
           (col("p_partkey") % 30 + 20).as("t"), lit("subclassof").as("kind")))
   }
 
+  /** [[memberTypes]]' distinct (article, t) dim — b9's type side. */
+  def memberTypeDim(s: SparkSession, d: String): DataFrame =
+    memberTypes(s, d).select("article", "t").distinct()
+
+  /** b9's registered body over a deduped (ct, article) membership
+    * frame and the (article, t) type dim (split from the table wiring
+    * so ScaleProbe runs the registered plan on K× inputs): distinct
+    * pairs after the article-keyed join, then the per-type bounded
+    * collect (set size ≤ the type vocabulary — dim-sized however
+    * large the corpus). */
+  def typesToValidateOf(mm: DataFrame, mtd: DataFrame): DataFrame =
+    mm.join(mtd, Seq("article"), "left")
+      .select("ct", "t").distinct()
+      .groupBy("ct")
+      .agg(count(col("t")).as("n_member_types"),
+        array_join(transform(array_sort(collect_list(col("t"))),
+          x => x.cast("string")), ",").as("member_types"))
+
   /** [[memberTypes]] + its per-article distinct (article, t) set as a
     * CTE prefix, shared by the b9/b10 oracles. */
   private val mtCte =
@@ -285,13 +303,7 @@ object GroupB {
                 .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
               col("l_orderkey") === col("o_orderkey"))
         .select(col("ct"), col("l_partkey").as("article")).distinct()
-      val mtd = memberTypes(s, d).select("article", "t").distinct()
-      mm.join(mtd, Seq("article"), "left")
-        .select("ct", "t").distinct()
-        .groupBy("ct")
-        .agg(count(col("t")).as("n_member_types"),
-          array_join(transform(array_sort(collect_list(col("t"))),
-            x => x.cast("string")), ",").as("member_types"))
+      typesToValidateOf(mm, memberTypeDim(s, d))
     }),
 
     // b10: the same script's printed corpus audit as one row — the

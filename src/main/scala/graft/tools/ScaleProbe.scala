@@ -287,6 +287,21 @@ object ScaleProbe {
     lazy val cyc = graft.queries.GroupB.cyclicEdges(spark, sfDir)
       .localCheckpoint()
     lazy val cycK = scaled(cyc, Seq("src", "dst"))
+    // b9's inputs: the deduped (ct, article) membership frame and the
+    // fixed (article, t) type dim. ct-only shift = K× collection
+    // types over the SAME articles and dim (the more-collection-types
+    // direction): join volume, pair-distinct and the bounded per-type
+    // collects all scale ≈ K; the dim is never corpus-multiplied.
+    lazy val mmB9 = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables(spark, sfDir, "orders")
+              .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("ct"), col("l_partkey").as("article")).distinct()
+      .localCheckpoint()
+    lazy val mmB9K = scaled(mmB9, Seq("ct"))
+    lazy val mtdB9 = graft.queries.GroupB.memberTypeDim(spark, sfDir)
+      .localCheckpoint()
     lazy val oldEb5 = edges.filter(col("src") % 10 =!= 0).localCheckpoint()
     lazy val newEb5 = edges.filter(col("src") % 10 === 0).localCheckpoint()
     lazy val targetsB5 = Tables(spark, sfDir, "orders")
@@ -682,6 +697,14 @@ object ScaleProbe {
       ("a38 rank-describe",
         () => noop(graft.queries.GroupA4.rankDescribe(collRanksA38, memA38)),
         () => noop(graft.queries.GroupA4.rankDescribe(collRanksA38K, memA38K))),
+      // b9: the registered typesToValidateOf body — K× collection
+      // types (ct-shifted memberships), fixed article/type dim. Pure
+      // keyed join + two distincts + a vocabulary-bounded collect, so
+      // expected ≈ K; super-linear would expose the dim being
+      // multiplied into the pair space.
+      ("b9 pair-gen",
+        () => noop(graft.queries.GroupB.typesToValidateOf(mmB9, mtdB9)),
+        () => noop(graft.queries.GroupB.typesToValidateOf(mmB9K, mtdB9))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the
