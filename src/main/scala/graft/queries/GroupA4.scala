@@ -109,7 +109,16 @@ object GroupA4 {
   /** Core of a38 over a (coll, r) collection-rank frame and a
     * (coll, member, rank) member-rank frame — split from the table
     * wiring so ScaleProbe runs the registered plan on K× inputs. */
-  def rankDescribe(collRanks: DataFrame, mem: DataFrame): DataFrame = {
+  def rankDescribe(collRanks0: DataFrame, mem0: DataFrame): DataFrame = {
+    // pandas-describe semantics for the PUBLIC body: null ranks drop
+    // at the door (impossible on the registered tables). Found by
+    // review of the quartile rework: the sort window ranks null
+    // v_cents FIRST where the replaced percentile() skipped them, so
+    // without this filter every boundary ordinal would shift by the
+    // null count; filtering inputs (not v_cents) also keeps n, the
+    // moments and the mean-series denominator consistent.
+    val collRanks = collRanks0.filter(col("r").isNotNull)
+    val mem = mem0.filter(col("rank").isNotNull)
     // One exchange on coll serves count, exact sum, and the arg-max
     // struct; the reference skips collections without members, hence
     // the semi-join gating the collection-rank series.
@@ -140,9 +149,10 @@ object GroupA4 {
       concat(col("coll").cast("string"), lit("/"),
         (-col("mx.negm")).cast("string")).as("label"),
       (col("mx.r") * 100).cast("long").as("v_cents"))
-    // The union feeds two consumers (moments agg + top-10 window);
-    // cut so neither recomputes the upstream collapse (Catalyst does
-    // not dedupe common subplans across the union's reuse).
+    // The union feeds three consumers (moments agg, quartile ordinals
+    // window, top-10 window); cut so none recomputes the upstream
+    // collapse (Catalyst does not dedupe common subplans across the
+    // union's reuse).
     val series = collRank.unionByName(meanRank).unionByName(maxRank).cut()
     // Moments: every agg here is declarative (decimal sums, min/max)
     // so the plan stays a codegen HashAggregate with map-side

@@ -37,16 +37,19 @@ object GroupB {
 
   /** Member→type fact table for b9/b10 (types_to_validate.py's
     * articles_types input: per article the instanceof + subclassof
-    * type lists, with the reference's documented sparsity — 21% of
-    * articles lack instanceof, 96% lack subclassof). Deterministic
-    * from part so DuckDB derives the identical table: instanceof
-    * t = k % 50 (skipped when k % 7 = 0), a second instanceof
-    * t = k % 13 + 100 when k % 3 = 0 (the multi-valued lists),
-    * subclassof t = k % 30 + 20 (skipped when k % 11 = 0; the range
-    * overlaps instanceof ON PURPOSE so the per-article set union
-    * genuinely dedups — e.g. k = 120 yields t = 20 via both kinds,
-    * the `set(instanceof + subclassof)` semantics). Three narrow
-    * filtered projections of one part scan — no shuffle. */
+    * type lists). Deterministic from part so DuckDB derives the
+    * identical table: instanceof t = k % 50 (skipped when k % 7 = 0),
+    * a second instanceof t = k % 13 + 100 when k % 3 = 0 (the
+    * multi-valued lists), subclassof t = k % 30 + 20 (skipped when
+    * k % 11 = 0; the range overlaps instanceof ON PURPOSE so the
+    * per-article set union genuinely dedups — e.g. k = 120 yields
+    * t = 20 via both kinds, the `set(instanceof + subclassof)`
+    * semantics). Every sparsity class the reference documents is
+    * REPRESENTED — no instanceof ≈ 9.5% of articles (k % 7 = 0 and
+    * not rescued by the k % 3 list), no subclassof ≈ 9.1%, neither
+    * ≈ 3% — though not at the reference corpus's real rates (21% /
+    * 96%), which the fixture doesn't need. Three narrow filtered
+    * projections of one part scan — no shuffle. */
   private def memberTypes(s: SparkSession, d: String): DataFrame = {
     val p = Tables(s, d, "part").select("p_partkey")
     p.filter(col("p_partkey") % 7 =!= 0)

@@ -243,17 +243,28 @@ class PropertySpec extends GraftSuite {
       val rnd = new scala.util.Random(3800 + seed)
       val colls = (0L until (rnd.nextInt(5) + 1)).toList
       // Cents with heavy ties (4 distinct values) so quartile
-      // boundaries and the top-10 tiebreak both land on ties.
-      val mem = (for {
+      // boundaries and the top-10 tiebreak both land on ties, plus
+      // injected NULL ranks (1 in 6) — the body must drop them at
+      // the door (pandas describe semantics; the review-found edge:
+      // a null would rank FIRST in the quartile sort window where
+      // percentile() skipped it, shifting every boundary ordinal).
+      val memRaw = (for {
         c <- colls if rnd.nextInt(10) > 0
         m <- rnd.shuffle((0L to 15L).toList).take(rnd.nextInt(5) + 1)
-      } yield (c, m, (rnd.nextInt(4) * 25 + 50).toLong))
-      val collRanks = (colls ++ List(99L))
+      } yield (c, m,
+        if (rnd.nextInt(6) == 0) None
+        else Some((rnd.nextInt(4) * 25 + 50).toLong)))
+      val collRanksRaw = (colls ++ List(99L))
         .filter(_ => rnd.nextInt(10) > 1)
-        .map(c => (c, (rnd.nextInt(5) * 10 + 10).toLong))
-      // Reference: per-coll moments in exact integer cents, mean by
-      // the same (2·tc + n) div (2·n) half-up, arg-max tie to the
-      // smallest member — then describe each non-empty series.
+        .map(c => (c,
+          if (rnd.nextInt(6) == 0) None
+          else Some((rnd.nextInt(5) * 10 + 10).toLong)))
+      // Reference: null ranks dropped first, then per-coll moments in
+      // exact integer cents, mean by the same (2·tc + n) div (2·n)
+      // half-up, arg-max tie to the smallest member — then describe
+      // each non-empty series.
+      val mem = memRaw.collect { case (c, m, Some(v)) => (c, m, v) }
+      val collRanks = collRanksRaw.collect { case (c, Some(v)) => (c, v) }
       val perColl = mem.groupBy(_._1).toSeq.map { case (c, g) =>
         val nm = g.size.toLong
         val tc = g.map(_._3).sum
@@ -271,10 +282,10 @@ class PropertySpec extends GraftSuite {
         case (name, vals) if vals.nonEmpty => name -> describe(vals)
       }
       val got = graft.queries.GroupA4.rankDescribe(
-          collRanks.toDF("coll", "c")
+          collRanksRaw.toDF("coll", "c")
             .select(col("coll"), (col("c").cast("decimal(38,10)") / 100)
               .cast("decimal(18,2)").as("r")),
-          mem.toDF("coll", "member", "c")
+          memRaw.toDF("coll", "member", "c")
             .select(col("coll"), col("member"),
               (col("c").cast("decimal(38,10)") / 100)
                 .cast("decimal(18,2)").as("rank")))
