@@ -298,4 +298,37 @@ class PropertySpec extends GraftSuite {
       assert(got == expected, s"seed=$seed mem=$mem collRanks=$collRanks")
     }
   }
+
+  test("typesToValidateOf matches in-memory set arithmetic on random frames") {
+    // b9's registered body on random memberships and type dims vs the
+    // reference semantics (per collection type, the distinct sorted
+    // union of member types). Edges the oracle data is too dense to
+    // hit reliably: articles absent from the type dim (the null-t
+    // left-join path), a ct whose EVERY member is typeless (must keep
+    // its row with n=0 and an empty csv — the defaultdict semantics),
+    // and duplicate (ct, t) arrivals through different articles.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(4700 + seed)
+      val mm = (for {
+        ct <- (0L until (rnd.nextInt(4) + 1)).toList
+        a <- rnd.shuffle((0L to 12L).toList).take(rnd.nextInt(6) + 1)
+      } yield (ct, a)).distinct
+      // Sparse dim: ~half the articles have 1-3 types from a tiny
+      // domain (heavy cross-article duplication); article 7 NEVER has
+      // types, so any ct whose members ⊆ {7} exercises the empty row.
+      val mtd = (0L to 12L).filter(a => a != 7L && rnd.nextBoolean())
+        .flatMap(a => List.fill(rnd.nextInt(3) + 1)((a, rnd.nextInt(5).toLong)))
+        .distinct
+      val byArt = mtd.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = mm.groupBy(_._1).map { case (ct, g) =>
+        val ts = g.flatMap(r => byArt.getOrElse(r._2, Set.empty[Long])).toSet
+        ct -> ((ts.size.toLong, ts.toSeq.sorted.mkString(",")))
+      }
+      val got = graft.queries.GroupB.typesToValidateOf(
+          mm.toDF("ct", "article"), mtd.toDF("article", "t"))
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"seed=$seed mm=$mm mtd=$mtd")
+    }
+  }
 }
