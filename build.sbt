@@ -32,7 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
-  // Extra JVM flags for experiments (tools/pressure_repro.sh squeezes
-  // spark.memory.fraction through this to recreate storage pressure).
+  // Extra JVM flags for ad-hoc experiment runs — e.g.
+  // -Dspark.graft.checkpointDir=... for the reliable-checkpoint full
+  // gate, or -Dspark.memory.fraction=0.08 for the r11 spill repro.
+  // (tools/pressure_repro.sh itself constrains via SPARK_DRIVER_MEM,
+  // not this hook.) Flags are whitespace-split: no spaces inside one.
   sys.env.get("GRAFT_JAVA_OPTS").toSeq
     .flatMap(_.split("\\s+").filter(_.nonEmpty))

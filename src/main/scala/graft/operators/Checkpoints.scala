@@ -77,25 +77,63 @@ private[graft] object Checkpoints {
     * after unpersisting" on every uncut — for a frame the contract
     * declares dead that is not a warning but the intended effect, and
     * at one line per freed round it would drown real warnings in the
-    * bench logs. The mute is SCOPED to our own unpersist calls
-    * (save level → ERROR → restore in finally), so a user unpersisting
-    * THEIR live checkpoint outside an uncut still gets the diagnostic
-    * — a permanent JVM-wide mute would hide the one line that names
-    * the cause of a later missing-block failure (round-11 review).
-    * Concurrent non-graft unpersists inside the microseconds-wide
-    * window may lose the line; accepted trade. */
+    * bench logs. The mute is SCOPED to our own unpersist calls, so a
+    * user unpersisting THEIR live checkpoint outside an uncut still
+    * gets the diagnostic — a permanent JVM-wide mute would hide the
+    * one line that names the cause of a later missing-block failure
+    * (round-11 review). Two refinements from the second review pass:
+    * the save/mute/restore is DEPTH-COUNTED under a global monitor
+    * (naive per-call save/restore interleaved across threads could
+    * capture another thread's ERROR as the "prior" and stick it
+    * forever — concurrent iterative operators are the stated target
+    * environment), and when the logger had NO explicit config before
+    * the mute, restore REMOVES the explicit LoggerConfig instead of
+    * pinning the inherited effective level (a pinned level would
+    * detach the logger from later sc.setLogLevel calls). Concurrent
+    * non-graft unpersists inside the mute window may lose the line;
+    * accepted trade. */
+  private[this] val muteMonitor = new Object
+  private[this] var muteDepth = 0
+  private[this] var muteHadExplicit = false
+  private[this] var mutePrior: Option[org.apache.logging.log4j.Level] = None
   private def withUnpersistWarnMuted(body: => Unit): Unit = {
     val name = "org.apache.spark.rdd.MapPartitionsRDD"
-    val prior =
-      try Option(org.apache.logging.log4j.LogManager.getLogger(name).getLevel)
-      catch { case _: Throwable => None }
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      name, org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+    muteMonitor.synchronized {
+      if (muteDepth == 0) {
+        try {
+          val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+            .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+          val lc = ctx.getConfiguration.getLoggerConfig(name)
+          muteHadExplicit = lc.getName == name
+          mutePrior = Option(lc.getLevel)
+          org.apache.logging.log4j.core.config.Configurator.setLevel(
+            name, org.apache.logging.log4j.Level.ERROR)
+        } catch { case _: Throwable => mutePrior = None }
+      }
+      muteDepth += 1
+    }
     try body
-    finally prior.foreach { lvl =>
-      try org.apache.logging.log4j.core.config.Configurator.setLevel(name, lvl)
-      catch { case _: Throwable => () }
+    finally muteMonitor.synchronized {
+      muteDepth -= 1
+      if (muteDepth == 0) {
+        try {
+          if (muteHadExplicit) mutePrior.foreach(lvl =>
+            org.apache.logging.log4j.core.config.Configurator
+              .setLevel(name, lvl))
+          else {
+            val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+              .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+            ctx.getConfiguration.removeLogger(name)
+            ctx.updateLoggers()
+          }
+        } catch { case _: Throwable =>
+          // degrade to a level restore; never fail the uncut
+          mutePrior.foreach(lvl =>
+            try org.apache.logging.log4j.core.config.Configurator
+              .setLevel(name, lvl)
+            catch { case _: Throwable => () })
+        }
+      }
     }
   }
 

@@ -130,9 +130,15 @@ object Graph {
       // with MORE THAN ONE OUTGOING edge (two parents). Multiple
       // edges INTO a node are just siblings — legal in any forest.
       val multiParent = base.groupBy("src").count().filter(col("count") > 1).limit(1).count()
-      if (multiParent > 0) throw new IllegalStateException(
-        "transitiveClosure(uniquePaths = true) requires a tree/forest edge set, " +
-          "but some src has more than one parent edge — rerun with uniquePaths = false")
+      if (multiParent > 0) {
+        // Free the just-created edge cut before throwing: a serving
+        // loop catching this per cycle (retry with uniquePaths=false)
+        // must not leak an |E|-sized block set per attempt.
+        base.uncut()
+        throw new IllegalStateException(
+          "transitiveClosure(uniquePaths = true) requires a tree/forest edge set, " +
+            "but some src has more than one parent edge — rerun with uniquePaths = false")
+      }
     }
     val (seed, step) = strideHops(base, stride, dedup = !uniquePaths)
     // stride > 1: seed/step are fresh cuts superseding the base edge
@@ -250,9 +256,14 @@ object Graph {
     val e = (if (uniquePaths) raw else raw.distinct()).cut()
     if (uniquePaths && strict) {
       val multiParent = e.groupBy("src").count().filter(col("count") > 1).limit(1).count()
-      if (multiParent > 0) throw new IllegalStateException(
-        "reachableTo(uniquePaths = true) requires a tree/forest edge set, " +
-          "but some src has more than one outgoing edge — rerun with uniquePaths = false")
+      if (multiParent > 0) {
+        // Same leak guard as transitiveClosure: free the edge cut
+        // before the precondition throw reaches a catch-and-retry.
+        e.uncut()
+        throw new IllegalStateException(
+          "reachableTo(uniquePaths = true) requires a tree/forest edge set, " +
+            "but some src has more than one outgoing edge — rerun with uniquePaths = false")
+      }
     }
     val (seedHops, step) = strideHops(e, stride, dedup = !uniquePaths)
     // stride > 1: seedHops/step superseded the edge cut (stride == 1

@@ -670,7 +670,13 @@ object Similarity {
     // empty codebook that downstream quantization silently maps to
     // zero code rows. The cut above already materialized vc, so this
     // reads a stored block, not the pipeline.
-    require(!vc.isEmpty, "pqCodebook: no non-null vectors")
+    if (vc.isEmpty) {
+      // Free the corpus-as-doubles cut before the guard throw — a
+      // caller retrying after the failed fit must not leak it.
+      graft.operators.Checkpoints.uncut(vc)
+      throw new IllegalArgumentException(
+        "requirement failed: pqCodebook: no non-null vectors")
+    }
     val seeds = vc.orderBy(col("id")).limit(k)
     var cb = subvectors(seeds, m, ds)
       .select(col("s"), col("id").as("cid"), col("sub").as("cvec")).cut()

@@ -52,6 +52,16 @@ object GroupA4 {
     * two sorts over it; Σd² stays exact integer arithmetic and the
     * only float op is rho's final division (no corr() accumulation-
     * order drift). Reference: research/sort_members/sort.py:15-20. */
+  /** a37's registered INPUT wiring — the per-(coll, member) score
+    * collapse — shared with ScaleProbe so the probe's input
+    * derivation cannot drift from the registered query's (the same
+    * no-lookalike rule the shared body enforces for the plan). */
+  def rankCorrelationInput(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
+      .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("s1"),
+           max(col("l_quantity")).as("s2"))
+
   def rankCorrelationOf(m: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w1 = Window.partitionBy("coll").orderBy(col("s1").desc, col("member"))
@@ -552,10 +562,7 @@ object GroupA4 {
     // exchange on coll with two sorts over it; the final agg is
     // map-side combinable.
     "a37_rank_correlation" -> ((s, d) =>
-      rankCorrelationOf(Tables(s, d, "lineitem")
-        .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
-        .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("s1"),
-             max(col("l_quantity")).as("s2")))),
+      rankCorrelationOf(rankCorrelationInput(s, d))),
 
     // a30: multi-granularity stats in ONE pass — CUBE over
     // (event_type, cohort) computes the per-cell, both per-margin and

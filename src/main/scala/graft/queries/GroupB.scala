@@ -67,6 +67,18 @@ object GroupB {
   def memberTypeDim(s: SparkSession, d: String): DataFrame =
     memberTypes(s, d).select("article", "t").distinct()
 
+  /** b9's registered MEMBERSHIP wiring — deduped (ct, article) from
+    * the lineitem facts and the orders collection type — shared with
+    * ScaleProbe so the probe's input derivation cannot drift from the
+    * registered query's (the no-lookalike rule). */
+  def membershipFrame(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables(s, d, "orders")
+              .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("ct"), col("l_partkey").as("article")).distinct()
+
   /** b9's registered body over a deduped (ct, article) membership
     * frame and the (article, t) type dim (split from the table wiring
     * so ScaleProbe runs the registered plan on K× inputs): distinct
@@ -299,15 +311,8 @@ object GroupB {
     // types keeps its row with an empty list (the defaultdict
     // semantics), via the left join's null t that count()/
     // collect_list() then skip.
-    "b9_types_to_validate" -> ((s, d) => {
-      val mm = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-        .join(Tables(s, d, "orders")
-                .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(col("ct"), col("l_partkey").as("article")).distinct()
-      typesToValidateOf(mm, memberTypeDim(s, d))
-    }),
+    "b9_types_to_validate" -> ((s, d) =>
+      typesToValidateOf(membershipFrame(s, d), memberTypeDim(s, d))),
 
     // b10: the same script's printed corpus audit as one row — the
     // numbers the reference ships as comments in the source (articles

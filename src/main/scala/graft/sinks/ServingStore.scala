@@ -62,21 +62,15 @@ object ServingStore {
       md5hex(key).take(12)
   }
 
-  // Content signals memoized per (absolute path, size, mtime): a
-  // current-store ensure() runs inside registered serving queries'
-  // TIMED bodies, and re-reading 128 KiB + md5 per input file per
-  // invocation would put repeat data I/O into every serving
-  // measurement (round-11 review). After the first computation the
-  // fast path is stat-only again. RECENCY GUARD: a rewrite masked by
-  // a coarse mtime granule maps to the SAME cache key, so entries
-  // are only written — and only trusted — when the mtime is at
-  // least [[signalSettleMs]] in the past: an actively-changing input
-  // always re-reads from disk (the ADVICE-r10 hazard the signal
-  // exists for), while the steady-state corpus (mtime days old) is
-  // stat-only after its first ensure.
-  private val signalSettleMs = 5000L
-  private val signalCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+  // Content signals are recomputed on EVERY fingerprint pass — never
+  // memoized. An earlier draft cached them per (path, size, mtime),
+  // but that key is precisely the triple the signal exists to
+  // distrust: an mtime-preserving same-size rewrite (cp -p / tar /
+  // touch -r deploys) of a settled input would hit the stale cache
+  // entry and serve the old generation forever within the JVM
+  // (round-11 second-review finding). Two bounded 64-KiB page-cached
+  // reads + md5 per input file are well under a millisecond — noise
+  // next to the stat walk and the Spark jobs around it.
 
   /** First+last-64-KiB md5 (whole file ≤ 128 KiB) — the cheap content
     * signal that catches same-size same-mtime-granule rewrites; two
@@ -117,12 +111,7 @@ object ServingStore {
             .map { f =>
               val size = java.nio.file.Files.size(f)
               val mtime = java.nio.file.Files.getLastModifiedTime(f).toMillis
-              val sig =
-                if (System.currentTimeMillis() - mtime < signalSettleMs)
-                  contentSignal(f, size) // still settling: never cache
-                else signalCache.computeIfAbsent(
-                  (f.toAbsolutePath.toString, size, mtime),
-                  _ => contentSignal(f, size))
+              val sig = contentSignal(f, size)
               s"${p.relativize(f)}:$size:$mtime:$sig"
             }
             .toSeq.sorted

@@ -97,13 +97,13 @@ object ScaleProbe {
     // distribution fixed and multiplies the edges — the corpus-grows
     // direction.
     lazy val liKBoth = scaled(li, Seq("l_orderkey", "l_partkey"))
-    // a37's collapsed member frame: coll-only shift = K× collections
-    // over the SAME member vocabulary, each copy carrying identical
-    // per-collection rank structure — the more-collections direction.
-    lazy val memA37 = Tables(spark, sfDir, "lineitem")
-      .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
-      .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("s1"),
-           max(col("l_quantity")).as("s2")).localCheckpoint()
+    // a37's collapsed member frame — the REGISTERED input wiring
+    // (GroupA4.rankCorrelationInput, shared so the derivation cannot
+    // drift): coll-only shift = K× collections over the SAME member
+    // vocabulary, each copy carrying identical per-collection rank
+    // structure — the more-collections direction.
+    lazy val memA37 = graft.queries.GroupA4.rankCorrelationInput(spark, sfDir)
+      .localCheckpoint()
     lazy val memA37K = scaled(memA37, Seq("coll"))
     // a38 reuses a37's collapsed frame shape plus the orders ranks.
     lazy val memA38 = memA37.select(col("coll"), col("member"),
@@ -287,17 +287,14 @@ object ScaleProbe {
     lazy val cyc = graft.queries.GroupB.cyclicEdges(spark, sfDir)
       .localCheckpoint()
     lazy val cycK = scaled(cyc, Seq("src", "dst"))
-    // b9's inputs: the deduped (ct, article) membership frame and the
-    // fixed (article, t) type dim. ct-only shift = K× collection
-    // types over the SAME articles and dim (the more-collection-types
+    // b9's inputs — the REGISTERED wiring (GroupB.membershipFrame /
+    // memberTypeDim, shared so the derivation cannot drift): the
+    // deduped (ct, article) membership frame and the fixed
+    // (article, t) type dim. ct-only shift = K× collection types over
+    // the SAME articles and dim (the more-collection-types
     // direction): join volume, pair-distinct and the bounded per-type
     // collects all scale ≈ K; the dim is never corpus-multiplied.
-    lazy val mmB9 = Tables(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .join(Tables(spark, sfDir, "orders")
-              .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
-            col("l_orderkey") === col("o_orderkey"))
-      .select(col("ct"), col("l_partkey").as("article")).distinct()
+    lazy val mmB9 = graft.queries.GroupB.membershipFrame(spark, sfDir)
       .localCheckpoint()
     lazy val mmB9K = scaled(mmB9, Seq("ct"))
     lazy val mtdB9 = graft.queries.GroupB.memberTypeDim(spark, sfDir)
