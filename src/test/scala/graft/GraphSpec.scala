@@ -96,8 +96,14 @@ class GraphSpec extends GraftSuite {
       pairs(Graph.transitiveClosure(forest)))
     assert(pairs(Graph.reachableTo(forest, Seq(Tuple1(1L)).toDF("dst"),
       uniquePaths = true, strict = true)).nonEmpty)
-    // Node 4 with two parents: multiple paths — must be rejected.
+    // Node 4 with two parents: multiple paths — must be rejected,
+    // and the rejection must FREE the just-created edge cut (a
+    // catch-and-retry serving loop must not leak one block set per
+    // attempt — round-11 second review): the persisted-RDD map must
+    // not grow across the throws. unpersist(blocking = false) removes
+    // from the map synchronously; only the block drop is async.
     val diamond = Seq((4L, 2L), (4L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val before = ss.sparkContext.getPersistentRDDs.keySet
     intercept[IllegalStateException] {
       Graph.transitiveClosure(diamond, uniquePaths = true, strict = true)
     }
@@ -105,6 +111,8 @@ class GraphSpec extends GraftSuite {
       Graph.reachableTo(diamond, Seq(Tuple1(1L)).toDF("dst"),
         uniquePaths = true, strict = true)
     }
+    val leaked = ss.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"strict throws leaked persisted RDDs: $leaked")
   }
 
   test("stride closure has no duplicate rows when a shortcut edge coexists with a longer path") {

@@ -88,11 +88,16 @@ class SimilarityLshSpec extends GraftSuite {
       Similarity.quantizePq(emb, "vec_id", "embedding", cb, m = 8, dim = 64))
     assert(e.getMessage.contains("build geometry"), e.getMessage)
     // Fitting on an empty/all-null corpus must be loud, not an empty
-    // codebook that quantizes everything to zero rows downstream.
+    // codebook that quantizes everything to zero rows downstream —
+    // and the guard throw must FREE its corpus cut (persisted-RDD map
+    // must not grow across the intercept; r11 second review).
+    val before = ss.sparkContext.getPersistentRDDs.keySet
     val e2 = intercept[IllegalArgumentException](
       Similarity.pqCodebook(emb.filter($"vec_id" < 0), "vec_id", "embedding",
         4, 16, 0, dim = 64))
     assert(e2.getMessage.contains("no non-null vectors"), e2.getMessage)
+    val leaked = ss.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"empty-fit guard leaked persisted RDDs: $leaked")
   }
 
   test("omitting dim fails fast instead of running a driver probe job") {
