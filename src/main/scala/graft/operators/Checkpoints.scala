@@ -108,7 +108,7 @@ private[graft] object Checkpoints {
           mutePrior = Option(lc.getLevel)
           org.apache.logging.log4j.core.config.Configurator.setLevel(
             name, org.apache.logging.log4j.Level.ERROR)
-        } catch { case _: Throwable => mutePrior = None }
+        } catch { case scala.util.control.NonFatal(_) => mutePrior = None }
       }
       muteDepth += 1
     }
@@ -126,12 +126,12 @@ private[graft] object Checkpoints {
             ctx.getConfiguration.removeLogger(name)
             ctx.updateLoggers()
           }
-        } catch { case _: Throwable =>
+        } catch { case scala.util.control.NonFatal(_) =>
           // degrade to a level restore; never fail the uncut
           mutePrior.foreach(lvl =>
             try org.apache.logging.log4j.core.config.Configurator
               .setLevel(name, lvl)
-            catch { case _: Throwable => () })
+            catch { case scala.util.control.NonFatal(_) => () })
         }
       }
     }
@@ -156,9 +156,21 @@ private[graft] object Checkpoints {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
         }.foreach(_.unpersist(blocking = false))
       }
-    } catch { case e: Throwable =>
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"uncut skipped (blocks stay live): ${e.getMessage}")
+    } catch {
+      // Only ABSORBABLE failures may degrade to keep-everything:
+      // NonFatal covers unpersist/plan-walk errors; a cancellation
+      // (InterruptedException is fatal to NonFatal) is absorbed but
+      // the thread's interrupt flag is RE-SET so the caller's next
+      // blocking point still observes it. VM-fatal errors (OOM,
+      // linkage) propagate — downgrading those to a warn would keep
+      // running a query inside a broken JVM (round-11 advice).
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"uncut skipped (blocks stay live): ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"uncut skipped (blocks stay live): ${e.getMessage}")
     }
 
   /** `df.cut()` / `df.uncut()` — the call-site forms the operators use. */

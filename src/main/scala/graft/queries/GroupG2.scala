@@ -242,7 +242,7 @@ object GroupG2 {
         |    cast(floor(epoch(ts)) AS bigint) AS es,
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin,
+        |  FROM events WHERE ts IS NOT NULL) WHERE rn = 1""".stripMargin,
 
     // g12 = g1's sessions without the per-user ordinal.
     "g12_stream_sessionize" ->

@@ -1,5 +1,8 @@
 package graft.sinks
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 /** Fit-once / reload-per-cycle orchestration over [[ModelStore]] —
   * the piece that turns "a fitted dim can be persisted" into "the
   * registered serving queries never refit": a store root is keyed by
@@ -9,6 +12,19 @@ package graft.sinks
   * match the current generation's. (The reference re-derives its
   * RocksDB maps per Airflow run; this is the
   * keep-until-the-dump-changes version of that contract.)
+  *
+  * FILESYSTEM SUBSTRATE (round 12): every path operation — the
+  * fingerprint walk, the `CURRENT` pointer, generation directories,
+  * retirement — goes through the Hadoop `FileSystem` API (the same
+  * substrate [[ModelStore.save]] already uses), resolved from the
+  * active session's `hadoopConfiguration`. So `hdfs://` (or any
+  * configured scheme) inputs and roots stat, read, and rename exactly
+  * like local ones, and an input whose scheme has NO registered
+  * filesystem FAILS `ensure` loudly instead of silently fingerprinting
+  * as absent — the round-11 staleness hazard: under the old
+  * `java.nio` walk an `s3://` input was permanently "absent", so the
+  * store fitted once and then served stale dims forever. Residual
+  * object-store caveats are documented on [[ensure]].
   *
   * GENERATIONS (round 11): every fit lands in its own
   * fingerprint-stamped subdirectory `gen-<fp>/` and is published by
@@ -20,7 +36,13 @@ package graft.sinks
   * superseded generation (the [[ModelStore]] `.__prev__` convention,
   * store-wide); a reader must re-resolve via [[ensure]] each cycle —
   * holding a resolved path across MORE than one corpus swap may read
-  * a retired generation's deleted files, the documented caveat.
+  * a retired generation's deleted files, the documented caveat
+  * (pinned executable in ServingStoreSpec). A TIME-based retirement
+  * guard (keep generations younger than some min age regardless of
+  * count) was considered and declined: it would protect only readers
+  * already violating the re-resolve-per-cycle contract, at the price
+  * of unbounded disk growth under bursty refits — the keep-one
+  * policy's worst case is exactly two live generations.
   *
   * The fingerprint covers, per file under each input path: relative
   * path, size, mtime, and a CONTENT SIGNAL (md5 of the first+last
@@ -28,21 +50,38 @@ package graft.sinks
   * one mtime granule still flips the fingerprint (a parquet rewrite
   * virtually always changes the footer in the tail block; a rewrite
   * preserving size, mtime granule, AND both boundary blocks remains
-  * undetected, the residual documented trade). It is computed UNDER
-  * the cross-process lock and re-checked AFTER the fit returns: if
-  * the inputs changed while fitting, the generation describes data
-  * that no longer exists — publication is refused (the torn
-  * generation is deleted, the previous one keeps serving) and the
-  * caller gets the error instead of a silently-stale store.
+  * undetected, the residual documented trade). A file that VANISHES
+  * between the listing and the signal read (an input directory being
+  * rewritten underneath us) folds a `vanished` marker into the
+  * fingerprint instead of throwing — the next pass over the settled
+  * directory then sees a different fingerprint and refits, so a
+  * mid-rewrite input degrades to a refit, never an unhandled
+  * `FileNotFoundException` out of ensure (round-11 advice). The
+  * fingerprint is computed UNDER the cross-process lock and
+  * re-checked AFTER the fit returns: if the inputs changed while
+  * fitting, the generation describes data that no longer exists —
+  * publication is refused (the torn generation is deleted, the
+  * previous one keeps serving) and the caller gets the error instead
+  * of a silently-stale store.
   *
   * Concurrency: a JVM-wide per-root monitor serializes callers
-  * in-process, and an OS-level file lock serializes fit-and-publish
-  * across processes (a bench concurrent with a test run over the
-  * shared default root) — the fingerprint is re-checked under the
-  * lock so the second writer becomes a no-op. A crash mid-fit leaves
-  * an unpublished `gen-*` directory (garbage-collected by the next
-  * successful publish) and `CURRENT` untouched — the next ensure
-  * refits; nothing half-written is ever served.
+  * in-process; across processes, a `file:` root takes a real OS
+  * `FileChannel` lock (the strongest primitive the substrate offers),
+  * and any other scheme uses a LEASE MARKER — an atomic
+  * create-exclusive `_LOCK.lease` file (atomic on HDFS) whose age
+  * bounds a crashed holder: a waiting fitter polls, and breaks only a
+  * lease older than `spark.graft.servingstore.leaseMs` (default 1 h).
+  * The lease is crash-recovery, not a correctness proof — a fit that
+  * legitimately outlives its lease can be raced, and object stores
+  * without atomic create-exclusive (S3 et al.) reduce the marker to
+  * advisory — so non-POSIX deployments should pair the store with a
+  * SINGLE-WRITER schedule (one orchestrator owns each root, the
+  * Airflow posture the store replaces); the post-fit fingerprint
+  * re-check and refuse-torn-publication remain the correctness
+  * backstop either way. A crash mid-fit leaves an unpublished `gen-*`
+  * directory (garbage-collected by the next successful publish) and
+  * `CURRENT` untouched — the next ensure refits; nothing half-written
+  * is ever served.
   */
 object ServingStore {
 
@@ -50,17 +89,30 @@ object ServingStore {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Store root for `key` (override the base with GRAFT_MODEL_DIR).
-    * The sanitized key keeps roots human-readable; the md5 suffix
-    * keeps DISTINCT keys distinct — sanitization is lossy ("/d/sf0 1"
-    * and "/d/sf0_1" collapse), and two keys sharing a root would
-    * fingerprint-thrash a full refit into every ensure. */
+  /** Store root for `key` (override the base with GRAFT_MODEL_DIR, or
+    * the `graft.model.dir` system property — which may name any
+    * Hadoop-resolvable URI, e.g. `hdfs://nn/models`). The sanitized
+    * key keeps roots human-readable; the md5 suffix keeps DISTINCT
+    * keys distinct — sanitization is lossy ("/d/sf0 1" and "/d/sf0_1"
+    * collapse), and two keys sharing a root would fingerprint-thrash
+    * a full refit into every ensure. */
   def rootFor(key: String): String = {
-    val base = sys.env.getOrElse("GRAFT_MODEL_DIR",
-      sys.props("java.io.tmpdir") + "/graft_models")
+    val base = sys.props.get("graft.model.dir")
+      .orElse(sys.env.get("GRAFT_MODEL_DIR"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_models")
     base + "/" + key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
       md5hex(key).take(12)
   }
+
+  /** The Hadoop configuration path resolution runs under: the active
+    * (or default) session's, so `fs.*` site settings and credentials
+    * reach the store exactly as they reach every read/write — a bare
+    * `new Configuration()` only for the no-session specs. */
+  private def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   // Content signals are recomputed on EVERY fingerprint pass — never
   // memoized. An earlier draft cached them per (path, size, mtime),
@@ -68,54 +120,68 @@ object ServingStore {
   // distrust: an mtime-preserving same-size rewrite (cp -p / tar /
   // touch -r deploys) of a settled input would hit the stale cache
   // entry and serve the old generation forever within the JVM
-  // (round-11 second-review finding). Two bounded 64-KiB page-cached
-  // reads + md5 per input file are well under a millisecond — noise
-  // next to the stat walk and the Spark jobs around it.
+  // (round-11 second-review finding). Two bounded 64-KiB reads + md5
+  // per input file are well under a millisecond locally and one or
+  // two positioned-read RPCs remotely — noise next to the stat walk
+  // and the Spark jobs around it.
 
   /** First+last-64-KiB md5 (whole file ≤ 128 KiB) — the cheap content
     * signal that catches same-size same-mtime-granule rewrites; two
-    * bounded reads per file, never a full scan of a corpus-sized
-    * input. */
-  private def contentSignal(f: java.nio.file.Path,
-                            size: Long): String = {
+    * bounded positioned reads per file, never a full scan of a
+    * corpus-sized input. */
+  private def contentSignal(fs: FileSystem, f: Path, size: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val block = 65536
-    val ch = java.nio.channels.FileChannel.open(
-      f, java.nio.file.StandardOpenOption.READ)
+    val in = fs.open(f)
     try {
       def digest(pos: Long, len: Int): Unit = {
-        val buf = java.nio.ByteBuffer.allocate(len)
-        var p = pos
-        while (buf.hasRemaining) {
-          val n = ch.read(buf, p)
-          if (n < 0) return else p += n
-        }
-        buf.flip(); md.update(buf)
+        val buf = new Array[Byte](len)
+        in.readFully(pos, buf, 0, len)
+        md.update(buf)
       }
-      if (size <= 2L * block) digest(0L, size.toInt)
+      if (size <= 2L * block) { if (size > 0) digest(0L, size.toInt) }
       else { digest(0L, block); digest(size - block, block) }
-    } finally ch.close()
+    } finally in.close()
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def fingerprintOf(version: String, inputs: Seq[String]): String = {
+  /** One fingerprint line per file under `in` — or the `absent` /
+    * `vanished` markers, each a distinct fingerprint STATE that flips
+    * again once the input (re)settles. Unknown schemes throw out of
+    * `getFileSystem` — loudly, by design. */
+  private[graft] def fingerprintOf(conf: Configuration, version: String,
+                                   inputs: Seq[String]): String = {
     val parts = inputs.flatMap { in =>
-      val p = java.nio.file.Paths.get(in)
-      if (!java.nio.file.Files.exists(p)) Seq(s"$in:absent")
-      else {
-        val walk = java.nio.file.Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .map { f =>
-              val size = java.nio.file.Files.size(f)
-              val mtime = java.nio.file.Files.getLastModifiedTime(f).toMillis
-              val sig = contentSignal(f, size)
-              s"${p.relativize(f)}:$size:$mtime:$sig"
-            }
-            .toSeq.sorted
-        } finally walk.close()
+      val p = new Path(in)
+      val fs = p.getFileSystem(conf) // no filesystem for the scheme => throws
+      val q = fs.makeQualified(p)
+      try {
+        if (!fs.exists(q)) Seq(s"$in:absent")
+        else {
+          val prefix = q.toString
+          val it = fs.listFiles(q, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            val f = st.getPath
+            val s = f.toString
+            val rel =
+              if (s.startsWith(prefix + "/")) s.substring(prefix.length + 1)
+              else f.getName // the input IS a regular file
+            buf += (try {
+              val sig = contentSignal(fs, f, st.getLen)
+              s"$rel:${st.getLen}:${st.getModificationTime}:$sig"
+            } catch {
+              case _: java.io.FileNotFoundException | _: java.io.EOFException =>
+                s"$rel:vanished" // deleted/truncated mid-walk: refit next pass
+            })
+          }
+          buf.toSeq.sorted
+        }
+      } catch {
+        // The whole directory vanished between exists() and the walk —
+        // same mid-rewrite class as a single file, same degradation.
+        case _: java.io.FileNotFoundException => Seq(s"$in:vanished")
       }
     }
     md5hex(version + "\n" + parts.mkString("\n"))
@@ -124,7 +190,7 @@ object ServingStore {
   // In-process serialization is PER ROOT, not object-wide: a single
   // monitor would park a cheap already-current fingerprint check for
   // an unrelated store behind another store's minutes-long fit (or
-  // behind a blocking OS lock wait).
+  // behind a blocking cross-process lock wait).
   private val rootMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -133,16 +199,87 @@ object ServingStore {
   /** The generation `CURRENT` points at, when it exists on disk —
     * resolution a reader can trust mid-swap: the pointer flips
     * atomically and only ever names fully-published generations. */
-  private def currentGen(root: java.nio.file.Path): Option[String] = {
-    val cur = root.resolve("CURRENT")
-    if (!java.nio.file.Files.exists(cur)) None
-    else {
-      val name = new String(
-        java.nio.file.Files.readAllBytes(cur), "UTF-8").trim
-      Some(name).filter(n => n.nonEmpty &&
-        java.nio.file.Files.isDirectory(root.resolve(n)))
-    }
+  private def currentGen(fs: FileSystem, root: Path): Option[String] = {
+    val cur = new Path(root, "CURRENT")
+    try {
+      val st = fs.getFileStatus(cur)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(cur)
+      try in.readFully(0L, buf) finally in.close()
+      val name = new String(buf, "UTF-8").trim
+      Some(name).filter(n => n.nonEmpty && {
+        try fs.getFileStatus(new Path(root, n)).isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      })
+    } catch { case _: java.io.FileNotFoundException => None }
   }
+
+  /** Pointer publish: write beside `CURRENT`, rename onto it.
+    * `FileContext.rename(OVERWRITE)` is the Hadoop API's atomic
+    * overwriting rename — atomic on HDFS and local filesystems;
+    * object stores emulate rename as copy+delete (not atomic), the
+    * documented reason their deployments want a single writer. */
+  private def publishPointer(conf: Configuration, fs: FileSystem,
+                             root: Path, gen: String): Unit = {
+    val tmp = new Path(root, "CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((gen + "\n").getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fc.rename(tmp, new Path(root, "CURRENT"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Cross-process mutual exclusion for fit-and-publish. `file:` roots
+    * get a real OS file lock; everything else gets the create-exclusive
+    * lease marker described in the object scaladoc. */
+  private trait StoreLock { def release(): Unit }
+
+  private def lockLeaseMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.servingstore.leaseMs"))
+      .map(_.toLong).getOrElse(3600000L)
+
+  private def acquireLock(fs: FileSystem, root: Path): StoreLock =
+    if (fs.getScheme == "file") {
+      // POSIX substrate: a real OS lock (blocks until the holder — in
+      // any process — releases; the per-root monitor already keeps two
+      // threads of THIS JVM from racing into an OverlappingFileLock).
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root.toUri.getPath, "_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      new StoreLock {
+        def release(): Unit = { lk.release(); ch.close() }
+      }
+    } else {
+      val lease = new Path(root, "_LOCK.lease")
+      val leaseMs = lockLeaseMs
+      var acquired = false
+      while (!acquired) {
+        try {
+          // create(overwrite = false) is atomic create-exclusive on
+          // HDFS — exactly one contender wins.
+          val out = fs.create(lease, false)
+          try out.write(java.net.InetAddress.getLocalHost.getHostName
+            .getBytes("UTF-8")) finally out.close()
+          acquired = true
+        } catch {
+          case _: java.io.IOException =>
+            // Held (or a non-atomic store raced us). Poll; break only
+            // a lease old enough that its holder must have crashed.
+            val age = try
+              System.currentTimeMillis() -
+                fs.getFileStatus(lease).getModificationTime
+            catch { case _: java.io.FileNotFoundException => -1L }
+            if (age > leaseMs) fs.delete(lease, false)
+            else Thread.sleep(200)
+        }
+      }
+      new StoreLock {
+        def release(): Unit = fs.delete(lease, false)
+      }
+    }
 
   /** Ensure the store for `key` is current for `inputs` at `version`,
     * running `fit(genDir)` (which should [[ModelStore]]-save every dim
@@ -156,77 +293,57 @@ object ServingStore {
             (fit: String => Unit): String =
     rootMonitors.computeIfAbsent(rootFor(key), _ => new Object)
       .synchronized {
-    val root = java.nio.file.Paths.get(rootFor(key))
-    val fp0 = fingerprintOf(version, inputs)
+    val conf = hadoopConf()
+    val rootRaw = new Path(rootFor(key))
+    val fs = rootRaw.getFileSystem(conf)
+    val root = fs.makeQualified(rootRaw)
+    val fp0 = fingerprintOf(conf, version, inputs)
     def pathOfCurrent(): Option[String] =
-      currentGen(root).filter(_ == genDirName(fp0))
-        .map(n => root.resolve(n).toString)
+      currentGen(fs, root).filter(_ == genDirName(fp0))
+        .map(n => new Path(root, n).toString)
     pathOfCurrent() match { case Some(p) => return p case None => () }
-    java.nio.file.Files.createDirectories(root)
-    val lockCh = java.nio.channels.FileChannel.open(
-      root.resolve("_LOCK"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val lock = lockCh.lock()
+    fs.mkdirs(root)
+    val lock = acquireLock(fs, root)
     try {
       // Re-fingerprint under the lock: the inputs may have changed
       // while we queued behind another process's fit, and a
       // lock-winner may already have published OUR generation.
-      val fp = fingerprintOf(version, inputs)
+      val fp = fingerprintOf(conf, version, inputs)
       val gen = genDirName(fp)
-      val genPath = root.resolve(gen)
-      if (!currentGen(root).contains(gen)) {
-        val prevGen = currentGen(root)
+      val genPath = new Path(root, gen)
+      if (!currentGen(fs, root).contains(gen)) {
+        val prevGen = currentGen(fs, root)
         // A crashed earlier fit may have left a partial directory at
         // this exact generation — never publish it half-written.
-        deleteRecursively(genPath)
-        java.nio.file.Files.createDirectories(genPath)
+        fs.delete(genPath, true)
+        fs.mkdirs(genPath)
         fit(genPath.toString)
         // Post-fit re-stat: publishing a generation stamped with a
         // fingerprint the fit did not actually read would serve a
         // torn store as current — refuse, clean up, and let the next
         // ensure fit the settled inputs.
-        val fpAfter = fingerprintOf(version, inputs)
+        val fpAfter = fingerprintOf(conf, version, inputs)
         if (fpAfter != fp) {
-          deleteRecursively(genPath)
+          fs.delete(genPath, true)
           throw new IllegalStateException(
             s"ServingStore: inputs under ${inputs.mkString(", ")} changed " +
               "while the fit was running — the fitted generation does not " +
               "describe the data on disk and was discarded; re-run ensure " +
               "once the inputs settle")
         }
-        // Atomic publish: write the pointer beside CURRENT, then
-        // rename onto it — readers see the old complete generation or
+        // Atomic publish: readers see the old complete generation or
         // the new complete one, never a mix.
-        val tmp = root.resolve("CURRENT.tmp")
-        java.nio.file.Files.write(tmp, (gen + "\n").getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp, root.resolve("CURRENT"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        publishPointer(conf, fs, root, gen)
         // Retirement: keep the one superseded generation (in-flight
         // readers of the last cycle), drop anything older — including
         // crashed fits' unpublished directories.
         val keep = Set(gen) ++ prevGen
-        val ls = java.nio.file.Files.list(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          ls.iterator().asScala
-            .filter(p => p.getFileName.toString.startsWith("gen-") &&
-              !keep(p.getFileName.toString))
-            .foreach(deleteRecursively)
-        } finally ls.close()
+        fs.listStatus(root).iterator
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("gen-") && !keep(p.getName))
+          .foreach(fs.delete(_, true))
       }
       genPath.toString
-    } finally { lock.release(); lockCh.close() }
+    } finally lock.release()
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
 }

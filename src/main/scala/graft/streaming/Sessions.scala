@@ -153,7 +153,12 @@ object Sessions {
             var bestUs = Long.MaxValue
             var bestId = Long.MaxValue
             var found = false
-            batch.foreach { e =>
+            // events.ts is nullable corpus-wide (the a39/g1/g8 oracles
+            // all filter it); a null has no place in a time ordering,
+            // so it is skipped here — a key with ONLY null-ts rows
+            // emits nothing, matching the oracle's NOT NULL filter —
+            // rather than NPE-ing the task (round-11 advice).
+            batch.filter(_.ts != null).foreach { e =>
               val sec = Math.floorDiv(e.ts.getTime, 1000L)
               val us = sec * 1000000L + e.ts.getNanos / 1000L
               if (!found || us < bestUs ||

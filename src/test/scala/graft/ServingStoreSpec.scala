@@ -5,9 +5,20 @@ import graft.sinks.ServingStore
 /** The fit-once orchestration contract: ensure() runs the fit exactly
   * once per (inputs fingerprint, version), refits when either
   * changes, and keys distinct store roots for distinct keys even when
-  * path sanitization collides. (The dim-level round-trip contracts
-  * live in ModelStoreSpec; these are the lifecycle ones.) */
+  * path sanitization collides. Round 12 moved the whole orchestration
+  * onto the Hadoop FileSystem API — the lifecycle tests below drive
+  * it both through plain local paths and through explicit `file:`
+  * Hadoop URIs, and pin that an input with an UNKNOWN scheme fails
+  * ensure loudly instead of fingerprinting as absent (the round-11
+  * silent-staleness hazard). (The dim-level round-trip contracts live
+  * in ModelStoreSpec; these are the lifecycle ones.) */
 class ServingStoreSpec extends GraftSuite {
+
+  /** ensure() now returns a fully-qualified Hadoop path (`file:/…`
+    * locally); the nio assertions below address the underlying local
+    * file through its URI path. */
+  private def nio(p: String): java.nio.file.Path =
+    java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(p).toUri.getPath)
 
   test("ensure fits once per fingerprint; version bump and input change refit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-svs").toString
@@ -60,38 +71,47 @@ class ServingStoreSpec extends GraftSuite {
     assert(ServingStore.rootFor("/d/sf0.1") == ServingStore.rootFor("/d/sf0.1"))
   }
 
-  test("generations: a reader resolved before a swap keeps a complete store") {
+  test("generations: N-1 survives one swap, N-2 reads fail loudly after the next") {
     val dir = java.nio.file.Files.createTempDirectory("graft-svs3").toString
     val data = java.nio.file.Paths.get(dir, "data.txt")
     java.nio.file.Files.write(data, "gen-one".getBytes("UTF-8"))
     def ensure(payload: String): String =
       ServingStore.ensure(dir + "#gen", Seq(data.toString), "v1") { g =>
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(g, "dim.txt"), payload.getBytes("UTF-8"))
+          nio(g).resolve("dim.txt"), payload.getBytes("UTF-8"))
       }
     val g1 = ensure("one")
     // The returned path is a fingerprint-stamped generation dir and
     // CURRENT points at it.
-    assert(java.nio.file.Paths.get(g1).getFileName.toString.startsWith("gen-"))
-    val root = java.nio.file.Paths.get(g1).getParent
+    assert(new org.apache.hadoop.fs.Path(g1).getName.startsWith("gen-"))
+    val root = nio(g1).getParent
     def current(): String = new String(java.nio.file.Files.readAllBytes(
       root.resolve("CURRENT")), "UTF-8").trim
-    assert(current() == java.nio.file.Paths.get(g1).getFileName.toString)
+    assert(current() == nio(g1).getFileName.toString)
     // A reader resolves g1, then the corpus changes and a new
     // generation publishes. The reader's generation must survive the
     // swap untouched (retirement keeps one superseded generation).
     java.nio.file.Files.write(data, "gen-two!".getBytes("UTF-8"))
     val g2 = ensure("two")
     assert(g2 != g1)
-    assert(current() == java.nio.file.Paths.get(g2).getFileName.toString)
+    assert(current() == nio(g2).getFileName.toString)
     def dim(g: String): String = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(g, "dim.txt")), "UTF-8")
+      nio(g).resolve("dim.txt")), "UTF-8")
     assert(dim(g1) == "one", "mid-swap reader must see its complete generation")
     assert(dim(g2) == "two")
-    // A third swap retires g1 (one-generation-back policy): g2 stays.
+    // The retirement race contract, executable: after a SECOND rapid
+    // swap the N-2 generation (g1) is retired — a reader that held
+    // its resolved path across TWO swaps fails LOUDLY (missing file,
+    // never silently-stale bytes) — while the N-1 generation (g2)
+    // still serves its complete dim. This is the documented
+    // re-resolve-per-cycle contract; a time-based min-age guard was
+    // considered and declined (scaladoc: unbounded disk growth under
+    // bursty refits buys protection only for contract-violating
+    // readers).
     java.nio.file.Files.write(data, "gen-three".getBytes("UTF-8"))
     val g3 = ensure("three")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(g1)))
+    assert(!java.nio.file.Files.exists(nio(g1)))
+    intercept[java.io.IOException] { dim(g1) }
     assert(dim(g2) == "two" && dim(g3) == "three")
   }
 
@@ -104,7 +124,7 @@ class ServingStoreSpec extends GraftSuite {
       ServingStore.ensure(dir + "#mut", Seq(data.toString), "v1") { g =>
         fits += 1
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(g, "dim.txt"), "x".getBytes("UTF-8"))
+          nio(g).resolve("dim.txt"), "x".getBytes("UTF-8"))
         if (mutate)
           java.nio.file.Files.write(data, "mutated".getBytes("UTF-8"))
       }
@@ -117,8 +137,7 @@ class ServingStoreSpec extends GraftSuite {
     assert(!java.nio.file.Files.exists(root.resolve("CURRENT")))
     // Settled inputs fit and publish normally.
     val g = ensure(mutate = false)
-    assert(fits == 2 && java.nio.file.Files.exists(
-      java.nio.file.Paths.get(g, "dim.txt")))
+    assert(fits == 2 && java.nio.file.Files.exists(nio(g).resolve("dim.txt")))
   }
 
   test("concurrent ensures serialize: one fit, every caller gets the same generation") {
@@ -136,7 +155,7 @@ class ServingStoreSpec extends GraftSuite {
             // must close.
             Thread.sleep(100)
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(g, "dim.txt"), "x".getBytes("UTF-8"))
+              nio(g).resolve("dim.txt"), "x".getBytes("UTF-8"))
         }
         results.add(r); ()
       })
@@ -170,5 +189,74 @@ class ServingStoreSpec extends GraftSuite {
     assert(fits == 2, "a same-size same-mtime rewrite must still refit")
     ensure()
     assert(fits == 2)
+  }
+
+  test("the whole lifecycle runs through explicit Hadoop file: URIs (root AND inputs)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs7")
+    val data = dir.resolve("data.txt")
+    java.nio.file.Files.write(data, "uri-one".getBytes("UTF-8"))
+    // Route the store ROOT through a scheme'd URI so the pointer
+    // rename, gen dirs, lock, and retirement all exercise the Hadoop
+    // code path, not the schemeless default-FS shortcut.
+    sys.props("graft.model.dir") = "file:" + dir.toString + "/models"
+    try {
+      var fits = 0
+      def ensure(v: String): String =
+        ServingStore.ensure("uri#spec", Seq("file:" + data.toString), v) { g =>
+          fits += 1
+          // The fit writes THROUGH the Hadoop API into the URI gen dir
+          // (what ModelStore.save does in production).
+          val p = new org.apache.hadoop.fs.Path(g, "dim.txt")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(p, true)
+          try out.write("dim".getBytes("UTF-8")) finally out.close()
+        }
+      val g1 = ensure("v1")
+      assert(fits == 1 && g1.startsWith("file:"))
+      assert(ensure("v1") == g1 && fits == 1, "URI inputs must fingerprint-no-op")
+      // A content change behind the file: URI must refit — the exact
+      // check the old java.nio walk silently failed for non-local
+      // schemes (everything fingerprinted as 'absent' forever).
+      java.nio.file.Files.write(data, "uri-two!".getBytes("UTF-8"))
+      val g2 = ensure("v1")
+      assert(fits == 2 && g2 != g1)
+      assert(java.nio.file.Files.exists(nio(g2).resolve("dim.txt")))
+    } finally sys.props.remove("graft.model.dir")
+  }
+
+  test("an input scheme with no registered filesystem fails ensure loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs8").toString
+    var fits = 0
+    // The round-11 hazard: under java.nio this input was permanently
+    // 'absent' — one fit, then stale dims forever. Now the resolver
+    // throws before any fingerprint exists, and nothing is fitted.
+    intercept[java.io.IOException] {
+      ServingStore.ensure(dir + "#bad",
+        Seq("nosuchfs://bucket/corpus"), "v1") { _ => fits += 1 }
+    }
+    assert(fits == 0, "an unresolvable input must never reach the fit")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ServingStore.rootFor(dir + "#bad"))
+        .resolve("CURRENT")))
+  }
+
+  test("fingerprint walk is FileSystem-impl-agnostic: RawLocalFileSystem double-check") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs9")
+    java.nio.file.Files.write(dir.resolve("a.bin"), "alpha".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.bin"), "beta".getBytes("UTF-8"))
+    val default = new org.apache.hadoop.conf.Configuration()
+    val raw = new org.apache.hadoop.conf.Configuration()
+    raw.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    raw.setBoolean("fs.file.impl.disable.cache", true)
+    val in = Seq("file:" + dir.toString)
+    val fpDefault = ServingStore.fingerprintOf(default, "v1", in)
+    val fpRaw = ServingStore.fingerprintOf(raw, "v1", in)
+    // Same bytes, same relative layout => same fingerprint whether the
+    // walk runs over the checksummed LocalFileSystem or the raw one.
+    assert(fpDefault == fpRaw)
+    // And both implementations see a content change.
+    java.nio.file.Files.write(dir.resolve("b.bin"), "BETA!".getBytes("UTF-8"))
+    assert(ServingStore.fingerprintOf(raw, "v1", in) != fpRaw)
+    assert(ServingStore.fingerprintOf(default, "v1", in) != fpDefault)
   }
 }
