@@ -107,19 +107,32 @@ object GroupA4 {
     * oracle-able forms; at 100 TB the same shape runs
     * approx_percentile and keeps topKPerGroup, which already windows
     * per series. */
-  def rankDescribeOf(s: SparkSession, d: String): DataFrame =
+  def rankDescribeOf(s: SparkSession, d: String,
+                     approxQuartiles: Boolean = false): DataFrame =
     rankDescribe(
       Tables(s, d, "orders")
         .select(col("o_orderkey").as("coll"),
           col("o_totalprice").cast("decimal(18,2)").as("r")),
       Tables(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
-        .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("rank")))
+        .agg(max(col("l_extendedprice").cast("decimal(18,2)")).as("rank")),
+      approxQuartiles)
 
   /** Core of a38 over a (coll, r) collection-rank frame and a
     * (coll, member, rank) member-rank frame — split from the table
     * wiring so ScaleProbe runs the registered plan on K× inputs. */
-  def rankDescribe(collRanks0: DataFrame, mem0: DataFrame): DataFrame = {
+  /** `approxQuartiles = true` runs the DECLARED 100 TB quartile form —
+    * `percentile_approx` (bounded-memory KLL-style sketch, map-side
+    * combinable, no per-series total sort) — through the otherwise
+    * identical body. Drift vs the exact form is interpolation-shaped:
+    * the sketch returns an actual element where the exact form
+    * interpolates between the two boundary elements, so the gap is
+    * bounded by one inter-element spacing at each quartile (measured
+    * at sf0.1 by graft.tools.ApproxDrift; ApproxDriftSpec pins the
+    * bound executable at sf0.001). n, mean, std, min, max and top10
+    * are byte-identical between the forms. */
+  def rankDescribe(collRanks0: DataFrame, mem0: DataFrame,
+                   approxQuartiles: Boolean = false): DataFrame = {
     // pandas-describe semantics for the PUBLIC body: null ranks drop
     // at the door (impossible on the registered tables). Found by
     // review of the quartile rework: the sort window ranks null
@@ -214,10 +227,23 @@ object GroupA4 {
       val frac = idx - floor(idx)
       col(s"lo$t") + frac * (col(s"hi$t") - col(s"lo$t"))
     }
-    val statsQ = stats.join(qagg, "series")
-      .withColumn("q25", interp(0.25, "25"))
-      .withColumn("q50", interp(0.5, "50"))
-      .withColumn("q75", interp(0.75, "75"))
+    // The approx twin replaces ONLY the quartile branch: one
+    // bounded-memory sketch agg on the same checkpointed series (no
+    // ordinals window, no boundary filter); accuracy 10000 = the
+    // Spark default relative rank error of 1/10000.
+    val statsQ =
+      if (approxQuartiles)
+        stats.join(
+          series.groupBy("series").agg(percentile_approx(col("v_cents"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qa")),
+          "series")
+          .withColumn("q25", col("qa")(0).cast("double"))
+          .withColumn("q50", col("qa")(1).cast("double"))
+          .withColumn("q75", col("qa")(2).cast("double"))
+      else stats.join(qagg, "series")
+        .withColumn("q25", interp(0.25, "25"))
+        .withColumn("q50", interp(0.5, "50"))
+        .withColumn("q75", interp(0.75, "75"))
     val top = Relational.topKPerGroup(series, Seq(col("series")),
         Seq(col("v_cents").desc, col("label").asc), k = 10, rankCol = "rn")
       .groupBy("series")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Graph
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Group B — graph reachability: the reference's subclass-of closure and
@@ -92,6 +92,55 @@ object GroupB {
       .agg(count(col("t")).as("n_member_types"),
         array_join(transform(array_sort(collect_list(col("t"))),
           x => x.cast("string")), ",").as("member_types"))
+
+  /** b10's registered body (exact count-distincts, the oracle form).
+    * `approx = true` swaps the four distinct-counts for
+    * `approx_count_distinct` (HLL++, default rsd 0.05) — the declared
+    * 100 TB form: each exact distinct is a full shuffle of the
+    * distinct stream, the sketch is one map-side-combinable pass.
+    * Measured drift at sf0.1 via [[graft.tools.ApproxDrift]];
+    * ApproxDriftSpec pins a 3·rsd bound executable at sf0.001. */
+  def typeCoverageAuditOf(s: SparkSession, d: String,
+                          approx: Boolean = false): DataFrame = {
+    def cd(c: Column): Column =
+      if (approx) approx_count_distinct(c) else countDistinct(c)
+    val mt = memberTypes(s, d)
+    val perArt = Tables(s, d, "part")
+      .select(col("p_partkey").as("article"))
+      .join(mt, Seq("article"), "left")
+      .groupBy("article")
+      .agg(max(when(col("kind") === "instanceof", 1).otherwise(0)).as("hi"),
+           max(when(col("kind") === "subclassof", 1).otherwise(0)).as("hs"))
+    val aAgg = perArt.agg(
+      count(lit(1)).as("n_articles"),
+      sum(when(col("hi") === 0 && col("hs") === 0, 1L).otherwise(0L)).as("wo_types"),
+      sum(when(col("hi") === 0, 1L).otherwise(0L)).as("wo_instanceof"),
+      sum(when(col("hs") === 0, 1L).otherwise(0L)).as("wo_subclassof"))
+    val mj = Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .join(Tables(s, d, "orders")
+              .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("ct"), col("l_partkey").as("article"))
+      .join(mt.select("article", "t").distinct(), Seq("article"), "left")
+    // The pair sketch must SKIP null-t rows EXPRESSION-level: a
+    // single-column approx_count_distinct ignores nulls like any agg,
+    // but struct(ct, null) is a non-null struct the sketch would hash
+    // as a real value and over-count by one — the when-guard nulls
+    // the whole struct so the sketch skips it, matching the
+    // multi-column countDistinct's real-pairs-only semantics (ct is
+    // never null).
+    val pairKey =
+      if (approx) approx_count_distinct(
+        when(col("t").isNotNull, struct(col("ct"), col("t"))))
+      else countDistinct(col("ct"), col("t"))
+    val mAgg = mj.agg(
+      count(col("t")).as("type_mentions"),
+      cd(col("t")).as("uniq_member_types"),
+      pairKey.as("uniq_pairs"),
+      cd(col("ct")).as("n_coll_types"))
+    aAgg.crossJoin(mAgg)
+  }
 
   /** [[memberTypes]] + its per-article distinct (article, t) set as a
     * CTE prefix, shared by the b9/b10 oracles. */
@@ -323,35 +372,7 @@ object GroupB {
     // approx_count_distinct (the f7/a38 declaration pattern). The two
     // 1-row branches assemble by a broadcast cross-join (the a40
     // pattern).
-    "b10_type_coverage_audit" -> ((s, d) => {
-      val mt = memberTypes(s, d)
-      val perArt = Tables(s, d, "part")
-        .select(col("p_partkey").as("article"))
-        .join(mt, Seq("article"), "left")
-        .groupBy("article")
-        .agg(max(when(col("kind") === "instanceof", 1).otherwise(0)).as("hi"),
-             max(when(col("kind") === "subclassof", 1).otherwise(0)).as("hs"))
-      val aAgg = perArt.agg(
-        count(lit(1)).as("n_articles"),
-        sum(when(col("hi") === 0 && col("hs") === 0, 1L).otherwise(0L)).as("wo_types"),
-        sum(when(col("hi") === 0, 1L).otherwise(0L)).as("wo_instanceof"),
-        sum(when(col("hs") === 0, 1L).otherwise(0L)).as("wo_subclassof"))
-      val mj = Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .join(Tables(s, d, "orders")
-                .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("ct")),
-              col("l_orderkey") === col("o_orderkey"))
-        .select(col("ct"), col("l_partkey").as("article"))
-        .join(mt.select("article", "t").distinct(), Seq("article"), "left")
-      val mAgg = mj.agg(
-        count(col("t")).as("type_mentions"),
-        countDistinct(col("t")).as("uniq_member_types"),
-        // multi-column count-distinct skips null-t rows — exactly the
-        // real-pairs-only semantics (ct is never null).
-        countDistinct(col("ct"), col("t")).as("uniq_pairs"),
-        countDistinct(col("ct")).as("n_coll_types"))
-      aAgg.crossJoin(mAgg)
-    }),
+    "b10_type_coverage_audit" -> ((s, d) => typeCoverageAuditOf(s, d)),
 
     // b2: member-valid-iff-reachable + per-collection valid/invalid
     // counts (filter_articles2.py keeps both). Members are lineitem

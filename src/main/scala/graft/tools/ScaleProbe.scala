@@ -139,6 +139,27 @@ object ScaleProbe {
     }
     lazy val docsP2K = (0 until k).map(vowelRotated(docsFull, _))
       .reduce(_ unionByName _).localCheckpoint()
+    // ---- skew-robustness inputs (r11 verdict ask #3). BOTH sides of
+    // a skew probe hold the SAME K× row count; the "Kx" side hands
+    // ONE key ~25% of the rows (every 4th source row, deterministic —
+    // SHIFT % 4 == 0 so the ridge is copy-aligned). The printed ratio
+    // is therefore a SKEW DEGRADATION FACTOR, ideal ≈ 1 — the
+    // "(ideal <= K)" suffix does not apply to these three probes.
+    lazy val liKSkew = liK.withColumn("l_orderkey",
+        when(col("l_partkey") % 4 === 0, lit(4_242_424_242L))
+          .otherwise(col("l_orderkey")))
+      .localCheckpoint()
+    // d2's skewed corpus: the vowel-rotated K× corpus (no cross-copy
+    // exact dups) with one sentinel run appended to every 4th doc —
+    // it shingles into exactly ONE hot trigram ("zq zq zq", distinct
+    // per doc) whose df is 25% of the K× corpus; the boundary
+    // trigrams it adds vary per doc and stay low-df.
+    lazy val docsU = docsP2K.select("doc_id", "text")
+    lazy val docsUSkew = docsU.withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" zq zq zq zq zq")))
+          .otherwise(col("text")))
+      .localCheckpoint()
     // One shared events input for g5/g6/g7 (g5 ignores event_id) —
     // a second per-probe copy would double the checkpoint footprint.
     lazy val ev = Tables(spark, sfDir, "events")
@@ -702,6 +723,40 @@ object ScaleProbe {
       ("b9 pair-gen",
         () => noop(graft.queries.GroupB.typesToValidateOf(mmB9, mtdB9)),
         () => noop(graft.queries.GroupB.typesToValidateOf(mmB9K, mtdB9))),
+      // ---- skew probes: ratio ideal ≈ 1 (see the skew-input block).
+      // a6 shape under a hot group: collect_list is an all-rows-of-
+      // the-group-in-one-task aggregation BY SEMANTICS — no engine
+      // can split a group whose output is the group — so the ratio
+      // reads what one group owning 25% of the corpus costs: the hot
+      // task sorts/concats ~K×N/4 members while every other task
+      // drains, and AQE cannot help (skew-split applies to joins, not
+      // aggregation groups). The scale guidance this probe pins:
+      // group-collect outputs are GROUP-SIZED — a key owning 25% of
+      // a 100 TB corpus is a data-quality signal to cap (a22's
+      // diverse-topk / a7's windowed top-k are the bounded forms),
+      // not a plan to optimize.
+      ("a6 skew-collect",
+        () => noop(groupCollect(liK)),
+        () => noop(groupCollect(liKSkew))),
+      // d2 with the dfCap engaged (the registered-for-scale form,
+      // boundedDf candidate path): the hot shingle's df exceeds the
+      // cap, so it is cut from the index and the skewed corpus must
+      // run ≈ the uniform one — the dfCap IS the skew fix, measured.
+      ("d2 skew-cap40",
+        () => noop(Dedup.ngramJaccardPairs(docsU, "doc_id", "text",
+          n = 3, tau = 0.5, dfCap = 40L)),
+        () => noop(Dedup.ngramJaccardPairs(docsUSkew, "doc_id", "text",
+          n = 3, tau = 0.5, dfCap = 40L))),
+      // d2 WITHOUT the cap: one shingle shared by N/4 docs joins
+      // C(N/4, 2) candidate pairs — deliberately quadratic, the
+      // measured cost of skipping the cap on a skewed corpus (every
+      // manufactured candidate is then REJECTED by the tau confirm:
+      // pure wasted shuffle). Run this one at modest K.
+      ("d2 skew-nocap",
+        () => noop(Dedup.ngramJaccardPairs(docsU, "doc_id", "text",
+          n = 3, tau = 0.5)),
+        () => noop(Dedup.ngramJaccardPairs(docsUSkew, "doc_id", "text",
+          n = 3, tau = 0.5))),
     )
 
     // Filter: every '-'-separated piece must be a substring of the

@@ -284,6 +284,48 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("deterministic dedup emits identically on the RocksDB state store") {
+    // The production posture at 100 TB event volumes: keyed state in
+    // RocksDB (off-heap, spillable, changelog-checkpointable) instead
+    // of the default in-memory HDFS-backed provider. The lambda's
+    // emissions must be byte-identical — state round-trips through
+    // the store's serde either way — and the progress metrics must
+    // PROVE the provider actually engaged (a typo'd providerClass
+    // would silently run the default and this spec would lie).
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[graft.streaming.FunnelEvent]
+      val out = graft.streaming.Sessions.dedupKeyedMin(input.toDS())
+      val query = out.writeStream.format("memory").queryName("dkm_rocks")
+        .outputMode("append").start()
+      import graft.streaming.{DedupKept => DK, FunnelEvent => FE}
+      try {
+        // The exact two-batch schedule of the HDFS-provider spec above.
+        input.addData(FE(1L, 9L, "view", ts(100)), FE(1L, 7L, "view", ts(100)),
+          FE(1L, 8L, "view", ts(300)), FE(2L, 3L, "click", ts(50)))
+        query.processAllAvailable()
+        input.addData(FE(1L, 5L, "view", ts(10)), FE(2L, 6L, "view", ts(40)))
+        query.processAllAvailable()
+        val rows = spark.table("dkm_rocks").as[DK].collect().toSet
+        assert(rows == Set(DK(1L, "view", 7L, 100L), DK(2L, "click", 3L, 50L),
+          DK(2L, "view", 6L, 40L)), s"got $rows")
+        import scala.jdk.CollectionConverters._
+        val metricKeys = Option(query.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(_.customMetrics.keySet().asScala)
+        assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"RocksDB provider did not engage; state metrics: $metricKeys")
+      } finally query.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("stream-stream click attribution joins within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
