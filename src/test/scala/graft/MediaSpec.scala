@@ -204,6 +204,38 @@ class MediaSpec extends GraftSuite {
     }
   }
 
+  test("LinearEmbedder: a real committed model artifact round-trips through decodeFeatures") {
+    // The model is a real weight FILE (tools/gen_linear_embedder.py),
+    // loaded lazily per executor from a path-only serialized handle,
+    // and its embeddings are compared against the generator's
+    // INDEPENDENT float64-loop computation of every media fixture —
+    // so the full production path (artifact on disk → transient
+    // handle → batched embedBatch → fixed-dim verification) runs for
+    // real, not through the stub. Tolerance 1e-6 relative: both sides
+    // accumulate in float64 in the same order and cast once to
+    // float32, but the generator is a different implementation.
+    val fixtures = ss.read.parquet(Media.fixturesPathChecked)
+    val out = Media.decodeFeatures(fixtures, dim = 8, batchSize = 3,
+        embedder = new Media.LinearEmbedder(Media.linearModelPath))
+      .select("name", "features").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val want = ss.read.parquet(
+        new java.io.File(Media.linearModelPath).getParent + "/linear_expected.parquet")
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(out.keySet == want.keySet && out.size == 8)
+    for ((name, w) <- want; (g, e) <- out(name).zip(w))
+      assert(math.abs(g - e) <= 1e-6 * math.max(1.0f, math.abs(e)),
+        s"$name drifted: got $g want $e")
+    // A dim the artifact does not produce must fail loudly (the
+    // model-ignores-dim contract), not reshape.
+    val err = intercept[org.apache.spark.SparkException] {
+      Media.decodeFeatures(fixtures, dim = 4,
+        embedder = new Media.LinearEmbedder(Media.linearModelPath))
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("h1 fixtures decode bit-for-bit to the committed independent expected features") {
     // The committed fixtures + expected parquets are the h1 machine
     // oracle (tools/gen_media_fixtures.py); pin the same equality in
