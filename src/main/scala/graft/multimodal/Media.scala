@@ -92,19 +92,40 @@ object Media {
     * batching, dim verification, null routing) is real here. */
   final class LinearEmbedder(modelPath: String) extends MediaEmbedder {
     @transient private lazy val model: (Int, Int, Array[Float]) = {
-      val bytes = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(modelPath))
+      val p = java.nio.file.Paths.get(modelPath)
+      // The artifact also ships inside the jar (src/main/resources),
+      // so a session launched away from the checkout root still loads
+      // it from the classpath; a missing artifact fails LOUDLY at
+      // load, naming the knob, never NoSuchFileException mid-task.
+      val bytes =
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.readAllBytes(p)
+        else {
+          val res = Option(getClass
+            .getResourceAsStream("/graft/" + p.getFileName.toString))
+          require(res.isDefined,
+            s"model weight file not found at $modelPath nor on the " +
+              s"classpath at /graft/${p.getFileName} — set " +
+              "GRAFT_LINEAR_MODEL_PATH or launch from the checkout root")
+          try res.get.readAllBytes() finally res.get.close()
+        }
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val magic = new Array[Byte](4); bb.get(magic)
       require(new String(magic, "US-ASCII") == "GFTW",
         s"$modelPath is not a GFTW weight file")
       val inDim = bb.getInt; val outDim = bb.getInt
+      // The byte-histogram feature map is structurally 256 bins; a
+      // file with another in_dim must be refused HERE with a named
+      // error, not surface as an AIOOBE inside executor tasks.
+      require(inDim == 256,
+        s"$modelPath declares in_dim=$inDim; the byte-histogram " +
+          "encoder requires 256")
+      require(outDim > 0 && bb.remaining == inDim * outDim * 4,
+        s"$modelPath has ${bb.remaining} weight bytes for " +
+          s"declared ${inDim}x$outDim — truncated or mismatched dims")
       val w = new Array[Float](inDim * outDim)
       var i = 0
       while (i < w.length) { w(i) = bb.getFloat; i += 1 }
-      require(!bb.hasRemaining, s"$modelPath has trailing bytes — " +
-        "truncated header or mismatched dims")
       (inDim, outDim, w)
     }
     def embedBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] = {

@@ -234,13 +234,22 @@ object ServingStore {
     * lease marker described in the object scaladoc. */
   private trait StoreLock { def release(): Unit }
 
+  // Same active-orElse-default session resolution as hadoopConf(): a
+  // configured lease must not silently fall back to the 1 h default
+  // just because ensure ran off the session thread.
   private def lockLeaseMs: Long =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption("spark.graft.servingstore.leaseMs"))
       .map(_.toLong).getOrElse(3600000L)
 
   private def acquireLock(fs: FileSystem, root: Path): StoreLock =
-    if (fs.getScheme == "file") {
+    // The -Dgraft.servingstore.forceLease escape hatch routes a local
+    // root through the lease protocol so its break/wait/contention
+    // arms are spec-testable (no distributed FS in CI); production
+    // local roots always take the stronger OS lock.
+    if (fs.getScheme == "file" &&
+        !sys.props.contains("graft.servingstore.forceLease")) {
       // POSIX substrate: a real OS lock (blocks until the holder — in
       // any process — releases; the per-root monitor already keeps two
       // threads of THIS JVM from racing into an OverlappingFileLock).
@@ -255,25 +264,45 @@ object ServingStore {
     } else {
       val lease = new Path(root, "_LOCK.lease")
       val leaseMs = lockLeaseMs
+      // Payload resolved BEFORE the create: a hostname lookup failing
+      // AFTER a successful create-exclusive would orphan our own
+      // fresh lease and stall this very process a full leaseMs.
+      val holder = try java.net.InetAddress.getLocalHost.getHostName
+        catch { case scala.util.control.NonFatal(_) => "unknown-host" }
       var acquired = false
       while (!acquired) {
         try {
           // create(overwrite = false) is atomic create-exclusive on
           // HDFS — exactly one contender wins.
           val out = fs.create(lease, false)
-          try out.write(java.net.InetAddress.getLocalHost.getHostName
-            .getBytes("UTF-8")) finally out.close()
+          try out.write(holder.getBytes("UTF-8")) finally out.close()
           acquired = true
         } catch {
-          case _: java.io.IOException =>
-            // Held (or a non-atomic store raced us). Poll; break only
-            // a lease old enough that its holder must have crashed.
+          // ONLY the contention signal may poll; any other create
+          // failure (permissions, dead namenode) propagates — the
+          // old FileChannel path surfaced those too, and an unbounded
+          // silent retry would hang ensure for the JVM's lifetime.
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            // Held. Break only a lease old enough that its holder
+            // must have crashed — and break it ATOMICALLY, by rename
+            // to a unique tombstone: two waiters that both judged the
+            // same stale lease race the rename, exactly one wins, so
+            // the loser can never delete the winner's FRESH lease out
+            // from under it (the delete-based break's TOCTOU). The
+            // winner removes its tombstone; a breaker crashing in
+            // between leaves one never-consulted tombstone file,
+            // the accepted debris.
             val age = try
               System.currentTimeMillis() -
                 fs.getFileStatus(lease).getModificationTime
             catch { case _: java.io.FileNotFoundException => -1L }
-            if (age > leaseMs) fs.delete(lease, false)
-            else Thread.sleep(200)
+            if (age > leaseMs) {
+              val tomb = new Path(root,
+                s"_LOCK.break.${java.util.UUID.randomUUID()}")
+              if (try fs.rename(lease, tomb)
+                  catch { case _: java.io.IOException => false })
+                fs.delete(tomb, false)
+            } else Thread.sleep(200)
         }
       }
       new StoreLock {

@@ -240,6 +240,64 @@ class ServingStoreSpec extends GraftSuite {
         .resolve("CURRENT")))
   }
 
+  test("lease lock: lifecycle works, a stale lease is broken, a fresh one is awaited") {
+    // Route a local root through the non-POSIX lease protocol (the
+    // HDFS arm): same create-exclusive + FileAlreadyExistsException
+    // semantics, so the break/wait logic runs for real.
+    sys.props("graft.servingstore.forceLease") = "1"
+    val leaseConfKey = "spark.graft.servingstore.leaseMs"
+    // Touch the shared session so getDefaultSession resolves, then
+    // shorten the lease so the stale-break arm is reachable in-test.
+    spark.conf.set(leaseConfKey, "2000")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-svs10").toString
+      val data = java.nio.file.Paths.get(dir, "data.txt")
+      java.nio.file.Files.write(data, "lease".getBytes("UTF-8"))
+      var fits = 0
+      def ensure(): String =
+        ServingStore.ensure(dir + "#lease", Seq(data.toString), "v1") { _ =>
+          fits += 1
+        }
+      // Plain lifecycle through the lease arm: fit once, then no-op.
+      val g1 = ensure()
+      assert(fits == 1 && ensure() == g1 && fits == 1)
+      val root = java.nio.file.Paths.get(
+        ServingStore.rootFor(dir + "#lease"))
+      val lease = root.resolve("_LOCK.lease")
+      assert(!java.nio.file.Files.exists(lease), "release must delete the lease")
+      // A STALE lease (crashed holder): ensure must break it via the
+      // atomic rename-tombstone and proceed, not wait forever.
+      java.nio.file.Files.write(lease, "dead-holder".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(lease,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600000L))
+      java.nio.file.Files.write(data, "lease2".getBytes("UTF-8"))
+      val t0 = System.nanoTime()
+      ensure()
+      assert(fits == 2, "stale lease must be broken and the refit run")
+      assert((System.nanoTime() - t0) / 1e9 < 30, "break must not wait out the lease")
+      assert(!java.nio.file.Files.exists(lease))
+      // A FRESH lease (live holder): ensure waits; it proceeds only
+      // once the holder releases.
+      java.nio.file.Files.write(lease, "live-holder".getBytes("UTF-8"))
+      java.nio.file.Files.write(data, "lease3".getBytes("UTF-8"))
+      val releaser = new Thread(() => {
+        Thread.sleep(800)
+        java.nio.file.Files.deleteIfExists(lease); ()
+      })
+      releaser.start()
+      val t1 = System.nanoTime()
+      ensure()
+      releaser.join()
+      assert(fits == 3)
+      assert((System.nanoTime() - t1) / 1e9 >= 0.5,
+        "a fresh lease must be awaited, not broken")
+    } finally {
+      sys.props.remove("graft.servingstore.forceLease")
+      spark.conf.unset(leaseConfKey)
+    }
+  }
+
   test("fingerprint walk is FileSystem-impl-agnostic: RawLocalFileSystem double-check") {
     val dir = java.nio.file.Files.createTempDirectory("graft-svs9")
     java.nio.file.Files.write(dir.resolve("a.bin"), "alpha".getBytes("UTF-8"))
