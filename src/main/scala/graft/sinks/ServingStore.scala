@@ -367,10 +367,18 @@ object ServingStore {
         // readers of the last cycle), drop anything older — including
         // crashed fits' unpublished directories.
         val keep = Set(gen) ++ prevGen
+        val now = System.currentTimeMillis()
         fs.listStatus(root).iterator
-          .map(_.getPath)
-          .filter(p => p.getName.startsWith("gen-") && !keep(p.getName))
-          .foreach(fs.delete(_, true))
+          .filter { st =>
+            val n = st.getPath.getName
+            (n.startsWith("gen-") && !keep(n)) ||
+              // A breaker that crashed between its tombstone rename
+              // and delete leaves one `_LOCK.break.*` file — harmless
+              // (never consulted), swept here once provably dead.
+              (n.startsWith("_LOCK.break.") &&
+                now - st.getModificationTime > lockLeaseMs)
+          }
+          .foreach(st => fs.delete(st.getPath, true))
       }
       genPath.toString
     } finally lock.release()

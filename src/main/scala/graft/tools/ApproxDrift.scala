@@ -78,6 +78,32 @@ object ApproxDrift {
       }
     }
 
+    // f7: per-language token percentiles — exact `percentile` (the
+    // registered oracle form) vs percentile_approx, same groupBy.
+    locally {
+      import org.apache.spark.sql.functions._
+      val base = graft.Tables(spark, sfDir, "documents")
+        .select(col("lang"),
+          size(graft.functions.Text.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+      // percentile returns double, percentile_approx returns the
+      // input type (bigint here) — read both through Number.
+      def f7(q: String => String) = base.groupBy("lang").agg(
+        round(expr(q("0.5D")).cast("double"), 6).as("p50"),
+        round(expr(q("0.95D")).cast("double"), 6).as("p95"),
+        round(expr(q("0.99D")).cast("double"), 6).as("p99"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val exact = f7(p => s"percentile(n_tokens, $p)")
+      val approx = f7(p => s"percentile_approx(n_tokens, $p, 10000)")
+      for (l <- exact.keys.toSeq.sorted) {
+        report("f7", l, "p50", exact(l)._1, approx(l)._1)
+        report("f7", l, "p95", exact(l)._2, approx(l)._2)
+        report("f7", l, "p99", exact(l)._3, approx(l)._3)
+      }
+    }
+
     spark.stop()
   }
 }

@@ -499,6 +499,31 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("Expand"), p)
   }
 
+  test("b10/a38 approx twins: Expand gone, quartile sort gone — the scale shapes") {
+    // b10's declared 100 TB form: approx_count_distinct folds the
+    // four distinct specs into ONE pass — the Expand multiplication
+    // (one grouping per distinct spec, pinned present on the exact
+    // form above) must disappear, and the plan must not grow
+    // exchanges.
+    val pa = graft.queries.GroupB.typeCoverageAuditOf(spark, sfDir, approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Expand"), pa)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pa).size == 1, pa)
+    val pe = plan("b10_type_coverage_audit")
+    assert("Exchange".r.findAllIn(pa).size < "Exchange".r.findAllIn(pe).size,
+      s"approx form should need fewer exchanges\n$pa")
+    // a38's twin: the per-series ordinals sort-window is replaced by
+    // one bounded-buffer sketch agg (ObjectHashAggregate — bounded by
+    // the accuracy parameter, unlike exact `percentile`'s unbounded
+    // value-count map), so the plan must carry strictly fewer sorts.
+    val qa = graft.queries.GroupA4.rankDescribeOf(spark, sfDir, approxQuartiles = true)
+      .queryExecution.executedPlan.toString
+    val qe = plan("a38_rank_describe")
+    assert(qa.contains("ObjectHashAggregate"), qa)
+    assert("Sort ".r.findAllIn(qa).size < "Sort ".r.findAllIn(qe).size,
+      s"approx form should drop the quartile sort window\n$qa")
+  }
+
   test("a25: the dfCap over-cap anti join broadcasts in the executed plan") {
     // a25's overlapPairs(dfCap=40) cuts ubiquitous members via a LEFT
     // ANTI against the over-cap element set (Relational.scala:147),

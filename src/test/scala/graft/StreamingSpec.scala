@@ -326,6 +326,63 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("RocksDB + changelog checkpointing: dedup state survives a restart") {
+    // The full production streaming posture in one spec: keyed state
+    // in RocksDB, checkpoint uploads as per-batch CHANGELOGS (not
+    // full snapshots), a mid-stream stop, and recovery from the
+    // checkpoint. The keeper markers live ONLY in the state store —
+    // source offsets for batch 1 are committed, so a lost store could
+    // never rebuild them by reprocessing — which makes the
+    // dropped-late-row assertion below a genuine recovery proof.
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val priorP = spark.conf.getOption(providerKey)
+    val priorC = spark.conf.getOption(changelogKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rdkm").toString
+      val input = MemoryStream[graft.streaming.FunnelEvent]
+      val out = graft.streaming.Sessions.dedupKeyedMin(input.toDS())
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      var query = start()
+      import graft.streaming.{DedupKept => DK, FunnelEvent => FE}
+      try {
+        input.addData(FE(1L, 9L, "view", ts(100)), FE(1L, 7L, "view", ts(100)),
+          FE(2L, 3L, "click", ts(50)))
+        query.processAllAvailable()
+        query.stop() // keepers for (1,view)/(2,click) exist only as state
+        query = start()
+        // Post-restart: the earlier-timed (1,view) row must STILL be
+        // dropped — only recovered state can know a keeper emitted.
+        input.addData(FE(1L, 5L, "view", ts(10)), FE(2L, 6L, "view", ts(40)))
+        query.processAllAvailable()
+        val rows = spark.read.parquet(outDir).as[DK].collect().toSet
+        assert(rows == Set(DK(1L, "view", 7L, 100L), DK(2L, "click", 3L, 50L),
+          DK(2L, "view", 6L, 40L)), s"got $rows")
+        // And the changelog mode really engaged: per-batch .changelog
+        // files land under the checkpoint's state dir.
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        val changelogs = try walk.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".changelog"))
+        finally walk.close()
+        assert(changelogs > 0, "no .changelog files — snapshot mode ran instead")
+      } finally query.stop()
+    } finally {
+      (priorP match { case Some(v) => spark.conf.set(providerKey, v)
+                      case None => spark.conf.unset(providerKey) })
+      (priorC match { case Some(v) => spark.conf.set(changelogKey, v)
+                      case None => spark.conf.unset(changelogKey) })
+    }
+  }
+
   test("stream-stream click attribution joins within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
