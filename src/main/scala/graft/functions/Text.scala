@@ -36,9 +36,16 @@ object Text {
     (when(hi >= 2147483648L, hi - 4294967296L).otherwise(hi)) * 4294967296L + lo
   }
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped. `array_remove`, not a
+    * `filter` lambda: higher-order functions are CodegenFallback
+    * (interpreted, per-element lambda eval), and this call opens
+    * every tokenize-shingle-hash pipeline in the repo — the r12
+    * review caught the old HOF form contradicting this file's
+    * stays-inside-codegen contract. Identical output: split never
+    * yields nulls, so removing `""` IS dropping empties, order
+    * preserved (DuckSql.toks replays the same semantics). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    array_remove(split(text, "\\s+"), "")
 
   /** Word n-gram shingles from a PRE-TOKENIZED array column; empty
     * array when the document has fewer than n words (or the array is

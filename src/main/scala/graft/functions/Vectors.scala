@@ -28,7 +28,12 @@ object Vectors {
     ColumnBridge.column(
       graft.functions.expr.ArrayNormalize(ColumnBridge.expression(a)))
 
-  /** Cosine similarity (NaN-safe: 0 when either norm is 0). */
+  /** Cosine similarity — 0 when either norm is exactly 0 (the
+    * division-by-zero NaN source). A NaN ELEMENT in an input vector
+    * still propagates (norm NaN fails the === 0.0 test), as does a
+    * float norm overflowing to Infinity: garbage embeddings are an
+    * upstream data-quality failure this function surfaces rather than
+    * masks. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)

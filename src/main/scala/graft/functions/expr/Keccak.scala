@@ -112,7 +112,15 @@ object KeccakUtil {
   }
 
   /** EIP-137 namehash: node("") = 0³²; node(name) folds labels
-    * right-to-left as keccak(node ‖ keccak(label)). */
+    * right-to-left as keccak(node ‖ keccak(label)). Label splitting
+    * is Scala `split('.')` — TRAILING empty labels drop (so
+    * "foo.eth." ≡ "foo.eth"), interior/leading empties are kept and
+    * hashed; the committed vector generator
+    * (tools/gen_namehash_vectors.py split_labels) mirrors exactly
+    * this and pins "foo.", "foo..", "." as cross-engine vectors.
+    * Normalized ENS names never carry a trailing dot — the choice
+    * only shapes malformed-input behavior, and it is documented
+    * rather than load-bearing. */
   def namehash(name: String): Array[Byte] = {
     var node = new Array[Byte](32)
     if (name != null && name.nonEmpty) {

@@ -59,8 +59,12 @@ object GroupC {
     // INSERT, suppkey-ordered; same expression on both engines), then
     // the real tuple splitter + field extraction run on them.
     "c4_sqldump_parse" -> ((s, d) => {
+      // The synthesized name carries PARENTHESES inside the quoted
+      // value — "NAME (NK)" — so the hash gate proves the quote-aware
+      // tuple scan keeps them in-tuple (the r12 review's corruption
+      // class: real Wikipedia titles are full of parens).
       val tup = concat(lit("("), col("s_suppkey"), lit(",'"), col("s_name"),
-        lit("',"), col("s_nationkey"), lit(")"))
+        lit(" ("), col("s_nationkey"), lit(")',"), col("s_nationkey"), lit(")"))
       val lines = Tables(s, d, "supplier")
         .select(expr("s_suppkey DIV 5").as("g"),
           struct(col("s_suppkey"), tup.as("t")).as("st"))
@@ -137,10 +141,11 @@ object GroupC {
     "c4_sqldump_parse" ->
       """WITH lines AS (
         |  SELECT 'INSERT INTO supplier VALUES ' ||
-        |    string_agg('(' || s_suppkey || ',''' || s_name || ''',' || s_nationkey || ')',
+        |    string_agg('(' || s_suppkey || ',''' || s_name || ' (' || s_nationkey || ')'',' || s_nationkey || ')',
         |               ',' ORDER BY s_suppkey) || ';' AS value
         |  FROM supplier GROUP BY s_suppkey // 5),
-        |tu AS (SELECT unnest(regexp_extract_all(value, '\(([^()]*)\)', 1)) AS t
+        |tu AS (SELECT unnest(regexp_extract_all(value,
+        |         '\(((?:''(?:[^''\\]|\\.|'''')*''|[^()''])*)\)', 1)) AS t
         |       FROM lines)
         |SELECT
         |  cast(regexp_extract(t, '^(\d+),''([^'']*)'',(\d+)$', 1) AS bigint) AS suppkey,

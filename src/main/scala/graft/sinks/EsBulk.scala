@@ -29,15 +29,27 @@ object EsBulk {
                 opCol: String, payload: Column): DataFrame = {
     // Action lines render through to_json so ids (arbitrary user
     // strings in ENS-land) and the index name are escaped correctly.
+    // Null ids/payloads must FAIL the job, not render: a null
+    // null-propagates through concat into a blank line, and ES's
+    // _bulk parser rejects the ENTIRE request on one malformed
+    // action/metadata line — a whole sync batch lost to one bad row,
+    // silently at write time (r12 review). raise_error sits inside
+    // the expression tree, so column pruning cannot drop the check.
+    val idSafe = when(col(idCol).isNull, raise_error(lit(
+        s"EsBulk: null $idCol would render a malformed bulk action line")))
+      .otherwise(col(idCol).cast("string"))
     def action(op: String): Column = to_json(struct(
-      struct(lit(index).as("_index"), col(idCol).cast("string").as("_id")).as(op)))
+      struct(lit(index).as("_index"), idSafe.as("_id")).as(op)))
     val act = when(col(opCol) === "insert", action("index"))
       .otherwise(action("update"))
     val doc = when(col(opCol) === "insert", to_json(payload))
       .when(col(opCol) === "update", to_json(struct(payload.as("doc"))))
       .otherwise(lit("""{"doc":{"archived":true}}"""))
+    val docSafe = when(doc.isNull, raise_error(lit(
+        "EsBulk: null payload on an insert/update row would render a " +
+          "malformed bulk document line"))).otherwise(doc)
     ops.filter(col(opCol).isin("insert", "update", "archive"))
-      .select(concat(act, lit("\n"), doc).as("value"))
+      .select(concat(act, lit("\n"), docSafe).as("value"))
   }
 
   /** Write bulk files for a batch diff. `files > 0` coalesces to that

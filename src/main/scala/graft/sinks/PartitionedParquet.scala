@@ -27,12 +27,21 @@ object PartitionedParquet {
     *    writers open one partition at a time and column runs compress
     *    (rank-ordered members, time-ordered events);
     *  - the salt is a hash of the whole row, not `rand()`: re-running
-    *    the write produces byte-identical layout.
+    *    the write assigns every row to the SAME file deterministically.
+    *    (File assignment is deterministic; byte-identical files
+    *    additionally require `sortCols` to form a unique key within a
+    *    partition — rows tied on the whole sort key keep shuffle
+    *    arrival order, which varies run to run.)
     */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
             sortCols: Seq[String] = Nil, filesPerPartition: Int = 4,
             maxRecordsPerFile: Long = 5000000L): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    // 0 would make pmod(_, 0) a null salt (one task per hive
+    // partition — the giant-task pathology this class exists to
+    // prevent) under default mode, or DIVIDE_BY_ZERO under ANSI.
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
     require(df.columns.distinct.length == df.columns.length,
       s"duplicate column names (common after joins) make the salt ambiguous: " +
         df.columns.diff(df.columns.distinct).mkString(", "))
@@ -49,8 +58,12 @@ object PartitionedParquet {
       case s: StructType => s.fields.exists(f => hasMap(f.dataType))
       case _ => false
     }
+    // Backtick-quoted: these names come from the schema, not the
+    // caller, so a column literally named "user.id" must resolve as
+    // itself, never as a nested-field reference (r12 review).
     val hashable = df.schema.fields
-      .filter(f => !hasMap(f.dataType)).map(f => col(f.name))
+      .filter(f => !hasMap(f.dataType))
+      .map(f => col("`" + f.name.replace("`", "``") + "`"))
     val salt =
       (if (hashable.isEmpty) lit(0L)
        else pmod(xxhash64(struct(hashable.toSeq: _*)), lit(filesPerPartition.toLong)))

@@ -100,13 +100,27 @@ class NTriplesScan(path: String, required: StructType) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(sessionConf)
+    val root = fs.makeQualified(p)
+    // Hidden/temp filtering must check EVERY path component below the
+    // root, not just the basename (r12 review): a recursive listing
+    // descends into `_temporary/`/`.spark-staging*` leftovers from
+    // failed or concurrent writes, whose part files have perfectly
+    // ordinary basenames — Spark's own InMemoryFileIndex filters
+    // per-component for exactly this reason.
+    def hiddenUnder(f: Path): Boolean = {
+      var cur = f
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files = ArrayBuffer.empty[FileStatus]
-    val it = fs.listFiles(p, true)
+    val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-        files += f
+      if (f.isFile && !hiddenUnder(f.getPath)) files += f
     }
     files.sortBy(_.getPath.toString)
       .map(f => NTriplesPartition(f.getPath.toString): InputPartition).toArray
@@ -125,10 +139,16 @@ class NTriplesReaderFactory(fields: Array[String], conf: HadoopConfBytes)
       conf.value)
 }
 
-/** Streams one file line by line; parses with the same grammar as
-  * [[NTriples.parse]]; emits only the pruned columns. Malformed lines
-  * are skipped (the Column parser surfaces them as empty subjects —
-  * a file reader has no use for them). */
+/** Streams one file line by line; parses with the same grammar AND
+  * the same edge semantics as [[NTriples.parse]] (r12 review closed
+  * the divergences): a URI object whose local name is empty (trailing
+  * slash) or that fails extraction yields "", a non-URI non-literal
+  * object (blank node `_:b1`) yields "", and `obj_is_uri` is the
+  * starts-with-`<` test exactly as in the Column form. Lines the
+  * Column parser surfaces as empty-SUBJECT rows (malformed, or a
+  * subject URI with no local name) are skipped here — the documented
+  * caller contract on the Column side is to filter them, and a file
+  * reader has no use for them. */
 class NTriplesReader(file: String, fields: Array[String],
                      hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
@@ -149,27 +169,33 @@ class NTriplesReader(file: String, fields: Array[String],
 
   private var current: InternalRow = _
 
+  // Parity with Column regexp_extract: no match => empty string,
+  // never the raw input.
   private def local(uri: String): String =
-    localRe.findFirstMatchIn(uri).map(_.group(1)).getOrElse(uri)
+    localRe.findFirstMatchIn(uri).map(_.group(1)).getOrElse("")
 
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
       line match {
         case lineRe(s, p, o) =>
-          val (obj, isUri) = o match {
-            case uriRe(u) => (local(u), true)
-            case litRe(v) => (v, false)
-            case other => (other, false)
+          val subj = local(s)
+          if (subj.nonEmpty) { // empty-subject rows: the Column side's filtered class
+            val (obj, isUri) =
+              if (o.startsWith("<"))
+                (uriRe.findFirstMatchIn(o).map(m => local(m.group(1)))
+                  .getOrElse(""), true)
+              else
+                (litRe.findFirstMatchIn(o).map(_.group(1)).getOrElse(""), false)
+            val vals = fields.map {
+              case "subject" => UTF8String.fromString(subj)
+              case "predicate" => UTF8String.fromString(local(p))
+              case "obj" => UTF8String.fromString(obj)
+              case "obj_is_uri" => java.lang.Boolean.valueOf(isUri)
+            }
+            current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+            return true
           }
-          val vals = fields.map {
-            case "subject" => UTF8String.fromString(local(s))
-            case "predicate" => UTF8String.fromString(local(p))
-            case "obj" => UTF8String.fromString(obj)
-            case "obj_is_uri" => java.lang.Boolean.valueOf(isUri)
-          }
-          current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-          return true
         case _ => // malformed: skip
       }
       line = reader.readLine()
