@@ -122,10 +122,10 @@ object Collections {
     def ntokOf(l: Column): Column =
       when(l.getField("tokenized_label").isNotNull,
         size(l.getField("tokenized_label")).cast("long"))
-        .otherwise(size(regexp_extract_all(
-          l.getField("normalized_label"),
-          lit(graft.functions.Text.emojiTokenRe), lit(0)))
-          .cast("long"))
+        // The SHARED tokenizer, not an inline regex copy — a fix to
+        // emojiTokens must reach this count too (r12 review).
+        .otherwise(size(graft.functions.Text.emojiTokens(
+          l.getField("normalized_label"))).cast("long"))
     parsed.select(
       col("r.data.collection_id").as("collection_id"),
       col("r.data.collection_name").as("collection_name"),
@@ -367,8 +367,16 @@ object Collections {
       stride = closureStride,
       uniquePaths = closureUniquePaths)
 
+    // LEFT join to entities (r12 review, reference parity): a member
+    // with no entity row cannot validate — the reference counts it
+    // INVALID (filter_articles2.py: invalid_members_count =
+    // len(members) − len(valid_members), and a member with no
+    // wikidata id never reaches valid_members) — so it must survive
+    // to the counts with a null type (null `valid` counts as invalid
+    // on both engines), not vanish from both buckets in an inner
+    // join.
     val typed = mem0
-      .join(entities, "member_id")
+      .join(entities, Seq("member_id"), "left")
       .join(coll0, "collection_id")
     // Materialized once: both aggregations below consume it, and
     // Catalyst does not dedupe common subplans.
@@ -392,9 +400,14 @@ object Collections {
            // list in the same-name max_by below.
            max(when(col("valid"), col("score"))).as("rank"))
 
+    // LEFT join to counts (r12 review, reference parity): a MEMBERLESS
+    // collection emits a 0/0 row in the reference (it writes every
+    // input collection, members or not), so it must not drop here.
     val joined = coll0.select("collection_id", "collection_name")
-      .join(counts, "collection_id")
+      .join(counts, Seq("collection_id"), "left")
       .join(topMembers, Seq("collection_id"), "left")
+      .withColumn("valid_cnt", coalesce(col("valid_cnt"), lit(0L)))
+      .withColumn("invalid_cnt", coalesce(col("invalid_cnt"), lit(0L)))
       // Valid-less collections carry an empty member list, not null —
       // keeps the merged pick and any downstream rendering total.
       .withColumn("top_members",

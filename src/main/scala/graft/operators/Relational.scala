@@ -58,8 +58,17 @@ object Relational {
     val rType = right.select(rStruct.as("s")).schema("s").dataType
     val lSide = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"), lit(1).as("__side"))
-    val rSide = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"), lit(0).as("__side"))
+    // A right row with a null key or null timestamp can never satisfy
+    // the match contract (key equality ∧ rightTs <= leftTs are both
+    // null-false) — but unfiltered it would sort NULLS FIRST to the
+    // partition head and become a phantom running-last match for
+    // every left row with no genuine predecessor (r12 review). Left
+    // rows with null ts keep their contract for free once these are
+    // gone: nothing sorts before them, so asof is null.
+    val rSide = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"), lit(0).as("__side"))
     // Right rows sort before left rows at equal ts (inclusive match);
     // equal-ts right rows sort tiebreak-ascending, and the running
     // last() then surfaces the largest tiebreak.
@@ -234,6 +243,9 @@ object Relational {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
+    // 0 would null every probe salt (or DIVIDE_BY_ZERO under ANSI)
+    // and emit an empty join with no error.
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = probe.withColumn("__salt",
       pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val replicated = build.withColumn("__salt",
@@ -329,10 +341,22 @@ object Relational {
     // nullness — a present row with a NULL fingerprint must classify
     // as update/unchanged (null-safe compare), never as a phantom
     // insert/archive that would drop it from applySnapshotOps.
-    val cur = current.select(col(key).as("k"), fingerprint.as("cur_fp"),
-      lit(true).as("__cur"))
-    val prev = previous.select(col(key).as("k"), fingerprint.as("prev_fp"),
-      lit(true).as("__prev"))
+    // A null key cannot round-trip: equality joins never match null,
+    // so it would classify as a phantom insert+archive pair here and
+    // then silently VANISH from applySnapshotOps' semi-joins —
+    // breaking the pinned round-trip law on exactly the rows least
+    // likely to be noticed. Snapshot keys are primary keys; a null
+    // one is corrupt input — fail loudly at classification time
+    // (r12 review).
+    def keyChecked(side: String): Column =
+      when(col(key).isNull, raise_error(lit(
+        s"diffSnapshots: null $key in the $side snapshot — " +
+          "snapshot keys must be non-null")))
+        .otherwise(col(key))
+    val cur = current.select(keyChecked("current").as("k"),
+      fingerprint.as("cur_fp"), lit(true).as("__cur"))
+    val prev = previous.select(keyChecked("previous").as("k"),
+      fingerprint.as("prev_fp"), lit(true).as("__prev"))
     cur.join(prev, Seq("k"), "full_outer")
       .select(
         col("k").as(key),
@@ -385,6 +409,15 @@ object Relational {
     */
   def partialUpdateDocs(current: DataFrame, previous: DataFrame,
                         key: String): DataFrame = {
+    // A field present in only ONE snapshot's schema would melt on one
+    // side and silently drop in the inner (key, field) join — a new
+    // column's changed values would emit no partial updates at all
+    // (r12 review). Schema drift between snapshots is a pipeline
+    // deploy event, not a diffable state: fail loudly.
+    require(current.columns.toSet == previous.columns.toSet,
+      "partialUpdateDocs: snapshots carry different columns — " +
+        s"only in current: ${current.columns.toSet.diff(previous.columns.toSet).mkString(", ")}; " +
+        s"only in previous: ${previous.columns.toSet.diff(current.columns.toSet).mkString(", ")}")
     def melt(df: DataFrame, as: String): DataFrame = {
       val fields = df.columns.filter(_ != key)
       require(fields.nonEmpty, s"partialUpdateDocs: $key is the only column")

@@ -70,20 +70,24 @@ object Sampling {
                     grain: Int = 1000000): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixtureSample: weights must be non-empty and positive")
+    // The rates dim's key is "__mix_domain", never "domain": the
+    // caller's most natural column name IS "domain", and a bare
+    // col("domain") in the join condition would resolve against both
+    // sides — AMBIGUOUS_REFERENCE at analysis time (r12 review).
     val wcol = weights.foldLeft(lit(null).cast("double")) {
-      case (els, (s, w)) => when(col("domain") === s, lit(w)).otherwise(els)
+      case (els, (s, w)) => when(col("__mix_domain") === s, lit(w)).otherwise(els)
     }
-    val counts = df.select(domainCol.as("domain"))
-      .groupBy("domain").agg(count(lit(1)).as("n"))
+    val counts = df.select(domainCol.as("__mix_domain"))
+      .groupBy("__mix_domain").agg(count(lit(1)).as("n"))
       .withColumn("w", wcol).filter(col("w").isNotNull)
     val feasible = counts.agg(min(col("n").cast("double") / col("w")).as("t"))
     val rates = counts.crossJoin(broadcast(feasible))
-      .select(col("domain"),
+      .select(col("__mix_domain"),
         least(lit(grain.toLong),
           floor(col("w") * col("t") / col("n") * grain)).as("keep_buckets"))
-    df.join(broadcast(rates), domainCol === col("domain"))
+    df.join(broadcast(rates), domainCol === col("__mix_domain"))
       .filter(hashBucket(keyCol, grain) < col("keep_buckets"))
-      .drop("domain", "keep_buckets")
+      .drop("__mix_domain", "keep_buckets")
   }
 
   /** Epoch-based mixture materialization — the UPSAMPLING half

@@ -44,7 +44,15 @@ object Sketches {
     val w = shiftrightunsigned(h, b)
     val rho = when(w === 0L, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(w)))
-    val regs = df
+    // Null keys drop at the door — count-distinct semantics (exact
+    // count_distinct skips nulls too). Unfiltered, a null key hashes
+    // to a PHANTOM null register row: counted into __present but
+    // contributing a null term, it removes one full zero-register
+    // term from the denominator and silently inflates every estimate
+    // in its group (r12 review). One residual asymmetry, documented:
+    // a group whose EVERY key is null emits no row here where the
+    // exact form would emit 0 — such a group has nothing to estimate.
+    val regs = df.filter(key.isNotNull)
       .groupBy((groupCols.map(col) :+
         h.bitwiseAND(lit((m - 1).toLong)).as("__bucket")): _*)
       .agg(max(rho).as("__mr"))
@@ -127,14 +135,28 @@ object Sketches {
     * build call. */
   def cmsEstimate(counters: DataFrame, probes: DataFrame, keyCol: String,
                   depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(!probes.columns.exists(Set("i", "pos", "n_est", "__cnt")),
-      "cmsEstimate: probe frame may not contain columns i/pos/n_est/__cnt " +
-        "(they are the sketch's working/output names)")
+    // The guard covers cmsPositions' working names too — a colliding
+    // probe column would be silently overwritten and then dropped,
+    // surfacing later as an unresolved-column error naming an
+    // internal the caller never created (r12 review).
+    require(!probes.columns.exists(
+      Set("i", "pos", "n_est", "__cnt", "__hx", "__h1", "__h2", "__ip", "__pid")),
+      "cmsEstimate: probe frame may not contain columns " +
+        "i/pos/n_est/__cnt/__hx/__h1/__h2/__ip/__pid " +
+        "(the sketch's working/output names)")
     val probeCols = probes.columns.map(col).toSeq
-    cmsPositions(probes, keyCol, depth, width)
+    // Collapse the depth fan-out PER PROBE ROW, not per distinct probe
+    // value: the contract is one estimate per row, and a per-partition
+    // row id (stable under task retry — partition << 33 + index) keeps
+    // duplicate probe rows distinct without joining on possibly-null
+    // probe columns (r12 review: groupBy over the probe columns
+    // silently collapsed duplicates).
+    cmsPositions(probes.withColumn("__pid", monotonically_increasing_id()),
+        keyCol, depth, width)
       .join(counters.select(col("i"), col("pos"), col("cnt").as("__cnt")),
             Seq("i", "pos"), "left")
-      .groupBy(probeCols: _*)
+      .groupBy(col("__pid") +: probeCols: _*)
       .agg(min(coalesce(col("__cnt"), lit(0L))).as("n_est"))
+      .drop("__pid")
   }
 }

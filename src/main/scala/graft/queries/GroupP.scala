@@ -532,7 +532,7 @@ object GroupP {
         |                 p.p_name AS member_name, p.p_partkey AS member_type,
         |                 c0.collection_name, c0.required_type
         |          FROM mem0
-        |          JOIN part p ON mem0.member_id = p.p_partkey
+        |          LEFT JOIN part p ON mem0.member_id = p.p_partkey
         |          JOIN coll0 c0 ON mem0.collection_id = c0.collection_id),
         |v AS (SELECT typed.*,
         |        (member_type = required_type OR cc.src IS NOT NULL) AS valid
@@ -550,11 +550,13 @@ object GroupP {
         |             sum(CASE WHEN valid THEN 0 ELSE 1 END) AS invalid_cnt,
         |             max(CASE WHEN valid THEN score END) AS rank
         |           FROM v GROUP BY 1),
-        |joined AS (SELECT c0.collection_name, c0.collection_id, counts.valid_cnt,
-        |             counts.invalid_cnt, counts.rank,
+        |joined AS (SELECT c0.collection_name, c0.collection_id,
+        |             coalesce(counts.valid_cnt, 0) AS valid_cnt,
+        |             coalesce(counts.invalid_cnt, 0) AS invalid_cnt,
+        |             counts.rank,
         |             coalesce(topm.top_csv, '') AS top_csv
         |           FROM coll0 c0
-        |           JOIN counts ON c0.collection_id = counts.collection_id
+        |           LEFT JOIN counts ON c0.collection_id = counts.collection_id
         |           LEFT JOIN topm ON c0.collection_id = topm.collection_id),
         |best AS (SELECT collection_name, top_csv FROM (
         |           SELECT collection_name, top_csv,

@@ -38,11 +38,33 @@ class PipelineSpec extends GraftSuite {
   test("valid/invalid counts total the deduped membership rows") {
     val total = built.agg(sum($"valid_cnt" + $"invalid_cnt")).as[Long].head()
     // build() dedups (collection_id, member_id) unconditionally —
-    // repeated membership edges count once, relations or not.
+    // repeated membership edges count once, relations or not. NO
+    // entities join here (r12): a member without an entity row counts
+    // INVALID (reference parity), so every deduped membership edge
+    // lands in exactly one bucket.
     val expected = members.select("collection_id", "member_id").distinct()
-      .join(collections, "collection_id")
-      .join(entities, "member_id").count()
+      .join(collections, "collection_id").count()
     assert(total == expected)
+  }
+
+  test("entity-less members count invalid; memberless collections emit 0/0") {
+    // Reference parity (filter_articles2.py): a member with no entity
+    // row never reaches valid_members but still counts in
+    // invalid_members_count = len(members) - len(valid_members); and
+    // EVERY input collection writes a row, members or not.
+    val m = Seq((1L, 100L, 5.0), (1L, 999L, 9.0))
+      .toDF("collection_id", "member_id", "score") // 999: no entity row
+    val e = Seq((100L, "m100", 10L)).toDF("member_id", "member_name", "member_type")
+    val c = Seq((1L, "list", 10L), (2L, "ghost", 10L))
+      .toDF("collection_id", "collection_name", "required_type")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Collections.build(m, e, c, noEdges, topK = 5)
+      .select("collection_name", "valid_cnt", "invalid_cnt")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, v, i) => k -> ((v, i)) }.toMap
+    assert(out("list") == (1L, 1L),
+      "member 100 validates (type == required); entity-less 999 counts invalid")
+    assert(out("ghost") == (0L, 0L), "memberless collections keep their 0/0 row")
   }
 
   test("duplicate membership rows dedup identically with and without relations") {

@@ -22,6 +22,58 @@ class RelationalExtSpec extends GraftSuite {
     assert(out("t3").isEmpty, "no quote at-or-before ts=5")
   }
 
+  test("asofJoin: null right keys/timestamps never match (no phantom head rows)") {
+    // r12 review: a right row with a null ts (or key) sorted NULLS
+    // FIRST to the partition head and became a running-last match for
+    // left rows with no genuine predecessor. The contract is
+    // null-false: such rows match nothing; a null LEFT ts row emits
+    // with a null asof.
+    val l = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L), "t1"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], "tnull"))
+      .toDF("k", "ts", "trade")
+    val r = Seq((java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], 9.0),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L), 8.0))
+      .toDF("k", "qts", "px")
+    val out = Relational.asofJoin(l, r, "k", "ts", "qts")
+      .select($"trade", $"asof.px").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("t1").isEmpty, "a null-ts quote must never match")
+    assert(out("tnull").isEmpty, "a null-ts trade carries a null asof")
+  }
+
+  test("diffSnapshots fails loudly on a null snapshot key") {
+    val cur = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("k", "v")
+    val prev = Seq((java.lang.Long.valueOf(1L), "a")).toDF("k", "v")
+    val e = intercept[Exception] {
+      Relational.diffSnapshots(cur, prev, "k", col("v")).collect()
+    }
+    assert(e.getMessage != null)
+    // And the non-null path is untouched.
+    val ops = Relational.diffSnapshots(prev, prev, "k", col("v"))
+      .select("op").as[String].collect().toSeq
+    assert(ops == Seq("unchanged"))
+  }
+
+  test("partialUpdateDocs refuses snapshots whose schemas drifted") {
+    val cur = Seq((1L, "a", "s")).toDF("k", "v", "status")
+    val prev = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.partialUpdateDocs(cur, prev, "k")
+    }
+    assert(e.getMessage.contains("status"))
+  }
+
+  test("mixtureSample works when the caller's column is literally named 'domain'") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "domain")
+    // r12 review: the rates dim previously also carried a column
+    // named "domain" — AMBIGUOUS_REFERENCE on the most natural name.
+    val out = Sampling.mixtureSample(df, col("doc_id"), col("domain"),
+      Map("en" -> 0.5, "de" -> 0.5))
+    assert(out.count() > 0 && out.columns.contains("domain"))
+  }
+
   test("asofJoin resolves right-side ties by the largest tiebreak") {
     val l = Seq((1L, 10L, "x")).toDF("k", "ts", "name")
     val r = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("k", "rts", "rid")

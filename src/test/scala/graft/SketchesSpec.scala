@@ -56,6 +56,34 @@ class SketchesSpec extends GraftSuite {
     assert(est(keys) == est(keys ++ keys ++ keys.take(57)))
   }
 
+  test("hll: null keys are excluded like count_distinct, not phantom registers") {
+    // r12 review: a null key hashed to a null __bucket register —
+    // counted into __present but contributing a null term — which
+    // shrank the zero-register denominator and inflated the group's
+    // estimate. Contract: nulls don't count, exactly as in the exact
+    // count_distinct the sketch stands in for.
+    val keys = (0 until 400).map(i => s"key-$i")
+    def est(ks: Seq[String]): Double = Sketches.hllDistinct(
+        ks.toDF("k").withColumn("g", lit(1)), Seq("g"), col("k"))
+      .select("n_approx").as[Double].head()
+    val withNulls = Sketches.hllDistinct(
+        (keys.map(Option(_)) ++ Seq(None, None, None)).toDF("k")
+          .withColumn("g", lit(1)), Seq("g"), col("k"))
+      .select("n_approx").as[Double].head()
+    assert(withNulls == est(keys), "null keys must not move the estimate")
+  }
+
+  test("cms: one estimate row per probe ROW — duplicates preserved") {
+    // r12 review: the old groupBy over the probe columns collapsed
+    // fully-identical probe rows; the contract is per-row.
+    val cms = Sketches.cmsCounters(
+      Seq("a", "a", "b").toDF("k"), "k")
+    val est = Sketches.cmsEstimate(cms,
+        Seq("a", "a", "b").toDF("k"), "k")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(est == Seq(("a", 2L), ("a", 2L), ("b", 1L)), s"got $est")
+  }
+
   test("hll: within the error bound of exact distinct on real events") {
     val e = Tables(spark, sfDir, "events").filter($"ts".isNotNull)
       .select((floor($"ts".cast("double") / 3600).cast("long") * 3600)
