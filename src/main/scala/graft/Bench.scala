@@ -98,7 +98,7 @@ object Bench {
             .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
           timed.foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
         }
-    } catch { case _: Throwable => Thread.sleep(300) }
+    } catch { case scala.util.control.NonFatal(_) => Thread.sleep(300) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,7 +126,7 @@ object Bench {
     // Warm up codegen/JIT and parquet footer caches so the first timed
     // query isn't charged session startup costs.
     graft.Tables.all.foreach { t =>
-      try graft.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+      try graft.Tables(spark, sfDir, t).count() catch { case scala.util.control.NonFatal(_) => () }
     }
     // Also warm the shuffle machinery, whole-stage-codegen compiler and
     // the noop sink path with one tiny grouped write — otherwise the
@@ -137,7 +137,7 @@ object Bench {
       try graft.Tables(spark, sfDir, "region")
         .groupBy(col("r_regionkey")).agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // JIT-compile the canary kernel and page-in its buffer before any
     // reading matters; the min of the warm passes is the session's
@@ -190,7 +190,7 @@ object Bench {
     ).foreach { case (users, label, ensure) =>
       if (users.exists(selectedNames))
         try { ensure(); () }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] untimed $label-store pre-fit failed " +
             s"(its consumers' timed runs will include the fit!): ${e.getMessage}")
         }
@@ -264,9 +264,13 @@ object Bench {
           lastDiskSpill = tally.diskSpill.get() - disk0
           lastPeakMem = tally.peakMemSum.get() - peak0
           lastCanary = canarySec
-        } catch { case e: Throwable =>
-          if (!errors.contains(name)) errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        } catch {
+          // NonFatal (the Checkpoints convention): VM-fatal errors
+          // abort the bench — timings measured inside a broken JVM
+          // would ship as healthy-looking numbers.
+          case scala.util.control.NonFatal(e) =>
+            if (!errors.contains(name)) errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
       BenchRow(name, last, lastCpu, lastRun,
@@ -305,7 +309,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     // The driver captures only the LAST 2000 chars of stdout; with 80+

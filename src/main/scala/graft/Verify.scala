@@ -28,7 +28,11 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // NonFatal (the Checkpoints convention): a query failure is
+      // recorded and the dump continues, but a VM-fatal error (OOM,
+      // linkage) must abort — every subsequent result from a broken
+      // JVM would be untrustworthy yet read as healthy parquet.
+      catch { case scala.util.control.NonFatal(e) =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
