@@ -66,8 +66,13 @@ object Corpus {
     // Materialized once: the bench and corpus branches below would
     // otherwise each re-scan and re-tokenize the input (Catalyst does
     // not share common subplans) — same rule as Dedup.ngramJaccardPairs.
+    // coalesce(…, false): a row where the caller's predicate evaluates
+    // to NULL (a null doc_id under the % example) must land in the
+    // corpus branch and get its output row — bare null would fail BOTH
+    // branch filters and silently drop the document (r12 review).
     val sh = docs
-      .select(col(idCol).as("id"), isBench.as("__bench"),
+      .select(col(idCol).as("id"),
+        coalesce(isBench, lit(false)).as("__bench"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("__bench"),
         explode(array_distinct(Text.shingles(col("toks"), n))).as("shingle"))
@@ -121,6 +126,15 @@ object Corpus {
     val hot = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences).select("gram")
       .withColumn("hit", lit(1L))
+    spanRatios(grams, hot)
+  }
+
+  /** Shared per-doc duplication tail of [[dupSpans]] /
+    * [[dupSpansAgainst]] — ONE definition (r12 review: the two tails
+    * were byte-identical copies), so the self-contained and serving
+    * measurement paths cannot drift: occurrences left-join the hot
+    * gram set, per-doc counts, 6-dp ratio. */
+  private def spanRatios(grams: DataFrame, hot: DataFrame): DataFrame =
     grams.join(hot, Seq("gram"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
@@ -128,7 +142,6 @@ object Corpus {
       .select(col("id"), col("n_grams"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_grams"), 6)
           .as("dup_fraction"))
-  }
 
   /** Gram-count dim — the exact-substring family's persisted serving
     * state: (gram, cnt) occurrence counts over the corpus, one
@@ -183,13 +196,7 @@ object Corpus {
       .cut()
     val hot = hotGramsAgainst(counts, grams, minOccurrences)
       .withColumn("hit", lit(1L))
-    grams.join(hot, Seq("gram"), "left")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"),
-           coalesce(sum(col("hit")), lit(0L)).as("n_dup"))
-      .select(col("id"), col("n_grams"), col("n_dup"),
-        round(col("n_dup").cast("double") / col("n_grams"), 6)
-          .as("dup_fraction"))
+    spanRatios(grams, hot)
   }
 
   /** The composed C4/Gopher-style quality GATE: per document, the
@@ -283,8 +290,16 @@ object Corpus {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      // EXPLICIT exclusive-prefix ROWS frame (r12 review): the default
+      // frame is RANGE-to-current-row, which hands every orderCols TIE
+      // the same INCLUSIVE sum — two tied 10-token chunks would both
+      // read seq_offset 10 and overlap in one sequence while another
+      // stays empty. Under ROWS, ties pack correctly at
+      // engine-chosen relative order; pass a total order for a
+      // deterministic layout (the registered f12 does).
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     chunks
-      .withColumn("seq_offset", sum(tokenCol).over(w) - tokenCol)
+      .withColumn("seq_offset", coalesce(sum(tokenCol).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"seq_offset DIV $budget"))
   }
 
@@ -711,23 +726,6 @@ object Corpus {
     keeps.reduce(_ unionByName _)
   }
 
-  /** Feature-hashing vectorizer (Weinberger et al., ICML'09; the
-    * HashingTF shape): each document's tokens become a FIXED `dim`-
-    * wide integer vector with no vocabulary pass — position = md5
-    * word mod dim, value = signed count (the sign hash makes the
-    * implicit inner product unbiased, the property that lets hashed
-    * vectors feed similarity search directly). The no-vocab property
-    * is the 100 TB point: a CountVectorizer needs a corpus-wide
-    * vocabulary model that grows with the data (Heaps' law); this
-    * needs none, so the whole vectorization is two map-side-
-    * combinable aggregations keyed on the document — (id, pos)
-    * signed sums, then the ≤ `dim`-entry per-doc map assembled into
-    * a dense array in one narrow projection. Documents with no
-    * tokens (null/empty text) surface as zero vectors, not dropped
-    * rows. Position and sign come from ONE digest's two 32-bit words
-    * ("htf:" ++ token — md5 family, so vectors replay bit-for-bit in
-    * any engine). Output: (id, vec array<long> of length dim,
-    * n_tokens). */
   /** Bigram language-model scoring with add-one smoothing: fit
     * P(t2|t1) = (c(t1 t2) + 1) / (c(t1 ·) + V) on `modelDocs`, score
     * each `scoreDocs` document's mean negative log-likelihood over
@@ -829,6 +827,23 @@ object Corpus {
         col("nll"))
   }
 
+  /** Feature-hashing vectorizer (Weinberger et al., ICML'09; the
+    * HashingTF shape): each document's tokens become a FIXED `dim`-
+    * wide integer vector with no vocabulary pass — position = md5
+    * word mod dim, value = signed count (the sign hash makes the
+    * implicit inner product unbiased, the property that lets hashed
+    * vectors feed similarity search directly). The no-vocab property
+    * is the 100 TB point: a CountVectorizer needs a corpus-wide
+    * vocabulary model that grows with the data (Heaps' law); this
+    * needs none, so the whole vectorization is two map-side-
+    * combinable aggregations keyed on the document — (id, pos)
+    * signed sums, then the ≤ `dim`-entry per-doc map assembled into
+    * a dense array in one narrow projection. Documents with no
+    * tokens (null/empty text) surface as zero vectors, not dropped
+    * rows. Position and sign come from ONE digest's two 32-bit words
+    * ("htf:" ++ token — md5 family, so vectors replay bit-for-bit in
+    * any engine). Output: (id, vec array<long> of length dim,
+    * n_tokens). */
   def hashVectorize(docs: DataFrame, idCol: String, textCol: String,
                     dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= (1 << 20),
@@ -848,8 +863,14 @@ object Corpus {
       .agg(map_from_entries(collect_list(struct(col("pos"), col("v")))).as("__m"),
            sum(col("n")).as("n_tokens"))
       .select(col("id"),
+        // try_element_at: almost every doc fills fewer than `dim`
+        // positions, and plain element_at throws
+        // MAP_KEY_DOES_NOT_EXIST under ANSI mode for each missing
+        // one — the coalesce would never see its null (r12 review;
+        // the file's ANSI-totality convention).
         transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__m"), i.cast("int")), lit(0L))).as("vec"),
+          i => coalesce(try_element_at(col("__m"), i.cast("int")), lit(0L)))
+          .as("vec"),
         col("n_tokens"))
     ids.join(vecs, Seq("id"), "left")
       .select(col("id"),

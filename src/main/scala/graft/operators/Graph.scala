@@ -197,7 +197,8 @@ object Graph {
     * the duplicate volume (pruned by the per-round distinct) can exceed
     * the frontier approach; pick per workload.
     */
-  def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20,
+                                strict: Boolean = false): DataFrame = {
     var closure = edges.select(col("src"), col("dst")).distinct().cut()
     var size = closure.count()
     var iter = 0
@@ -217,6 +218,19 @@ object Graph {
       if (next == size) done = true
       size = next
       iter += 1
+    }
+    // Same warn/strict non-convergence contract as every sibling
+    // iterative operator (r12 review: this one returned the truncated
+    // closure silently) — depth > 2^maxIter is an input, not a bug,
+    // but the caller must hear about it.
+    if (!done) {
+      val msg = s"transitiveClosureDoubling stopped at maxIter = $maxIter " +
+        "still growing — the returned closure is incomplete (depth > " +
+        s"2^$maxIter); raise maxIter"
+      if (strict) {
+        closure.uncut()
+        throw new IllegalStateException(msg)
+      } else log.warn(msg)
     }
     closure
   }
@@ -653,6 +667,14 @@ object Graph {
           e0.uncut(); withPrefix.uncut()
           throw new IllegalStateException(
             s"transitiveClosureDelta: ${e.getMessage}", e)
+        // Free-before-rethrow on ANY other failure too (r12 review):
+        // an executor-loss SparkException out of the inner loop must
+        // not leak the slice cuts into a catch-and-retry serving loop
+        // (the componentsDelta `failing` contract). Rethrown, never
+        // absorbed.
+        case e: Throwable =>
+          e0.uncut(); withPrefix.uncut()
+          throw e
       }
     // The base relation b was consumed by transitiveClosure's eager
     // input cut; the slice and prefixed-slice cuts feeding it are dead
@@ -661,8 +683,12 @@ object Graph {
     withPrefix.uncut()
     // Drop already-known pairs without shuffling the closure — the
     // shared [[subtractKnown]] shape (closure streamed, slice-bounded
-    // total on the broadcast build side).
-    subtractKnown(total, c).distinct()
+    // total on the broadcast build side). No trailing distinct:
+    // transitiveClosure's result is globally distinct by construction
+    // (distinct seed + per-round anti-joined distinct increments) and
+    // subtractKnown only removes rows — the old distinct re-shuffled
+    // the whole delta per ingest cycle for nothing (r12 review).
+    subtractKnown(total, c)
   }
 
   /** TARGET-RESTRICTED incremental reachability —
@@ -722,6 +748,9 @@ object Graph {
           e0.uncut() // inner strict path freed its own cuts
           throw new IllegalStateException(
             s"reachableToDelta: ${e.getMessage}", e)
+        case e: Throwable => // free-before-rethrow (see closureDelta)
+          e0.uncut()
+          throw e
       }
     // Final old segment into a target (or none, when the last new
     // edge already lands on one); restrict to the target set BEFORE
@@ -839,7 +868,13 @@ object Graph {
     members
       .join(hit, col(typeCol) === col("__vsrc") && col(targetCol) === col("__vdst"),
             "left_outer")
-      .withColumn("valid", col("__vhit").isNotNull || col(typeCol) === col(targetCol))
+      // coalesce: a null typeCol/targetCol with no closure hit is
+      // false || null = NULL — a "boolean" column that silently
+      // escapes both valid and !valid filters downstream (r12
+      // review). Unvalidatable IS invalid; the column is total.
+      .withColumn("valid", coalesce(
+        col("__vhit").isNotNull || col(typeCol) === col(targetCol),
+        lit(false)))
       .drop("__vsrc", "__vdst", "__vhit")
   }
 }

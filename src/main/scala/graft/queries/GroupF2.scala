@@ -319,8 +319,10 @@ object GroupF2 {
          |          AS chunk_tokens
          |      FROM st),
          |p AS (SELECT source, chunk_tokens,
-         |        sum(chunk_tokens) OVER (PARTITION BY source
-         |          ORDER BY doc_id, chunk_idx) - chunk_tokens AS seq_offset
+         |        coalesce(sum(chunk_tokens) OVER (PARTITION BY source
+         |          ORDER BY doc_id, chunk_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS seq_offset
          |      FROM c)
          |SELECT source, cast(seq_offset // 256 AS bigint) AS seq_id,
          |  count(*) AS n_chunks,

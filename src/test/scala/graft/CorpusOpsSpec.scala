@@ -97,6 +97,38 @@ class CorpusOpsSpec extends GraftSuite {
     assert(bad === 0)
   }
 
+  test("packSequences: orderCols TIES still pack disjoint offsets (ROWS frame)") {
+    import graft.operators.Corpus
+    // r12 review: the default RANGE frame handed every tie the same
+    // INCLUSIVE sum — two tied 10-token chunks both read offset 10,
+    // overlapping one sequence and leaving another empty. Under the
+    // explicit ROWS frame the offsets are the exact disjoint prefix
+    // sums; tie ORDER is engine-chosen, so assert the offset SET.
+    val chunks = Seq(("A", 1L, 10L), ("A", 1L, 10L), ("A", 1L, 10L))
+      .toDF("grp", "ord", "chunk_tokens")
+    val got = Corpus.packSequences(chunks, Seq($"grp"), Seq($"ord"),
+        $"chunk_tokens", budget = 8L)
+      .select($"seq_offset").as[Long].collect().toSet
+    assert(got === Set(0L, 10L, 20L), s"got $got")
+  }
+
+  test("contamination: a null isBench predicate lands the doc in the corpus branch") {
+    import graft.operators.Corpus
+    // r12 review: null failed BOTH branch filters and the doc
+    // silently vanished; the contract promises a row for every
+    // non-benchmark document.
+    val docs = Seq((java.lang.Long.valueOf(1L), "alpha beta gamma delta"),
+      (null.asInstanceOf[java.lang.Long], "alpha beta gamma delta"),
+      (java.lang.Long.valueOf(20L), "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.contamination(docs, "doc_id", "text", n = 3,
+      isBench = $"doc_id" % 20 === 0)
+    // doc 20 is bench; doc 1 AND the null-id doc are corpus rows.
+    assert(out.count() == 2, s"got ${out.collect().mkString(", ")}")
+    assert(out.filter($"id".isNull).count() == 1,
+      "the null-predicate doc must keep its output row")
+  }
+
   test("f10: fractions bounded; a constant-text doc maxes out") {
     val out = SparkEntry.queries("f10_repetition")(spark, sfDir)
     val bad = out.filter(

@@ -596,6 +596,35 @@ class GraphSpec extends GraftSuite {
     assert(got === Map(10L -> true, 11L -> true, 12L -> false))
   }
 
+  test("validateReachable: null type/target is FALSE, never a null boolean") {
+    // r12 review: false || null = NULL escaped both valid and !valid
+    // filters downstream. Unvalidatable is invalid; the column is
+    // total.
+    val closure = Graph.transitiveClosure(Seq((1L, 2L)).toDF("src", "dst"))
+    val members = Seq(
+      (10L, java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long]),
+      (11L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(2L)))
+      .toDF("id", "typ", "target")
+    val got = Graph.validateReachable(members, closure, "typ", "target")
+    assert(got.filter($"valid".isNull).count() == 0, "valid must be total")
+    assert(got.filter(!$"valid").count() == 2, "unvalidatable rows are invalid")
+  }
+
+  test("transitiveClosureDoubling: non-convergence warns (and throws under strict)") {
+    // r12 review: the doubling variant silently returned a truncated
+    // closure at maxIter where every sibling warns or throws.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.transitiveClosureDoubling(chain, maxIter = 2, strict = true)
+    }
+    // Non-strict still returns the (incomplete) closure.
+    val c = Graph.transitiveClosureDoubling(chain, maxIter = 2)
+    assert(c.count() > 0)
+    // And a converging input under strict is untouched.
+    val full = Graph.transitiveClosureDoubling(chain, maxIter = 10, strict = true)
+    assert(full.count() == 39L * 40L / 2L)
+  }
+
   test("ntriples parse handles uri objects, literals, language tags, junk") {
     val lines = Seq(
       "<http://ex/e/Q1> <http://ex/p/instance_of> <http://ex/e/Q5> .",
