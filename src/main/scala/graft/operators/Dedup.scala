@@ -24,7 +24,13 @@ object Dedup {
   /** Exact dedup groups: md5 of `textCol`, smallest id wins.
     * One map-side-combinable aggregation. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("text_hash"))
+    // coalesce: the repo-wide null-text-is-empty-document contract
+    // (bloomPositions, Corpus.dupSpanCut) — bare md5(null) is null,
+    // which splits null-text docs into their own group away from
+    // ''-text docs and silently drops them from any downstream
+    // text_hash equi-join (r12 review). The d1 oracle coalesces
+    // identically.
+    docs.groupBy(md5(coalesce(col(textCol), lit(""))).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
 
   /** The corpus after near-dup removal: every document whose id is a
@@ -73,7 +79,17 @@ object Dedup {
     if (dfCap <= 0) sh
     else {
       val shc = sh.cut()
-      shc.join(overCapShingles(shc, dfCap), Seq("shingle"), "left_anti")
+      val over = overCapShingles(shc, dfCap)
+      // The kept set is cut HERE (callers must not re-cut a dfCap>0
+      // result) so the two internal checkpoints — shc, the heaviest
+      // intermediate in the whole dedup pipeline, and the over-cap
+      // set — can be freed the moment it materializes instead of
+      // staying persisted for the query lifetime at 2× the largest
+      // block set (r12 review; the Checkpoints.uncut contract).
+      val kept = shc.join(over, Seq("shingle"), "left_anti").cut()
+      shc.uncut()
+      over.uncut()
+      kept
     }
   }
 
@@ -122,9 +138,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, dfCap: Long = 0L,
                         prefixFilter: Boolean = false): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n, dfCap).cut()
+    // dfCap > 0 results arrive already cut from shingles (which frees
+    // its internals against that cut); only the lazy dfCap = 0 form
+    // needs the checkpoint here.
+    val sh0 = shingles(docs, idCol, textCol, n, dfCap)
+    val sh = if (dfCap > 0) sh0 else sh0.cut()
     if (!prefixFilter) {
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      // Cut: `sizes` is joined on BOTH pair sides and Catalyst does
+      // not dedupe the identical agg subplans (verified on the
+      // executed plan: zero ReusedExchange) — without the checkpoint
+      // the per-doc count aggregation over the full shingle stream
+      // executes twice per query (r12 review). The materialized
+      // (id, n) frame is docs-sized — dim-class storage.
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")).cut()
       Relational.overlapPairs(sh, "id", "shingle", boundedDf = dfCap > 0)
         .withColumnRenamed("overlap", "shared")
         .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
@@ -152,8 +178,12 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       // Exact verification on the full sets (bounded by document size).
+      // Cut for the same two-consumer reason as `sizes` above — and
+      // this one is the corpus-wide collect_set, the heaviest shuffle
+      // on the prefix path.
       val sets = sh.groupBy("id")
         .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n_sh"))
+        .cut()
       cands
         .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
           col("n_sh").as("na")), "id_a")
@@ -211,6 +241,11 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rows: Int,
                       minEstJaccard: Double, dfCap: Long = 0L): DataFrame = {
+    // Named require here: on the grouped (dfCap>0) path a zero product
+    // surfaced as an opaque `head of empty list`, and the native path
+    // named only numHashes — the caller set bands/rows (r12 review).
+    require(bands >= 1 && rows >= 1,
+      s"minhashLshPairs: bands and rows must be >= 1, got bands=$bands rows=$rows")
     val numHashes = bands * rows
     // No df cut → signatures come from the NATIVE scalar expression
     // over each document's in-row shingle array: one JVM digest per
@@ -220,13 +255,22 @@ object Dedup {
     // bit-parity of the two forms is pinned in DedupSpec. With a df
     // cut the per-element frequencies are corpus-global, so the
     // exploded grouped path is the only shape that can apply it.
-    val sigs = (if (dfCap <= 0) {
+    val sigs = if (dfCap <= 0) {
       docs.select(col(idCol).as("id"),
           graft.functions.Hashes.minhashSig(
             Text.shingles(Text.tokens(col(textCol)), n), numHashes).as("sig"))
         .filter(col("sig").isNotNull)
-    } else minhashSignatures(shingles(docs, idCol, textCol, n, dfCap), numHashes))
-      .cut()
+        .cut()
+    } else {
+      // The df-cut shingle frame arrives cut from shingles; it is
+      // dead the moment the (much smaller) signature cut
+      // materializes — free it (r12 review: it stayed persisted for
+      // the query lifetime).
+      val shc = shingles(docs, idCol, textCol, n, dfCap)
+      val s = minhashSignatures(shc, numHashes).cut()
+      shc.uncut()
+      s
+    }
     val banded = sigs.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

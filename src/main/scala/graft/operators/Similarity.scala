@@ -99,6 +99,12 @@ object Similarity {
     * digests cost nothing. */
   private def planes(numTables: Int, bitsPerTable: Int, dim: Int,
                      seed: Long): Seq[Seq[Array[Double]]] = {
+    // Shared by every LSH entry point (r12 review): bitsPerTable = 0
+    // crashed as an unnamed empty.reduce at plan construction, and
+    // numTables = 0 silently returned ZERO candidates — a wrong
+    // answer, not an error.
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    require(bitsPerTable >= 1, s"bitsPerTable must be >= 1, got $bitsPerTable")
     val md = java.security.MessageDigest.getInstance("MD5")
     Seq.tabulate(numTables)(t => Seq.tabulate(bitsPerTable)(j =>
       Array.tabulate(dim) { i =>
@@ -121,9 +127,11 @@ object Similarity {
     * metadata every caller has (it is fixed by whatever produced the
     * vectors), so no library entry point runs a synchronous driver
     * probe job to discover it. The contract is that it matches the
-    * data — a wrong value nulls plane dots via zip_with padding and
-    * silently degrades recall ([[requireDim]] fails fast when it is
-    * omitted).
+    * data — a wrong value makes every plane dot run over the SHORTER
+    * of (vector, plane) (ArrayDot's min-length contract): too-small
+    * dim buckets on a vector prefix and silently degrades recall with
+    * no null signature anywhere ([[requireDim]] fails fast only when
+    * dim is omitted entirely).
     */
   def knnLsh(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
@@ -199,6 +207,31 @@ object Similarity {
       .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
       .select("query_id", "neighbor_id", "cosine")
   }
+
+  /** Free `cuts` before rethrowing ANY failure from `body` — the
+    * no-leak-on-guard-throw contract (r11: pqCodebook; r12 review:
+    * extended to every entry point that cuts before a guard can
+    * throw, so a caller who fixes the named parameter and retries
+    * never accumulates corpus-sized block sets). Rethrown, never
+    * absorbed. */
+  private def freeingOnFailure[A](cuts: DataFrame*)(body: => A): A =
+    try body catch {
+      case e: Throwable =>
+        cuts.foreach(graft.operators.Checkpoints.uncut)
+        throw e
+    }
+
+  /** Codeword ids ride as 32-bit `code`s in the PQ output schema; a
+    * seed id outside int range would WRAP silently under non-ANSI
+    * (two codewords 2^32 apart collide — the ADC double-counts their
+    * d2 and reconstruction mis-joins subvectors) or throw an opaque
+    * CAST_OVERFLOW under ANSI. Refuse loudly with the remedy named
+    * (r12 review). */
+  private def asCode(c: Column): Column =
+    when(c > Int.MaxValue.toLong || c < Int.MinValue.toLong, raise_error(
+      lit("PQ codeword id outside the 32-bit code range — remap corpus " +
+        "ids before the PQ fit (codes are int in the output schema)")))
+      .otherwise(c).cast("int")
 
   /** (id, table, bucket) rows for every (vector, table) pair. Bucket
     * rows carry ONLY ids: exploding `numTables` rows per vector must
@@ -291,24 +324,26 @@ object Similarity {
              kmeansIters: Int = 2, fitBuckets: Int = 100,
              fitKeep: Int = 100): DataFrame = {
     val unit = normalized(corpus, idCol, vecCol).cut()
-    val centroids = ivfFit(unit, centroidMod, kmeansIters,
-      fitBuckets, fitKeep, "knnIvf")
-    // Inverted lists: corpus vector -> its single nearest centroid.
-    val lists = ivfAssign(unit, centroids)
-      .select(col("id").as("neighbor_id"), col("cid"), col("unit").as("cv"))
-    // Queries probe nProbe lists.
-    val qUnit = normalized(queries, idCol, vecCol)
-    val probes = ivfNearest(qUnit, centroids, nProbe, "query_id")
-      .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")),
-            "query_id")
-    val scored = probes.join(lists, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
-      // No dedup needed: every corpus vector lives in exactly one list,
-      // so (query, neighbor) pairs are already unique across probes.
-      .select("query_id", "neighbor_id", "cosine")
-    Relational.topKPerGroup(scored, Seq(col("query_id")),
-      Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+    freeingOnFailure(unit) {
+      val centroids = ivfFit(unit, centroidMod, kmeansIters,
+        fitBuckets, fitKeep, "knnIvf")
+      // Inverted lists: corpus vector -> its single nearest centroid.
+      val lists = ivfAssign(unit, centroids)
+        .select(col("id").as("neighbor_id"), col("cid"), col("unit").as("cv"))
+      // Queries probe nProbe lists.
+      val qUnit = normalized(queries, idCol, vecCol)
+      val probes = ivfNearest(qUnit, centroids, nProbe, "query_id")
+        .join(qUnit.select(col("id").as("query_id"), col("unit").as("qv")),
+              "query_id")
+      val scored = probes.join(lists, "cid")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(Vectors.dot(col("qv"), col("cv")), 4))
+        // No dedup needed: every corpus vector lives in exactly one list,
+        // so (query, neighbor) pairs are already unique across probes.
+        .select("query_id", "neighbor_id", "cosine")
+      Relational.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+    }
   }
 
   /** The IVF centroid fit shared by [[knnIvf]] and [[knnIvfPq]]:
@@ -418,19 +453,28 @@ object Similarity {
                centroidMod: Long = 37L, nProbe: Int = 4,
                kmeansIters: Int = 2, m: Int = 8, codewords: Int = 16,
                pqIters: Int = 2, shortlist: Int = 100,
-               dim: Int = -1): DataFrame = {
+               dim: Int = -1,
+               // The sampled-Lloyd knobs knnIvf exposes (r12 review:
+               // hardcoded 100/100 here made the 10^9-vector path —
+               // the one this operator advertises — unable to opt
+               // into the sampled fit its own scale doc prescribes).
+               fitBuckets: Int = 100, fitKeep: Int = 100): DataFrame = {
     requireDim(dim, "knnIvfPq")
     require(dim % m == 0, s"knnIvfPq: dim $dim is not divisible by m = $m")
     val ds = dim / m
     val unit = normalized(corpus, idCol, vecCol).cut()
-    val centroids = ivfFit(unit, centroidMod, kmeansIters, 100, 100, "knnIvfPq")
+    freeingOnFailure(unit) {
+    val centroids = ivfFit(unit, centroidMod, kmeansIters,
+      fitBuckets, fitKeep, "knnIvfPq")
     val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut()
+    freeingOnFailure(cb) {
     // Inverted lists carry (neighbor_id, cid, codes) — m ints, no
     // vectors.
     val listCodes = ivfAssign(unit, centroids).select(col("id"), col("cid"))
       .join(quantizePq(unit, "id", "unit", cb, m, dim), "id")
       .select(col("id").as("neighbor_id"), col("cid"), col("codes"))
     val qUnit = normalized(queries, idCol, vecCol).cut()
+    freeingOnFailure(qUnit) {
     val probes = ivfNearest(qUnit, centroids, nProbe, "query_id")
     // Per-query ADC lookup table: distance from each query subvector
     // to each codeword.
@@ -439,11 +483,16 @@ object Similarity {
         explode(sequence(lit(0), lit(m - 1))).as("s"), col("unit"))
       .select(col("query_id"), col("s"),
         slice(col("unit"), col("s") * ds + 1, lit(ds)).as("qsub"))
+    // Per-term 9-dp rounding BEFORE the groupBy sum (the a27
+    // determinism convention, r12 review): the sum's accumulation
+    // order is shuffle-dependent, and unrounded doubles summed then
+    // rounded at 6 dp could flip a shortlist boundary between runs or
+    // engines. The oracle quantizes its lut identically.
     val lut = qsub.join(broadcast(cb), Seq("s"))
-      .select(col("query_id"), col("s"), col("cid").cast("int").as("code"),
-        (Vectors.dot(col("qsub"), col("qsub")) +
+      .select(col("query_id"), col("s"), asCode(col("cid")).as("code"),
+        round(Vectors.dot(col("qsub"), col("qsub")) +
           Vectors.dot(col("cvec"), col("cvec")) -
-          lit(2.0) * Vectors.dot(col("cvec"), col("qsub"))).as("d2"))
+          lit(2.0) * Vectors.dot(col("cvec"), col("qsub")), 9).as("d2"))
     val adc = probes.join(listCodes, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -463,6 +512,7 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
     Relational.topKPerGroup(rescored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+    }}}
   }
 
   /** Fit the IVF+PQ serving structures ONCE over a reference corpus —
@@ -482,13 +532,17 @@ object Similarity {
   def ivfPqFit(corpus: DataFrame, idCol: String, vecCol: String,
                centroidMod: Long = 37L, kmeansIters: Int = 2,
                m: Int = 8, codewords: Int = 16, pqIters: Int = 2,
-               dim: Int = -1): (DataFrame, DataFrame) = {
+               dim: Int = -1,
+               fitBuckets: Int = 100, fitKeep: Int = 100): (DataFrame, DataFrame) = {
     requireDim(dim, "ivfPqFit")
     require(dim % m == 0, s"ivfPqFit: dim $dim is not divisible by m = $m")
     val unit = normalized(corpus, idCol, vecCol).cut()
-    val centroids = ivfFit(unit, centroidMod, kmeansIters, 100, 100, "ivfPqFit")
-    val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut()
-    (centroids, cb)
+    freeingOnFailure(unit) {
+      val centroids = ivfFit(unit, centroidMod, kmeansIters,
+        fitBuckets, fitKeep, "ivfPqFit")
+      val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut()
+      (centroids, cb)
+    }
   }
 
   /** Incremental ANN index maintenance — the vector-side analogue of
@@ -532,10 +586,12 @@ object Similarity {
     require(dim % m == 0, s"ivfPqIndexDelta: dim $dim is not divisible by m = $m")
     val unit = normalized(slice.filter(col(vecCol).isNotNull),
       idCol, vecCol).cut()
-    val assigned = ivfAssign(unit, broadcast(centroids))
-      .select(col("id"), col("cid"))
-    assigned.join(quantizePq(unit, "id", "unit", codebook, m, dim), "id")
-      .select("id", "cid", "codes")
+    freeingOnFailure(unit) {
+      val assigned = ivfAssign(unit, broadcast(centroids))
+        .select(col("id"), col("cid"))
+      assigned.join(quantizePq(unit, "id", "unit", codebook, m, dim), "id")
+        .select("id", "cid", "codes")
+    }
   }
 
   /** Per-vector int8 scalar quantization — the 4× storage cut every
@@ -754,14 +810,14 @@ object Similarity {
     assignPq(subvectors(v, m, ds), codebook)
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-        p => p.getField("code").cast("int")).as("codes"))
+        p => asCode(p.getField("code"))).as("codes"))
   }
 
   /** Decode PQ codes back to (id, vhat) — the concatenation of each
     * subspace's codeword; the spec measures reconstruction quality
     * against the originals. */
   def pqReconstruct(codes: DataFrame, codebook: DataFrame): DataFrame = {
-    val cb = codebook.select(col("s"), col("cid").cast("int").as("code"),
+    val cb = codebook.select(col("s"), asCode(col("cid")).as("code"),
       col("cvec"))
     codes.select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(cb), Seq("s", "code"))

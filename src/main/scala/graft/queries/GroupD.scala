@@ -431,7 +431,7 @@ object GroupD {
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+      """SELECT md5(coalesce(text, '')) AS text_hash, min(doc_id) AS keeper,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
 

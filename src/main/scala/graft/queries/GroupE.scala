@@ -280,12 +280,12 @@ object GroupE {
          |qsub AS (SELECT id AS query_id, s, un[s * 8 + 1 : s * 8 + 8] AS qs
          |         FROM (SELECT * FROM uu WHERE id % 50 = 0), sp),
          |lut AS (SELECT q.query_id, q.s, c.cid AS code,
-         |          list_reduce(list_transform(generate_series(1, 8),
+         |          round(list_reduce(list_transform(generate_series(1, 8),
          |                  i -> q.qs[i] * q.qs[i]), (x, y) -> x + y)
          |            + list_reduce(list_transform(generate_series(1, 8),
          |                  i -> c.cvec[i] * c.cvec[i]), (x, y) -> x + y)
          |            - 2 * list_reduce(list_transform(generate_series(1, 8),
-         |                  i -> c.cvec[i] * q.qs[i]), (x, y) -> x + y) AS d2
+         |                  i -> c.cvec[i] * q.qs[i]), (x, y) -> x + y), 9) AS d2
          |        FROM qsub q JOIN cb2 c USING (s)),
          |adc AS (SELECT p.query_id, l.neighbor_id,
          |          round(sum(t.d2), 6) AS adist
