@@ -28,6 +28,11 @@ object GroupG {
       val w = Window.partitionBy("user_id").orderBy("es", "event_id")
       val gap = col("es") - lag(col("es"), 1).over(w)
       Tables(s, d, "events")
+        // A null event time belongs to no session (the g4/g5
+        // convention) — and unfiltered it would diverge silently:
+        // Spark orders NULLS FIRST, DuckDB NULLS LAST, so null-es
+        // rows would seed different sessions on each engine.
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts").cast("long").as("es"))
         .withColumn("is_new", when(gap.isNull || gap > 1800L, 1L).otherwise(0L))
         .withColumn("session_id", sum(col("is_new")).over(
@@ -265,7 +270,7 @@ object GroupG {
     "g1_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS es
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |m AS (
         |  SELECT *, CASE WHEN lag(es) OVER w IS NULL
         |                   OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
@@ -278,11 +283,15 @@ object GroupG {
         |  count(*) AS n_events, min(es) AS start_es, max(es) AS end_es
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // ts IS NOT NULL on the oracle because Spark's window() drops
+    // null event times itself (the TimeWindowing rule filters the
+    // time column non-null) — without it DuckDB would keep a NULL
+    // window group Spark never emits.
     "g2_tumbling_counts" ->
       """SELECT cast(floor(epoch(ts) / 900) * 900 AS bigint) AS window_es,
         |  event_type, count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS value_sum
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "g3_json_props" ->
       """SELECT event_type, count(*) AS n,
@@ -361,7 +370,7 @@ object GroupG {
     "g8_anomaly_zscore" ->
       """WITH c AS (SELECT cast(floor(epoch(ts) / 900) * 900 AS bigint) AS window_es,
         |             event_type, cast(count(*) AS bigint) AS n
-        |           FROM events GROUP BY 1, 2),
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT event_type, window_es, n,
         |        cast(count(n) OVER w AS bigint) AS n_prev,
         |        cast(sum(n) OVER w AS bigint) AS s1,

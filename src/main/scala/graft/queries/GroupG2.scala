@@ -169,7 +169,8 @@ object GroupG2 {
   /** The g6 running-min DP CTE chain (shared by the g10 oracle). */
   private val funnelDpCtes =
     """b AS (SELECT user_id, event_id, event_type,
-      |             cast(floor(epoch(ts)) AS bigint) AS es FROM events),
+      |             cast(floor(epoch(ts)) AS bigint) AS es
+      |       FROM events WHERE ts IS NOT NULL),
       |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN es END) OVER
       |         (PARTITION BY user_id ORDER BY es, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_min
@@ -210,7 +211,7 @@ object GroupG2 {
     "g11_stream_anomaly" ->
       """WITH c AS (SELECT cast(floor(epoch(ts) / 900) * 900 AS bigint) AS window_es,
         |             event_type, cast(count(*) AS bigint) AS n
-        |           FROM events GROUP BY 1, 2),
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT event_type, window_es, n,
         |        cast(count(n) OVER w AS bigint) AS n_prev,
         |        cast(sum(n) OVER w AS bigint) AS s1,
@@ -248,7 +249,7 @@ object GroupG2 {
     "g12_stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS es
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |m AS (
         |  SELECT *, CASE WHEN lag(es) OVER w IS NULL
         |                   OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
@@ -276,10 +277,12 @@ object GroupG2 {
         |  AND epoch_us(cts) <= epoch_us(pts)
         |  AND epoch_us(cts) >= epoch_us(pts) - 1800000000""".stripMargin,
 
+    // ts IS NOT NULL because Spark's window() drops null event times
+    // itself (the g2 oracle note).
     "g14_stream_tumbling" ->
       """SELECT cast(floor(epoch(ts) / 900) * 900 AS bigint) AS window_es,
         |  event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // g15 = b2's oracle keyed by collection_id.
     "g15_stream_validated" ->

@@ -258,18 +258,23 @@ object Sessions {
         (id: String, versions: Iterator[DocVersion], state: GroupState[String]) =>
           // Single O(1)-memory pass; the highest-seq version wins the
           // batch (iterator order is shuffle order, not event order),
-          // fingerprint as a deterministic tie-break on equal seq.
+          // fingerprint as a deterministic tie-break on equal seq. A
+          // null fingerprint normalizes to the empty string (the
+          // repo-wide null-text-as-empty contract, Dedup.exactGroups)
+          // so the tie-break and the state round-trip are total.
+          def fp(v: DocVersion): String =
+            if (v.fingerprint == null) "" else v.fingerprint
           var best: DocVersion = null
           versions.foreach { v =>
             if (best == null || v.seq > best.seq ||
-                (v.seq == best.seq && v.fingerprint > best.fingerprint)) best = v
+                (v.seq == best.seq && fp(v) > fp(best))) best = v
           }
           if (best == null) Iterator.empty
           else {
             val prior = state.getOption
-            if (prior.contains(best.fingerprint)) Iterator.empty // no state I/O
+            if (prior.contains(fp(best))) Iterator.empty // no state I/O
             else {
-              state.update(best.fingerprint)
+              state.update(fp(best))
               if (prior.isEmpty) Iterator.single(ChangeOp(id, "insert"))
               else Iterator.single(ChangeOp(id, "update"))
             }
@@ -347,7 +352,11 @@ object Sessions {
           val prior = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L))
           var (v, c, p) = (prior.t_view, prior.t_click, prior.t_purchase)
           val out = scala.collection.mutable.ListBuffer[FunnelStage]()
-          for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+          // A null event time has no place in the chain ordering — the
+          // dedupKeyedMin convention: skip it (vs NPE-ing the task);
+          // the g10 oracle filters the same rows.
+          for (e <- batch.filter(_.ts != null)
+                 .toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
             // floorDiv, not /: a plain long division truncates toward
             // zero, putting a pre-epoch sub-second event one second
             // late vs the floor(epoch(ts)) convention every batch
@@ -400,7 +409,12 @@ object Sessions {
         (userId: Long, batch: Iterator[SessionEvent],
          state: GroupState[SessionizerState]) =>
           val prior = state.getOption.map(_.open).getOrElse(Nil)
-          val fresh = batch.map { e =>
+          // Null event times are skipped (the dedupKeyedMin
+          // convention): a session is a time interval, and the g12
+          // oracle filters the same rows — unguarded they would NPE
+          // here while DuckDB silently counted them into the last
+          // session (divergence in both directions).
+          val fresh = batch.filter(_.ts != null).map { e =>
             // floorDiv, not /: a plain long division truncates toward
             // zero, putting a pre-epoch sub-second event one second
             // late vs the floor(epoch(ts)) convention every batch

@@ -567,4 +567,31 @@ class StreamingSpec extends GraftSuite {
         assert(lines.contains(expected), s"missing $expected in $lines")
     }
   }
+
+  test("null event times are skipped, not NPE'd, by every stateful lambda") {
+    // The dedupKeyedMin convention extended file-wide (round-12
+    // review): a null ts has no place in a time ordering, so the
+    // funnel, the sessionizer, and the dedup all SKIP it — unguarded,
+    // batch.toSeq.sortBy(_.ts.getTime) NPE'd the task while the
+    // DuckDB oracles silently ranked nulls last (g12's even counted
+    // the null row into the last session). Batch mode = the g10/g12/
+    // g16 registration path, so this pins the gate-facing behavior.
+    import graft.streaming.{DedupKept, FunnelEvent, FunnelStage}
+    val fe = Seq(
+      FunnelEvent(1L, 1L, "view", ts(100)), FunnelEvent(1L, 2L, "click", null),
+      FunnelEvent(1L, 3L, "click", ts(200)), FunnelEvent(2L, 4L, "view", null))
+      .toDS()
+    val stages = Sessions.funnelStages(fe).collect().toSet
+    assert(stages == Set(FunnelStage(1L, 1, 100L), FunnelStage(1L, 2, 200L)),
+      s"null-ts events must not reach or break the funnel DP, got $stages")
+    val se = Seq(SessionEvent(1L, 1L, ts(100)), SessionEvent(1L, 2L, null),
+      SessionEvent(3L, 3L, null)).toDS()
+    val sessions = Sessions.sessionize(se).collect().toSet
+    assert(sessions == Set(SessionOut(1L, 100L, 100L, 1L)),
+      s"null-ts events form no session (and an all-null user none), got $sessions")
+    val kept = Sessions.dedupKeyedMin(fe).collect().toSet
+    assert(kept == Set(DedupKept(1L, "view", 1L, 100L),
+      DedupKept(1L, "click", 3L, 200L)),
+      s"an all-null-ts key must emit nothing, got $kept")
+  }
 }
