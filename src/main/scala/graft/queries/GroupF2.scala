@@ -518,8 +518,8 @@ object GroupF2 {
     // same md5-derived 53-bit uniform (never 0, so ln is total), the
     // same ln(u)/w operation order, the same (priority DESC, doc_id)
     // tiebreak. Both engines select on FULL precision; the 6-dp
-    // round is display-only. Null-text docs: size()+1 hits 0 on the
-    // Spark side (non-ANSI size(null) = -1) and NULL here — both
+    // round is display-only. Null-text docs: size()+1 is NULL on the
+    // Spark side (ANSI size(null) = null) and NULL here — both
     // fail w > 0, dropped on both sides.
     "f19_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, len(${DuckSql.toks}) + 1 AS w
