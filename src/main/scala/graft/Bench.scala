@@ -2,10 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** One query's measurements: wall/cpu/run in seconds, spill/peak
-    * columns in bytes (see CpuTally for the peak-sum semantics). */
+    * columns in bytes (see CpuTally for the peak-sum semantics).
+    * canary/canaryPost bracket the timed region — see Canary. */
   private final case class BenchRow(name: String, wall: Double,
     cpu: Double, run: Double, memSpill: Long, diskSpill: Long,
-    peakMem: Long, canary: Double)
+    peakMem: Long, canary: Double, canaryPost: Double)
 
   /** Contention canary (r11 verdict ask #2): a fixed-WORK,
     * single-thread, memory-bandwidth-bound micro-kernel — 8
@@ -18,7 +19,19 @@ object Bench {
     * components trio with zero spill — "consistent with bandwidth
     * contention" by elimination; the per-query `canary` column turns
     * that into a direct measurement: an outlier whose canary reads
-    * N× the session's base was sampled under N× contention. */
+    * N× the session's base was sampled under N× contention.
+    *
+    * The kernel runs BOTH immediately before and immediately after
+    * each query (`canary` / `canary_post`): a single pre-sample can
+    * miss a contention phase that starts mid-query (the documented
+    * undersampling limit of the r12 validation artifact), while a
+    * bracketing pair certifies the whole window's endpoints — a
+    * query is read as contention-contaminated when EITHER sample
+    * dilates. Sampling DURING the query is deliberately rejected:
+    * the kernel is itself memory-bandwidth-bound, so a concurrent
+    * run would contend with the 32 worker threads and perturb the
+    * very measurement it adjudicates; the bracket is
+    * non-perturbing. */
   private object Canary {
     private val words = 16 << 20 // 128 MiB of longs
     private lazy val buf = {
@@ -212,6 +225,7 @@ object Bench {
       var lastDiskSpill = 0L
       var lastPeakMem = 0L
       var lastCanary = 0.0
+      var lastCanaryPost = 0.0
       for (_ <- 1 to reps) {
         // Drop DEAD checkpoint blocks before timing (untimed): the
         // iterative operators' localCheckpoint cuts stay registered
@@ -257,6 +271,9 @@ object Bench {
           // the JSON. A query whose every rep failed stays at 0.0 —
           // and is named in `errors`, which also forces rc 2 below.
           last = (System.nanoTime() - t0) / 1e9
+          // The closing bracket sample: immediately after the timed
+          // region, before any bookkeeping (untimed either way).
+          lastCanaryPost = Canary.run()
           drainListenerBus(spark.sparkContext)
           lastCpu = (tally.cpuNs.get() - cpu0) / 1e9
           lastRun = (tally.runMs.get() - run0) / 1e3
@@ -274,7 +291,8 @@ object Bench {
         }
       }
       BenchRow(name, last, lastCpu, lastRun,
-        lastMemSpill, lastDiskSpill, lastPeakMem, lastCanary)
+        lastMemSpill, lastDiskSpill, lastPeakMem, lastCanary,
+        lastCanaryPost)
     }
     def qmap(f: BenchRow => String): String =
       results.map(r => s"\"" + r.name + "\":" + f(r))
@@ -290,17 +308,20 @@ object Bench {
     val memSpillQs = qmap(_.memSpill.toString)
     val diskSpillQs = qmap(_.diskSpill.toString)
     val peakMemQs = qmap(_.peakMem.toString)
-    // Canary map (seconds): read each entry against canary_base — a
+    // Canary maps (seconds): read each entry against canary_base — a
     // query row whose canary sits at ~base was measured on a quiet
     // bus; one at N× base was measured under N× ambient contention.
+    // canary samples the instant BEFORE the timed region, canary_post
+    // the instant AFTER — the bracketing pair (see Canary).
     val canaryQs = qmap(_.canary.toString)
+    val canaryPostQs = qmap(_.canaryPost.toString)
     val errs = errors.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = results.map(_.wall).sum
     val cpuTotal = results.map(_.cpu).sum
     val runTotal = results.map(_.run).sum
     val memSpillTotal = results.map(_.memSpill).sum
     val diskSpillTotal = results.map(_.diskSpill).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_base":$canaryBase,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the full-name, full-precision line to a file FIRST: the
     // round-4 artifact lost its `total` and 12 per-query numbers to a
     // truncated stdout capture — a file write cannot be cut mid-stream
@@ -340,10 +361,12 @@ object Bench {
     // tail window); the PER-QUERY cpu/run maps are in bench_out.json
     // only — a second 120-entry map would overflow the driver's
     // 2000-char stdout capture and corrupt the artifact.
-    // canary_base and the WORST per-query canary dilation ride the
-    // compact line (two scalars); the per-query canary map is in
-    // bench_out.json only, like the other per-query maps.
-    val canaryMax = results.map(_.canary).foldLeft(0.0)(math.max)
+    // canary_base and the WORST per-query canary dilation — over
+    // BOTH bracket samples — ride the compact line (two scalars);
+    // the per-query canary maps are in bench_out.json only, like the
+    // other per-query maps.
+    val canaryMax = results.flatMap(r => Seq(r.canary, r.canaryPost))
+      .foldLeft(0.0)(math.max)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_max":${s3(canaryMax)},"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
     spark.stop()
     // A bench with errored queries must not ship as a healthy "rc 0"
