@@ -266,9 +266,17 @@ object ServingStore {
       val leaseMs = lockLeaseMs
       // Payload resolved BEFORE the create: a hostname lookup failing
       // AFTER a successful create-exclusive would orphan our own
-      // fresh lease and stall this very process a full leaseMs.
-      val holder = try java.net.InetAddress.getLocalHost.getHostName
+      // fresh lease and stall this very process a full leaseMs. The
+      // payload is a UNIQUE token (hostname + uuid), not just the
+      // hostname: release() verifies it, so a holder that outlived
+      // its lease and was broken cannot delete the SUCCESSOR's fresh
+      // lease on its way out (which would have opened the root to a
+      // third fitter — strictly worse than the documented
+      // outlived-lease race itself).
+      val host: String =
+        try java.net.InetAddress.getLocalHost.getHostName
         catch { case scala.util.control.NonFatal(_) => "unknown-host" }
+      val holder = host + ":" + java.util.UUID.randomUUID()
       var acquired = false
       while (!acquired) {
         try {
@@ -306,7 +314,33 @@ object ServingStore {
         }
       }
       new StoreLock {
-        def release(): Unit = fs.delete(lease, false)
+        // Delete only OUR lease: after a break + reacquire the file
+        // holds the successor's token and must survive this release
+        // (the successor's own release removes it). The read-then-
+        // delete window is milliseconds against a leaseMs-scale break
+        // horizon — strictly safer than the unconditional delete it
+        // replaces, never worse. A lease already gone (broken and
+        // released) is a no-op.
+        def release(): Unit = {
+          // ANY failure to read the payload (gone, checksum error, IO)
+          // means ownership is unprovable — leave the lease in place
+          // (the stale-break path reclaims it after leaseMs) rather
+          // than risk deleting a successor's. Deleting only on a
+          // POSITIVE match is the direction that can never make the
+          // race worse.
+          val mine = try {
+            val st = fs.getFileStatus(lease)
+            val buf = new Array[Byte](st.getLen.toInt)
+            val in = fs.open(lease)
+            try in.readFully(0L, buf) finally in.close()
+            new String(buf, "UTF-8") == holder
+          } catch { case _: java.io.IOException => false }
+          if (mine) fs.delete(lease, false)
+          else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ServingStore: lease at $lease no longer ours on release " +
+              "(broken after exceeding leaseMs and reacquired) — leaving " +
+              "the successor's lease in place")
+        }
       }
     }
 

@@ -298,6 +298,43 @@ class ServingStoreSpec extends GraftSuite {
     }
   }
 
+  test("an outlived holder's release leaves the successor's lease in place") {
+    // The outlived-lease race (documented: a fit running past leaseMs
+    // can be broken and superseded): the ORIGINAL holder's release
+    // must then be a guarded no-op, not an unconditional delete — an
+    // unconditional delete would remove the SUCCESSOR's fresh lease
+    // and open the root to a third fitter. Simulated through the
+    // public API: inside the fit (lease held), swap the lease payload
+    // for a foreign token, exactly the on-disk state a break +
+    // reacquire leaves behind.
+    sys.props("graft.servingstore.forceLease") = "1"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-svs11").toString
+      val data = java.nio.file.Paths.get(dir, "data.txt")
+      java.nio.file.Files.write(data, "x".getBytes("UTF-8"))
+      val root = java.nio.file.Paths.get(ServingStore.rootFor(dir + "#outl"))
+      val lease = root.resolve("_LOCK.lease")
+      ServingStore.ensure(dir + "#outl", Seq(data.toString), "v1") { _ =>
+        assert(java.nio.file.Files.exists(lease), "fit runs under the lease")
+        java.nio.file.Files.write(lease,
+          "other-host:feedfeed-0000-0000-0000-000000000000".getBytes("UTF-8"))
+        // Hadoop's checksummed LocalFileSystem keeps a .crc sidecar
+        // from the create-exclusive; a successor would rewrite both,
+        // the raw rewrite above only the payload — drop the sidecar
+        // so the ownership read sees the new payload, not a checksum
+        // error (which release treats as unprovable = leave in place
+        // too, but the test pins the PAYLOAD-mismatch arm).
+        java.nio.file.Files.deleteIfExists(
+          lease.resolveSibling("._LOCK.lease.crc"))
+      }
+      assert(java.nio.file.Files.exists(lease),
+        "release must not delete a lease it no longer owns")
+      assert(new String(java.nio.file.Files.readAllBytes(lease), "UTF-8")
+        .startsWith("other-host:"), "the successor's payload survives")
+      java.nio.file.Files.delete(lease)
+    } finally sys.props.remove("graft.servingstore.forceLease")
+  }
+
   test("fingerprint walk is FileSystem-impl-agnostic: RawLocalFileSystem double-check") {
     val dir = java.nio.file.Files.createTempDirectory("graft-svs9")
     java.nio.file.Files.write(dir.resolve("a.bin"), "alpha".getBytes("UTF-8"))
