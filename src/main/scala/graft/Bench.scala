@@ -274,13 +274,17 @@ object Bench {
           // The closing bracket sample: immediately after the timed
           // region, before any bookkeeping (untimed either way).
           lastCanaryPost = Canary.run()
+          // Assigned HERE, with last/lastCanaryPost — not after the
+          // fallible bookkeeping below — so a tally/drain failure can
+          // never publish this rep's timing bracketed by a PREVIOUS
+          // rep's pre-sample (the pairing would silently lie).
+          lastCanary = canarySec
           drainListenerBus(spark.sparkContext)
           lastCpu = (tally.cpuNs.get() - cpu0) / 1e9
           lastRun = (tally.runMs.get() - run0) / 1e3
           lastMemSpill = tally.memSpill.get() - mem0
           lastDiskSpill = tally.diskSpill.get() - disk0
           lastPeakMem = tally.peakMemSum.get() - peak0
-          lastCanary = canarySec
         } catch {
           // NonFatal (the Checkpoints convention): VM-fatal errors
           // abort the bench — timings measured inside a broken JVM

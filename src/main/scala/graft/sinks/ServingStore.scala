@@ -322,19 +322,22 @@ object ServingStore {
         // replaces, never worse. A lease already gone (broken and
         // released) is a no-op.
         def release(): Unit = {
-          // ANY failure to read the payload (gone, checksum error, IO)
-          // means ownership is unprovable — leave the lease in place
-          // (the stale-break path reclaims it after leaseMs) rather
-          // than risk deleting a successor's. Deleting only on a
-          // POSITIVE match is the direction that can never make the
-          // race worse.
+          // ANY failure to read the payload (gone, checksum error, IO,
+          // or a client library's RuntimeException) means ownership is
+          // unprovable — leave the lease in place (the stale-break
+          // path reclaims it after leaseMs) rather than risk deleting
+          // a successor's. Deleting only on a POSITIVE match is the
+          // direction that can never make the race worse; NonFatal,
+          // not just IOException, because an FS client throwing an
+          // unchecked error mid-read is still "unprovable", not
+          // "propagate out of release and skip the conservative arm".
           val mine = try {
             val st = fs.getFileStatus(lease)
             val buf = new Array[Byte](st.getLen.toInt)
             val in = fs.open(lease)
             try in.readFully(0L, buf) finally in.close()
             new String(buf, "UTF-8") == holder
-          } catch { case _: java.io.IOException => false }
+          } catch { case scala.util.control.NonFatal(_) => false }
           if (mine) fs.delete(lease, false)
           else org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"ServingStore: lease at $lease no longer ours on release " +
