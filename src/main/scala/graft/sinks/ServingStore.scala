@@ -74,11 +74,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * The lease is crash-recovery, not a correctness proof — a fit that
   * legitimately outlives its lease can be raced, and object stores
   * without atomic create-exclusive (S3 et al.) reduce the marker to
-  * advisory — so non-POSIX deployments should pair the store with a
-  * SINGLE-WRITER schedule (one orchestrator owns each root, the
-  * Airflow posture the store replaces); the post-fit fingerprint
-  * re-check and refuse-torn-publication remain the correctness
-  * backstop either way. A crash mid-fit leaves an unpublished `gen-*`
+  * advisory. What happens THEN is pinned executable (round 13,
+  * ServingStoreSpec over a test-only weak-semantics filesystem):
+  * (1) a fitter whose lease was broken-and-superseded re-verifies
+  * ownership immediately before the pointer swap and ABANDONS its
+  * publish with a loud `IllegalStateException` — only the successor's
+  * publish moves `CURRENT`; (2) when a weak create-exclusive admits
+  * two concurrent fitters outright, both fit but exactly one (the one
+  * the on-disk lease names) publishes — the loser abandons, and the
+  * root converges on one winning generation; (3) a reader that
+  * samples `CURRENT` midway through a NON-ATOMIC (copy+delete)
+  * pointer rename resolves "no current generation" — the pointer
+  * names a generation only when its bytes are complete and its
+  * directory exists — never half-written content. A blocked lease
+  * waiter logs the holder's token and lease age on first block and
+  * every ~30 s. The residual exposure on weak substrates is therefore
+  * a spurious refit or an abandoned publish (both loud, both retried
+  * by the next ensure), never silent corruption; the post-fit
+  * fingerprint re-check and refuse-torn-publication remain the
+  * correctness backstop either
+  * way. A crash mid-fit leaves an unpublished `gen-*`
   * directory (garbage-collected by the next successful publish) and
   * `CURRENT` untouched — the next ensure refits; nothing half-written
   * is ever served.
@@ -199,7 +214,7 @@ object ServingStore {
   /** The generation `CURRENT` points at, when it exists on disk —
     * resolution a reader can trust mid-swap: the pointer flips
     * atomically and only ever names fully-published generations. */
-  private def currentGen(fs: FileSystem, root: Path): Option[String] = {
+  private[graft] def currentGen(fs: FileSystem, root: Path): Option[String] = {
     val cur = new Path(root, "CURRENT")
     try {
       val st = fs.getFileStatus(cur)
@@ -232,7 +247,40 @@ object ServingStore {
   /** Cross-process mutual exclusion for fit-and-publish. `file:` roots
     * get a real OS file lock; everything else gets the create-exclusive
     * lease marker described in the object scaladoc. */
-  private trait StoreLock { def release(): Unit }
+  private trait StoreLock {
+    def release(): Unit
+    /** Positive proof this process still owns the root — re-checked by
+      * ensure() immediately before the CURRENT publish, so a fit that
+      * outlived its lease and was broken-and-superseded ABANDONS its
+      * publish instead of racing the successor's pointer swap. The OS
+      * file-lock arm cannot be broken while held, so it is always
+      * still held; only the lease arm can answer false. */
+    def stillHeld(): Boolean = true
+  }
+
+  /** Observability seam for the lease-wait path: production logs a
+    * WARN (below); the spec swaps in a recorder to pin that a blocked
+    * waiter names WHO holds the root. Never influences control flow. */
+  @volatile private[graft] var leaseWaitObserver
+    : Option[(String, Long) => Unit] = None
+
+  /** A blocked lease waiter is LOUD: once on first block and every
+    * ~30 s after, log the holder's token and the lease's age — a
+    * wedged-but-alive holder otherwise stalls every waiter silently
+    * for up to leaseMs with nothing in any log naming the culprit. */
+  private def noteLeaseWait(fs: FileSystem, lease: Path, ageMs: Long): Unit = {
+    val holderTok = try {
+      val st = fs.getFileStatus(lease)
+      val buf = new Array[Byte](math.min(st.getLen, 512L).toInt)
+      val in = fs.open(lease)
+      try in.readFully(0L, buf) finally in.close()
+      new String(buf, "UTF-8").trim
+    } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"ServingStore: waiting on lease $lease held by '$holderTok' " +
+        s"(age ${ageMs} ms, breaks after ${lockLeaseMs} ms)")
+    leaseWaitObserver.foreach(_(holderTok, ageMs))
+  }
 
   // Same active-orElse-default session resolution as hadoopConf(): a
   // configured lease must not silently fall back to the 1 h default
@@ -278,6 +326,7 @@ object ServingStore {
         catch { case scala.util.control.NonFatal(_) => "unknown-host" }
       val holder = host + ":" + java.util.UUID.randomUUID()
       var acquired = false
+      var lastWaitNoteNanos = 0L // 0 = not yet blocked; first block logs
       while (!acquired) {
         try {
           // create(overwrite = false) is atomic create-exclusive on
@@ -310,10 +359,32 @@ object ServingStore {
               if (try fs.rename(lease, tomb)
                   catch { case _: java.io.IOException => false })
                 fs.delete(tomb, false)
-            } else Thread.sleep(200)
+            } else {
+              val now = System.nanoTime()
+              if (lastWaitNoteNanos == 0L ||
+                  now - lastWaitNoteNanos > 30L * 1000 * 1000 * 1000) {
+                noteLeaseWait(fs, lease, math.max(age, 0L))
+                lastWaitNoteNanos = now
+              }
+              Thread.sleep(200)
+            }
         }
       }
       new StoreLock {
+        // Ownership is provable only POSITIVELY: the lease on disk
+        // still carries OUR token. Anything else — successor's token
+        // after a break+reacquire, lease gone, any read failure —
+        // answers false, and ensure() abandons the publish (the
+        // conservative direction: a skipped publish costs one refit;
+        // a raced one can tear the successor's CURRENT swap).
+        override def stillHeld(): Boolean =
+          try {
+            val st = fs.getFileStatus(lease)
+            val buf = new Array[Byte](st.getLen.toInt)
+            val in = fs.open(lease)
+            try in.readFully(0L, buf) finally in.close()
+            new String(buf, "UTF-8") == holder
+          } catch { case scala.util.control.NonFatal(_) => false }
         // Delete only OUR lease: after a break + reacquire the file
         // holds the successor's token and must survive this release
         // (the successor's own release removes it). The read-then-
@@ -327,18 +398,12 @@ object ServingStore {
           // unprovable — leave the lease in place (the stale-break
           // path reclaims it after leaseMs) rather than risk deleting
           // a successor's. Deleting only on a POSITIVE match is the
-          // direction that can never make the race worse; NonFatal,
-          // not just IOException, because an FS client throwing an
-          // unchecked error mid-read is still "unprovable", not
-          // "propagate out of release and skip the conservative arm".
-          val mine = try {
-            val st = fs.getFileStatus(lease)
-            val buf = new Array[Byte](st.getLen.toInt)
-            val in = fs.open(lease)
-            try in.readFully(0L, buf) finally in.close()
-            new String(buf, "UTF-8") == holder
-          } catch { case scala.util.control.NonFatal(_) => false }
-          if (mine) fs.delete(lease, false)
+          // direction that can never make the race worse; stillHeld's
+          // NonFatal catch, not just IOException, because an FS client
+          // throwing an unchecked error mid-read is still
+          // "unprovable", not "propagate and skip the conservative
+          // arm".
+          if (stillHeld()) fs.delete(lease, false)
           else org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"ServingStore: lease at $lease no longer ours on release " +
               "(broken after exceeding leaseMs and reacquired) — leaving " +
@@ -397,6 +462,23 @@ object ServingStore {
               "describe the data on disk and was discarded; re-run ensure " +
               "once the inputs settle")
         }
+        // Ownership re-check immediately before the pointer swap: a
+        // fit that outlived its lease was broken and superseded — the
+        // successor owns the root now, and OUR publish would race its
+        // CURRENT swap (the one window the lease protocol could not
+        // close by construction). Abandon instead: genPath is left ON
+        // DISK un-deleted — the successor fitting the same inputs
+        // shares this very generation name, so deleting it could tear
+        // the successor's generation out from under its publish; a
+        // stale-fp leftover is swept by the next successful publish's
+        // retirement pass, exactly like a crashed fit's.
+        if (!lock.stillHeld())
+          throw new IllegalStateException(
+            s"ServingStore: the lease for $root was broken and " +
+              "reacquired while the fit ran (the fit outlived " +
+              "spark.graft.servingstore.leaseMs) — abandoning this " +
+              "publish; the successor owns the root. Re-run ensure " +
+              "once it settles")
         // Atomic publish: readers see the old complete generation or
         // the new complete one, never a mix.
         publishPointer(conf, fs, root, gen)

@@ -278,35 +278,51 @@ class ServingStoreSpec extends GraftSuite {
       assert((System.nanoTime() - t0) / 1e9 < 30, "break must not wait out the lease")
       assert(!java.nio.file.Files.exists(lease))
       // A FRESH lease (live holder): ensure waits; it proceeds only
-      // once the holder releases.
+      // once the holder releases. The wait is LOUD (r12 verdict ask
+      // #6): the blocked waiter logs/observes WHO holds the root —
+      // pinned through the observer seam the production WARN shares.
       java.nio.file.Files.write(lease, "live-holder".getBytes("UTF-8"))
       java.nio.file.Files.write(data, "lease3".getBytes("UTF-8"))
+      val waitNotes =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      ServingStore.leaseWaitObserver = Some((tok, age) => {
+        waitNotes.add((tok, age)); ()
+      })
       val releaser = new Thread(() => {
         Thread.sleep(800)
         java.nio.file.Files.deleteIfExists(lease); ()
       })
       releaser.start()
       val t1 = System.nanoTime()
-      ensure()
+      try { ensure(); () } finally ServingStore.leaseWaitObserver = None
       releaser.join()
       assert(fits == 3)
       assert((System.nanoTime() - t1) / 1e9 >= 0.5,
         "a fresh lease must be awaited, not broken")
+      import scala.jdk.CollectionConverters._
+      val notes = waitNotes.asScala.toList
+      assert(notes.nonEmpty, "the first block must emit a wait note")
+      assert(notes.exists(_._1 == "live-holder"),
+        s"the note must name the holder's token; got $notes")
+      assert(notes.forall(_._2 >= 0L))
     } finally {
       sys.props.remove("graft.servingstore.forceLease")
       spark.conf.unset(leaseConfKey)
     }
   }
 
-  test("an outlived holder's release leaves the successor's lease in place") {
+  test("a broken-and-superseded fitter abandons its publish and spares the successor's lease") {
     // The outlived-lease race (documented: a fit running past leaseMs
-    // can be broken and superseded): the ORIGINAL holder's release
-    // must then be a guarded no-op, not an unconditional delete — an
-    // unconditional delete would remove the SUCCESSOR's fresh lease
-    // and open the root to a third fitter. Simulated through the
-    // public API: inside the fit (lease held), swap the lease payload
-    // for a foreign token, exactly the on-disk state a break +
-    // reacquire leaves behind.
+    // can be broken and superseded), both halves of the contract:
+    // (1) the pre-publish ownership re-check — the superseded fitter
+    // must NOT move CURRENT, it must abandon loudly (r12 verdict's
+    // cheap narrowing, now executable); (2) its release must be a
+    // guarded no-op, not an unconditional delete — an unconditional
+    // delete would remove the SUCCESSOR's fresh lease and open the
+    // root to a third fitter. Simulated through the public API:
+    // inside the fit (lease held), swap the lease payload for a
+    // foreign token, exactly the on-disk state a break + reacquire
+    // leaves behind.
     sys.props("graft.servingstore.forceLease") = "1"
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft-svs11").toString
@@ -314,25 +330,212 @@ class ServingStoreSpec extends GraftSuite {
       java.nio.file.Files.write(data, "x".getBytes("UTF-8"))
       val root = java.nio.file.Paths.get(ServingStore.rootFor(dir + "#outl"))
       val lease = root.resolve("_LOCK.lease")
-      ServingStore.ensure(dir + "#outl", Seq(data.toString), "v1") { _ =>
-        assert(java.nio.file.Files.exists(lease), "fit runs under the lease")
-        java.nio.file.Files.write(lease,
-          "other-host:feedfeed-0000-0000-0000-000000000000".getBytes("UTF-8"))
-        // Hadoop's checksummed LocalFileSystem keeps a .crc sidecar
-        // from the create-exclusive; a successor would rewrite both,
-        // the raw rewrite above only the payload — drop the sidecar
-        // so the ownership read sees the new payload, not a checksum
-        // error (which release treats as unprovable = leave in place
-        // too, but the test pins the PAYLOAD-mismatch arm).
-        java.nio.file.Files.deleteIfExists(
-          lease.resolveSibling("._LOCK.lease.crc"))
+      var fitRan = false
+      val err = intercept[IllegalStateException] {
+        ServingStore.ensure(dir + "#outl", Seq(data.toString), "v1") { _ =>
+          fitRan = true
+          assert(java.nio.file.Files.exists(lease), "fit runs under the lease")
+          java.nio.file.Files.write(lease,
+            "other-host:feedfeed-0000-0000-0000-000000000000".getBytes("UTF-8"))
+          // Hadoop's checksummed LocalFileSystem keeps a .crc sidecar
+          // from the create-exclusive; a successor would rewrite both,
+          // the raw rewrite above only the payload — drop the sidecar
+          // so the ownership read sees the new payload, not a checksum
+          // error (which both stillHeld and release treat as
+          // unprovable = abandon/leave too, but the test pins the
+          // PAYLOAD-mismatch arm).
+          java.nio.file.Files.deleteIfExists(
+            lease.resolveSibling("._LOCK.lease.crc"))
+        }
       }
+      assert(fitRan)
+      assert(err.getMessage.contains("abandoning"), s"got: ${err.getMessage}")
+      // The abandoned publish provably did not move CURRENT.
+      assert(!java.nio.file.Files.exists(root.resolve("CURRENT")),
+        "a superseded fitter must not publish")
       assert(java.nio.file.Files.exists(lease),
         "release must not delete a lease it no longer owns")
       assert(new String(java.nio.file.Files.readAllBytes(lease), "UTF-8")
         .startsWith("other-host:"), "the successor's payload survives")
+      // The abandoned generation stays ON DISK (deliberately: under a
+      // shared fingerprint it may BE the successor's generation); the
+      // next successful publish's retirement sweeps a stale one.
       java.nio.file.Files.delete(lease)
+      // Once the root settles (no contender), the same ensure fits
+      // and publishes normally — the abandon is retryable, not wedged.
+      val g = ServingStore.ensure(dir + "#outl", Seq(data.toString), "v1") {
+        _ => ()
+      }
+      assert(java.nio.file.Files.exists(root.resolve("CURRENT")))
+      assert(new org.apache.hadoop.fs.Path(g).getName.startsWith("gen-"))
     } finally sys.props.remove("graft.servingstore.forceLease")
+  }
+
+  // ---------------------------------------------------------------
+  // Weak-substrate semantics, EXECUTABLE (r12 verdict ask #1): the
+  // two object-store caveats ServingStore used to carry as prose run
+  // for real over WeakFileSystem (weakfs: — non-atomic copy+delete
+  // rename with an injectable mid-copy pause; optionally-weak
+  // create-exclusive) and the degradation behavior is pinned.
+  // ---------------------------------------------------------------
+
+  private def weakConf(): org.apache.hadoop.conf.Configuration = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    WeakFileSystem.register(conf)
+    conf
+  }
+
+  test("weakfs: a reader sampling CURRENT mid-way through a torn publish never resolves half-written content") {
+    val conf = weakConf()
+    WeakFileSystem.reset()
+    val dir = java.nio.file.Files.createTempDirectory("graft-weak1")
+    val data = dir.resolve("data.txt")
+    java.nio.file.Files.write(data, "torn-one".getBytes("UTF-8"))
+    sys.props("graft.model.dir") = "weakfs:" + dir.toString + "/models"
+    try {
+      def ensure(): String =
+        ServingStore.ensure("weak#torn", Seq(data.toString), "v1") { g =>
+          java.nio.file.Files.write(
+            nio(g).resolve("dim.txt"), "dim".getBytes("UTF-8"))
+        }
+      // Generation 1 publishes over weakfs normally (rename hooks off —
+      // but already via the copyless weak scheme's FileContext path).
+      val g1 = ensure()
+      assert(g1.startsWith("weakfs:"), s"root must live on weakfs, got $g1")
+      val rootPath = new org.apache.hadoop.fs.Path(g1).getParent
+      val fs = rootPath.getFileSystem(conf)
+      val root = fs.makeQualified(rootPath)
+      assert(ServingStore.currentGen(fs, root).contains(
+        new org.apache.hadoop.fs.Path(g1).getName))
+      // Engage the torn rename and refit in a background thread: the
+      // CURRENT pointer swap now runs as object-store copy+delete and
+      // PARKS with exactly "gen-" (4 bytes) visible to readers.
+      java.nio.file.Files.write(data, "torn-two".getBytes("UTF-8"))
+      WeakFileSystem.tornRenameTarget = Some("CURRENT")
+      @volatile var g2: String = null
+      val fitter = new Thread(() => { g2 = ensure() })
+      fitter.start()
+      assert(WeakFileSystem.renameEntered.await(
+        30, java.util.concurrent.TimeUnit.SECONDS),
+        "the publish must reach the torn-rename window")
+      // The window is REAL: the pointer file on disk is 4 partial bytes.
+      val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
+      assert(fs.getFileStatus(cur).getLen == 4L,
+        "CURRENT must be provably half-written during the probe")
+      // THE PIN: a reader during the torn window resolves NO current
+      // generation — half-written pointer bytes never name a
+      // generation (the name-must-be-a-directory filter) — and the
+      // probe itself never throws. It must NOT resolve gen-1 either:
+      // the old pointer was already deleted by the overwriting rename
+      // (the copy+delete emulation's documented hole — a reader sees
+      // "no store yet", refetches later, but never corrupt content).
+      assert(ServingStore.currentGen(fs, root).isEmpty,
+        "a torn CURRENT must read as no-current, never half-written bytes")
+      WeakFileSystem.renameResume.countDown()
+      fitter.join(60000)
+      assert(g2 != null && g2 != g1)
+      // After the rename completes the pointer is whole again and
+      // names the complete generation-2.
+      assert(ServingStore.currentGen(fs, root).contains(
+        new org.apache.hadoop.fs.Path(g2).getName))
+      assert(new String(java.nio.file.Files.readAllBytes(
+        nio(g2).resolve("dim.txt")), "UTF-8") == "dim")
+    } finally {
+      WeakFileSystem.reset()
+      sys.props.remove("graft.model.dir")
+    }
+  }
+
+  test("weakfs: a weak create-exclusive admits two fitters; exactly one publishes and the root converges") {
+    // Two CONCURRENT fitters through the public API in one JVM: the
+    // per-root monitor is keyed by the root STRING, so two distinct
+    // keys whose roots are symlinked onto the same physical directory
+    // race at the FILESYSTEM level exactly like two processes — and
+    // with weakCreateExclusive on, the second create(overwrite=false)
+    // on the lease succeeds instead of throwing (the S3-class
+    // weakness). The pin: both fit, but only the fitter the on-disk
+    // lease names publishes; the other abandons loudly; the root ends
+    // with ONE winning generation and no lease debris.
+    val conf = weakConf()
+    WeakFileSystem.reset()
+    WeakFileSystem.weakCreateExclusive = true
+    val dir = java.nio.file.Files.createTempDirectory("graft-weak2")
+    val data = dir.resolve("data.txt")
+    java.nio.file.Files.write(data, "race".getBytes("UTF-8"))
+    sys.props("graft.model.dir") = "weakfs:" + dir.toString + "/models"
+    try {
+      val keyA = "weak#raceA"
+      val keyB = "weak#raceB"
+      val rootA = java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(ServingStore.rootFor(keyA))
+          .toUri.getPath)
+      val rootB = java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(ServingStore.rootFor(keyB))
+          .toUri.getPath)
+      java.nio.file.Files.createDirectories(rootA)
+      java.nio.file.Files.createDirectories(rootB.getParent)
+      // Distinct monitor keys, one physical root: the cross-process
+      // interleaving, in-JVM.
+      java.nio.file.Files.createSymbolicLink(rootB, rootA)
+      val aInFit = new java.util.concurrent.CountDownLatch(1)
+      val go = new java.util.concurrent.CountDownLatch(1)
+      @volatile var aErr: Throwable = null
+      @volatile var aResult: String = null
+      val tA = new Thread(() => {
+        try aResult = ServingStore.ensure(keyA, Seq(data.toString), "v1") {
+          g =>
+            aInFit.countDown()
+            // Park mid-fit: fitter A "outlives" its lease while B
+            // acquires (weak create), fits, and publishes.
+            assert(go.await(45, java.util.concurrent.TimeUnit.SECONDS))
+            java.nio.file.Files.write(
+              nio(g).resolve("dim.txt"), "payload".getBytes("UTF-8"))
+        } catch { case e: Throwable => aErr = e }
+      })
+      tA.start()
+      assert(aInFit.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // Fitter B: same inputs, same fingerprint, symlinked root. Its
+      // create(overwrite = false) on the held lease SUCCEEDS (the
+      // injected weakness) — B now owns the on-disk lease token.
+      val bResult = ServingStore.ensure(keyB, Seq(data.toString), "v1") {
+        g =>
+          java.nio.file.Files.write(
+            nio(g).resolve("dim.txt"), "payload".getBytes("UTF-8"))
+      }
+      assert(bResult != null && bResult.contains("gen-"))
+      // B published: CURRENT names B's (= the shared) generation.
+      val fs = new org.apache.hadoop.fs.Path(bResult).getFileSystem(conf)
+      val root = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(bResult).getParent)
+      val won = ServingStore.currentGen(fs, root)
+      assert(won.contains(new org.apache.hadoop.fs.Path(bResult).getName))
+      // Release A: it finishes its fit, re-checks ownership right
+      // before the pointer swap, finds the lease no longer its own
+      // (B's token, or gone after B's release) and ABANDONS.
+      go.countDown()
+      tA.join(60000)
+      assert(aResult == null, "the superseded fitter must not return a generation")
+      assert(aErr != null && aErr.isInstanceOf[IllegalStateException] &&
+        aErr.getMessage.contains("abandoning"),
+        s"the superseded fitter must abandon loudly; got $aErr")
+      // Convergence: CURRENT still names the one winning generation,
+      // its dim is complete, and no lease is left behind.
+      assert(ServingStore.currentGen(fs, root) == won)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        nio(bResult).resolve("dim.txt")), "UTF-8") == "payload")
+      assert(!java.nio.file.Files.exists(rootA.resolve("_LOCK.lease")),
+        "the winner's release must have removed its own lease")
+      // And a settled re-ensure on EITHER key is a fingerprint no-op.
+      var refits = 0
+      val again = ServingStore.ensure(keyA, Seq(data.toString), "v1") { _ =>
+        refits += 1
+      }
+      assert(refits == 0 &&
+        new org.apache.hadoop.fs.Path(again).getName == won.get)
+    } finally {
+      WeakFileSystem.reset()
+      sys.props.remove("graft.model.dir")
+    }
   }
 
   test("fingerprint walk is FileSystem-impl-agnostic: RawLocalFileSystem double-check") {
