@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
   *     so expected drift is bounded by one inter-element spacing.
   *   - b10_type_coverage_audit: the four distinct-counts — exact
   *     countDistinct vs `approx_count_distinct` (HLL++, rsd 0.05).
+  *   - g5_window_distinct (r13): per-(window × type) distinct users —
+  *     the exact two-level form vs the declared
+  *     `approx_count_distinct` (rsd 0.02) swap, drift DISTRIBUTION
+  *     over every group plus the worst group spelled out.
+  *   - g9_hll_distinct (r13): the native deterministic HLL (b=8,
+  *     published σ ≈ 1.04/√256 = 6.5%) vs the exact g5 counts on the
+  *     same keys — the estimate itself is hash-gated by the oracle;
+  *     this measures estimate-vs-TRUTH on real data.
   *
   * ApproxDriftSpec pins loose executable bounds at sf0.001; the
   * sf0.1 numbers this main prints are recorded in SURVEY §8. */
@@ -102,6 +110,45 @@ object ApproxDrift {
         report("f7", l, "p95", exact(l)._2, approx(l)._2)
         report("f7", l, "p99", exact(l)._3, approx(l)._3)
       }
+    }
+
+    // g5/g9: many groups (windows × types), so the headline is the
+    // drift DISTRIBUTION; the worst group is spelled out so the max
+    // is a checkable number, not an anecdote.
+    def distReport(query: String, rows: Seq[(String, Double, Double)]): Unit = {
+      val rel = rows.map { case (k, e, a) =>
+        (k, e, a, if (e != 0.0) math.abs(a - e) / e else math.abs(a - e))
+      }.sortBy(_._4)
+      def pct(p: Double) = rel((p * (rel.size - 1)).round.toInt)._4
+      val (wk, we, wa, wr) = rel.last
+      println(f"[drift] $query%-12s groups ${rel.size}%6d   " +
+        f"relmed ${pct(0.5)}%8.5f   relp95 ${pct(0.95)}%8.5f   " +
+        f"relmax $wr%8.5f (worst: $wk exact $we%.1f approx $wa%.1f)")
+    }
+
+    locally {
+      import org.apache.spark.sql.functions._
+      val exact = graft.queries.GroupG.queries("g5_window_distinct")(spark, sfDir)
+        .select(col("window_es"), col("event_type"),
+          col("n_users").cast("double"))
+      // g5's declared swap: the same groupBy through HLL++ (rsd 0.02).
+      val approx = graft.Tables(spark, sfDir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy((floor(col("ts").cast("double") / 3600).cast("long") * 3600)
+                   .as("window_es"), col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+          .cast("double").as("ap"))
+      val g5 = exact.join(approx, Seq("window_es", "event_type")).collect()
+        .map(r => (s"${r.getLong(0)}/${r.getString(1)}",
+          r.getDouble(2), r.getDouble(3)))
+      distReport("g5", g5.toSeq)
+      // g9: the native deterministic HLL estimates vs the same truth.
+      val g9 = exact.join(
+          graft.queries.GroupG.hllOf(graft.Tables(spark, sfDir, "events")),
+          Seq("window_es", "event_type")).collect()
+        .map(r => (s"${r.getLong(0)}/${r.getString(1)}",
+          r.getDouble(2), r.getDouble(3)))
+      distReport("g9", g9.toSeq)
     }
 
     spark.stop()

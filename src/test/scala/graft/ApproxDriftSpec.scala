@@ -56,4 +56,30 @@ class ApproxDriftSpec extends GraftSuite {
         s"$c approx $av vs exact $ev exceeds 3x rsd")
     }
   }
+
+  test("g9 native HLL: estimate-vs-truth within 3 sigma on every real group") {
+    // g9's ESTIMATE is already hash-gated by the DuckDB oracle (the
+    // md5 registers replay bit-for-bit); this pins the estimate
+    // against the TRUE distinct counts (g5's exact form) on the real
+    // events table — the accuracy contract, per group, at b = 8
+    // (sigma = 1.04/sqrt(256) = 6.5%). Small groups ride the
+    // linear-counting branch, near-exact; the +3 absolute slack
+    // covers integer-granularity at n < ~15. The sf0.1 drift
+    // DISTRIBUTION is printed by graft.tools.ApproxDrift and
+    // recorded in SURVEY §8.
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("g5_window_distinct")(spark, sfDir)
+      .select(col("window_es"), col("event_type"),
+        col("n_users").cast("double"))
+    val joined = exact.join(
+        queries.GroupG.hllOf(Tables(spark, sfDir, "events")),
+        Seq("window_es", "event_type"))
+      .select(col("n_users"), col("n_approx"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(joined.nonEmpty)
+    joined.foreach { case (n, ap) =>
+      assert(math.abs(n - ap) <= 3.0 + 3 * 0.065 * n,
+        s"g9 HLL drift beyond 3 sigma: exact $n estimate $ap")
+    }
+  }
 }
