@@ -226,7 +226,24 @@ object ServingStore {
         try fs.getFileStatus(new Path(root, n)).isDirectory
         catch { case _: java.io.FileNotFoundException => false }
       })
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      // A pointer that fails its CHECKSUM read (torn by a non-atomic
+      // substrate, or its sidecar gone stale under a foreign writer)
+      // is recoverable derived state, not data loss: the generations
+      // it points among are immutable and fingerprint-stamped, so the
+      // self-healing move is "no current" — the caller refits and
+      // REPUBLISHES a clean pointer. Without this arm a corrupt
+      // CURRENT wedges every ensure on the root forever (r13,
+      // observed live when a checksummed read followed a raw rewrite).
+      // Loud, not silent: the WARN names the root.
+      case e: org.apache.hadoop.fs.ChecksumException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ServingStore: CURRENT at $root failed its checksum read " +
+            s"(${e.getMessage}) — treating as no current generation; " +
+            "the next fit republishes a clean pointer")
+        None
+    }
   }
 
   /** Pointer publish: write beside `CURRENT`, rename onto it.

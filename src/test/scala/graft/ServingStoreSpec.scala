@@ -371,6 +371,36 @@ class ServingStoreSpec extends GraftSuite {
     } finally sys.props.remove("graft.servingstore.forceLease")
   }
 
+  test("a checksum-corrupt CURRENT self-heals: refit + republish, never a wedged root") {
+    // CURRENT is derived state over immutable fingerprint-stamped
+    // generations, so a pointer whose checksummed read fails (torn by
+    // a weak substrate, or a raw rewrite leaving the .crc sidecar
+    // stale — observed live in r13 when an old-code run rewrote a
+    // store root) must read as "no current generation" and be
+    // REPUBLISHED by the next fit — not throw ChecksumException out
+    // of every ensure on the root forever.
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs12").toString
+    val data = java.nio.file.Paths.get(dir, "data.txt")
+    java.nio.file.Files.write(data, "crc".getBytes("UTF-8"))
+    var fits = 0
+    def ensure(): String =
+      ServingStore.ensure(dir + "#crc", Seq(data.toString), "v1") { _ =>
+        fits += 1
+      }
+    val g1 = ensure()
+    assert(fits == 1)
+    // Rewrite CURRENT raw (payload changes, Hadoop's .crc sidecar
+    // does not) — the checksummed read now fails.
+    val root = nio(g1).getParent
+    java.nio.file.Files.write(root.resolve("CURRENT"),
+      "gen-corrupted-by-a-foreign-writer\n".getBytes("UTF-8"))
+    val g2 = ensure()
+    assert(fits == 2, "a corrupt pointer must refit, not wedge")
+    assert(g2 == g1, "same inputs refit into the same generation name")
+    // The pointer is clean again: a third ensure is a no-op.
+    assert(ensure() == g1 && fits == 2)
+  }
+
   // ---------------------------------------------------------------
   // Weak-substrate semantics, EXECUTABLE (r12 verdict ask #1): the
   // two object-store caveats ServingStore used to carry as prose run
