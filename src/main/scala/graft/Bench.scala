@@ -325,7 +325,19 @@ object Bench {
     val runTotal = results.map(_.run).sum
     val memSpillTotal = results.map(_.memSpill).sum
     val diskSpillTotal = results.map(_.diskSpill).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
+    // The session's QUIETEST sample, base included (errored reps leave
+    // 0.0 rows — excluded). canary_base is measured at startup, so a
+    // session contended from before launch inflates it and every
+    // per-row ratio then UNDER-reads (the r13 validation artifact
+    // demonstrates this: a fully-contended run reads base 1.31 s with
+    // per-row ratios below 1). canary_min makes that state
+    // self-evident: on this host's quiet windows it sits near 0.16-
+    // 0.24 s, so canary_min far above that band brands the WHOLE
+    // artifact contended regardless of its internal ratios; absolute
+    // seconds, not same-session ratios, are the cross-run signal.
+    val canaryMin = (canaryBase +: results
+      .flatMap(r => Seq(r.canary, r.canaryPost)).filter(_ > 0.0)).min
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"canary_min":$canaryMin,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the full-name, full-precision line to a file FIRST: the
     // round-4 artifact lost its `total` and 12 per-query numbers to a
     // truncated stdout capture — a file write cannot be cut mid-stream
@@ -371,7 +383,7 @@ object Bench {
     // other per-query maps.
     val canaryMax = results.flatMap(r => Seq(r.canary, r.canaryPost))
       .foldLeft(0.0)(math.max)
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_max":${s3(canaryMax)},"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_min":${s3(canaryMin)},"canary_max":${s3(canaryMax)},"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
     // A bench with errored queries must not ship as a healthy "rc 0"
     // run (r6 shipped 15 fast-failing queries inside a green-looking
