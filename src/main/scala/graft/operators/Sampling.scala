@@ -141,9 +141,16 @@ object Sampling {
     * Scale shape: one narrow projection then a global top-n —
     * TakeOrdered (per-partition top-n, driver merge of n·partitions
     * rows), NEVER a full sort of the corpus; n is the sample size, a
-    * driver-safe quantity by definition. Rows with w ≤ 0 or null
-    * cannot be sampled and are dropped. Returns (id, weight,
-    * priority = ln(u)/w rounded 6dp for a stable observable).
+    * driver-safe quantity by definition. Rows with w ≤ 0, null, or
+    * NaN cannot be sampled and are dropped — NaN explicitly, because
+    * BOTH engines evaluate NaN > 0 as true AND sort NaN greatest, so
+    * without the guard a handful of corrupt weights would pass the
+    * filter, rank above every real priority (ln(u)/NaN = NaN), and
+    * CROWD OUT the entire sample — identically on both engines, i.e.
+    * invisible to the oracle gate (r13 review). A +Infinity weight
+    * stays legitimately sampleable: ln(u)/∞ = -0.0 is the maximal
+    * priority, exactly the w → ∞ limit of u^(1/w) → 1. Returns (id,
+    * weight, priority = ln(u)/w rounded 6dp for a stable observable).
     */
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
                      n: Int, salt: String = "ws"): DataFrame = {
@@ -155,7 +162,7 @@ object Sampling {
         concat(lit(salt + ":"), col("id").cast("string")))
       .bitwiseAND(lit(mask)) + lit(1L)).cast("double")) / lit((1L << 53).toDouble)
     df.select(keyCol.as("id"), weightCol.cast("double").as("weight"))
-      .filter(col("weight") > 0)
+      .filter(col("weight") > 0 && !isnan(col("weight")))
       .withColumn("lnkey", log(u) / col("weight"))
       .orderBy(col("lnkey").desc, col("id"))
       .limit(n)

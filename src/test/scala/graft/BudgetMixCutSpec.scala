@@ -344,4 +344,22 @@ class BudgetMixCutSpec extends GraftSuite {
       .select("id").as[Long].collect().toSeq
     assert(got == Seq(1L))
   }
+
+  test("weightedSample: NaN weights cannot hijack the sample; +Inf wins legitimately") {
+    // Spark AND DuckDB evaluate NaN > 0 as true and sort NaN greatest,
+    // so unguarded NaN weights would pass the positivity filter, rank
+    // above every real priority, and crowd out the whole sample —
+    // identically on both engines, i.e. invisible to the oracle gate.
+    // The guard drops them; a +Infinity weight stays sampleable and
+    // ranks FIRST (ln(u)/inf = -0.0, the w -> inf limit of the ES
+    // priority u^(1/w) -> 1).
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 3.0),
+      (4L, Double.NaN), (5L, Double.PositiveInfinity)).toDF("k", "w")
+    val got = Sampling.weightedSample(df, $"k", $"w", 3)
+      .select("id").as[Long].collect().toSeq
+    assert(!got.contains(2L) && !got.contains(4L),
+      s"NaN-weight rows must be unsampleable, got $got")
+    assert(got.head == 5L, s"the infinite weight must rank first, got $got")
+    assert(got.toSet == Set(1L, 3L, 5L))
+  }
 }
