@@ -43,9 +43,21 @@ object Text {
     * review caught the old HOF form contradicting this file's
     * stays-inside-codegen contract. Identical output: split never
     * yields nulls, so removing `""` IS dropping empties, order
-    * preserved (DuckSql.toks replays the same semantics). */
+    * preserved (DuckSql.toks replays the same semantics).
+    *
+    * The whitespace class is EXPLICIT, not `\s` (r13 review): the
+    * engine and its oracle run different regex dialects, and Java's
+    * `\s` includes VERTICAL TAB (\x0B) where DuckDB's RE2 `\s` does
+    * not — measured live: `"a\x0Bb"` tokenizes to [a, b] on the JVM
+    * and to one token in DuckDB, so every token-derived query would
+    * diverge on real web text (VT occurs in crawled pages) while the
+    * VT-free testdata keeps the gate green. The class below IS
+    * Java's `\s` ([ \t\n\x0B\f\r]) spelled out, so engine behavior
+    * and hashes are unchanged; the oracle side pins the same class. */
+  val wsClass = " \\t\\n\\x0B\\f\\r"
+
   def tokens(text: Column): Column =
-    array_remove(split(text, "\\s+"), "")
+    array_remove(split(text, s"[$wsClass]+"), "")
 
   /** Word n-gram shingles from a PRE-TOKENIZED array column; empty
     * array when the document has fewer than n words (or the array is

@@ -7,11 +7,14 @@ package graft.queries
   * change to tokenization parity is made here and in Text, and the
   * driver's hash gate re-proves every affected oracle.
   */
-private[queries] object DuckSql {
+private[graft] object DuckSql {
 
-  /** Whitespace tokens, empties dropped (`Text.tokens` parity). */
+  /** Whitespace tokens, empties dropped (`Text.tokens` parity).
+    * The explicit class, not `\s` (r13): RE2's `\s` omits VERTICAL
+    * TAB where Java's includes it — `Text.wsClass` spelled into both
+    * engines is what makes the tokenizer dialect-proof. */
   val toks: String =
-    "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+    "list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> len(t) > 0)"
 
   /** Word n-gram list from a `words` list column (`Text.shingles`
     * parity: space-joined, len−n+1 grams, 1-based list indexing). */

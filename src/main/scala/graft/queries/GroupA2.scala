@@ -48,12 +48,18 @@ object GroupA2 {
     // a11: letter-range suffix merge
     // (merge_collections_ending_with_letters.py): extract the common
     // prefix of "Name: A" / "Name: B" style names, merge onto it.
+    // `\z` (absolute end), not `$` (r13 review): Java's `$` also
+    // matches BEFORE a trailing line terminator where RE2's does not,
+    // so a name like "Foo: A\n" was ranged on the engine and plain in
+    // the oracle — both dialects agree on \z, and a trailing-newline
+    // name is consistently NOT ranged (names are single-line data; a
+    // stray terminator is dirt, not a range marker).
     "a11_merge_letter_ranges" -> ((s, d) => {
       Tables(s, d, "part")
         .withColumn("name", expr(rangedNameSql))
         .withColumn("prefix",
-          when(col("name").rlike(": [A-Z]$"),
-               regexp_replace(col("name"), ": [A-Z]$", ""))
+          when(col("name").rlike(": [A-Z]\\z"),
+               regexp_replace(col("name"), ": [A-Z]\\z", ""))
             .otherwise(col("name")))
         .groupBy("prefix")
         .agg(count(lit(1)).as("merged_count"),
@@ -204,8 +210,8 @@ object GroupA2 {
     "a11_merge_letter_ranges" ->
       s"""WITH named AS (
          |  SELECT p_partkey, $rangedNameSql AS name FROM part)
-         |SELECT CASE WHEN regexp_matches(name, ': [A-Z]$$')
-         |            THEN regexp_replace(name, ': [A-Z]$$', '')
+         |SELECT CASE WHEN regexp_matches(name, ': [A-Z]\\z')
+         |            THEN regexp_replace(name, ': [A-Z]\\z', '')
          |            ELSE name END AS prefix,
          |  count(*) AS merged_count, min(p_partkey) AS stable_id
          |FROM named GROUP BY 1""".stripMargin,

@@ -21,7 +21,7 @@ object GroupF {
 
   /** "BPE-ish" subword segmentation: letter runs, digit runs, single
     * punctuation marks — the standard pre-tokenizer regex shape. */
-  private val subtokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val subtokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
@@ -63,7 +63,7 @@ object GroupF {
       val nToks = size(toks).cast("double")
       val nChars = length(col("text")).cast("double")
       val punctRatio = when(nChars === 0, lit(0.0))
-        .otherwise(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / nChars)
+        .otherwise(regexp_count(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).cast("double") / nChars)
       val stopRatio = when(nToks === 0, lit(0.0))
         .otherwise(countIn(toks, stopwords).cast("double") / nToks)
       val lenScore = least(nToks / 100.0, lit(1.0))
@@ -160,7 +160,7 @@ object GroupF {
          |SELECT doc_id,
          |  cast(len(toks) AS bigint) AS n_tokens,
          |  cast(len(list_distinct(toks)) AS bigint) AS n_distinct,
-         |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bigint) AS n_subtokens,
+         |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS bigint) AS n_subtokens,
          |  CASE WHEN len(toks) = 0 THEN 0.0
          |       ELSE round(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 6)
          |  END AS avg_token_len
@@ -170,7 +170,7 @@ object GroupF {
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
          |r AS (SELECT doc_id,
          |  CASE WHEN len(text) = 0 THEN 0.0
-         |       ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / len(text) END AS punct_ratio,
+         |       ELSE len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) * 1.0 / len(text) END AS punct_ratio,
          |  CASE WHEN len(toks) = 0 THEN 0.0
          |       ELSE ${duckCountIn(stopwords)} * 1.0 / len(toks) END AS stopword_ratio,
          |  least(len(toks) / 100.0, 1.0) AS len_score

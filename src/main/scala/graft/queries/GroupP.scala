@@ -187,7 +187,7 @@ object GroupP {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
     val gated = toks.filter(
       col("lang") === "en" && col("n_tokens") >= 10 &&
-        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+        regexp_count(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).cast("double") /
           length(col("text")) <= 0.3 &&
         col("doc_id") % 20 =!= 0) // benchmark docs are never trainable
     val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text",
@@ -582,7 +582,7 @@ object GroupP {
         |g AS (SELECT doc_id, source, words, cast(len(words) AS bigint) AS n_tokens
         |      FROM tok
         |      WHERE lang = 'en' AND len(words) >= 10
-        |        AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+        |        AND len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) * 1.0
         |              / len(text) <= 0.3
         |        AND doc_id % 20 <> 0),
         |sh AS (SELECT DISTINCT doc_id, unnest(${DuckSql.grams(3)}) AS shingle

@@ -383,4 +383,41 @@ class CorpusOpsSpec extends GraftSuite {
     assert(out(3L) == ((0L, true, true)), s"OOV doc row: ${out(3L)}")
     assert(!out(1L)._2 && !out(1L)._3, "modeled docs keep real scores")
   }
+
+  test("tokenizer whitespace class is explicit and dialect-proof (the VT divergence)") {
+    // Java's \s includes VERTICAL TAB (\x0B); DuckDB's RE2 \s does
+    // not — with '\s+' on both sides, "a\x0Bb" tokenized to [a, b] on
+    // the engine and ONE token in the oracle, a silent divergence on
+    // real web text the VT-free testdata can never surface (r13
+    // review, measured live on both engines). The class is therefore
+    // spelled out on both sides; these pins keep it that way.
+    // Engine behavior: every Java-\s character still splits —
+    // including VT — and non-\s unicode spaces (NBSP) do not.
+    val toks = Seq("a\u000Bb c\td\ne\ff\rg", "x\u00A0y")
+      .toDF("text")
+      .select(graft.functions.Text.tokens($"text").as("t"))
+      .as[Seq[String]].collect()
+    assert(toks(0) == Seq("a", "b", "c", "d", "e", "f", "g"),
+      s"VT/TAB/LF/FF/CR must all split: ${toks(0)}")
+    assert(toks(1) == Seq("x\u00A0y"), "NBSP is not whitespace on either engine")
+    // Oracle drift guards: the shared tokenizer fragment carries the
+    // explicit class, and NO registered oracle leans on bare \s (a
+    // future oracle that needs it must confront the dialect question
+    // this test documents).
+    assert(graft.queries.DuckSql.toks.contains("\\x0B") &&
+      !graft.queries.DuckSql.toks.contains("\\s"))
+    val offenders = SparkEntry.oracleSql.filter(_._2.contains("\\s")).keys
+    assert(offenders.isEmpty,
+      s"oracles using dialect-dependent \\s: ${offenders.mkString(", ")}")
+    // The sibling dialect trap, same treatment (a11's range-suffix
+    // anchor): Java's `$` also matches BEFORE a trailing line
+    // terminator, RE2's does not — both agree on `\z`, so a
+    // trailing-newline name is consistently NOT ranged on either
+    // engine. Pin the engine behavior on both inputs.
+    val anch = Seq("Foo: A", "Foo: A\n").toDF("name")
+      .select($"name", $"name".rlike(": [A-Z]\\z").as("ranged"))
+      .as[(String, Boolean)].collect().toMap
+    assert(anch("Foo: A") && !anch("Foo: A\n"),
+      s"\\z must anchor at the absolute end on the engine: $anch")
+  }
 }
