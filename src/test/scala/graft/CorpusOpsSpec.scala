@@ -419,5 +419,21 @@ class CorpusOpsSpec extends GraftSuite {
       .as[(String, Boolean)].collect().toMap
     assert(anch("Foo: A") && !anch("Foo: A\n"),
       s"\\z must anchor at the absolute end on the engine: $anch")
+    // Unicode case mapping, the DECLARED residual of this dialect
+    // class (measured r13): Spark agrees with the reference's Python
+    // — lower('İ') = "i" + U+0307 (combining dot), upper('ß') = "SS"
+    // — while DuckDB maps them 1:1 ('i', U+1E9E). The engine is the
+    // contract; the oracle diverges only on text carrying such
+    // codepoints (absent from testdata, declared in SURVEY §6). Pin
+    // the ENGINE mapping so an engine-side drift is loud, and pin
+    // that the curation paths are robust BY CONSTRUCTION: a18's
+    // ASCII strip swallows the combining dot on both engines.
+    val cased = Seq(("\u0130", "\u00DF")).toDF("i", "ss")
+      .select(lower($"i").as("li"), upper($"ss").as("us"),
+        regexp_replace(lower($"i"), "[^a-z0-9]", "").as("stripped"))
+      .as[(String, String, String)].head()
+    assert(cased._1 == "i\u0307" && cased._2 == "SS",
+      s"engine case mapping must match the Python reference: $cased")
+    assert(cased._3 == "i", "the a18-style ASCII strip converges the engines")
   }
 }
