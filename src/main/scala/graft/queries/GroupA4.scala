@@ -70,18 +70,24 @@ object GroupA4 {
       .withColumn("r2", row_number().over(w2))
       .groupBy("coll")
       .agg(count(lit(1)).as("n_members"),
-        // Difference cast to long BEFORE squaring: row_number is an
-        // int, and an int d*d wraps past |d| > 46340 — reachable on
-        // the ad-hoc frames this public helper accepts (a 50k-member
-        // ordering reversal), even though the registered collapse
-        // never produces them.
-        sum((col("r1") - col("r2")).cast("long") *
-            (col("r1") - col("r2")).cast("long"))
+        // Difference squared in DECIMAL (r13 overflow sweep; the
+        // original int d*d wrapped past |d| > 46340, the long form
+        // past Σd² > 9.2e18 — a 2.1e6-member collection's worst-case
+        // reversal, reachable at 100 TB): decimal(18,0)² →
+        // decimal(37,0), the sum fits decimal(38,0) exactly.
+        sum((col("r1") - col("r2")).cast("decimal(18,0)") *
+            (col("r1") - col("r2")).cast("decimal(18,0)"))
           .as("__sd2"))
       .filter(col("n_members") >= 2)
       .select(col("coll").as("o_orderkey"), col("n_members"),
+        // The n(n²−1) denominator in DECIMAL too: the long form
+        // overflowed at n > 2.09e6 members (³√2^63). decimal(12,0)
+        // operands keep the product exact to n = 1e12; the division
+        // is the same final double expression either way.
         round(lit(1.0) - lit(6.0) * col("__sd2") /
-          (col("n_members") * (col("n_members") * col("n_members") - 1)), 6)
+          (col("n_members").cast("decimal(12,0)") *
+            (col("n_members").cast("decimal(12,0)") *
+              col("n_members").cast("decimal(12,0)") - 1)), 6)
           .as("spearman"))
   }
 
@@ -727,7 +733,10 @@ object GroupA4 {
         |SELECT * FROM s1, s2, d1, x1, d2, x2""".stripMargin,
 
     // a37: Σd² over row_number ranks is exact integer arithmetic on
-    // both engines; rho's one division replays bit-for-bit.
+    // both engines (HUGEINT here ↔ decimal(38,0) on the Spark side —
+    // the r13 overflow sweep; the bare BIGINT forms wrapped/threw at
+    // 100 TB collection sizes); rho's one division replays
+    // bit-for-bit.
     "a37_rank_correlation" ->
       """WITH m AS (
         |  SELECT l_orderkey AS coll, l_partkey AS member,
@@ -741,8 +750,9 @@ object GroupA4 {
         |  FROM m)
         |SELECT coll AS o_orderkey,
         |  cast(count(*) AS bigint) AS n_members,
-        |  round(1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
-        |          / (count(*) * (count(*) * count(*) - 1)), 6) AS spearman
+        |  round(1.0 - 6.0 * sum(cast(r1 - r2 AS hugeint) * (r1 - r2))
+        |          / (cast(count(*) AS hugeint)
+        |             * (cast(count(*) AS hugeint) * count(*) - 1)), 6) AS spearman
         |FROM r GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     "a36_partial_updates" ->

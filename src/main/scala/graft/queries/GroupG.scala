@@ -204,7 +204,15 @@ object GroupG {
     counts
       .withColumn("n_prev", count(col("n")).over(wTrail))
       .withColumn("s1", sum(col("n")).over(wTrail))
-      .withColumn("s2", sum(col("n") * col("n")).over(wTrail))
+      // Σn² in DECIMAL, not long (r13 overflow sweep): a 15-min
+      // window holding > 3e9 events — a 100 TB stream, not a fantasy
+      // — squares past Long.MaxValue and ANSI throws the whole query.
+      // decimal(18,0)² → decimal(37,0), the 12-window sum fits
+      // decimal(38,0) exactly (the a38 moments precedent); the final
+      // .cast("double") reads the same value either way at any scale
+      // the exactness contract covers.
+      .withColumn("s2", sum(col("n").cast("decimal(18,0)") *
+        col("n").cast("decimal(18,0)")).over(wTrail))
       .withColumn("z", when(col("n_prev") >= 8 && variance > 0,
         round((col("n").cast("double") - mean) / sqrt(variance), 6)))
       .withColumn("is_anomaly",
@@ -374,7 +382,7 @@ object GroupG {
         |t AS (SELECT event_type, window_es, n,
         |        cast(count(n) OVER w AS bigint) AS n_prev,
         |        cast(sum(n) OVER w AS bigint) AS s1,
-        |        cast(sum(n * n) OVER w AS bigint) AS s2
+        |        sum(cast(n AS hugeint) * n) OVER w AS s2
         |      FROM c
         |      WINDOW w AS (PARTITION BY event_type ORDER BY window_es
         |                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),

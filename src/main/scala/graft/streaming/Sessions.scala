@@ -324,8 +324,13 @@ object Sessions {
             val z: Option[Double] =
               if (nPrev < minHistory) None
               else {
+                // Σn² through BigInt (r13 overflow sweep): the Long
+                // fold wraps SILENTLY past c > 3e9 — worse than the
+                // batch side's loud ANSI throw — and a 15-min window
+                // on a 100 TB stream reaches that. Exact at any
+                // scale, ≤ 12 terms per window: cost is noise.
                 val s1 = trail.sum.toDouble
-                val s2 = trail.map(c => c * c).sum.toDouble
+                val s2 = trail.map(c => BigInt(c) * BigInt(c)).sum.toDouble
                 val mean = s1 / nPrev
                 val variance = (s2 - s1 * s1 / nPrev) / (nPrev - 1)
                 if (variance > 0)

@@ -241,6 +241,47 @@ class StreamingSpec extends GraftSuite {
     } finally query.stop()
   }
 
+  test("anomaly scores survive 100TB-scale window counts (no silent Long wrap)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{WindowCount => WC, WindowScore => WS}
+    // r13 overflow sweep: the old fold squared Longs — counts above
+    // ~3e9 per window (a 15-min window of a 100 TB stream) wrapped
+    // SILENTLY and emitted garbage z. Drive the lambda with counts in
+    // that regime and check against independent BigInt arithmetic.
+    val base = 4_000_000_000L // squares to 1.6e19 > Long.MaxValue
+    val counts = (0 until 9).map(i =>
+      WC("hot", i * 900L, base + i * 1_000_000L)) :+
+      WC("hot", 9 * 900L, base + 500_000_000L) // the probe window
+    val input = MemoryStream[WC]
+    val query = graft.streaming.Sessions.anomalyScores(input.toDS())
+      .writeStream.format("memory").queryName("anomaly_big")
+      .outputMode("append").start()
+    try {
+      input.addData(counts.toIndexedSeq)
+      query.processAllAvailable()
+      val got = spark.table("anomaly_big").as[WS].collect()
+        .map(w => w.window_es -> w).toMap
+      val probe = got(9 * 900L)
+      assert(probe.n_prev == 9L)
+      // Independent replay in exact BigInt arithmetic.
+      val trail = counts.take(9).map(_.n)
+      val n = 9
+      val s1 = trail.map(BigInt(_)).sum
+      val s2 = trail.map(c => BigInt(c) * BigInt(c)).sum
+      val mean = s1.toDouble / n
+      val variance = (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1)
+      assert(variance > 0, "precondition: spread counts")
+      val want = BigDecimal((probeN(counts).toDouble - mean) / math.sqrt(variance))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(probe.z.isDefined, "z must be computed at this history depth")
+      assert(math.abs(probe.z.get - want) < 1e-6,
+        s"z ${probe.z.get} vs exact $want — a wrapped sum would be far off")
+    } finally query.stop()
+  }
+
+  private def probeN(counts: Seq[graft.streaming.WindowCount]): Long =
+    counts.last.n
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
