@@ -77,9 +77,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * advisory. What happens THEN is pinned executable (round 13,
   * ServingStoreSpec over a test-only weak-semantics filesystem):
   * (1) a fitter whose lease was broken-and-superseded re-verifies
-  * ownership immediately before the pointer swap and ABANDONS its
+  * ownership after its fit returns — BEFORE the generation name even
+  * exists, since every fit runs in a holder-unique staging dir
+  * (`gen-<fp>.stage-<uuid>`, r13 ADVICE) renamed onto `gen-<fp>` only
+  * post-check — and ABANDONS its
   * publish with a loud `IllegalStateException` — only the successor's
-  * publish moves `CURRENT`; (2) when a weak create-exclusive admits
+  * publish moves `CURRENT`, and the loser's writes can never land in
+  * a name the winner publishes; (2) when a weak create-exclusive admits
   * two concurrent fitters outright, both fit but exactly one (the one
   * the on-disk lease names) publishes — the loser abandons, and the
   * root converges on one winning generation; (3) a reader that
@@ -461,62 +465,123 @@ object ServingStore {
       val genPath = new Path(root, gen)
       if (!currentGen(fs, root).contains(gen)) {
         val prevGen = currentGen(fs, root)
-        // A crashed earlier fit may have left a partial directory at
-        // this exact generation — never publish it half-written.
-        fs.delete(genPath, true)
-        fs.mkdirs(genPath)
-        fit(genPath.toString)
+        // Fit into a HOLDER-UNIQUE staging directory (r13 ADVICE).
+        // Fitting directly into gen-<fp> shared that NAME with any
+        // successor that broke our lease and fitted the same inputs:
+        // after the successor published, the superseded fitter's
+        // still-running fit kept writing into files of the LIVE
+        // published generation, and the successor's own pre-fit
+        // cleanup could clobber the loser's in-flight writes mid-fit
+        // — "never silent corruption" then held only when fit() was
+        // byte-deterministic per fingerprint. A staging dir suffixed
+        // with a fresh UUID is writable by exactly one fitter ever;
+        // the published name becomes reachable only through the
+        // post-stillHeld rename below.
+        val stage = new Path(root, s"$gen.stage-${java.util.UUID.randomUUID()}")
+        fs.mkdirs(stage)
+        try fit(stage.toString)
+        catch { case e: Throwable =>
+          // Best-effort sweep of our own debris; retirement also
+          // removes stale stage dirs (they match the gen-* prefix and
+          // are never in the keep set), so a failed delete here only
+          // defers cleanup, never leaks forever.
+          try { fs.delete(stage, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+        }
         // Post-fit re-stat: publishing a generation stamped with a
         // fingerprint the fit did not actually read would serve a
         // torn store as current — refuse, clean up, and let the next
         // ensure fit the settled inputs.
         val fpAfter = fingerprintOf(conf, version, inputs)
         if (fpAfter != fp) {
-          fs.delete(genPath, true)
+          fs.delete(stage, true)
           throw new IllegalStateException(
             s"ServingStore: inputs under ${inputs.mkString(", ")} changed " +
               "while the fit was running — the fitted generation does not " +
               "describe the data on disk and was discarded; re-run ensure " +
               "once the inputs settle")
         }
-        // Ownership re-check immediately before the pointer swap: a
+        // Ownership re-check BEFORE the generation name ever exists: a
         // fit that outlived its lease was broken and superseded — the
         // successor owns the root now, and OUR publish would race its
-        // CURRENT swap (the one window the lease protocol could not
-        // close by construction). Abandon instead: genPath is left ON
-        // DISK un-deleted — the successor fitting the same inputs
-        // shares this very generation name, so deleting it could tear
-        // the successor's generation out from under its publish; a
-        // stale-fp leftover is swept by the next successful publish's
-        // retirement pass, exactly like a crashed fit's.
-        if (!lock.stillHeld())
+        // CURRENT swap. Abandon, deleting our own staging dir — it is
+        // holder-unique, so the delete cannot touch the successor's
+        // generation or staging (under the pre-staging layout the
+        // abandoned dir had to be LEFT on disk precisely because it
+        // shared the successor's name).
+        if (!lock.stillHeld()) {
+          try { fs.delete(stage, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
           throw new IllegalStateException(
             s"ServingStore: the lease for $root was broken and " +
               "reacquired while the fit ran (the fit outlived " +
               "spark.graft.servingstore.leaseMs) — abandoning this " +
               "publish; the successor owns the root. Re-run ensure " +
               "once it settles")
+        }
+        // Move the COMPLETE staging dir onto the generation name. A
+        // gen-<fp> already on disk here is either a pre-staging-build
+        // crashed fit's partial directory or a complete generation
+        // whose pointer swap crashed — both unpublished (the enclosing
+        // branch), both replaced. The delete→rename→publish window is
+        // milliseconds (no fit inside it); a break landing exactly
+        // there degrades to the documented weak-substrate residual — a
+        // reader's spurious "no current generation" and a retried
+        // ensure — never a half-written generation behind a live
+        // pointer, because the rename source is always a COMPLETE fit.
+        fs.delete(genPath, true)
+        if (!fs.rename(stage, genPath))
+          throw new java.io.IOException(
+            s"ServingStore: could not rename staging $stage onto " +
+              s"$genPath — the fit is complete but unpublished; " +
+              "re-run ensure")
         // Atomic publish: readers see the old complete generation or
         // the new complete one, never a mix.
         publishPointer(conf, fs, root, gen)
         // Retirement: keep the one superseded generation (in-flight
         // readers of the last cycle), drop anything older — including
-        // crashed fits' unpublished directories.
+        // crashed fits' unpublished gen directories. Staging dirs are
+        // swept only past the lease horizon: a FRESH `.stage-` dir may
+        // belong to a live superseded fitter still inside its fit —
+        // its writes are its own to delete on abandon (deleting it
+        // from here would turn that loud abandon into an arbitrary
+        // mid-write crash) — while one older than leaseMs belongs to
+        // a holder that crashed (or outlived the lease and is fair
+        // game either way): provably-dead debris.
         val keep = Set(gen) ++ prevGen
         val now = System.currentTimeMillis()
         fs.listStatus(root).iterator
           .filter { st =>
             val n = st.getPath.getName
-            (n.startsWith("gen-") && !keep(n)) ||
+            val stale = now - st.getModificationTime > lockLeaseMs
+            (n.startsWith("gen-") && !keep(n) &&
+              (!n.contains(".stage-") || stale)) ||
               // A breaker that crashed between its tombstone rename
               // and delete leaves one `_LOCK.break.*` file — harmless
               // (never consulted), swept here once provably dead.
-              (n.startsWith("_LOCK.break.") &&
-                now - st.getModificationTime > lockLeaseMs)
+              (n.startsWith("_LOCK.break.") && stale)
           }
           .foreach(st => fs.delete(st.getPath, true))
       }
       genPath.toString
     } finally lock.release()
+  }
+
+  /** Read-only warmth probe: does the store for `key` CURRENTLY serve
+    * a generation fitted from `inputs` at `version`? One fingerprint
+    * pass + one pointer read — never locks, never fits, never mutates.
+    * Bench samples this immediately before each serving query's timed
+    * region (`store_warm` in bench_out.json), so a serving row whose
+    * timed shot absorbed a cold-store fit is self-adjudicating in the
+    * artifact instead of indistinguishable from contention (the r13
+    * p5 20.6 s-vs-5.3 s ambiguity). */
+  def isCurrent(key: String, inputs: Seq[String], version: String): Boolean = {
+    val conf = hadoopConf()
+    val rootRaw = new Path(rootFor(key))
+    val fs = rootRaw.getFileSystem(conf)
+    val root = fs.makeQualified(rootRaw)
+    currentGen(fs, root)
+      .contains(genDirName(fingerprintOf(conf, version, inputs)))
   }
 }

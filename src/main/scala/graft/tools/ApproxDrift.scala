@@ -116,6 +116,11 @@ object ApproxDrift {
     // drift DISTRIBUTION; the worst group is spelled out so the max
     // is a checkable number, not an anecdote.
     def distReport(query: String, rows: Seq[(String, Double, Double)]): Unit = {
+      // An empty join (e.g. an empty or all-null-ts events table)
+      // must report "no groups", not crash the tool after the earlier
+      // reports already ran (r13 ADVICE: rel.last / pct() would throw
+      // on the empty seq).
+      if (rows.isEmpty) { println(f"[drift] $query%-12s no groups"); return }
       val rel = rows.map { case (k, e, a) =>
         (k, e, a, if (e != 0.0) math.abs(a - e) / e else math.abs(a - e))
       }.sortBy(_._4)

@@ -357,9 +357,17 @@ class ServingStoreSpec extends GraftSuite {
         "release must not delete a lease it no longer owns")
       assert(new String(java.nio.file.Files.readAllBytes(lease), "UTF-8")
         .startsWith("other-host:"), "the successor's payload survives")
-      // The abandoned generation stays ON DISK (deliberately: under a
-      // shared fingerprint it may BE the successor's generation); the
-      // next successful publish's retirement sweeps a stale one.
+      // The abandoned fit ran in a HOLDER-UNIQUE staging dir (r13
+      // ADVICE) and the abandon deleted it: no `gen-` name exists yet
+      // at all — the published generation name is only ever created by
+      // a fitter that passed the ownership re-check, so a superseded
+      // fitter's writes can never land in (or linger as) a directory a
+      // winner publishes.
+      import scala.jdk.CollectionConverters._
+      val leftovers = java.nio.file.Files.list(root).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("gen-")).toList
+      assert(leftovers.isEmpty,
+        s"an abandoned staged fit must leave no gen-* debris; got $leftovers")
       java.nio.file.Files.delete(lease)
       // Once the root settles (no contender), the same ensure fits
       // and publishes normally — the abandon is retryable, not wedged.
@@ -549,10 +557,19 @@ class ServingStoreSpec extends GraftSuite {
         aErr.getMessage.contains("abandoning"),
         s"the superseded fitter must abandon loudly; got $aErr")
       // Convergence: CURRENT still names the one winning generation,
-      // its dim is complete, and no lease is left behind.
+      // its dim is complete, and no lease is left behind. The loser's
+      // post-publish write above landed in ITS OWN staging dir (r13
+      // ADVICE: under the pre-staging layout it mutated the LIVE
+      // published generation), which its abandon then deleted — the
+      // root carries exactly the winning generation, no stage debris.
       assert(ServingStore.currentGen(fs, root) == won)
       assert(new String(java.nio.file.Files.readAllBytes(
         nio(bResult).resolve("dim.txt")), "UTF-8") == "payload")
+      import scala.jdk.CollectionConverters._
+      val genDirs = java.nio.file.Files.list(rootA).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("gen-")).toList
+      assert(genDirs == List(won.get),
+        s"only the winning generation may remain on disk; got $genDirs")
       assert(!java.nio.file.Files.exists(rootA.resolve("_LOCK.lease")),
         "the winner's release must have removed its own lease")
       // And a settled re-ensure on EITHER key is a fingerprint no-op.
