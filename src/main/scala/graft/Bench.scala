@@ -6,7 +6,8 @@ object Bench {
     * canary/canaryPost bracket the timed region — see Canary. */
   private final case class BenchRow(name: String, wall: Double,
     cpu: Double, run: Double, memSpill: Long, diskSpill: Long,
-    peakMem: Long, canary: Double, canaryPost: Double)
+    peakMem: Long, canary: Double, canaryPost: Double,
+    storeWarm: Option[Boolean])
 
   /** Contention canary (r11 verdict ask #2): a fixed-WORK,
     * single-thread, memory-bandwidth-bound micro-kernel — 8
@@ -194,13 +195,26 @@ object Bench {
     // include the whole fit — the contaminated-measurement class this
     // file exists to prevent.
     val selectedNames = selected.map(_._1).toSet
-    Seq(
+    // Each store family carries BOTH its untimed pre-fit and its
+    // read-only warmth probe: the probe re-samples at SHOT time
+    // (below), so a fit that lands inside a timed region anyway — a
+    // failed pre-fit, or inputs changing between pre-fit and shot —
+    // is recorded as store_warm=false in the artifact instead of
+    // masquerading as a slow serving cycle (r13 verdict ask #3: the
+    // driver's p5 20.6 s vs the in-suite 5.3 s was indistinguishable
+    // from contention without this column).
+    val storeFamilies = Seq(
       (Set("p5_serving_ingest", "d19_components_serving",
         "d20_spans_serving", "d21_span_cut_serving", "e12_ann_serving"),
-        "serving", () => graft.queries.GroupP.ensureServingModels(spark, sfDir)),
+        "serving",
+        () => graft.queries.GroupP.ensureServingModels(spark, sfDir),
+        () => graft.queries.GroupP.servingModelsCurrent(sfDir)),
       (Set("b6_closure_serving"),
-        "taxonomy", () => graft.queries.GroupB.ensureTaxonomyModels(spark, sfDir)),
-    ).foreach { case (users, label, ensure) =>
+        "taxonomy",
+        () => graft.queries.GroupB.ensureTaxonomyModels(spark, sfDir),
+        () => graft.queries.GroupB.taxonomyModelsCurrent(sfDir)),
+    )
+    storeFamilies.foreach { case (users, label, ensure, _) =>
       if (users.exists(selectedNames))
         try { ensure(); () }
         catch { case scala.util.control.NonFatal(e) =>
@@ -208,6 +222,10 @@ object Bench {
             s"(its consumers' timed runs will include the fit!): ${e.getMessage}")
         }
     }
+    // query name -> warmth probe, for the serving-registered rows only.
+    val warmProbes: Map[String, () => Boolean] = storeFamilies.flatMap {
+      case (users, _, _, probe) => users.map(_ -> probe)
+    }.toMap
     // SPARK_GRAFT_BENCH_REPS=N (default 1 — the driver's single-shot
     // contract) runs each query N times and reports the LAST rep: a
     // query's first execution pays 0.3-4 s of codegen/JIT warm-up
@@ -226,6 +244,7 @@ object Bench {
       var lastPeakMem = 0L
       var lastCanary = 0.0
       var lastCanaryPost = 0.0
+      var lastStoreWarm: Option[Boolean] = None
       for (_ <- 1 to reps) {
         // Drop DEAD checkpoint blocks before timing (untimed): the
         // iterative operators' localCheckpoint cuts stay registered
@@ -257,6 +276,21 @@ object Bench {
         val mem0 = tally.memSpill.get()
         val disk0 = tally.diskSpill.get()
         val peak0 = tally.peakMemSum.get()
+        // Serving rows: sample store warmth NOW — the instant before
+        // the timed region — so the artifact states whether THIS shot
+        // could have absorbed a fit. A probe failure reads as cold
+        // (warmth is unprovable, and the timed query's self-ensure
+        // will pay whatever the probe could not see). Untimed, like
+        // the canary; recorded only with a successful rep, same
+        // pairing discipline.
+        val warmNow = warmProbes.get(name).map { probe =>
+          try probe() catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] $name store-warmth probe failed (recording " +
+                s"cold): ${e.getMessage}")
+            false
+          }
+        }
         // Sample ambient contention NOW (untimed, single-threaded) —
         // adjacent to the measurement it adjudicates. Recorded with
         // the rep's numbers only when the rep succeeds, so the
@@ -279,6 +313,7 @@ object Bench {
           // never publish this rep's timing bracketed by a PREVIOUS
           // rep's pre-sample (the pairing would silently lie).
           lastCanary = canarySec
+          lastStoreWarm = warmNow
           drainListenerBus(spark.sparkContext)
           lastCpu = (tally.cpuNs.get() - cpu0) / 1e9
           lastRun = (tally.runMs.get() - run0) / 1e3
@@ -296,7 +331,7 @@ object Bench {
       }
       BenchRow(name, last, lastCpu, lastRun,
         lastMemSpill, lastDiskSpill, lastPeakMem, lastCanary,
-        lastCanaryPost)
+        lastCanaryPost, lastStoreWarm)
     }
     def qmap(f: BenchRow => String): String =
       results.map(r => s"\"" + r.name + "\":" + f(r))
@@ -319,6 +354,15 @@ object Bench {
     // the instant AFTER — the bracketing pair (see Canary).
     val canaryQs = qmap(_.canary.toString)
     val canaryPostQs = qmap(_.canaryPost.toString)
+    // store_warm: serving rows only — true iff the store was verified
+    // fitted-and-current the instant before the timed region, i.e.
+    // the measured number is a pure per-cycle serving cost; false
+    // brands the row's wall time as fit-inclusive (cold store or
+    // unprovable warmth), self-adjudicating in the artifact. A row
+    // whose every rep failed keeps no sample and is omitted like any
+    // non-serving row.
+    val storeWarmQs = results.flatMap(r => r.storeWarm.map(w =>
+        "\"" + r.name + "\":" + w)).mkString("{", ",", "}")
     val errs = errors.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = results.map(_.wall).sum
     val cpuTotal = results.map(_.cpu).sum
@@ -337,7 +381,7 @@ object Bench {
     // seconds, not same-session ratios, are the cross-run signal.
     val canaryMin = (canaryBase +: results
       .flatMap(r => Seq(r.canary, r.canaryPost)).filter(_ > 0.0)).min
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"canary_min":$canaryMin,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"canary_min":$canaryMin,"store_warm":$storeWarmQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the full-name, full-precision line to a file FIRST: the
     // round-4 artifact lost its `total` and 12 per-query numbers to a
     // truncated stdout capture — a file write cannot be cut mid-stream
@@ -383,7 +427,12 @@ object Bench {
     // other per-query maps.
     val canaryMax = results.flatMap(r => Seq(r.canary, r.canaryPost))
       .foldLeft(0.0)(math.max)
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_min":${s3(canaryMin)},"canary_max":${s3(canaryMax)},"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"$outFile"}""")
+    // store_cold: how many serving rows were measured against a store
+    // that was NOT verifiably warm at shot time (0 on a healthy run —
+    // one scalar fits the tail window; the per-query map is in
+    // bench_out.json).
+    val storeCold = results.count(_.storeWarm.contains(false))
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_min":${s3(canaryMin)},"canary_max":${s3(canaryMax)},"store_cold":$storeCold,"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
     // A bench with errored queries must not ship as a healthy "rc 0"
     // run (r6 shipped 15 fast-failing queries inside a green-looking

@@ -182,14 +182,28 @@ object GroupB {
     * lock and crash contracts). Bench pre-ensures this untimed when
     * b6 is selected, so the registered b6 measures the per-cycle
     * serving work alone. */
-  def ensureTaxonomyModels(s: SparkSession, d: String): String =
-    graft.sinks.ServingStore.ensure(d + "#taxonomy",
-      Seq(d + "/part.parquet"), "graft-taxonomy-v1") { root =>
+  // Shared store identity for ensure + the warmth probe (the GroupP
+  // pattern: one definition, so the probe cannot drift onto a
+  // different store than the one b6 consumes).
+  private def taxonomyStoreId(d: String): (String, Seq[String], String) =
+    (d + "#taxonomy", Seq(d + "/part.parquet"), "graft-taxonomy-v1")
+
+  def ensureTaxonomyModels(s: SparkSession, d: String): String = {
+    val (key, inputs, version) = taxonomyStoreId(d)
+    graft.sinks.ServingStore.ensure(key, inputs, version) { root =>
       graft.sinks.ModelStore.save(
         Graph.transitiveClosure(edges(s, d).filter(col("src") % 10 =!= 0),
           uniquePaths = true, stride = 4),
         root + "/closure")
     }
+  }
+
+  /** Read-only warmth probe for Bench's `store_warm` column — see
+    * [[graft.queries.GroupP.servingModelsCurrent]]. */
+  def taxonomyModelsCurrent(d: String): Boolean = {
+    val (key, inputs, version) = taxonomyStoreId(d)
+    graft.sinks.ServingStore.isCurrent(key, inputs, version)
+  }
 
   /** b6's registered body, dims injected (the servingChain pattern —
     * ScaleProbe drives THIS, so the probed plan is the served plan):

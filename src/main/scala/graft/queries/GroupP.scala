@@ -289,12 +289,31 @@ object GroupP {
     * on corpus change and reloads per cycle (p5/d19/d20/d21/e12).
     * Returns the store root. Callers that must keep the fit OUT of a
     * measurement (Bench's warm-up) invoke this untimed first. */
-  def ensureServingModels(s: SparkSession, dir: String): String =
-    graft.sinks.ServingStore.ensure(dir,
-      Seq(dir + "/documents.parquet", dir + "/embeddings.parquet"),
-      // Bump when the dim set or any fit definition changes — stale
-      // caches refit instead of failing on a missing dim's load.
-      "graft-serving-v3") { root => fitAndSave(s, dir, root) }
+  // ONE definition of the store identity (key, inputs, version) shared
+  // by ensure and the warmth probe — two hand-kept copies would let
+  // the probe silently adjudicate a DIFFERENT store than the one the
+  // queries consume. Bump the version when the dim set or any fit
+  // definition changes — stale caches refit instead of failing on a
+  // missing dim's load.
+  private def servingStoreId(dir: String): (String, Seq[String], String) =
+    (dir, Seq(dir + "/documents.parquet", dir + "/embeddings.parquet"),
+      "graft-serving-v3")
+
+  def ensureServingModels(s: SparkSession, dir: String): String = {
+    val (key, inputs, version) = servingStoreId(dir)
+    graft.sinks.ServingStore.ensure(key, inputs, version) { root =>
+      fitAndSave(s, dir, root)
+    }
+  }
+
+  /** Read-only warmth probe for Bench's `store_warm` column: true iff
+    * the serving store for `dir` is already fitted and current, i.e. a
+    * timed serving query starting NOW cannot absorb a fit. Never
+    * locks, never fits ([[graft.sinks.ServingStore.isCurrent]]). */
+  def servingModelsCurrent(dir: String): Boolean = {
+    val (key, inputs, version) = servingStoreId(dir)
+    graft.sinks.ServingStore.isCurrent(key, inputs, version)
+  }
 
   private def fitAndSave(s: SparkSession, dir: String, root: String): Unit = {
       val docs = Tables(s, dir, "documents")
