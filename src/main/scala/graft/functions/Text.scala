@@ -109,7 +109,7 @@ object Text {
     * tokens where the plain tokenizers strip them; text between emoji
     * splits on `[a-zA-Z0-9']+` exactly like the reference's _SPLIT_RE.
     * (The reference additionally dictionary-splits simple tokens with
-    * wordninja — a model artifact, out of engine scope.) */
+    * wordninja — [[segmentName]]/[[segmentNameParts]] below, a41.) */
   val emojiTokenRe =
     s"(?:$emojiSeqRe(?:\\x{200D}$emojiSeqRe)*|[a-zA-Z0-9']+)"
 
@@ -134,4 +134,57 @@ object Text {
         regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
         lit(ipRe), lit("<IP>")),
       lit(phoneRe), lit("<PHONE>"))
+
+  /** wordninja-style unigram-DP segmentation of a (lowercased) name
+    * into dictionary words — native codegen expression, see
+    * [[graft.functions.expr.WordSegment]] for the full contract.
+    * `dict` is a `map<string,bigint>` token → micro-ln cost column
+    * with SORTED keys (build it with [[segmentCostEntries]] →
+    * map_from_entries), `maxWord` the dictionary's max token length —
+    * both typically one broadcast crossJoin'd dim row. */
+  def segmentName(name: Column, dict: Column, maxWord: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expr.WordSegment(
+        org.apache.spark.sql.graft.ColumnBridge.expression(name),
+        org.apache.spark.sql.graft.ColumnBridge.expression(dict),
+        org.apache.spark.sql.graft.ColumnBridge.expression(maxWord)))
+
+  /** The reference-parity composition (preprocessing_service.py:
+    * wordninja pre-splits on `[^a-zA-Z0-9']+` before the DP): split
+    * the name on that class, segment each piece, flatten — so
+    * "president of america" yields [president, of, america] exactly
+    * as the reference's own test pins. The lambda puts [[segmentName]]
+    * under a higher-order `transform` (CodegenFallback) — use the
+    * plain [[segmentName]] on delimiter-free names (a41's hot path)
+    * and this form where reference-exact pre-splitting matters. */
+  def segmentNameParts(name: Column, dict: Column, maxWord: Column): Column =
+    flatten(transform(
+      array_remove(split(name, "[^a-zA-Z0-9']+"), ""),
+      piece => segmentName(piece, dict, maxWord)))
+
+  /** [[segmentName]]'s dictionary dim from a (token, count) frequency
+    * frame: ONE row `(dict map<string,bigint>, max_word int)` —
+    * wordninja's Zipf cost `ln(rank · ln V)` with rank by (count DESC,
+    * token) and V = |dictionary|, integerized to micro-ln units
+    * (`round(·×10⁶)::long`) so the DP is exact integer arithmetic on
+    * both engines, map keys sorted (the binary-search contract).
+    * Callers `crossJoin(broadcast(...))` the result onto the names
+    * frame. The global rank window runs over a VOCABULARY (dim-sized
+    * by definition), never a corpus. */
+  def segmentDict(freq: org.apache.spark.sql.DataFrame,
+                  tokCol: String, cntCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = freq.agg(count(lit(1)).cast("double").as("__v"))
+    freq.crossJoin(broadcast(v))
+      .select(col(tokCol).as("__tok"), col(cntCol).as("__cnt"), col("__v"))
+      .select(col("__tok"), col("__v"),
+        row_number().over(
+          Window.orderBy(col("__cnt").desc, col("__tok"))).as("__rank"),
+        length(col("__tok")).as("__len"))
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("__tok"),
+          round(log(col("__rank") * log(col("__v"))) * 1e6)
+            .cast("long").as("__cost"))))).as("dict"),
+        max(col("__len")).as("max_word"))
+  }
 }
