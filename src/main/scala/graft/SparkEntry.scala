@@ -12,6 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.GroupA.queries ++ graft.queries.GroupA2.queries ++
       graft.queries.GroupA3.queries ++ graft.queries.GroupA4.queries ++
+      graft.queries.GroupA5.queries ++
       graft.queries.GroupB.queries ++ graft.queries.GroupC.queries ++
       graft.queries.GroupC2.queries ++
       graft.queries.GroupD.queries ++ graft.queries.GroupE.queries ++
@@ -24,6 +25,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.GroupA.oracles ++ graft.queries.GroupA2.oracles ++
       graft.queries.GroupA3.oracles ++ graft.queries.GroupA4.oracles ++
+      graft.queries.GroupA5.oracles ++
       graft.queries.GroupB.oracles ++ graft.queries.GroupC.oracles ++
       graft.queries.GroupC2.oracles ++
       graft.queries.GroupD.oracles ++ graft.queries.GroupE.oracles ++

@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group A (continued) — round-14 additions closing the last two
+  * reference stages without a named SparkEntry row:
+  *
+  *  - a41: wordninja-style dictionary segmentation of member names +
+  *    per-collection token counts (collections-preprocessing/src/
+  *    preprocessing_service.py:8-27 — every name is lowercased and
+  *    DP-split into dictionary words, and the collection gets a
+  *    token → count map, model.py:23-33 AugmentedCollection;
+  *    expected splits pinned by the reference's own
+  *    collections-preprocessing/src/test_main.py and by
+  *    WordSegmentSpec). The engine form: a corpus-derived
+  *    unigram-frequency dictionary as ONE broadcast dim row
+  *    (Text.segmentDict — Zipf costs in exact integer micro-ln
+  *    units), the DP as a narrow codegen expression
+  *    ([[graft.functions.expr.WordSegment]]) — no shuffle beyond the
+  *    dim fit and the count aggregation. The DuckDB oracle replays
+  *    the IDENTICAL DP in a recursive CTE over the same integer cost
+  *    dim, so segmentation is hash-gated, not merely spec'd.
+  *
+  *  - a42: the collection-seed extraction stage (scripts/
+  *    create_lists.py:27-47 — §1 pipeline step 3, the one batch stage
+  *    with no named query): iterate the entity→predicates KV maps
+  *    (db3 ↔ c2's first-wins predicate maps), keep entities whose map
+  *    carries the mode's predicate, look the article name up in the
+  *    id→title map (db1 ↔ a label dim; a missing id is the
+  *    reference's KeyError → skip, an inner join), then the mode's
+  *    prefix rule: category mode KEEPS only `Category:`-prefixed
+  *    articles, list mode DROPS `Lists_of:`-prefixed ones. Both modes
+  *    in one frame with a mode column — pure composition of
+  *    registered capabilities (c2 + a2 + a12), named so the stage
+  *    itself is oracled.
+  */
+object GroupA5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // a41's glued names, derived deterministically from part (same
+  // expression both engines): spaces removed so the in-dictionary
+  // words are concatenated (the ENS-style input the reference's
+  // service faces), every 3rd name uppercased (the service lowercases
+  // before splitting), every 5th suffixed with two out-of-dictionary
+  // characters (exercising the unknown-char penalty path through the
+  // hash gate, not just the spec).
+  private val gluedNameSql =
+    """CASE WHEN p_partkey % 3 = 0 THEN upper(replace(p_name, ' ', ''))
+      |     ELSE replace(p_name, ' ', '') END ||
+      |CASE WHEN p_partkey % 5 = 0 THEN 'q7' ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+
+  // a42's article labels, derived deterministically from customer:
+  // ids ≡ 0 (mod 7) are ABSENT from the label dim (the KeyError→skip
+  // branch); prefixes cover both mode rules.
+  private val articleSql =
+    """CASE WHEN c_custkey % 4 = 0 THEN 'Category:' || c_name
+      |     WHEN c_custkey % 4 = 1 THEN 'Lists_of:' || c_name
+      |     ELSE c_name END""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, Q] = Map(
+    // a41: dictionary fit (dim-sized, one broadcast row) → narrow DP
+    // segmentation per name → per-collection token counts. The
+    // counts are ALSO rendered as one canonical "tok:cnt,…" string
+    // per collection and attached to every name row, so one hash
+    // covers both reference outputs (tokenized_names AND
+    // tokenized_names_counts). Scale: the dictionary is a vocabulary
+    // (dim by definition); segmentation is per-row compute inside
+    // codegen; the only corpus-sized shuffles are the (coll, tok)
+    // count and the final coll join — both key-partitioned and
+    // map-side combinable.
+    "a41_segment_names" -> ((s, d) => {
+      val part = Tables(s, d, "part")
+      val freq = part
+        .select(explode(split(col("p_name"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val dict = Text.segmentDict(freq, "tok", "cnt")
+      val names = part.select(col("p_partkey"),
+        expr("p_partkey DIV 20").as("coll"),
+        expr(gluedNameSql).as("name"))
+      val seg = names.crossJoin(broadcast(dict))
+        .select(col("coll"), col("p_partkey"), col("name"),
+          Text.segmentName(col("name"), col("dict"), col("max_word"))
+            .as("__t"))
+      val cstr = seg
+        .select(col("coll"), explode(col("__t")).as("tok"))
+        .groupBy("coll", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("coll")
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("tok"),
+            concat(col("tok"), lit(":"), col("cnt")).as("kv")))),
+          x => x.getField("kv"))).as("coll_counts"))
+      seg.select(col("coll"), col("p_partkey"), col("name"),
+          concat_ws(" ", col("__t")).as("tokens"),
+          size(col("__t")).cast("long").as("n_tokens"))
+        .join(cstr, "coll")
+    }),
+
+    // a42: predicate-presence filter over the KV maps (c2's exact
+    // frame — composed, not restated) + label lookup + mode prefix
+    // rules. The label join is corpus×corpus at reference scale (db1
+    // maps EVERY entity to its title), so no broadcast hint: the
+    // predicate filter upstream is selective and AQE picks the
+    // strategy from true sizes.
+    "a42_collection_seeds" -> ((s, d) => {
+      val kv = GroupC.queries("c2_group_entity")(s, d)
+      val labels = Tables(s, d, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("item"), expr(articleSql).as("article"))
+      val cat = kv.filter(col("first_click").isNotNull)
+        .join(labels, col("user_id") === col("item"))
+        .filter(col("article").startsWith("Category:"))
+        .select(lit("category").as("mode"), col("item"),
+          col("first_click").as("seed_type"), col("article"))
+      val lst = kv.filter(col("first_view").isNotNull)
+        .join(labels, col("user_id") === col("item"))
+        .filter(!col("article").startsWith("Lists_of:"))
+        .select(lit("list").as("mode"), col("item"),
+          col("first_view").as("seed_type"), col("article"))
+      cat.unionByName(lst)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The oracle replays the ENTIRE a41 computation: the same integer
+    // cost dim (rank by count DESC/token, cost = round(ln(rank·lnV)
+    // ·1e6)), the same DP (min over (cost, k) structs ≡ the
+    // expression's ascending-k strict '<'), the same backtrack, the
+    // same count rendering. Integer costs make every compared value
+    // exact — no float summation-order risk anywhere in the DP.
+    "a41_segment_names" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),
+         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |dict AS (
+         |  SELECT tok,
+         |    cast(round(ln(row_number() OVER (ORDER BY cnt DESC, tok)
+         |                  * ln((SELECT count(*) FROM freq))) * 1000000)
+         |         AS bigint) AS cost_u
+         |  FROM freq),
+         |dm AS (SELECT map(list(tok), list(cost_u)) AS m,
+         |              max(length(tok)) AS maxw FROM dict),
+         |names AS (
+         |  SELECT p_partkey, p_partkey // 20 AS coll,
+         |         $gluedNameSql AS name
+         |  FROM part),
+         |dp AS (
+         |  SELECT p_partkey, lower(name) AS s, length(name) AS n, 0 AS i,
+         |    cast([0] AS BIGINT[]) AS costs, cast([0] AS INT[]) AS lens
+         |  FROM names
+         |  UNION ALL
+         |  SELECT p_partkey, s, n, i + 1,
+         |    list_append(costs, best['c']),
+         |    list_append(lens, cast(best['k'] AS INT))
+         |  FROM (
+         |    SELECT dp.*,
+         |      list_min(list_transform(range(1, least(i + 1, dm.maxw) + 1), k ->
+         |        {'c': costs[i - k + 2] +
+         |              coalesce(dm.m[s[i - k + 2 : i + 1]][1],
+         |                       CASE WHEN k = 1 THEN 25000000
+         |                            ELSE 1000000000000000 END),
+         |         'k': k})) AS best
+         |    FROM dp, dm WHERE i < n)),
+         |fin AS (SELECT p_partkey, s, n, lens FROM dp WHERE i = n),
+         |back AS (
+         |  SELECT p_partkey, s, lens, n AS i, cast([] AS VARCHAR[]) AS tks
+         |  FROM fin
+         |  UNION ALL
+         |  SELECT p_partkey, s, lens, i - lens[i + 1],
+         |    list_prepend(s[i - lens[i + 1] + 1 : i], tks)
+         |  FROM back WHERE i > 0),
+         |seg AS (SELECT p_partkey, tks FROM back WHERE i = 0),
+         |counts AS (
+         |  SELECT coll, tok, count(*) AS cnt FROM (
+         |    SELECT n.coll, unnest(g.tks) AS tok
+         |    FROM names n JOIN seg g USING (p_partkey))
+         |  GROUP BY 1, 2),
+         |cstr AS (
+         |  SELECT coll, string_agg(tok || ':' || cnt, ',' ORDER BY tok)
+         |           AS coll_counts
+         |  FROM counts GROUP BY 1)
+         |SELECT n.coll, n.p_partkey, n.name,
+         |  array_to_string(g.tks, ' ') AS tokens,
+         |  len(g.tks) AS n_tokens,
+         |  cstr.coll_counts
+         |FROM names n
+         |JOIN seg g USING (p_partkey)
+         |JOIN cstr USING (coll)""".stripMargin,
+
+    "a42_collection_seeds" ->
+      s"""WITH kv AS (
+         |  SELECT user_id,
+         |    min_by(value, event_id) FILTER (WHERE event_type = 'click')
+         |      AS first_click,
+         |    min_by(value, event_id) FILTER (WHERE event_type = 'view')
+         |      AS first_view
+         |  FROM events GROUP BY 1),
+         |labels AS (
+         |  SELECT c_custkey AS item, $articleSql AS article
+         |  FROM customer WHERE c_custkey % 7 <> 0)
+         |SELECT 'category' AS mode, item, first_click AS seed_type, article
+         |FROM kv JOIN labels ON user_id = item
+         |WHERE first_click IS NOT NULL
+         |  AND starts_with(article, 'Category:')
+         |UNION ALL
+         |SELECT 'list', item, first_view, article
+         |FROM kv JOIN labels ON user_id = item
+         |WHERE first_view IS NOT NULL
+         |  AND NOT starts_with(article, 'Lists_of:')""".stripMargin,
+  )
+}
