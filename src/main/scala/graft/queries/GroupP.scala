@@ -144,6 +144,39 @@ object GroupP {
     // IDENTICAL — that equality is the proof that the persistence
     // round-trip (stamps included) loses nothing.
     "p5_serving_ingest" -> ((s, d) => servingIngest(s, d)),
+
+    // p6: the sync loop's SERIALIZATION — a13's snapshot diff rendered
+    // to Elasticsearch bulk NDJSON through sinks/EsBulk.bulkLines (the
+    // reference's update_elasticsearch.py wire format), registered so
+    // the one output surface that used to sit outside the oracle is
+    // hash-gated byte for byte: the driver's value hash IS md5(rendered
+    // bytes). The payload name embeds a double quote and a backslash,
+    // so JSON string escaping is inside the gate, not assumed; the
+    // numeric field is exact cents (a long), so no float rendering
+    // dialect can leak in. Scale: pure row-local formatting on top of
+    // the a13 diff — no shuffle added by the rendering.
+    "p6_sync_render" -> ((s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val orders = Tables(s, d, "orders")
+      val prev = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("fp"))
+      val cur = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0,
+            dec(col("o_totalprice")) + dec(lit(10)))
+            .otherwise(dec(col("o_totalprice"))).as("fp"))
+      val ops = graft.operators.Relational
+        .diffSnapshots(cur, prev, "o_orderkey", col("fp"))
+        .filter(col("op") =!= "unchanged")
+        // Left join: archive rows have no current doc — their payload
+        // is the constant {"doc":{"archived":true}} line.
+        .join(cur, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("op"),
+          concat(lit("O\""), col("o_orderkey"), lit("\\")).as("name"),
+          (col("fp") * 100).cast("long").as("total_cents"))
+      graft.sinks.EsBulk.bulkLines(ops, "collections", "o_orderkey", "op",
+        struct(col("name"), col("total_cents")))
+    }),
   )
 
   /** p3's plan over an arbitrary customer frame (c_custkey, c_name,
@@ -505,6 +538,51 @@ object GroupP {
   val oracles: Map[String, String] = Map(
     "p4_ingest_pipeline" -> ingestOracle,
     "p5_serving_ingest" -> ingestOracle,
+
+    // p6: DuckDB renders the SAME bulk NDJSON — action line via
+    // string assembly (ids are digits; EsBulk renders them through
+    // to_json(cast(id AS string)), which for digit strings is exactly
+    // '"' || id || '"'), document line via DuckDB's to_json on the
+    // name (same RFC-8259 escaping of the embedded quote/backslash as
+    // Spark's Jackson for these ASCII payloads), cents as a bare
+    // integer. Byte equality of the concatenated two-line entries is
+    // the sink's serialization contract.
+    "p6_sync_render" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, cast(o_totalprice AS decimal(18,2)) AS fp
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |         THEN cast(o_totalprice AS decimal(18,2))
+        |              + cast(10 AS decimal(18,2))
+        |         ELSE cast(o_totalprice AS decimal(18,2)) END AS fp
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |ops AS (
+        |  SELECT coalesce(cur.o_orderkey, prev.o_orderkey) AS k,
+        |    CASE WHEN prev.fp IS NULL THEN 'insert'
+        |         WHEN cur.fp IS NULL THEN 'archive'
+        |         WHEN cur.fp <> prev.fp THEN 'update'
+        |         ELSE 'unchanged' END AS op,
+        |    cur.fp AS fp
+        |  FROM cur FULL OUTER JOIN prev ON cur.o_orderkey = prev.o_orderkey),
+        |docs AS (
+        |  SELECT k, op, 'O"' || k || '\' AS name,
+        |    cast(fp * 100 AS bigint) AS total_cents
+        |  FROM ops WHERE op <> 'unchanged')
+        |SELECT
+        |  CASE WHEN op = 'insert'
+        |       THEN '{"index":{"_index":"collections","_id":"' || k || '"}}'
+        |       ELSE '{"update":{"_index":"collections","_id":"' || k || '"}}'
+        |  END || chr(10) ||
+        |  CASE WHEN op = 'insert'
+        |       THEN '{"name":' || to_json(name) ||
+        |            ',"total_cents":' || total_cents || '}'
+        |       WHEN op = 'update'
+        |       THEN '{"doc":{"name":' || to_json(name) ||
+        |            ',"total_cents":' || total_cents || '}}'
+        |       ELSE '{"doc":{"archived":true}}' END AS value
+        |FROM docs""".stripMargin,
 
     "p1_pipeline" ->
       """WITH RECURSIVE
