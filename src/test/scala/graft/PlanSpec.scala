@@ -654,4 +654,28 @@ class PlanSpec extends GraftSuite {
       v.fold(c.unset(k))(c.set(k, _))
     }
   }
+
+  test("a41: the dictionary dim rides a broadcast and graft_segment stays inside codegen") {
+    // Execute so AQE finalizes — WholeStageCodegen '*' markers only
+    // appear in the final adaptive plan (the skew-evidence pattern).
+    val qe = SparkEntry.queries("a41_segment_names")(spark, sfDir)
+      .queryExecution
+    qe.executedPlan.execute().count()
+    val p = qe.executedPlan.toString
+    // The 1-row dictionary dim reaches every name row through a
+    // broadcast nested loop (crossJoin(broadcast(dim))) — never a
+    // shuffle of the names against the dictionary.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the dictionary dim must broadcast\n$p")
+    // The DP expression itself must sit inside a WholeStageCodegen
+    // span (the addReferenceObj call pattern — a CodegenFallback
+    // here would drop the whole projection out of codegen).
+    // The project containing graft_segment is codegen'd: its plan
+    // line carries the '*(n)' whole-stage marker (after the tree
+    // prefix).
+    val seg = p.linesIterator.find(_.contains("graft_segment"))
+    assert(seg.isDefined, s"graft_segment missing from the plan\n$p")
+    assert(seg.get.contains("*("),
+      s"graft_segment must be inside a WholeStageCodegen project\n$p")
+  }
 }
