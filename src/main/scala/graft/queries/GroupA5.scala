@@ -61,6 +61,49 @@ object GroupA5 {
       |     WHEN c_custkey % 4 = 1 THEN 'Lists_of:' || c_name
       |     ELSE c_name END""".stripMargin.replace("\n", " ")
 
+  /** a41's registered dictionary dim for `dir` (corpus token
+    * frequencies → Zipf micro-ln costs, ONE row) — split out so
+    * ScaleProbe can hold the dict FIXED while scaling names. */
+  def segmentDictOf(s: SparkSession, d: String): DataFrame =
+    Text.segmentDict(
+      Tables(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      "tok", "cnt")
+
+  /** a41's registered input wiring — the glued (coll, p_partkey,
+    * name) frame — shared with ScaleProbe so the probe's derivation
+    * cannot drift from the registered query's. */
+  def segmentNamesInput(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part").select(col("p_partkey"),
+      expr("p_partkey DIV 20").as("coll"),
+      expr(gluedNameSql).as("name"))
+
+  /** a41's registered body over an arbitrary (coll, p_partkey, name)
+    * frame + the 1-row dict dim (the rankCorrelationOf no-lookalike
+    * pattern: ScaleProbe drives THIS, so the probed plan is the
+    * served plan): broadcast the dim onto every name, run the DP
+    * expression, aggregate per-collection token counts, render them
+    * canonically, join back per collection. */
+  def segmentNamesOf(names: DataFrame, dict: DataFrame): DataFrame = {
+    val seg = names.crossJoin(broadcast(dict))
+      .select(col("coll"), col("p_partkey"), col("name"),
+        Text.segmentName(col("name"), col("dict"), col("max_word"))
+          .as("__t"))
+    val cstr = seg
+      .select(col("coll"), explode(col("__t")).as("tok"))
+      .groupBy("coll", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("coll")
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("tok"),
+          concat(col("tok"), lit(":"), col("cnt")).as("kv")))),
+        x => x.getField("kv"))).as("coll_counts"))
+    seg.select(col("coll"), col("p_partkey"), col("name"),
+        concat_ws(" ", col("__t")).as("tokens"),
+        size(col("__t")).cast("long").as("n_tokens"))
+      .join(cstr, "coll")
+  }
+
   val queries: Map[String, Q] = Map(
     // a41: dictionary fit (dim-sized, one broadcast row) → narrow DP
     // segmentation per name → per-collection token counts. The
@@ -72,32 +115,8 @@ object GroupA5 {
     // codegen; the only corpus-sized shuffles are the (coll, tok)
     // count and the final coll join — both key-partitioned and
     // map-side combinable.
-    "a41_segment_names" -> ((s, d) => {
-      val part = Tables(s, d, "part")
-      val freq = part
-        .select(explode(split(col("p_name"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val dict = Text.segmentDict(freq, "tok", "cnt")
-      val names = part.select(col("p_partkey"),
-        expr("p_partkey DIV 20").as("coll"),
-        expr(gluedNameSql).as("name"))
-      val seg = names.crossJoin(broadcast(dict))
-        .select(col("coll"), col("p_partkey"), col("name"),
-          Text.segmentName(col("name"), col("dict"), col("max_word"))
-            .as("__t"))
-      val cstr = seg
-        .select(col("coll"), explode(col("__t")).as("tok"))
-        .groupBy("coll", "tok").agg(count(lit(1)).as("cnt"))
-        .groupBy("coll")
-        .agg(concat_ws(",", transform(
-          array_sort(collect_list(struct(col("tok"),
-            concat(col("tok"), lit(":"), col("cnt")).as("kv")))),
-          x => x.getField("kv"))).as("coll_counts"))
-      seg.select(col("coll"), col("p_partkey"), col("name"),
-          concat_ws(" ", col("__t")).as("tokens"),
-          size(col("__t")).cast("long").as("n_tokens"))
-        .join(cstr, "coll")
-    }),
+    "a41_segment_names" -> ((s, d) =>
+      segmentNamesOf(segmentNamesInput(s, d), segmentDictOf(s, d))),
 
     // a42: predicate-presence filter over the KV maps (c2's exact
     // frame — composed, not restated) + label lookup + mode prefix

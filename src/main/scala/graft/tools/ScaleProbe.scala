@@ -102,6 +102,11 @@ object ScaleProbe {
     // drift): coll-only shift = K× collections over the SAME member
     // vocabulary, each copy carrying identical per-collection rank
     // structure — the more-collections direction.
+    lazy val nmA41 = graft.queries.GroupA5.segmentNamesInput(spark, sfDir)
+      .localCheckpoint()
+    lazy val nmA41K = scaled(nmA41, Seq("coll", "p_partkey"))
+    lazy val dictA41 = graft.queries.GroupA5.segmentDictOf(spark, sfDir)
+      .localCheckpoint()
     lazy val memA37 = graft.queries.GroupA4.rankCorrelationInput(spark, sfDir)
       .localCheckpoint()
     lazy val memA37K = scaled(memA37, Seq("coll"))
@@ -744,6 +749,17 @@ object ScaleProbe {
       ("a37 rank-corr",
         () => noop(graft.queries.GroupA4.rankCorrelationOf(memA37)),
         () => noop(graft.queries.GroupA4.rankCorrelationOf(memA37K))),
+      // a41: the registered segmentNamesOf body — K× names AND K×
+      // collections (coll+partkey shifted, identical name text so
+      // per-row DP work is constant), dictionary dim FIXED (a
+      // vocabulary does not grow with the corpus). Row-linear by
+      // design: per-row DP inside codegen, a map-side-combinable
+      // (coll, tok) count, one coll-keyed join — expected ≈ K;
+      // super-linear would expose the dict being refit per copy or
+      // the count agg losing partiality.
+      ("a41 segment",
+        () => noop(graft.queries.GroupA5.segmentNamesOf(nmA41, dictA41)),
+        () => noop(graft.queries.GroupA5.segmentNamesOf(nmA41K, dictA41))),
       // a38: both inputs coll-shifted — K× collections, same member
       // vocabulary. The moments agg is map-side combinable except
       // the exact percentile (declared: approx_percentile at scale)
