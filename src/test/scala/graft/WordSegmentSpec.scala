@@ -117,6 +117,60 @@ class WordSegmentSpec extends GraftSuite {
       s"expected the sortedness guard; got $e")
   }
 
+  test("property: DP result equals exhaustive minimum-cost enumeration (independent oracle)") {
+    // Brute force: enumerate EVERY split of the string (2^(n-1)
+    // compositions), cost it with the same dictionary/penalty rules,
+    // take the minimum with ties broken lexicographically-smallest on
+    // reversed token lengths (= the DP's smallest-last-token-k rule
+    // applied at every backtrack step). Independent of the DP: no
+    // shared code, a different algorithm, so an off-by-one in either
+    // cannot hide in both.
+    val rnd = new scala.util.Random(42)
+    val words = Seq("a", "ab", "ba", "abc", "cab", "bc", "c", "abcd")
+    val costs: Map[String, Long] =
+      words.zipWithIndex.map { case (w, i) =>
+        w -> math.round(math.log((i + 1) * math.log(words.size)) * 1e6)
+      }.toMap
+    val unknown = graft.functions.expr.WordSegment.UnknownCharCost
+    val maxw = words.map(_.length).max
+    def cost(tok: String): Long =
+      costs.getOrElse(tok,
+        if (tok.length == 1) unknown
+        else graft.functions.expr.WordSegment.ForbiddenCost)
+    def splits(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(s.length, maxw)).flatMap(k =>
+        splits(s.drop(k)).map(s.take(k) +: _))
+    def brute(s: String): Seq[String] = {
+      import scala.math.Ordering.Implicits.seqOrdering
+      splits(s).map(toks => (toks.map(cost).sum, toks)).minBy { case (c, toks) =>
+        // Tie order: total cost, then k ascending at each backtrack
+        // position FROM THE END — i.e. compare reversed token-length
+        // sequences lexicographically (the DP's greedy smallest-k
+        // backtrack picks exactly this representative among ties).
+        (c, toks.reverse.map(_.length).toSeq)
+      }._2
+    }
+    val strings = (1 to 60).map { _ =>
+      val n = 1 + rnd.nextInt(10)
+      (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinct
+    val freq = spark.createDataFrame(
+      words.zipWithIndex.map { case (w, i) => (w, (words.size - i).toLong * 10) })
+      .toDF("tok", "cnt")
+    val dict = Text.segmentDict(freq, "tok", "cnt")
+    val got = spark.createDataFrame(strings.map(Tuple1(_))).toDF("name")
+      .crossJoin(broadcast(dict))
+      .select(col("name"),
+        Text.segmentName(col("name"), col("dict"), col("max_word")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // segmentDict derives costs from (cnt DESC, tok) ranks — with the
+    // cnt ladder above, rank i+1 = words(i), matching `costs` exactly.
+    for (s <- strings)
+      assert(got(s) == brute(s),
+        s"'$s': DP ${got(s)} != brute ${brute(s)}")
+  }
+
   test("interpreted eval matches codegen (the WordShingles parity discipline)") {
     val names = Seq("CaptainAmerica", "wonderwoman", "batmanq7", "hulk",
       "presidentofamerica", "deadpooldoctorstrange")
