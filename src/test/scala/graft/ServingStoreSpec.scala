@@ -65,6 +65,31 @@ class ServingStoreSpec extends GraftSuite {
     assert(attempts == 2)
   }
 
+  test("isCurrent: read-only warmth probe — true iff fitted-and-current, never fits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs-warm").toString
+    val data = java.nio.file.Paths.get(dir, "data.txt")
+    java.nio.file.Files.write(data, "warm".getBytes("UTF-8"))
+    val key = dir + "#warm"
+    var fits = 0
+    // Probing a never-fitted store must read cold AND not create it.
+    assert(!ServingStore.isCurrent(key, Seq(data.toString), "v1"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ServingStore.rootFor(key))))
+    ServingStore.ensure(key, Seq(data.toString), "v1") { _ => fits += 1 }
+    assert(fits == 1)
+    assert(ServingStore.isCurrent(key, Seq(data.toString), "v1"))
+    // A version bump or an input rewrite flips the probe to cold
+    // WITHOUT the probe itself fitting anything.
+    assert(!ServingStore.isCurrent(key, Seq(data.toString), "v2"))
+    java.nio.file.Files.write(data, "warm2".getBytes("UTF-8"))
+    assert(!ServingStore.isCurrent(key, Seq(data.toString), "v1"))
+    assert(fits == 1, "the probe must never run a fit")
+    // And after re-ensure the probe reads warm again.
+    ServingStore.ensure(key, Seq(data.toString), "v1") { _ => fits += 1 }
+    assert(fits == 2 &&
+      ServingStore.isCurrent(key, Seq(data.toString), "v1"))
+  }
+
   test("distinct keys get distinct roots even when sanitization collides") {
     assert(ServingStore.rootFor("/d/sf0 1") != ServingStore.rootFor("/d/sf0_1"))
     // Same key, same root — the cache is reusable across sessions.
