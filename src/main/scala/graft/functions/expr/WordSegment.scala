@@ -106,6 +106,17 @@ case class WordSegment(name: Expression, dict: Expression,
     val s = nameU.toString.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     if (n == 0) return new GenericArrayData(new Array[AnyRef](0))
+    // Names are short by contract (ENS labels, member titles). A
+    // document-sized value reaching a NAME segmenter is a wiring
+    // error — fail loudly at the first such row instead of silently
+    // burning O(n·maxWord·log V) per row across the corpus (the d5
+    // all-pairs-guard discipline: nothing accidentally quadratic-ish
+    // can be copy-pasted into production).
+    if (n > 65536)
+      throw new IllegalArgumentException(
+        s"$prettyName: input is $n chars — this is a NAME segmenter " +
+          "(DP cost grows with length x maxWord); segment documents " +
+          "with the chunking operators instead")
     val keys = dictData.keyArray()
     val vals = dictData.valueArray()
     val dsize = dictData.numElements()

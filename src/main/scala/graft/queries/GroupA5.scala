@@ -120,26 +120,34 @@ object GroupA5 {
 
     // a42: predicate-presence filter over the KV maps (c2's exact
     // frame — composed, not restated) + label lookup + mode prefix
-    // rules. The label join is corpus×corpus at reference scale (db1
-    // maps EVERY entity to its title), so no broadcast hint: the
-    // predicate filter upstream is selective and AQE picks the
-    // strategy from true sizes.
+    // rules. BOTH modes run in ONE pass: a per-entity 2-element
+    // explode (mode, predicate value) instead of two unioned branches
+    // — a union of two kv.filter(...) branches would evaluate the
+    // corpus-sized KV aggregation AND the label join TWICE (Catalyst
+    // does not dedupe common subplans — the r4 p1 lesson). The label
+    // join is corpus×corpus at reference scale (db1 maps EVERY
+    // entity to its title), so no broadcast hint: the predicate
+    // filter upstream is selective and AQE picks the strategy from
+    // true sizes.
     "a42_collection_seeds" -> ((s, d) => {
       val kv = GroupC.queries("c2_group_entity")(s, d)
       val labels = Tables(s, d, "customer")
         .filter(col("c_custkey") % 7 =!= 0)
         .select(col("c_custkey").as("item"), expr(articleSql).as("article"))
-      val cat = kv.filter(col("first_click").isNotNull)
+      kv.select(col("user_id"), explode(array(
+          struct(lit("category").as("mode"), col("first_click").as("seed_type")),
+          struct(lit("list").as("mode"), col("first_view").as("seed_type"))))
+          .as("m"))
+        .select(col("user_id"), col("m.mode").as("mode"),
+          col("m.seed_type").as("seed_type"))
+        .filter(col("seed_type").isNotNull)
         .join(labels, col("user_id") === col("item"))
-        .filter(col("article").startsWith("Category:"))
-        .select(lit("category").as("mode"), col("item"),
-          col("first_click").as("seed_type"), col("article"))
-      val lst = kv.filter(col("first_view").isNotNull)
-        .join(labels, col("user_id") === col("item"))
-        .filter(!col("article").startsWith("Lists_of:"))
-        .select(lit("list").as("mode"), col("item"),
-          col("first_view").as("seed_type"), col("article"))
-      cat.unionByName(lst)
+        .filter(
+          (col("mode") === "category" &&
+            col("article").startsWith("Category:")) ||
+          (col("mode") === "list" &&
+            !col("article").startsWith("Lists_of:")))
+        .select(col("mode"), col("item"), col("seed_type"), col("article"))
     }),
   )
 
