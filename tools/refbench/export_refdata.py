@@ -185,6 +185,40 @@ def main():
                                      pmembers.get(pk, []), price))
     write_jsonl(os.path.join(r5, 'collections.jsonl'), r5cols)
 
+    # ---- r6: collections-preprocessing service (wordninja
+    # segmentation + per-collection token counts) — a41's EXACT input
+    # derivation: coll = p_partkey // 20, glued names (spaces removed,
+    # every 3rd uppercased, every 5th with an out-of-dictionary 'q7'
+    # suffix), plus the corpus-derived frequency-ranked wordlist the
+    # wordninja shim loads (rank order = count DESC, token — the same
+    # ranking Text.segmentDict uses, so the two engines score with the
+    # same dictionary).
+    r6 = os.path.join(out, 'r6')
+    os.makedirs(r6, exist_ok=True)
+    r6rows = con.sql(f"""
+        SELECT p_partkey // 20 AS coll,
+          list(
+            (CASE WHEN p_partkey % 3 = 0
+                  THEN upper(replace(p_name, ' ', ''))
+                  ELSE replace(p_name, ' ', '') END ||
+             CASE WHEN p_partkey % 5 = 0 THEN 'q7' ELSE '' END)
+            ORDER BY p_partkey) AS names
+        FROM '{sf}/part.parquet' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    with open(os.path.join(r6, 'collections.json'), 'w',
+              encoding='utf-8') as f:
+        json.dump([{'collection_name': f'coll-{c}', 'keywords': [],
+                    'names': ns, 'description': ''} for c, ns in r6rows], f)
+    r6toks = con.sql(f"""
+        SELECT tok FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS tok
+          FROM '{sf}/part.parquet')
+        GROUP BY tok ORDER BY count(*) DESC, tok
+    """).fetchall()
+    with open(os.path.join(r6, 'wordninja_words.txt'), 'w',
+              encoding='utf-8') as f:
+        f.write('\n'.join(t[0] for t in r6toks) + '\n')
+
     print(f'exported {sf} -> {out}: parts={len(parts)} orders={len(okeys)} '
           f'lineitems={len(csv_rows)}')
 

@@ -31,6 +31,16 @@ STAGES = [
     ('r5_merge_collections_ending_with_letters',
      'merge_collections_ending_with_letters.py', 'r5',
      ['collections.jsonl', 'out.jsonl']),
+    # r6 <-> a41_segment_names: the collections-preprocessing service's
+    # compute (wordninja DP segmentation + per-collection token counts)
+    # via the run_preprocessing.py driver (absolute path — the script
+    # lives beside this runner, not under the reference's scripts/);
+    # the wordninja shim loads the exported corpus-derived wordlist
+    # from the stage cwd.
+    ('r6_preprocess_collections',
+     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                  'run_preprocessing.py'), 'r6',
+     ['collections.json', 'out.jsonl']),
 ]
 
 
@@ -41,9 +51,11 @@ def main():
     results, outs = {}, {}
     for name, script, sub, args in STAGES:
         cwd = os.path.join(export_dir, sub)
+        script_path = script if os.path.isabs(script) \
+            else os.path.join(REF, script)
         t0 = time.perf_counter()
         r = subprocess.run(
-            [sys.executable, os.path.join(REF, script)] + args,
+            [sys.executable, script_path] + args,
             cwd=cwd, env=env, stdout=subprocess.DEVNULL,
             stderr=subprocess.PIPE)
         dt = time.perf_counter() - t0
