@@ -101,7 +101,12 @@ object GroupA5 {
     seg.select(col("coll"), col("p_partkey"), col("name"),
         concat_ws(" ", col("__t")).as("tokens"),
         size(col("__t")).cast("long").as("n_tokens"))
-      .join(cstr, "coll")
+      // LEFT + '' so a collection whose every name segments to zero
+      // tokens (all-empty names) keeps its name rows with empty
+      // counts — the reference's test_empty contract (empty counts
+      // dict, never a dropped collection).
+      .join(cstr, Seq("coll"), "left")
+      .withColumn("coll_counts", coalesce(col("coll_counts"), lit("")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -212,10 +217,10 @@ object GroupA5 {
          |SELECT n.coll, n.p_partkey, n.name,
          |  array_to_string(g.tks, ' ') AS tokens,
          |  len(g.tks) AS n_tokens,
-         |  cstr.coll_counts
+         |  coalesce(cstr.coll_counts, '') AS coll_counts
          |FROM names n
          |JOIN seg g USING (p_partkey)
-         |JOIN cstr USING (coll)""".stripMargin,
+         |LEFT JOIN cstr USING (coll)""".stripMargin,
 
     "a42_collection_seeds" ->
       s"""WITH kv AS (

@@ -117,6 +117,23 @@ class WordSegmentSpec extends GraftSuite {
       s"expected the sortedness guard; got $e")
   }
 
+  test("a41 body: a collection of all-empty names keeps its rows with empty counts (test_empty contract)") {
+    // The reference's own test_empty pins that an empty-names
+    // collection comes back with an empty counts dict, not dropped —
+    // the engine equivalent: a name segmenting to zero tokens keeps
+    // its row through a LEFT counts join with '' counts.
+    val names = spark.createDataFrame(Seq(
+      (1L, 10L, ""), (2L, 10L, ""), (3L, 20L, "batman")))
+      .toDF("p_partkey", "coll", "name")
+    val out = graft.queries.GroupA5.segmentNamesOf(names, dictDim())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(3), r.getLong(4), r.getString(5))).toSet
+    assert(out == Set(
+      (10L, 1L, "", 0L, ""),
+      (10L, 2L, "", 0L, ""),
+      (20L, 3L, "batman", 1L, "batman:1")))
+  }
+
   test("property: DP result equals exhaustive minimum-cost enumeration (independent oracle)") {
     // Brute force: enumerate EVERY split of the string (2^(n-1)
     // compositions), cost it with the same dictionary/penalty rules,
