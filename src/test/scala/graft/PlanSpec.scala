@@ -655,6 +655,19 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("a42: the corpus-sized KV aggregation runs ONCE (single events scan)") {
+    // The two mode branches ride one 2-element explode, not a union
+    // of two kv.filter(...) arms — a union would evaluate the
+    // corpus-sized aggregation and the label join TWICE (Catalyst
+    // does not dedupe common subplans). Pin: exactly one events scan
+    // in the physical plan.
+    val p = plan("a42_collection_seeds")
+    val eventsScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(eventsScans == 1,
+      s"a42 must scan events exactly once, found $eventsScans\n$p")
+  }
+
   test("a41: the dictionary dim rides a broadcast and graft_segment stays inside codegen") {
     // Execute so AQE finalizes — WholeStageCodegen '*' markers only
     // appear in the final adaptive plan (the skew-evidence pattern).
