@@ -336,7 +336,23 @@ object Relational {
     * driver-side hash index.
     */
   def diffSnapshots(current: DataFrame, previous: DataFrame,
-                    key: String, fingerprint: Column): DataFrame = {
+                    key: String, fingerprint: Column): DataFrame =
+    diffSnapshotsCarry(current, previous, key, fingerprint, Nil)
+
+  /** [[diffSnapshots]] carrying named CURRENT-side columns through the
+    * classification (null on archive rows — the previous side has no
+    * current payload by definition). A sync renderer needs the ops AND
+    * the current document fields; re-joining `current` onto the op
+    * stream costs a second full shuffle + join of the snapshot — the
+    * carry rides the diff's own full-outer join for free (p6's plan:
+    * one join, not two). */
+  def diffSnapshotsCarry(current: DataFrame, previous: DataFrame,
+                         key: String, fingerprint: Column,
+                         carry: Seq[String]): DataFrame = {
+    val reserved = Set("k", "cur_fp", "prev_fp", "__cur", "__prev", key)
+    require(carry.forall(c => !reserved(c)),
+      s"diffSnapshotsCarry: carry names collide with the diff's own " +
+        s"columns: ${carry.filter(reserved).mkString(", ")}")
     // Row PRESENCE is tracked by explicit markers, not fingerprint
     // nullness — a present row with a NULL fingerprint must classify
     // as update/unchanged (null-safe compare), never as a phantom
@@ -353,17 +369,19 @@ object Relational {
         s"diffSnapshots: null $key in the $side snapshot — " +
           "snapshot keys must be non-null")))
         .otherwise(col(key))
-    val cur = current.select(keyChecked("current").as("k"),
-      fingerprint.as("cur_fp"), lit(true).as("__cur"))
+    val cur = current.select(Seq(keyChecked("current").as("k"),
+      fingerprint.as("cur_fp"), lit(true).as("__cur")) ++
+      carry.map(col): _*)
     val prev = previous.select(keyChecked("previous").as("k"),
       fingerprint.as("prev_fp"), lit(true).as("__prev"))
     cur.join(prev, Seq("k"), "full_outer")
-      .select(
+      .select(Seq(
         col("k").as(key),
         when(col("__prev").isNull, lit("insert"))
           .when(col("__cur").isNull, lit("archive"))
           .when(!(col("cur_fp") <=> col("prev_fp")), lit("update"))
-          .otherwise(lit("unchanged")).as("op"))
+          .otherwise(lit("unchanged")).as("op")) ++
+        carry.map(col): _*)
   }
 
   /** Apply snapshot-diff operations to a previous state — the

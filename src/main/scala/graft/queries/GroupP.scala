@@ -165,15 +165,18 @@ object GroupP {
           when(col("o_orderkey") % 7 === 0,
             dec(col("o_totalprice")) + dec(lit(10)))
             .otherwise(dec(col("o_totalprice"))).as("fp"))
+      // The document fields CARRY through the diff's own full-outer
+      // join (diffSnapshotsCarry) — null on archive rows, whose
+      // payload is the constant {"doc":{"archived":true}} line — so
+      // the renderer costs ONE snapshot join, not diff + rejoin (the
+      // second full shuffle of the corpus a sync at scale would pay).
       val ops = graft.operators.Relational
-        .diffSnapshots(cur, prev, "o_orderkey", col("fp"))
+        .diffSnapshotsCarry(
+          cur.select(col("o_orderkey"), col("fp"),
+            concat(lit("O\""), col("o_orderkey"), lit("\\")).as("name"),
+            (col("fp") * 100).cast("long").as("total_cents")),
+          prev, "o_orderkey", col("fp"), Seq("name", "total_cents"))
         .filter(col("op") =!= "unchanged")
-        // Left join: archive rows have no current doc — their payload
-        // is the constant {"doc":{"archived":true}} line.
-        .join(cur, Seq("o_orderkey"), "left")
-        .select(col("o_orderkey"), col("op"),
-          concat(lit("O\""), col("o_orderkey"), lit("\\")).as("name"),
-          (col("fp") * 100).cast("long").as("total_cents"))
       graft.sinks.EsBulk.bulkLines(ops, "collections", "o_orderkey", "op",
         struct(col("name"), col("total_cents")))
     }),

@@ -55,6 +55,33 @@ class RelationalExtSpec extends GraftSuite {
     assert(ops == Seq("unchanged"))
   }
 
+  test("diffSnapshotsCarry == diffSnapshots + rejoin; reserved names refused") {
+    // The carry variant rides the diff's own full-outer join (one
+    // snapshot shuffle instead of two) — its rows must equal the
+    // compose-it-yourself form exactly, nulls on archive rows included.
+    val cur = Seq((1L, "a", "pay1"), (2L, "b", "pay2"), (4L, "d", "pay4"))
+      .toDF("k", "v", "payload")
+    val prev = Seq((1L, "a"), (2L, "x"), (3L, "c")).toDF("k", "v")
+    val got = Relational
+      .diffSnapshotsCarry(cur, prev, "k", col("v"), Seq("payload"))
+      .as[(Long, String, Option[String])].collect().toSet
+    val want = Relational.diffSnapshots(cur, prev, "k", col("v"))
+      .join(cur.select(col("k"), col("payload")), Seq("k"), "left")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == want)
+    assert(got == Set((1L, "unchanged", Some("pay1")),
+      (2L, "update", Some("pay2")), (3L, "archive", None),
+      (4L, "insert", Some("pay4"))))
+    // A carry name colliding with the diff's internals must be refused
+    // loudly, not silently shadowed.
+    val e = intercept[IllegalArgumentException] {
+      Relational.diffSnapshotsCarry(
+        cur.withColumnRenamed("payload", "cur_fp"), prev, "k", col("v"),
+        Seq("cur_fp"))
+    }
+    assert(e.getMessage.contains("cur_fp"))
+  }
+
   test("partialUpdateDocs refuses snapshots whose schemas drifted") {
     val cur = Seq((1L, "a", "s")).toDF("k", "v", "status")
     val prev = Seq((1L, "a")).toDF("k", "v")
