@@ -409,6 +409,36 @@ object Media {
         "src/main/resources/graft/media_expected.parquet")
         .toAbsolutePath.toString)
 
+  /** The h2 resize fixtures + expected (same layout contract as
+    * [[fixturesPath]]/[[expectedPath]]; written by the same
+    * tools/gen_media_fixtures.py run). The fixtures are SOLID-COLOR
+    * images on purpose: any convex resampling of a constant image is
+    * that constant, so the expected post-resize means are
+    * resampler-independent and the gate proves the decode → resize →
+    * re-encode → re-decode round trip without pinning AWT's
+    * interpolation kernel (which no independent implementation could
+    * replicate bit-for-bit — MediaSpec pins the invariant itself). */
+  lazy val resizeFixturesPath: String =
+    sys.env.getOrElse("GRAFT_RESIZE_FIXTURES_PATH",
+      java.nio.file.Paths.get(
+        "src/main/resources/graft/resize_fixtures.parquet")
+        .toAbsolutePath.toString)
+  lazy val resizeExpectedPath: String =
+    sys.env.getOrElse("GRAFT_RESIZE_EXPECTED_PATH",
+      java.nio.file.Paths.get(
+        "src/main/resources/graft/resize_expected.parquet")
+        .toAbsolutePath.toString)
+
+  /** The expected-embeddings parquet for the h4 oracle (written by
+    * tools/gen_linear_embedder.py alongside [[linearModelPath]]'s
+    * weight artifact — an independent pure-Python float64 loop over
+    * the SAME media fixture payloads). */
+  lazy val linearExpectedPath: String =
+    sys.env.getOrElse("GRAFT_LINEAR_EXPECTED_PATH",
+      java.nio.file.Paths.get(
+        "src/main/resources/graft/linear_expected.parquet")
+        .toAbsolutePath.toString)
+
   /** [[fixturesPath]] with a fail-fast existence check naming the
     * override knob (the vectorsPathChecked pattern). */
   def fixturesPathChecked: String = {
@@ -427,14 +457,36 @@ object Media {
     * round-11 review's blast-radius point); the h1 row then fails
     * alone in DuckDB, now with the named-knob warning on record
     * instead of only the opaque read_parquet error. */
-  def expectedPathChecked: String = {
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(expectedPath)))
+  def expectedPathChecked: String =
+    warnIfMissing(expectedPath, "GRAFT_MEDIA_EXPECTED_PATH", "h1")
+
+  /** [[resizeFixturesPath]] with the fail-fast read-side check. */
+  def resizeFixturesPathChecked: String = {
+    require(
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(resizeFixturesPath)),
+      s"resize fixtures parquet not found at $resizeFixturesPath — launch " +
+        "from the checkout root or set GRAFT_RESIZE_FIXTURES_PATH " +
+        "(src/main/resources/graft/resize_fixtures.parquet)")
+    resizeFixturesPath
+  }
+
+  /** [[resizeExpectedPath]] under the oracle-side WARN-don't-throw
+    * contract (see [[expectedPathChecked]]). */
+  def resizeExpectedPathChecked: String =
+    warnIfMissing(resizeExpectedPath, "GRAFT_RESIZE_EXPECTED_PATH", "h2")
+
+  /** [[linearExpectedPath]] under the same oracle-side contract. */
+  def linearExpectedPathChecked: String =
+    warnIfMissing(linearExpectedPath, "GRAFT_LINEAR_EXPECTED_PATH", "h4")
+
+  private def warnIfMissing(path: String, knob: String,
+                            query: String): String = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"media expected-features parquet not found at $expectedPath — the " +
-          "h1 oracle will fail in DuckDB; launch from the checkout root or " +
-          "set GRAFT_MEDIA_EXPECTED_PATH " +
-          "(src/main/resources/graft/media_expected.parquet)")
-    expectedPath
+        s"expected-values parquet not found at $path — the $query oracle " +
+          s"will fail in DuckDB; launch from the checkout root or set $knob")
+    path
   }
 
   /** Declarative frame sampling for fixed-frame-size payloads: slice

@@ -146,6 +146,24 @@ class MediaSpec extends GraftSuite {
       s"RMS must still be computed, got ${out._4}")
   }
 
+  test("h2 premise: solid-color resize round-trips to EXACTLY the expected " +
+    "constant means on the committed fixtures") {
+    // The h2 gate's whole design rests on one invariant: any convex
+    // resampling of a constant image is that constant, so the
+    // post-resize channel means are resampler-independent. Pin it in
+    // CI with exact (not approximate) equality over the committed
+    // fixture payloads — if a JDK update ever changed the bilinear
+    // kernel in a way that broke constancy (it cannot, but loudly
+    // beats silently), this fails before the driver's oracle does.
+    val got = graft.queries.GroupH.queries("h2_media_resize")(spark, "")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val want = spark.read.parquet(Media.resizeExpectedPath)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(got.keySet == want.keySet)
+    for ((name, w) <- want)
+      assert(got(name) == w, s"fixture $name: got ${got(name)}, want $w")
+  }
+
   test("frameSample emits every Nth frame with non-empty bytes") {
     val frames = Media.frameSample(media.filter($"meta.kind" === "video"), everyN = 2)
     assert(frames.filter($"frame_no" % 2 =!= 0).count() == 0)

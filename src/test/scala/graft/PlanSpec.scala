@@ -668,6 +668,21 @@ class PlanSpec extends GraftSuite {
       s"a42 must scan events exactly once, found $eventsScans\n$p")
   }
 
+  test("h3: frame sampling is one pruned documents scan, zero exchanges") {
+    // The slicer is substring+explode inside codegen: no UDF, no
+    // mapPartitions, and nothing to shuffle — a frame sampler that
+    // exchanged the corpus would be a scale bug, not a plumbing step.
+    val p = plan("h3_frame_sample")
+    assert(!p.contains("Exchange"),
+      s"h3 must not shuffle — it is a narrow per-row explode\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:int,text:string>")
+        || p.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      s"h3 must prune the documents scan to the referenced columns\n$p")
+    val docScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"h3 must scan documents exactly once\n$p")
+  }
+
   test("a41: the dictionary dim rides a broadcast and graft_segment stays inside codegen") {
     // Execute so AQE finalizes — WholeStageCodegen '*' markers only
     // appear in the final adaptive plan (the skew-evidence pattern).

@@ -177,6 +177,45 @@ def main():
                  None, None, None, None, None,
                  None, None, None, None))
 
+    # ---- resize fixtures (h2_media_resize) -------------------------
+    # SOLID-COLOR payloads only, on purpose: bilinear (or any convex
+    # resampling whose weights sum to 1) of a constant image is that
+    # constant, so the expected post-resize channel means are
+    # RESAMPLER-INDEPENDENT — the gate proves the decode → resize →
+    # PNG re-encode → re-decode round trip and the null contract
+    # without pinning AWT's interpolation kernel (which no independent
+    # implementation could replicate bit-for-bit). Target dims must
+    # match the h2 registration (GroupH.scala): 8x6.
+    RESIZE_W, RESIZE_H = 8, 6
+    rrows = []  # (name, media, ow, oh, out_w, out_h, mr, mg, mb)
+    for name, w, h, enc, color in [
+        ("solid_png_7x5", 7, 5, png_rgb, (200, 100, 50)),
+        ("solid_png_1x1", 1, 1, png_rgb, (17, 250, 3)),     # upscale
+        ("solid_png_16x9", 16, 9, png_rgb, (255, 0, 255)),  # downscale
+        ("solid_bmp_9x7", 9, 7, bmp_rgb, (0, 255, 128)),    # 2nd codec
+    ]:
+        mr, mg, mb = image_expected(RESIZE_W, RESIZE_H,
+                                    lambda x, y, c=color: c)
+        rrows.append((name, enc(w, h, lambda x, y, c=color: c),
+                      w, h, RESIZE_W, RESIZE_H, mr, mg, mb))
+    rrows.append(("corrupt_bytes", b"\x89PNG but not really \x00\xff" * 7,
+                  None, None, None, None, None, None, None))
+
+    resize_fixtures = pa.table({
+        "name": pa.array([r[0] for r in rrows], pa.string()),
+        "media": pa.array([r[1] for r in rrows], pa.binary()),
+    })
+    resize_expected = pa.table({
+        "name": pa.array([r[0] for r in rrows], pa.string()),
+        "orig_width": pa.array([r[2] for r in rrows], pa.int32()),
+        "orig_height": pa.array([r[3] for r in rrows], pa.int32()),
+        "out_width": pa.array([r[4] for r in rrows], pa.int32()),
+        "out_height": pa.array([r[5] for r in rrows], pa.int32()),
+        "mean_r": pa.array([r[6] for r in rrows], pa.float64()),
+        "mean_g": pa.array([r[7] for r in rrows], pa.float64()),
+        "mean_b": pa.array([r[8] for r in rrows], pa.float64()),
+    })
+
     names = [r[0] for r in rows]
     fixtures = pa.table({
         "name": pa.array(names, pa.string()),
@@ -199,8 +238,12 @@ def main():
     out = "src/main/resources/graft"
     pq.write_table(fixtures, f"{out}/media_fixtures.parquet")
     pq.write_table(expected, f"{out}/media_expected.parquet")
+    pq.write_table(resize_fixtures, f"{out}/resize_fixtures.parquet")
+    pq.write_table(resize_expected, f"{out}/resize_expected.parquet")
     print(f"wrote {len(rows)} fixtures to {out}/media_fixtures.parquet "
-          f"and expected features to {out}/media_expected.parquet")
+          f"and expected features to {out}/media_expected.parquet; "
+          f"{len(rrows)} resize fixtures to {out}/resize_fixtures.parquet "
+          f"and expected to {out}/resize_expected.parquet")
 
 
 if __name__ == "__main__":
