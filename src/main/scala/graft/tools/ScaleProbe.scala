@@ -446,6 +446,18 @@ object ScaleProbe {
       ("f8 tfidf",
         () => noop(Corpus.tfidfTopTerms(docs, "doc_id", "text", 3)),
         () => noop(Corpus.tfidfTopTerms(docsK, "doc_id", "text", 3))),
+      // h3: the registered frame-sampler body — K× documents, fixed
+      // everyN. A narrow per-row explode inside codegen with zero
+      // exchanges (PlanSpec pins the plan), so expected ≈ K;
+      // super-linear would expose the substring slicing copying the
+      // whole payload per frame instead of per-slice.
+      ("h3 frame-sample",
+        () => noop(graft.multimodal.Media.frameSample(
+          graft.multimodal.Media.syntheticMedia(
+            docs.withColumn("n_chars", length(col("text")).cast("int"))), 3)),
+        () => noop(graft.multimodal.Media.frameSample(
+          graft.multimodal.Media.syntheticMedia(
+            docsK.withColumn("n_chars", length(col("text")).cast("int"))), 3))),
       ("d9 contamination",
         () => noop(Corpus.contamination(docs, "doc_id", "text", 3, col("doc_id") % 20 === 0)),
         () => noop(Corpus.contamination(docsK, "doc_id", "text", 3, col("doc_id") % 20 === 0))),
