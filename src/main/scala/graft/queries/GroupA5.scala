@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Text
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,11 +86,30 @@ object GroupA5 {
     * served plan): broadcast the dim onto every name, run the DP
     * expression, aggregate per-collection token counts, render them
     * canonically, join back per collection. */
-  def segmentNamesOf(names: DataFrame, dict: DataFrame): DataFrame = {
-    val seg = names.crossJoin(broadcast(dict))
+  /** The segmentation stage itself — dict broadcast onto every name,
+    * the DP expression inside codegen. Split out pre-cut because this
+    * is the plan the eager checkpoint in [[segmentNamesOf]] executes:
+    * PlanSpec pins the broadcast + codegen-span contract on THIS
+    * frame (the executed sub-plan), which the registered body builds
+    * through the same definition so the pinned plan cannot drift. */
+  def segmentedOf(names: DataFrame, dict: DataFrame): DataFrame =
+    names.crossJoin(broadcast(dict))
       .select(col("coll"), col("p_partkey"), col("name"),
         Text.segmentName(col("name"), col("dict"), col("max_word"))
           .as("__t"))
+
+  def segmentNamesOf(names: DataFrame, dict: DataFrame): DataFrame = {
+    // The segmented frame feeds BOTH the counts branch and the output
+    // rows, and the two meet in a join — Catalyst does not dedupe
+    // common subplans across join inputs, so without a cut every name
+    // runs the DP (and the dictionary re-fits) once PER BRANCH. The
+    // DP is the dominant cost of this operator at any scale;
+    // checkpointing the name-grain segmented frame runs it once (the
+    // a25 pair-set discipline — interleaved A/B vs the pre-cut head:
+    // disjoint bands, wall 4.46-4.58 vs 4.92-5.64, cpu 2.27-2.54 vs
+    // 2.68-2.94 under quiet canaries, tools/abtest_96b6a40_*.json;
+    // the win grows with the DP's share of the plan).
+    val seg = segmentedOf(names, dict).cut()
     val cstr = seg
       .select(col("coll"), explode(col("__t")).as("tok"))
       .groupBy("coll", "tok").agg(count(lit(1)).as("cnt"))

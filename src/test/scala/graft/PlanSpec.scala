@@ -684,9 +684,18 @@ class PlanSpec extends GraftSuite {
   }
 
   test("a41: the dictionary dim rides a broadcast and graft_segment stays inside codegen") {
+    // The registered body eagerly checkpoints the segmented frame (the
+    // counts branch and the output rows meet in a join, and the DP
+    // must run once, not once per branch), so the registered query's
+    // own executedPlan starts at the checkpoint RDD. Pin the contract
+    // on the PRE-CUT segmentation stage instead — GroupA5.segmentedOf,
+    // the exact definition segmentNamesOf cuts, i.e. the sub-plan the
+    // checkpoint job executes.
     // Execute so AQE finalizes — WholeStageCodegen '*' markers only
     // appear in the final adaptive plan (the skew-evidence pattern).
-    val qe = SparkEntry.queries("a41_segment_names")(spark, sfDir)
+    val qe = graft.queries.GroupA5.segmentedOf(
+        graft.queries.GroupA5.segmentNamesInput(spark, sfDir),
+        graft.queries.GroupA5.segmentDictOf(spark, sfDir))
       .queryExecution
     qe.executedPlan.execute().count()
     val p = qe.executedPlan.toString
