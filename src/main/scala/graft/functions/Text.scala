@@ -174,17 +174,28 @@ object Text {
   def segmentDict(freq: org.apache.spark.sql.DataFrame,
                   tokCol: String, cntCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = freq.agg(count(lit(1)).cast("double").as("__v"))
-    freq.crossJoin(broadcast(v))
-      .select(col(tokCol).as("__tok"), col(cntCol).as("__cnt"), col("__v"))
-      .select(col("__tok"), col("__v"),
+    // V (the vocabulary size, inside every cost's ln(rank·ln V)) is
+    // counted in the SAME single-row aggregation that packs the
+    // entries, and the costs are derived in a post-agg projection on
+    // that one row — a separate count branch would give `freq` a
+    // second consumer and re-run the corpus-sized token scan it
+    // derives from (Catalyst does not dedupe common subplans; a41's
+    // PlanSpec pins the resulting two-scan total).
+    freq
+      .select(col(tokCol).as("__tok"), col(cntCol).as("__cnt"))
+      .select(col("__tok"),
         row_number().over(
           Window.orderBy(col("__cnt").desc, col("__tok"))).as("__rank"),
         length(col("__tok")).as("__len"))
       .agg(
-        map_from_entries(array_sort(collect_list(struct(col("__tok"),
-          round(log(col("__rank") * log(col("__v"))) * 1e6)
-            .cast("long").as("__cost"))))).as("dict"),
-        max(col("__len")).as("max_word"))
+        collect_list(struct(col("__tok"), col("__rank"))).as("__e"),
+        max(col("__len")).as("max_word"),
+        count(lit(1)).cast("double").as("__v"))
+      .select(
+        map_from_entries(array_sort(transform(col("__e"), e =>
+          struct(e.getField("__tok").as("__tok"),
+            round(log(e.getField("__rank") * log(col("__v"))) * 1e6)
+              .cast("long").as("__cost"))))).as("dict"),
+        col("max_word"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.Text
 import graft.operators.Checkpoints.Cuttable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Group A (continued) — round-14 additions closing the last two
@@ -98,35 +98,98 @@ object GroupA5 {
         Text.segmentName(col("name"), col("dict"), col("max_word"))
           .as("__t"))
 
+  /** Render "tok:cnt,…" (tokens ascending, binary order — DuckDB's
+    * `string_agg(… ORDER BY tok)` under its default binary collation)
+    * from a SORTED token array, as ONE `aggregate` fold: runs of equal
+    * tokens accumulate a count, a token change appends "tok:cnt" to
+    * the entries array, and the finisher flushes the last run. Empty
+    * array → empty string (the reference's test_empty contract: a
+    * collection whose every name segments to nothing keeps its rows
+    * with empty counts).
+    *
+    * WHY a fold and not index arithmetic: higher-order functions
+    * evaluate INTERPRETED (CodegenFallback) with no common-
+    * subexpression elimination, so any Column passed into a lambda
+    * body is re-evaluated at every reference of every element — an
+    * index-based formulation (filter(sequence(0,n-1), …) over
+    * element_at(ts, i)) re-ran the upstream sort+flatten once per
+    * element reference, turning a linear render into minutes of CPU
+    * at 64x names (measured; killed). In a fold, `ts` appears exactly
+    * once (the aggregate input, evaluated once per row) and the
+    * accumulator is a bound lambda variable, so the pass is genuinely
+    * linear in tokens — plus O(distinct²) accumulator-array pointer
+    * copies, bounded by tokens-per-collection (names-scale by
+    * contract, same bound the per-coll collect_list already imposes). */
+  private def renderSortedCounts(ts: Column): Column = {
+    def flush(st: Column): Column =
+      array_append(st.getField("entries"),
+        concat(st.getField("cur"), lit(":"),
+          st.getField("cnt").cast("string")))
+    val folded = aggregate(
+      ts,
+      struct(array().cast("array<string>").as("entries"),
+        lit("").as("cur"), lit(0L).as("cnt")),
+      (st, t) => when(st.getField("cnt") === lit(0L),
+          struct(st.getField("entries").as("entries"), t.as("cur"),
+            lit(1L).as("cnt")))
+        .when(t === st.getField("cur"),
+          struct(st.getField("entries").as("entries"),
+            st.getField("cur").as("cur"),
+            (st.getField("cnt") + 1L).as("cnt")))
+        .otherwise(struct(flush(st).as("entries"), t.as("cur"),
+          lit(1L).as("cnt"))),
+      st => when(st.getField("cnt") === lit(0L), lit(""))
+        .otherwise(concat_ws(",", flush(st))))
+    folded
+  }
+
   def segmentNamesOf(names: DataFrame, dict: DataFrame): DataFrame = {
-    // The segmented frame feeds BOTH the counts branch and the output
-    // rows, and the two meet in a join — Catalyst does not dedupe
-    // common subplans across join inputs, so without a cut every name
-    // runs the DP (and the dictionary re-fits) once PER BRANCH. The
-    // DP is the dominant cost of this operator at any scale;
-    // checkpointing the name-grain segmented frame runs it once (the
-    // a25 pair-set discipline — interleaved A/B vs the pre-cut head:
-    // disjoint bands, wall 4.46-4.58 vs 4.92-5.64, cpu 2.27-2.54 vs
-    // 2.68-2.94 under quiet canaries, tools/abtest_96b6a40_*.json;
-    // the win grows with the DP's share of the plan).
-    val seg = segmentedOf(names, dict).cut()
-    val cstr = seg
-      .select(col("coll"), explode(col("__t")).as("tok"))
-      .groupBy("coll", "tok").agg(count(lit(1)).as("cnt"))
-      .groupBy("coll")
-      .agg(concat_ws(",", transform(
-        array_sort(collect_list(struct(col("tok"),
-          concat(col("tok"), lit(":"), col("cnt")).as("kv")))),
-        x => x.getField("kv"))).as("coll_counts"))
-    seg.select(col("coll"), col("p_partkey"), col("name"),
-        concat_ws(" ", col("__t")).as("tokens"),
-        size(col("__t")).cast("long").as("n_tokens"))
-      // LEFT + '' so a collection whose every name segments to zero
-      // tokens (all-empty names) keeps its name rows with empty
-      // counts — the reference's test_empty contract (empty counts
-      // dict, never a dropped collection).
-      .join(cstr, Seq("coll"), "left")
-      .withColumn("coll_counts", coalesce(col("coll_counts"), lit("")))
+    // ONE consumer of the segmented frame, by construction: the whole
+    // collection is packed in a single groupBy(coll) aggregation, the
+    // counts render once per collection from the packed token arrays,
+    // and the name rows explode back out. Three rejected forms, all
+    // measured (sf0.1 bench + the 64x-names probe, interleaved
+    // same-session where the host phase allowed):
+    //  - counts-branch + join-back (the original): Catalyst does not
+    //    dedupe common subplans across join inputs, so every name ran
+    //    the DP once per branch — and the explode's inferred
+    //    size(__t)>0 filter pushed down INTO the dict broadcast
+    //    join's condition, evaluating graft_segment a THIRD time per
+    //    row. This form still reads within-band at 64x under heavy
+    //    host noise (the DP is cheap on the SYNTHETIC dictionary:
+    //    max_word ~9 vs wordninja's production 24), but pays 3x the
+    //    DP and two extra shuffles ((coll, tok) pairs + the join).
+    //  - localCheckpoint cut of the segmented frame: one DP, but the
+    //    whole segmented corpus becomes deserialized executor blocks
+    //    — GC pressure at 64x names read 3-10x the join form's wall
+    //    in the same phase (13-50 s vs 4.5-13 s) with wild variance.
+    //  - repartition(coll) shared-exchange: per-branch column pruning
+    //    specializes the two subplans, exchange reuse never fires —
+    //    two full shuffles AND the duplicated DP.
+    // This form shuffles each name row exactly once, runs the DP
+    // exactly once, and holds no blocks. Per-reducer state is one
+    // collection's names+tokens — the same bound the old counts
+    // aggregation already had via its per-coll collect_list. The
+    // render projection sits BELOW the explode (Generate keeps its
+    // required child output; CollapseProject does not merge across
+    // it), so it evaluates once per collection, not once per name —
+    // PlanSpec pins the single scan and the render-below-Generate
+    // shape.
+    val packed = segmentedOf(names, dict)
+      .groupBy(col("coll"))
+      .agg(collect_list(struct(col("p_partkey"), col("name"), col("__t")))
+        .as("rows"))
+    val ts = array_sort(flatten(filter(
+      transform(col("rows"), r => r.getField("__t")), x => x.isNotNull)))
+    packed
+      .select(col("coll"), col("rows"),
+        renderSortedCounts(ts).as("coll_counts"))
+      .select(col("coll"), col("coll_counts"), explode(col("rows")).as("r"))
+      .select(col("coll"), col("r.p_partkey").as("p_partkey"),
+        col("r.name").as("name"),
+        concat_ws(" ", col("r.__t")).as("tokens"),
+        size(col("r.__t")).cast("long").as("n_tokens"),
+        col("coll_counts"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -137,9 +200,9 @@ object GroupA5 {
     // covers both reference outputs (tokenized_names AND
     // tokenized_names_counts). Scale: the dictionary is a vocabulary
     // (dim by definition); segmentation is per-row compute inside
-    // codegen; the only corpus-sized shuffles are the (coll, tok)
-    // count and the final coll join — both key-partitioned and
-    // map-side combinable.
+    // codegen; the one corpus-sized shuffle is the pack-by-collection
+    // aggregation (see segmentNamesOf for the three rejected
+    // alternatives and their measurements).
     "a41_segment_names" -> ((s, d) =>
       segmentNamesOf(segmentNamesInput(s, d), segmentDictOf(s, d))),
 

@@ -684,18 +684,9 @@ class PlanSpec extends GraftSuite {
   }
 
   test("a41: the dictionary dim rides a broadcast and graft_segment stays inside codegen") {
-    // The registered body eagerly checkpoints the segmented frame (the
-    // counts branch and the output rows meet in a join, and the DP
-    // must run once, not once per branch), so the registered query's
-    // own executedPlan starts at the checkpoint RDD. Pin the contract
-    // on the PRE-CUT segmentation stage instead — GroupA5.segmentedOf,
-    // the exact definition segmentNamesOf cuts, i.e. the sub-plan the
-    // checkpoint job executes.
     // Execute so AQE finalizes — WholeStageCodegen '*' markers only
     // appear in the final adaptive plan (the skew-evidence pattern).
-    val qe = graft.queries.GroupA5.segmentedOf(
-        graft.queries.GroupA5.segmentNamesInput(spark, sfDir),
-        graft.queries.GroupA5.segmentDictOf(spark, sfDir))
+    val qe = SparkEntry.queries("a41_segment_names")(spark, sfDir)
       .queryExecution
     qe.executedPlan.execute().count()
     val p = qe.executedPlan.toString
@@ -714,5 +705,27 @@ class PlanSpec extends GraftSuite {
     assert(seg.isDefined, s"graft_segment missing from the plan\n$p")
     assert(seg.get.contains("*("),
       s"graft_segment must be inside a WholeStageCodegen project\n$p")
+    // Single-DP pin: the packed form's whole point is that the
+    // segmented frame has ONE consumer. A second part scan would
+    // betray a reintroduced branch duplication (the rejected
+    // join-back form re-ran the DP once per branch plus once in a
+    // pushed-down join condition). Count inside the FINAL adaptive
+    // plan only — the toString repeats every scan in the
+    // "== Initial Plan ==" section.
+    val finalP = p.split("== Initial Plan ==")(0)
+    val partScans = finalP.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("part"))
+    assert(partScans == 2, // names input + the dictionary fit
+      s"a41 must scan part exactly twice (names + dict fit), saw $partScans\n$p")
+    assert(finalP.linesIterator.count(_.contains("graft_segment")) == 1,
+      s"graft_segment must appear in exactly one operator (single DP)\n$p")
+    // The counts render must sit BELOW the explode's Generate (once
+    // per collection, not once per name): the Generate's requiredChild
+    // output carries coll_counts as an attribute, so the Generate line
+    // itself must not contain the render's aggregate().
+    val gen = finalP.linesIterator.find(_.contains("Generate explode"))
+    assert(gen.isDefined, s"the rows explode is missing\n$p")
+    assert(!gen.get.contains("aggregate("),
+      s"the counts render must be computed below the Generate\n$p")
   }
 }
