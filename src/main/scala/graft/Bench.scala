@@ -33,29 +33,9 @@ object Bench {
     * run would contend with the 32 worker threads and perturb the
     * very measurement it adjudicates; the bracket is
     * non-perturbing. */
-  private object Canary {
-    private val words = 16 << 20 // 128 MiB of longs
-    private lazy val buf = {
-      val a = new Array[Long](words)
-      var i = 0
-      // Index-derived fill: the sum below cannot constant-fold.
-      while (i < words) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
-      a
-    }
-    @volatile private var sink = 0L // defeats dead-code elimination
-    def run(): Double = {
-      val t0 = System.nanoTime()
-      var acc = 0L
-      var pass = 0
-      while (pass < 8) {
-        var i = 0
-        while (i < words) { acc += buf(i); i += 1 }
-        pass += 1
-      }
-      sink = acc
-      (System.nanoTime() - t0) / 1e9
-    }
-  }
+  // Shared with ScaleProbe (same kernel, same quiet band) — see
+  // [[graft.Canary]] at the bottom of this file.
+  private def Canary = graft.Canary
   /** Sums executor CPU time (ns) and executor run time (ms) across
     * every finished task — the LOAD-INSENSITIVE measurement the
     * wall-clock numbers lack: two consecutive graded rounds read
@@ -444,5 +424,71 @@ object Bench {
         s"[bench] ${errors.size} queries errored: ${errors.mkString(", ")}")
       sys.exit(2)
     }
+  }
+}
+
+/** The contention canary kernel — a fixed-WORK, single-thread,
+  * memory-bandwidth-bound micro-benchmark (8 sequential passes over a
+  * 128 MiB long array = 1 GiB of DRAM traffic, far over any LLC).
+  * On a quiet host it reads a stable ~0.15-0.24 s; under a co-tenant
+  * saturating the memory bus the SAME fixed work dilates
+  * proportionally, so a sample adjudicates its adjacent measurement.
+  * Package-visible so Bench (per-query brackets, see the scaladoc on
+  * its use site) and ScaleProbe (per-probe brackets) read the SAME
+  * kernel against the SAME documented quiet band. */
+private[graft] object Canary {
+  private val words = 16 << 20 // 128 MiB of longs
+  private lazy val buf = {
+    val a = new Array[Long](words)
+    var i = 0
+    // Index-derived fill: the sum below cannot constant-fold.
+    while (i < words) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  @volatile private var sink = 0L // defeats dead-code elimination
+  def run(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var pass = 0
+    while (pass < 8) {
+      var i = 0
+      while (i < words) { acc += buf(i); i += 1 }
+      pass += 1
+    }
+    sink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The PARALLEL variant: `threads` workers each stream a disjoint
+    * slice of the same buffer 8 times, concurrently — fixed aggregate
+    * work equal to `threads`× the serial kernel's per-pass traffic.
+    * Exists because the serial kernel has a measured blind spot: a
+    * co-tenant saturating the memory bus can leave one thread's
+    * bandwidth intact while 8-32 concurrent streams starve — and
+    * starved streams show up as INFLATED CPU TIME (stall cycles are
+    * on-CPU cycles), which silently poisons the "cpu is the
+    * load-insensitive number" doctrine. Read the pair: serial quiet +
+    * parallel dilated ⇒ wide-lane bandwidth contention; both quiet ⇒
+    * the machine is genuinely quiet and cpu numbers are trustworthy.
+    * Returns wall seconds of the slowest worker (all do fixed work). */
+  def runParallel(threads: Int = 8): Double = {
+    val slice = words / threads
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var acc = 0L
+        var pass = 0
+        while (pass < 8) {
+          var i = t * slice
+          val end = i + slice
+          while (i < end) { acc += buf(i); i += 1 }
+          pass += 1
+        }
+        sink = acc
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 }

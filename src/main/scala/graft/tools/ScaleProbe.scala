@@ -882,14 +882,40 @@ object ScaleProbe {
     // checkpointing operators as multi-second swings and one 2x
     // outlier at 64x before this settled.
     def settleStorage(): Unit = { System.gc(); Thread.sleep(1500) }
+    // Contention bracket (Bench's kernel, Bench's quiet band of
+    // ~0.15-0.24 s): each timed side samples the canary immediately
+    // before and after, and the line carries the worst of the four —
+    // a probe ratio read under a dilated canary is branded in the
+    // artifact itself instead of needing a same-day re-run to notice.
+    // LIMIT: the kernel is single-threaded, so it under-detects steal
+    // that hits only the OTHER vCPUs of this 32-thread JVM — which is
+    // why the line also reports process-CPU time per side (the
+    // load-insensitive number: stolen cycles never appear in it).
+    // Read ratios on cpu first; wall is the context number.
+    graft.Canary.run() // JIT + page-in, untimed
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuTimed[A](f: => A): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      f
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+    }
+    graft.Canary.runParallel() // JIT + page-in, untimed
     for ((name, one, kx) <- selected) {
       one()
       settleStorage()
-      val t1 = time(one())
+      val c1 = graft.Canary.run(); val q1 = graft.Canary.runParallel()
+      val (t1, p1) = cpuTimed(one())
+      val c2 = graft.Canary.run(); val q2 = graft.Canary.runParallel()
       kx()
       settleStorage()
-      val tk = time(kx())
-      println(f"[scale] $name%-18s 1x ${t1}%7.2f s   ${k}x ${tk}%7.2f s   ratio ${tk / t1}%5.2f (ideal <= $k)")
+      val c3 = graft.Canary.run(); val q3 = graft.Canary.runParallel()
+      val (tk, pk) = cpuTimed(kx())
+      val c4 = graft.Canary.run(); val q4 = graft.Canary.runParallel()
+      val cMax = Seq(c1, c2, c3, c4).max
+      val qMax = Seq(q1, q2, q3, q4).max
+      println(f"[scale] $name%-18s 1x ${t1}%7.2f s   ${k}x ${tk}%7.2f s   ratio ${tk / t1}%5.2f (ideal <= $k)   cpu 1x ${p1}%6.2f s ${k}x ${pk}%7.2f s cpuratio ${pk / p1}%5.2f   canary_max ${cMax}%.3f par ${qMax}%.3f")
     }
 
     // Plan evidence for the skewed-join probe (untimed, after the
