@@ -7,6 +7,7 @@ object Bench {
   private final case class BenchRow(name: String, wall: Double,
     cpu: Double, run: Double, memSpill: Long, diskSpill: Long,
     peakMem: Long, canary: Double, canaryPost: Double,
+    canaryPar: Double, canaryParPost: Double,
     storeWarm: Option[Boolean])
 
   /** Contention canary (r11 verdict ask #2): a fixed-WORK,
@@ -137,6 +138,11 @@ object Bench {
     // reading matters; the min of the warm passes is the session's
     // quiet-host reference the per-query samples are read against.
     val canaryBase = (1 to 3).map(_ => Canary.run()).min
+    // The parallel kernel's base (see Canary.runParallel): the serial
+    // kernel under-detects contention that starves only the wide
+    // lanes this 32-thread JVM actually uses, and starved streams
+    // read as inflated CPU time — the pair is the adjudicator.
+    val canaryParBase = (1 to 3).map(_ => Canary.runParallel()).min
     // Action: write to the built-in `noop` sink, which consumes every
     // output row in full. A `count()` action would let Catalyst prune
     // all columns the count doesn't need, so pure-projection queries
@@ -224,6 +230,8 @@ object Bench {
       var lastPeakMem = 0L
       var lastCanary = 0.0
       var lastCanaryPost = 0.0
+      var lastCanaryPar = 0.0
+      var lastCanaryParPost = 0.0
       var lastStoreWarm: Option[Boolean] = None
       for (_ <- 1 to reps) {
         // Drop DEAD checkpoint blocks before timing (untimed): the
@@ -276,6 +284,7 @@ object Bench {
         // the rep's numbers only when the rep succeeds, so the
         // published canary always pairs with the published timing.
         val canarySec = Canary.run()
+        val canaryParSec = Canary.runParallel()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -288,11 +297,13 @@ object Bench {
           // The closing bracket sample: immediately after the timed
           // region, before any bookkeeping (untimed either way).
           lastCanaryPost = Canary.run()
+          lastCanaryParPost = Canary.runParallel()
           // Assigned HERE, with last/lastCanaryPost — not after the
           // fallible bookkeeping below — so a tally/drain failure can
           // never publish this rep's timing bracketed by a PREVIOUS
           // rep's pre-sample (the pairing would silently lie).
           lastCanary = canarySec
+          lastCanaryPar = canaryParSec
           lastStoreWarm = warmNow
           drainListenerBus(spark.sparkContext)
           lastCpu = (tally.cpuNs.get() - cpu0) / 1e9
@@ -311,7 +322,7 @@ object Bench {
       }
       BenchRow(name, last, lastCpu, lastRun,
         lastMemSpill, lastDiskSpill, lastPeakMem, lastCanary,
-        lastCanaryPost, lastStoreWarm)
+        lastCanaryPost, lastCanaryPar, lastCanaryParPost, lastStoreWarm)
     }
     def qmap(f: BenchRow => String): String =
       results.map(r => s"\"" + r.name + "\":" + f(r))
@@ -334,6 +345,13 @@ object Bench {
     // the instant AFTER — the bracketing pair (see Canary).
     val canaryQs = qmap(_.canary.toString)
     val canaryPostQs = qmap(_.canaryPost.toString)
+    // Parallel-kernel brackets (canary_par*): quiet band on this host
+    // 0.031-0.045 s (vs 0.17-0.24 serial). A row whose serial canary
+    // is quiet but whose parallel canary dilates was measured under
+    // wide-lane bandwidth contention — its cpu number is stall-
+    // inflated and NOT trustworthy for round-over-round comparison.
+    val canaryParQs = qmap(_.canaryPar.toString)
+    val canaryParPostQs = qmap(_.canaryParPost.toString)
     // store_warm: serving rows only — true iff the store was verified
     // fitted-and-current the instant before the timed region, i.e.
     // the measured number is a pure per-cycle serving cost; false
@@ -361,7 +379,9 @@ object Bench {
     // seconds, not same-session ratios, are the cross-run signal.
     val canaryMin = (canaryBase +: results
       .flatMap(r => Seq(r.canary, r.canaryPost)).filter(_ > 0.0)).min
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"canary_min":$canaryMin,"store_warm":$storeWarmQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
+    val canaryParMin = (canaryParBase +: results
+      .flatMap(r => Seq(r.canaryPar, r.canaryParPost)).filter(_ > 0.0)).min
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"canary_min":$canaryMin,"canary_par":$canaryParQs,"canary_par_post":$canaryParPostQs,"canary_par_base":$canaryParBase,"canary_par_min":$canaryParMin,"store_warm":$storeWarmQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the full-name, full-precision line to a file FIRST: the
     // round-4 artifact lost its `total` and 12 per-query numbers to a
     // truncated stdout capture — a file write cannot be cut mid-stream
@@ -407,12 +427,15 @@ object Bench {
     // other per-query maps.
     val canaryMax = results.flatMap(r => Seq(r.canary, r.canaryPost))
       .foldLeft(0.0)(math.max)
+    val canaryParMax = results
+      .flatMap(r => Seq(r.canaryPar, r.canaryParPost))
+      .foldLeft(0.0)(math.max)
     // store_cold: how many serving rows were measured against a store
     // that was NOT verifiably warm at shot time (0 on a healthy run —
     // one scalar fits the tail window; the per-query map is in
     // bench_out.json).
     val storeCold = results.count(_.storeWarm.contains(false))
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_min":${s3(canaryMin)},"canary_max":${s3(canaryMax)},"store_cold":$storeCold,"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"$outFile"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"canary_base":${s3(canaryBase)},"canary_min":${s3(canaryMin)},"canary_max":${s3(canaryMax)},"canary_par_min":${s3(canaryParMin)},"canary_par_max":${s3(canaryParMax)},"store_cold":$storeCold,"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
     // A bench with errored queries must not ship as a healthy "rc 0"
     // run (r6 shipped 15 fast-failing queries inside a green-looking
