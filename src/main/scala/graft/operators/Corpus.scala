@@ -32,8 +32,17 @@ object Corpus {
     val base = docs.select(col(idCol).as("id"),
       Text.tokens(col(textCol)).as("toks"))
     val n = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    // tf feeds BOTH the df aggregation and the scoring join — without
+    // a cut the corpus-wide tokenize+explode+(id, term) aggregation
+    // runs once per branch (Catalyst does not dedupe common subplans;
+    // the r14 scan audit caught documents scanned 3x here). The
+    // skew-safe alternative forms lose: a count-over-Window by term
+    // buffers a hot term's whole partition, and packing (id, tf)
+    // lists per term does the same in the aggregation buffer — the
+    // checkpoint keeps df a partial-aggregable groupBy.
     val tf = base.select(col("id"), explode(col("toks")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .cut()
     // tf already has one row per (doc, term): df is a plain count.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val scored = tf.join(dfreq, "term")
@@ -754,8 +763,17 @@ object Corpus {
 
   def bigramNll(modelDocs: DataFrame, scoreDocs: DataFrame,
                 idCol: String, textCol: String): DataFrame = {
+    // The model frame has two consumers inside bigramScore (the
+    // context-count agg and the scoring join); its upstream here is
+    // the corpus-wide bigram aggregation, which would otherwise run
+    // once per branch (the r14 scan audit caught documents scanned 5x
+    // in f22). The cut is model-sized — bigram vocabulary, sublinear
+    // in the corpus — and lives HERE, on the inline-fit path only:
+    // bigramNllWith's reloaded model is a cheap pruned parquet
+    // re-scan that a cut would only tax with a barrier.
     val model = docBigrams(modelDocs, idCol, textCol)
       .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .cut()
     val vocab = modelDocs
       .select(explode(Text.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
@@ -808,6 +826,9 @@ object Corpus {
   private def bigramScore(model: DataFrame, vocab: DataFrame,
                           scoreDocs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
+    // model's two consumers here (ctx + the join) re-scan a frame the
+    // callers guarantee cheap: bigramNll cuts its inline fit, and
+    // bigramNllWith passes a reloaded parquet model (pruned re-scan).
     val ctx = model
       .groupBy(substring_index(col("bg"), " ", 1).as("t1"))
       .agg(sum(col("cb")).as("cctx"))

@@ -469,6 +469,16 @@ object GroupA4 {
     // rounded to 9 dp so both engines sum bit-identical terms (libm
     // vs JVM last-ulp differences), the sum to 6.
     "a27_name_logprob" -> ((s, d) => {
+      // toks feeds BOTH the vocabulary fit and the scoring join, so
+      // the scan+split+explode runs once per branch (r14 scan audit:
+      // part x3). Adjudicated and left UNCUT deliberately: a cut was
+      // measured LOSING on both wall and cpu (interleaved A/B,
+      // tools/abtest_27794a6_*.json) — materializing the exploded
+      // (key, tok) rows costs more than re-running a pruned columnar
+      // scan plus a split, at any scale where tokenization is this
+      // cheap. Contrast f8/f10, where the duplicated branch carries a
+      // corpus-wide aggregation or the full tokenizer and the cut
+      // wins.
       val toks = Tables(s, d, "part")
         .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tok"))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))

@@ -146,8 +146,13 @@ object GroupF2 {
     // cardinality is bounded by document length, embarrassingly
     // parallel across docs, no cross-document state at all.
     "f10_repetition" -> ((s, d) => {
+      // The tokenized frame feeds the dup-token branch AND both n-gram
+      // branches — cut, or the corpus-wide tokenization runs once per
+      // branch (the r14 scan audit caught documents scanned 3x here;
+      // Catalyst does not dedupe common subplans).
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .cut()
       def topFrac(n: Int): DataFrame =
         docs.select(col("doc_id"), explode(Text.shingles(col("toks"), n)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))

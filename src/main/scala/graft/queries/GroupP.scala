@@ -187,7 +187,16 @@ object GroupP {
     * ScaleProbe, the [[corpusPipeline]] pattern. */
   def customPipeline(customer: DataFrame): DataFrame = {
     val ln = GroupC2.linesOf(customer)
-    val shaped = Collections.fromCustom(ln)
+    // The parsed collections feed BOTH the update-ops branch and the
+    // log-prob tokenizer — cut, or the JSONL parse (the expensive
+    // per-row step of this DAG) runs once per consumer (the r14 scan
+    // audit caught customer scanned 7x here; Catalyst does not dedupe
+    // common subplans). Measured: cpu band disjoint in the cut's
+    // favor (3.65-4.05 vs 4.64-5.02 s, tools/abtest_27794a6_*.json).
+    // The token explode below stays UNCUT deliberately — its upstream
+    // is now the cheap cut-read, and materializing exploded rows
+    // measured as a net loss in the same A/B (the a27 adjudication).
+    val shaped = Collections.fromCustom(ln).cut()
     val ops = Collections.customUpdateOps(shaped,
       GroupC2.existingIndexOf(customer), maxMembers = 1L)
     val status = Collections.customStatusCounts(
