@@ -95,6 +95,13 @@ for i in range(1, int(rounds) + 1):
                 canary={q: d["canary"].get(q) for q in qs},
                 canary_base=d.get("canary_base"),
                 canary_min=d.get("canary_min"),
+                # parallel-kernel bracket (absent from pre-r14 refs):
+                # quiet band 0.031-0.045 s — a run whose serial canary
+                # is quiet but whose canary_par_min dilates was measured
+                # under wide-lane bandwidth contention (stall-inflated
+                # cpu), and its cpu band must not adjudicate alone.
+                canary_par_min=d.get("canary_par_min"),
+                canary_par_max=d.get("canary_par_max"),
                 errors=d.get("errors", []))
         except (OSError, json.JSONDecodeError, KeyError) as e:
             row["error"] = f"run artifact unreadable: {e}"
