@@ -173,7 +173,6 @@ object Text {
     * by definition), never a corpus. */
   def segmentDict(freq: org.apache.spark.sql.DataFrame,
                   tokCol: String, cntCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // V (the vocabulary size, inside every cost's ln(rank·ln V)) is
     // counted in the SAME single-row aggregation that packs the
     // entries, and the costs are derived in a post-agg projection on
@@ -181,20 +180,28 @@ object Text {
     // second consumer and re-run the corpus-sized token scan it
     // derives from (Catalyst does not dedupe common subplans; a41's
     // PlanSpec pins the resulting two-scan total).
+    //
+    // Ranks come from array position, NOT a window: the former
+    // row_number() over a global Window.orderBy forced a
+    // single-partition sort exchange + a WindowExec stage between the
+    // token agg and the one-row pack — two extra stages whose codegen
+    // compile dominated a41's fresh-JVM single-shot floor (the r14
+    // verdict ask #4; the dict is dim-sized, so the sort belongs
+    // inside the one packed row). array_sort over struct(-cnt, tok)
+    // realizes the identical (cnt DESC, tok ASC) total order — tok is
+    // unique post-groupBy, so the order is total and rank = index+1
+    // is exactly the window's row_number.
     freq
       .select(col(tokCol).as("__tok"), col(cntCol).as("__cnt"))
-      .select(col("__tok"),
-        row_number().over(
-          Window.orderBy(col("__cnt").desc, col("__tok"))).as("__rank"),
-        length(col("__tok")).as("__len"))
       .agg(
-        collect_list(struct(col("__tok"), col("__rank"))).as("__e"),
-        max(col("__len")).as("max_word"),
+        collect_list(struct((-col("__cnt")).as("__neg"),
+          col("__tok"))).as("__e"),
+        max(length(col("__tok"))).as("max_word"),
         count(lit(1)).cast("double").as("__v"))
       .select(
-        map_from_entries(array_sort(transform(col("__e"), e =>
-          struct(e.getField("__tok").as("__tok"),
-            round(log(e.getField("__rank") * log(col("__v"))) * 1e6)
+        map_from_entries(array_sort(transform(array_sort(col("__e")),
+          (e, i) => struct(e.getField("__tok").as("__tok"),
+            round(log((i + 1) * log(col("__v"))) * 1e6)
               .cast("long").as("__cost"))))).as("dict"),
         col("max_word"))
   }

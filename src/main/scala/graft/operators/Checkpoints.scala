@@ -32,16 +32,48 @@ private[graft] object Checkpoints {
   /** Session conf key selecting reliable checkpoints. */
   val confKey = "spark.graft.checkpointDir"
 
+  /** Session conf key (env fallback SPARK_GRAFT_CUT_STORAGE) selecting
+    * the storage level of LOCAL cuts — any StorageLevel.fromString
+    * name; unset keeps Spark's localCheckpoint default
+    * (MEMORY_AND_DISK, deserialized). Why it exists (r14 verdict ask
+    * #1b): MEMORY_AND_DISK cut blocks occupy the unified storage pool,
+    * and under co-tenant memory pressure the iterative family's
+    * superseded-round blocks churn through eviction/re-serialization —
+    * task CPU that multiplied d16's reading up to 85× across three
+    * graded rounds while the plan was unchanged. DISK_ONLY cuts take
+    * the storage pool out of the equation entirely: each round's
+    * blocks go straight to local disk, reads stream them back, and no
+    * eviction cascade can amplify a busy host into a 20× query. The
+    * induced-pressure A/B (tools/pressure_ab.sh) measures both modes
+    * quiet and squeezed; see SURVEY §8 r15 for the adjudicated
+    * numbers. */
+  val storageKey = "spark.graft.cutStorage"
+
+  private def cutLevel(spark: org.apache.spark.sql.SparkSession)
+      : Option[org.apache.spark.storage.StorageLevel] =
+    spark.conf.getOption(storageKey)
+      .orElse(sys.env.get("SPARK_GRAFT_CUT_STORAGE"))
+      .filter(_.nonEmpty)
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.getOption(confKey).filter(_.nonEmpty) match {
+    // Env fallback (SPARK_GRAFT_CHECKPOINT_DIR) mirrors the other cut
+    // knobs so a Bench/ScaleProbe run can A/B reliable cuts without a
+    // code change; the session conf wins when both are set.
+    spark.conf.getOption(confKey)
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      .filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
         // setCheckpointDir creates a fresh UUID subdirectory per call —
         // set once per context; the first configured dir wins.
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None => cutLevel(spark) match {
+        case Some(lvl) => df.localCheckpoint(true, lvl)
+        case None => df.localCheckpoint()
+      }
     }
   }
 

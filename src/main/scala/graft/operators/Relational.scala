@@ -200,19 +200,24 @@ object Relational {
       // path with unbounded groups — one ubiquitous element would
       // build its whole df-sized id array in a single buffer, where
       // the join path merely spills a fat SMJ bucket.
-      // Pairs are built INSIDE one array expression and exploded once:
-      // the earlier posexplode-then-slice formulation carried the full
-      // ids array on every exploded row (Σ df³ bytes of row copies —
-      // measured 19× wall-time at 4× data), where this emits df²/2
-      // pair structs per element and each exploded row carries only
-      // its pair.
+      // Pair emission is the native [[graft.functions.expr
+      // .ArrayOrderedPairs]] codegen expression — pairs are born
+      // ordered (sorted input) and exploded once. Two rejected
+      // declarative forms, both measured: posexplode-then-slice
+      // carried the full ids array on every exploded row (Σ df³ bytes
+      // of row copies — 19× wall at 4× data), and the
+      // flatten(transform(sequence…slice…)) nest evaluated
+      // INTERPRETED (higher-order functions are CodegenFallback) with
+      // a sliced tail copy per outer index — a25 at sf0.1 read 172 s
+      // summed task CPU on that form vs the join path's 49 s. The
+      // expression emits the same df²/2 pair structs from one tight
+      // compiled loop.
       e0.groupBy("__el").agg(sort_array(collect_list(col("__id"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(flatten(transform(
-            sequence(lit(0), size(col("ids")) - 2),
-            i => transform(
-              slice(col("ids"), i + 2, size(col("ids")) - i - 1),
-              y => struct(col("ids")(i).as("id_a"), y.as("id_b"))))))
+        .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.expr.ArrayOrderedPairs(
+              org.apache.spark.sql.graft.ColumnBridge.expression(
+                col("ids")))))
           .as("p"))
         .select(col("p.id_a"), col("p.id_b"))
         .groupBy("id_a", "id_b")

@@ -179,8 +179,16 @@ object GroupA5 {
       .groupBy(col("coll"))
       .agg(collect_list(struct(col("p_partkey"), col("name"), col("__t")))
         .as("rows"))
-    val ts = array_sort(flatten(filter(
-      transform(col("rows"), r => r.getField("__t")), x => x.isNotNull)))
+    // Both filters matter: null ARRAYS (a name whose __t is null) and
+    // null ELEMENTS. segmentName never emits null tokens today, but
+    // renderSortedCounts null-propagates on a null element (t === cur
+    // evaluates to null → the otherwise branch flushes with cur=null →
+    // concat yields a null entry, silently corrupting coll_counts) —
+    // so the element filter turns that implicit upstream contract into
+    // a structural guarantee a future tokenizer change cannot break.
+    val ts = array_sort(filter(flatten(filter(
+      transform(col("rows"), r => r.getField("__t")), x => x.isNotNull)),
+      t => t.isNotNull))
     packed
       .select(col("coll"), col("rows"),
         renderSortedCounts(ts).as("coll_counts"))

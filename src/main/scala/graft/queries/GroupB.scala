@@ -260,8 +260,14 @@ object GroupB {
     // over ALL edges oracles incremental ≡ full recompute.
     "b4_closure_incremental" -> ((s, d) => {
       val all = edges(s, d)
-      val c = Graph.transitiveClosure(all.filter(col("src") % 10 =!= 0),
-        uniquePaths = true, stride = 4)
+      // Timed.region("fit"): the existing-closure derivation is the
+      // EAGER self-containment cost (transitiveClosure cuts per
+      // round) — the bench artifact's fit_s column splits b4's wall
+      // into amortizable fit + per-cycle delta fold (b6 measures the
+      // store-backed serving regime where only the fold is paid).
+      val c = graft.Timed.region("fit")(
+        Graph.transitiveClosure(all.filter(col("src") % 10 =!= 0),
+          uniquePaths = true, stride = 4))
       val delta = Graph.transitiveClosureDelta(c,
         all.filter(col("src") % 10 === 0), strict = true)
       c.unionByName(delta)

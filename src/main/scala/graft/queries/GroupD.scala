@@ -106,7 +106,12 @@ object GroupD {
         "doc_id", "text", n = 3, tau = 0.5)
       // strict: this query is oracle-gated — an early maxIter stop
       // must fail loud, never return silently-incomplete labels.
-      Graph.connectedComponents(pairs, strict = true)
+      // Timed.region("fit"): d7 IS a fit — the whole iterative label
+      // propagation executes eagerly here — so its fit_s ≈ wall in
+      // the bench artifact states the conflation explicitly (r14
+      // verdict ask #5) instead of leaving the reader to infer it.
+      graft.Timed.region("fit")(
+          Graph.connectedComponents(pairs, strict = true))
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
 
@@ -188,9 +193,16 @@ object GroupD {
       val docs = Tables(s, d, "documents")
       val existing = docs.filter(col("doc_id") % 10 =!= 0)
       val incoming = docs.filter(col("doc_id") % 10 === 0)
-      val oldAssign = Graph.connectedComponents(
-        Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
-        strict = true)
+      // Timed.region("fit"): the self-containment cost — deriving
+      // yesterday's assignment — is EAGER (connectedComponents cuts
+      // per round), so the bench artifact's fit_s column splits this
+      // query's wall into amortizable fit + per-cycle delta (r14
+      // verdict ask #5; a serving deployment pays only the delta —
+      // d19 measures that regime directly).
+      val oldAssign = graft.Timed.region("fit")(
+        Graph.connectedComponents(
+          Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
+          strict = true))
       val newPairs = Dedup.ngramJaccardAgainst(existing, incoming,
           "doc_id", "text", n = 3, tau = 0.5)
         .select(col("new_id").as("id_a"), col("old_id").as("id_b"))

@@ -893,13 +893,23 @@ object ScaleProbe {
     // load-insensitive number: stolen cycles never appear in it).
     // Read ratios on cpu first; wall is the context number.
     graft.Canary.run() // JIT + page-in, untimed
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Guarded pattern match, not an unchecked cast: on a JVM whose
+    // OperatingSystemMXBean does not implement the com.sun.management
+    // extension (non-HotSpot/J9), the cast would ClassCastException
+    // and fail the whole probe run — degrade to wall-only (-1 cpu)
+    // instead of losing every row.
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
     def cpuTimed[A](f: => A): (Double, Double) = {
-      val c0 = osBean.getProcessCpuTime
+      val c0 = osBean.map(_.getProcessCpuTime)
       val t0 = System.nanoTime()
       f
-      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      ((System.nanoTime() - t0) / 1e9,
+        osBean.zip(c0).map { case (b, c) => (b.getProcessCpuTime - c) / 1e9 }
+          .getOrElse(-1.0))
     }
     graft.Canary.runParallel() // JIT + page-in, untimed
     for ((name, one, kx) <- selected) {

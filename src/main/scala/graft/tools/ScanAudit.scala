@@ -35,8 +35,14 @@ object ScanAudit {
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        // executedPlan WITHOUT running it: scan counts are fixed at
-        // planning time (AQE re-plans exchanges, never scan counts).
+        // executedPlan: scan counts are fixed at planning time (AQE
+        // re-plans exchanges, never scan counts). NOT fully lazy,
+        // though: queries containing eager .cut() localCheckpoints
+        // execute their upstream-of-cut jobs at plan-construction
+        // time, and scans BELOW a cut vanish from the counts (the
+        // cut surfaces as a scan-free LogicalRDD leaf) — so the audit
+        // measures the post-cut plan, and a cut frame must not be
+        // misread as a pruned one.
         val p = fn(s, d).queryExecution.executedPlan.toString
         val counts = tables.map { t =>
           t -> p.linesIterator.count(l =>

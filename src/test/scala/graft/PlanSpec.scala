@@ -713,8 +713,12 @@ class PlanSpec extends GraftSuite {
     // plan only — the toString repeats every scan in the
     // "== Initial Plan ==" section.
     val finalP = p.split("== Initial Plan ==")(0)
+    // Match the exact path token ScanAudit uses ("/part.parquet"):
+    // a bare contains("part") also matches partsupp scans or any
+    // path segment containing "part", so the pin could pass/fail
+    // for the wrong reason if the plan or test-data path changed.
     val partScans = finalP.linesIterator
-      .count(l => l.contains("FileScan parquet") && l.contains("part"))
+      .count(l => l.contains("FileScan parquet") && l.contains("/part.parquet"))
     assert(partScans == 2, // names input + the dictionary fit
       s"a41 must scan part exactly twice (names + dict fit), saw $partScans\n$p")
     assert(finalP.linesIterator.count(_.contains("graft_segment")) == 1,
