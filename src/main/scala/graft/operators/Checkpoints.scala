@@ -56,7 +56,38 @@ private[graft] object Checkpoints {
       .filter(_.nonEmpty)
       .map(org.apache.spark.storage.StorageLevel.fromString)
 
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame = cutWith(df, None)
+
+  /** Per-ROUND cut for iterative loops (closures, label propagation):
+    * like [[cut]] but defaults the storage level to DISK_ONLY instead
+    * of localCheckpoint's MEMORY_AND_DISK. Why the split (r15, closing
+    * the r14 verdict's pressure ask): the storage-pressure
+    * amplification class lives in the per-round frames — each round
+    * supersedes the last, and MEMORY_AND_DISK blocks of rounds (live
+    * or not-yet-uncut) sit in the unified storage pool where co-tenant
+    * memory pressure churns them through eviction/re-serialization,
+    * multiplying task CPU by the remaining round count. DISK_ONLY
+    * blocks never enter that pool, so the mechanism is impossible by
+    * construction. Cost, measured (tools/pressure_ab_r15_*,
+    * tools/cutab_*): the iterative family is mode-NEUTRAL on a quiet
+    * host at sf0.1 (each round's blocks are written once and read
+    * once-or-twice — the page cache absorbs the re-read), while
+    * one-shot cuts consumed hot by adjacent stages (a25's pair set,
+    * overlapPairs' drop dim) measurably LOSE under DISK_ONLY (+25%
+    * CPU on a25) — hence two defaults, not one. Frames that live
+    * ACROSS rounds as every round's probe side (the mirrored edge
+    * set) stay [[cut]]: they are re-read per round, where memory
+    * residency pays.
+    *
+    * Both defaults yield to the same two knobs: `spark.graft.
+    * cutStorage` overrides the level for every local cut, and a
+    * configured reliable checkpoint dir replaces local cuts
+    * entirely. */
+  def roundCut(df: DataFrame): DataFrame =
+    cutWith(df, Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+
+  private def cutWith(df: DataFrame,
+      defaultLevel: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
     val spark = df.sparkSession
     // Env fallback (SPARK_GRAFT_CHECKPOINT_DIR) mirrors the other cut
     // knobs so a Bench/ScaleProbe run can A/B reliable cuts without a
@@ -70,7 +101,7 @@ private[graft] object Checkpoints {
         // set once per context; the first configured dir wins.
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint()
-      case None => cutLevel(spark) match {
+      case None => cutLevel(spark).orElse(defaultLevel) match {
         case Some(lvl) => df.localCheckpoint(true, lvl)
         case None => df.localCheckpoint()
       }
@@ -205,9 +236,11 @@ private[graft] object Checkpoints {
           .warn(s"uncut skipped (blocks stay live): ${e.getMessage}")
     }
 
-  /** `df.cut()` / `df.uncut()` — the call-site forms the operators use. */
+  /** `df.cut()` / `df.cutRound()` / `df.uncut()` — the call-site
+    * forms the operators use. */
   implicit class Cuttable(private val df: DataFrame) extends AnyVal {
     def cut(): DataFrame = Checkpoints.cut(df)
+    def cutRound(): DataFrame = Checkpoints.roundCut(df)
     def uncut(): Unit = Checkpoints.uncut(df)
   }
 }

@@ -199,7 +199,8 @@ object Graph {
     */
   def transitiveClosureDoubling(edges: DataFrame, maxIter: Int = 20,
                                 strict: Boolean = false): DataFrame = {
-    var closure = edges.select(col("src"), col("dst")).distinct().cut()
+    // Per-round closure frames: DISK_ONLY cuts (see connectedComponents).
+    var closure = edges.select(col("src"), col("dst")).distinct().cutRound()
     var size = closure.count()
     var iter = 0
     var done = false
@@ -207,7 +208,7 @@ object Graph {
       val left = closure.select(col("src"), col("dst").as("mid"))
       val right = closure.select(col("src").as("mid"), col("dst"))
       val doubled = left.join(right, "mid").select(col("src"), col("dst"))
-      val grown = closure.union(doubled).distinct().cut()
+      val grown = closure.union(doubled).distinct().cutRound()
       // The superseded round's closure-sized blocks are dead once the
       // grown cut materializes — without this the doubling loop holds
       // rounds × |closure| live storage (the connectedComponents
@@ -387,8 +388,14 @@ object Graph {
     // propagation round (see [[Checkpoints.uncut]]: superseded blocks
     // under storage pressure cost spill CPU per remaining round).
     e0.uncut()
+    // Per-round label frames take DISK_ONLY cuts (cutRound): each
+    // round supersedes the last, and MEMORY_AND_DISK blocks of those
+    // frames are exactly the storage-pool churn surface the r10/r14
+    // pressure anomalies named (measured mode-neutral on a quiet host
+    // — tools/cutab_*; see Checkpoints.roundCut). The mirrored edge
+    // set stays a memory cut: it is every round's probe side.
     var labels = und.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).cut()
+      .select(col("id"), col("id").as("comp")).cutRound()
     // Empty pair set → empty label set (sum() would be NULL): done.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -402,7 +409,7 @@ object Graph {
         .select(und("a").as("id"), col("comp"))
       val hooked = labels.union(pulled)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .cut()
+        .cutRound()
       val next =
         if (!shortcut) hooked
         else {
@@ -417,7 +424,7 @@ object Graph {
             .join(hooked.select(col("id").as("__jid"), col("comp").as("__jc")),
                   col("comp") === col("__jid"), "left")
             .select(col("id"), coalesce(col("__jc"), col("comp")).as("comp"))
-            .cut()
+            .cutRound()
           hooked.uncut()
           jumped
         }
@@ -796,13 +803,14 @@ object Graph {
     */
   def reachesCycle(edges: DataFrame, maxIter: Int = 50,
                    strict: Boolean = false): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).distinct().cut()
+    // Per-round peel frames: DISK_ONLY cuts (see connectedComponents).
+    var e = edges.select(col("src"), col("dst")).distinct().cutRound()
     var prevCount = e.count()
     var iter = 0
     var done = prevCount == 0L
     while (!done && iter < maxIter) {
       val alive = e.select(col("src").as("dst")).distinct()
-      val next = e.join(alive, Seq("dst"), "left_semi").cut()
+      val next = e.join(alive, Seq("dst"), "left_semi").cutRound()
       e.uncut()
       val n = next.count()
       e = next
