@@ -395,6 +395,30 @@ object ScaleProbe {
       Relational.overlapPairs(
         m.select(col("l_orderkey").as("coll"), col("l_partkey").as("member")).distinct(),
         "coll", "member", dfCap = 40L, boundedDf = arrays)
+    // Stage prefixes of the same pipeline (see the probe list): these
+    // REPLICATE overlapPairs' internals at probe grain — kept adjacent
+    // to `overlap` so drift is one diff away.
+    def ovEdges(m: DataFrame): DataFrame =
+      m.select(col("l_orderkey").as("__id"), col("l_partkey").as("__el"))
+        .distinct()
+    def ovCut(m: DataFrame): DataFrame = {
+      import graft.operators.Checkpoints.Cuttable
+      val e = ovEdges(m).cut()
+      val drop = e.groupBy("__el").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > 40L).select("__el").cut()
+      e.join(drop, Seq("__el"), "left_anti")
+    }
+    def ovLists(m: DataFrame): DataFrame =
+      ovCut(m).groupBy("__el")
+        .agg(sort_array(collect_list(col("__id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+    def ovPairs(m: DataFrame): DataFrame =
+      ovLists(m).select(explode(
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.expr.ArrayOrderedPairs(
+              org.apache.spark.sql.graft.ColumnBridge.expression(
+                col("ids"))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
     // b2: cone-seeded reachability + validation counts.
     def validate(m: DataFrame): DataFrame = {
       val mem = m.select(col("l_partkey").as("t"),
@@ -441,6 +465,31 @@ object ScaleProbe {
       ("a6 group-collect", () => noop(groupCollect(li)), () => noop(groupCollect(liK))),
       ("a25 cap+join", () => noop(overlap(li, false)), () => noop(overlap(liKBoth, false))),
       ("a25 cap+arrays", () => noop(overlap(li, true)), () => noop(overlap(liKBoth, true))),
+      // a25 STAGE probes (r15 diet attribution): cumulative prefixes
+      // of the bounded overlap pipeline, so (stageN+1 − stageN) cpu
+      // attributes each stage. s1 = the (coll, member) distinct
+      // projection; s2 = s1 + the over-cap drop-set anti join; s3 =
+      // s2 + the per-member sorted id-list aggregation; the full
+      // pipeline (s3 + pair explode + pair count agg) is "a25
+      // cap+arrays" above. Kx side reuses the same frames.
+      ("a25 s1 distinct", () => noop(ovEdges(li)), () => noop(ovEdges(liKBoth))),
+      ("a25 s2 dfcut", () => noop(ovCut(li)), () => noop(ovCut(liKBoth))),
+      ("a25 s3 lists", () => noop(ovLists(li)), () => noop(ovLists(liKBoth))),
+      // s4 = s3 + the pair explode (no count agg): s4−s3 is the raw
+      // emission cost, full−s4 the pair-count aggregation.
+      ("a25 s4 pairs", () => noop(ovPairs(li)), () => noop(ovPairs(liKBoth))),
+      // s5 = s4 + the pair-count agg (the full bounded pipeline,
+      // duplicated from "a25 cap+arrays" at stage grain): full−s4 is
+      // the aggregation cost — measured ~18 s cpu of a25's ~28 at
+      // sf0.1, the 8.7M-mostly-distinct-pair hash agg. A
+      // pre-partitioned single-agg variant was probed and REJECTED
+      // (35.3 vs 22.0 s cpu: the extra exchange costs more than the
+      // ~0%-combining partial pass it tried to remove), so the
+      // default partial+final plan stands as the measured optimum.
+      ("a25 s5 count", () => noop(ovPairs(li).groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("overlap"))),
+        () => noop(ovPairs(liKBoth).groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("overlap")))),
       ("b2 validate", () => noop(validate(li)), () => noop(validate(liK))),
       ("p1 build", () => noop(pipeline(li, orders)), () => noop(pipeline(liK, ordersK))),
       ("f8 tfidf",
