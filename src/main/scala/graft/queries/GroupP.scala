@@ -287,9 +287,14 @@ object GroupP {
       .agg(count(lit(1)).as("n_dup_old"),
         max(col("jaccard")).as("best_jaccard"))
     // d16 merge: slice pairs = confirmed cross pairs + new-new pairs.
-    val oldAssign = Graph.connectedComponents(
-      Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
-      strict = true)
+    // Timed.region("fit"): the assignment derivation is EAGER
+    // (per-round cuts) and is exactly what p5's serving store
+    // amortizes — fit_s decomposes p4's wall into amortizable fit +
+    // per-cycle DAG (the d16 pattern, applied to the composed twin).
+    val oldAssign = graft.Timed.region("fit")(
+      Graph.connectedComponents(
+        Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
+        strict = true))
     val newPairs = confirmed
       .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
       .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
@@ -301,9 +306,12 @@ object GroupP {
       .select(col("id").as("doc_id"), col("comp").as("component"))
     // e11 index delta: serving structures fit on the existing vectors,
     // slice assigned with no refit (vec_id aligns with doc_id).
-    val (cent, cb) = Similarity.ivfPqFit(
-      embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-      dim = 64)
+    // Also fit: the IVF+PQ structures (eager — normalized corpus cut +
+    // unrolled Lloyd/codebook cuts), reloaded from the store in p5.
+    val (cent, cb) = graft.Timed.region("fit")(
+      Similarity.ivfPqFit(
+        embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        dim = 64))
     val idx = Similarity.ivfPqIndexDelta(
         embeddings.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
         cent, cb, m = 8, dim = 64)
