@@ -170,7 +170,14 @@ object Text {
     * both engines, map keys sorted (the binary-search contract).
     * Callers `crossJoin(broadcast(...))` the result onto the names
     * frame. The global rank window runs over a VOCABULARY (dim-sized
-    * by definition), never a corpus. */
+    * by definition), never a corpus.
+    *
+    * CONTRACT: `cntCol` must be non-null on every row. The rank order
+    * is realized by an ascending struct sort on `-cnt` — for non-null
+    * counts this equals the former `cnt DESC` window exactly, but a
+    * null count would sort FIRST here (rank 1, cheapest cost) where
+    * the window's DESC ordering put nulls LAST. Both in-repo callers
+    * derive counts from a groupBy().count(), which cannot be null. */
   def segmentDict(freq: org.apache.spark.sql.DataFrame,
                   tokCol: String, cntCol: String): org.apache.spark.sql.DataFrame = {
     // V (the vocabulary size, inside every cost's ln(rank·ln V)) is

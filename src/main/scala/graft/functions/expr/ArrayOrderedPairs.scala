@@ -83,7 +83,11 @@ object ArrayOrderedPairs {
     override def numFields: Int = 2
     override def isNullAt(i: Int): Boolean = false
     override def getLong(i: Int): Long = if (i == 0) a else b
-    override def getInt(i: Int): Int = getLong(i).toInt
+    // Both fields are longs; a getInt would be a consumer reading a
+    // mistyped schema, and a silent toInt truncation would corrupt
+    // ids instead of failing loudly like every other wrong-type
+    // accessor below.
+    override def getInt(i: Int): Int = throw unsupported
     override def get(i: Int, dt: DataType): AnyRef = Long.box(getLong(i))
     override def copy(): org.apache.spark.sql.catalyst.InternalRow =
       new GenericInternalRow(Array[Any](a, b))
