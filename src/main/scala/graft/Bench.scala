@@ -14,8 +14,18 @@ object Bench {
     diskSpill: Long, peakMem: Long, blkMemW: Long, blkDiskW: Long,
     blkDrop: Long, fit: Double, canary: Double, canaryPost: Double,
     canaryPar: Double, canaryParPost: Double,
+    canaryChase: Double, canaryChasePost: Double,
     durSerial: Seq[Double], durPar: Seq[Double],
-    storeWarm: Option[Boolean], shots: Seq[Double])
+    durChase: Seq[Double], storeWarm: Option[Boolean],
+    shots: Seq[Double], stages: Seq[StageRec])
+
+  /** One completed Spark stage's aggregate, captured by the listener
+    * for the per-stage (wall, cpu) attribution of long shots (r15
+    * verdict ask #1). wall is completion−submission (0.0 when Spark
+    * omits a timestamp, e.g. a skipped stage); cpu/run are the
+    * stage's summed task metrics. */
+  private[graft] final case class StageRec(id: Int, name: String,
+    tasks: Int, wall: Double, cpu: Double, run: Double)
 
   /** Contention canary (r11 verdict ask #2): a fixed-WORK,
     * single-thread, memory-bandwidth-bound micro-kernel — 8
@@ -77,6 +87,7 @@ object Bench {
     setName("bench-canary-during")
     private val serial = scala.collection.mutable.ArrayBuffer[Double]()
     private val par = scala.collection.mutable.ArrayBuffer[Double]()
+    private val chase = scala.collection.mutable.ArrayBuffer[Double]()
     @volatile private var stopped = false
     override def run(): Unit = {
       try {
@@ -87,21 +98,25 @@ object Bench {
           if (!stopped) {
             val s = Canary.run()
             val p = Canary.runParallel()
-            synchronized { serial += s; par += p }
+            // Third kernel in the timeline (r15 verdict ask #1): the
+            // latency chase brands the bandwidth/LLC-thrash quadrant
+            // the two stream kernels measurably miss.
+            val c = Canary.runChase()
+            synchronized { serial += s; par += p; chase += c }
           }
         }
       } catch { case _: InterruptedException => () }
     }
-    /** Halt sampling and return (serial, parallel) timelines. join
-      * with a bound: the thread may be mid-kernel (~0.5 s); a
+    /** Halt sampling and return (serial, parallel, chase) timelines.
+      * join with a bound: the thread may be mid-kernel (~0.5 s); a
       * pathological hang must never wedge the bench, so after the
       * bound we take what was recorded (a sample appended later is
       * simply dropped with the thread). */
-    def finish(): (Seq[Double], Seq[Double]) = {
+    def finish(): (Seq[Double], Seq[Double], Seq[Double]) = {
       stopped = true
       interrupt()
       join(10000L)
-      synchronized { (serial.toSeq, par.toSeq) }
+      synchronized { (serial.toSeq, par.toSeq, chase.toSeq) }
     }
   }
 
@@ -168,6 +183,30 @@ object Bench {
         if (info.diskSize > 0) blkDiskW.addAndGet(info.diskSize)
       } else blkDrop.incrementAndGet()
     }
+    // Per-stage (wall, cpu) attribution (r15 verdict ask #1): stage
+    // completion events carry the stage's aggregated task metrics, so
+    // a long shot's inflation can be pinned to the STAGE that
+    // absorbed it — e.g. the r15 driver's p5 read 806.8 s summed cpu
+    // against an 8-9 s pin band, and without a stage breakdown the
+    // artifact could not say whether one shuffle or the whole plan
+    // dilated. Records accumulate for the session; shots snapshot
+    // [stageMark, size) deltas.
+    val stageRecs =
+      scala.collection.mutable.ArrayBuffer[Bench.StageRec]()
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val wall = (for (s <- si.submissionTime; c <- si.completionTime)
+        yield (c - s) / 1e3).getOrElse(0.0)
+      val m = si.taskMetrics
+      val rec = Bench.StageRec(si.stageId, si.name, si.numTasks, wall,
+        if (m != null) m.executorCpuTime / 1e9 else 0.0,
+        if (m != null) m.executorRunTime / 1e3 else 0.0)
+      stageRecs.synchronized { stageRecs += rec }
+    }
+    def stageMark(): Int = stageRecs.synchronized(stageRecs.size)
+    def stagesSince(mark: Int): Seq[Bench.StageRec] =
+      stageRecs.synchronized(stageRecs.drop(mark).toVector)
   }
 
   /** Drain the async listener bus so the tally includes every task of
@@ -221,11 +260,10 @@ object Bench {
   private val autoThresholdSec = 5.0
   private def parseShotPolicy(raw: Option[String]): ShotPolicy = raw match {
     case None => ShotPolicy(1, auto = false, 3, Map.empty, 1)
-    case Some(v) if v.trim.toLowerCase.startsWith("auto") =>
-      val n = v.trim.drop(4).trim
-      val shots = if (n.isEmpty) 3 else n.toInt
-      require(shots >= 2, s"autoN needs N >= 2, got $v")
-      ShotPolicy(1, auto = true, shots, Map.empty, 1)
+    // The per-query k=v form is matched BEFORE the "auto" prefix: a
+    // per-query spec whose first query name happens to start with
+    // "auto" must parse as per-query, not die inside autoN's numeric
+    // suffix parse (r15 ADVICE).
     case Some(v) if v.contains("=") =>
       val kv = v.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
         val Array(k, n) = e.split("=", 2)
@@ -235,6 +273,13 @@ object Bench {
       }.toMap
       ShotPolicy(1, auto = false, 3, kv - "default",
         kv.getOrElse("default", 1))
+    case Some(v) if v.trim.toLowerCase.startsWith("auto") =>
+      val n = v.trim.drop(4).trim
+      require(n.isEmpty || n.forall(_.isDigit),
+        s"SPARK_GRAFT_BENCH_REPS=autoN needs a numeric N, got: $v")
+      val shots = if (n.isEmpty) 3 else n.toInt
+      require(shots >= 2, s"autoN needs N >= 2, got $v")
+      ShotPolicy(1, auto = true, shots, Map.empty, 1)
     case Some(v) =>
       val n = v.trim.toInt
       require(n >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $n")
@@ -345,6 +390,11 @@ object Bench {
     // lanes this 32-thread JVM actually uses, and starved streams
     // read as inflated CPU time — the pair is the adjudicator.
     val canaryParBase = (1 to 3).map(_ => Canary.runParallel()).min
+    // The latency-chase kernel's base (see Canary.runChase): the
+    // third quadrant — contention that inflates loaded-to-use memory
+    // latency (and therefore Spark task CPU, stalls being on-CPU
+    // cycles) while leaving both stream kernels near-quiet.
+    val canaryChaseBase = (1 to 3).map(_ => Canary.runChase()).min
     // Action: write to the built-in `noop` sink, which consumes every
     // output row in full. A `count()` action would let Catalyst prune
     // all columns the count doesn't need, so pure-projection queries
@@ -420,8 +470,10 @@ object Bench {
       gc: Double, memSpill: Long, diskSpill: Long, peakMem: Long,
       blkMemW: Long, blkDiskW: Long, blkDrop: Long, fit: Double,
       canary: Double, canaryPost: Double, canaryPar: Double,
-      canaryParPost: Double, durSerial: Seq[Double],
-      durPar: Seq[Double], storeWarm: Option[Boolean])
+      canaryParPost: Double, canaryChase: Double,
+      canaryChasePost: Double, durSerial: Seq[Double],
+      durPar: Seq[Double], durChase: Seq[Double],
+      storeWarm: Option[Boolean], stages: Seq[StageRec])
     val results = selected.map { case (name, fn) =>
       val shots = scala.collection.mutable.ArrayBuffer[Shot]()
       def runShot(): Option[Shot] = {
@@ -484,6 +536,10 @@ object Bench {
         // published canary always pairs with the published timing.
         val canarySec = Canary.run()
         val canaryParSec = Canary.runParallel()
+        val canaryChaseSec = Canary.runChase()
+        // Stage mark AFTER the pre-shot drain: stages completing from
+        // here on belong to THIS shot's attribution window.
+        val stage0 = tally.stageMark()
         val sampler = new DuringSampler(periodSec = 5.0)
         sampler.start()
         val t0 = System.nanoTime()
@@ -497,13 +553,20 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           // Stop the mid-shot sampler BEFORE the closing bracket so
           // timeline and bracket samples never overlap.
-          val (durS, durP) = sampler.finish()
+          val (durS, durP, durC) = sampler.finish()
           // The closing bracket sample: immediately after the timed
           // region, before any bookkeeping (untimed either way).
           val canaryPost = Canary.run()
           val canaryParPost = Canary.runParallel()
+          val canaryChasePost = Canary.runChase()
           val fit = Timed.drain().getOrElse("fit", 0.0)
           drainListenerBus(spark.sparkContext)
+          // Per-stage attribution, kept only for shots past the
+          // auto threshold — short shots' stage lists are noise the
+          // artifact does not need.
+          val stages =
+            if (wall > autoThresholdSec) tally.stagesSince(stage0)
+            else Nil
           Some(Shot(wall,
             (tally.cpuNs.get() - cpu0) / 1e9,
             (tally.runMs.get() - run0) / 1e3,
@@ -515,7 +578,8 @@ object Bench {
             tally.blkDiskW.get() - blkD0,
             tally.blkDrop.get() - blkX0,
             fit, canarySec, canaryPost, canaryParSec, canaryParPost,
-            durS, durP, warmNow))
+            canaryChaseSec, canaryChasePost,
+            durS, durP, durC, warmNow, stages))
         } catch {
           // NonFatal (the Checkpoints convention): VM-fatal errors
           // abort the bench — timings measured inside a broken JVM
@@ -531,7 +595,12 @@ object Bench {
       // auto mode: a first shot over the threshold triggers the
       // extra min-of-N shots (r14 verdict ask #6) — contention that
       // poisons one long shot rarely spans three spread over minutes.
-      if (shots.lastOption.exists(_.wall > autoThresholdSec))
+      // A FAILED first shot (shots empty in auto mode) also retries:
+      // a transient failure must not cost a long query its entire
+      // measurement when explicit N-rep mode would have kept going
+      // (r15 ADVICE).
+      if (shots.lastOption.exists(_.wall > autoThresholdSec) ||
+          (policy.auto && shots.isEmpty))
         for (_ <- 1 to policy.extraIfSlow) runShot().foreach(shots += _)
       val pick: Option[Shot] =
         if (policy.auto) shots.minByOption(_.wall)
@@ -540,11 +609,14 @@ object Bench {
         case Some(sh) => BenchRow(name, sh.wall, sh.cpu, sh.run, sh.gc,
           sh.memSpill, sh.diskSpill, sh.peakMem, sh.blkMemW,
           sh.blkDiskW, sh.blkDrop, sh.fit, sh.canary, sh.canaryPost,
-          sh.canaryPar, sh.canaryParPost, sh.durSerial, sh.durPar,
+          sh.canaryPar, sh.canaryParPost, sh.canaryChase,
+          sh.canaryChasePost, sh.durSerial, sh.durPar, sh.durChase,
           sh.storeWarm,
-          if (shots.size > 1) shots.map(_.wall).toSeq else Nil)
+          if (shots.size > 1) shots.map(_.wall).toSeq else Nil,
+          sh.stages)
         case None => BenchRow(name, 0.0, 0.0, 0.0, 0.0, 0L, 0L, 0L,
-          0L, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, Nil, Nil, None, Nil)
+          0L, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, Nil, Nil,
+          Nil, None, Nil, Nil)
       }
     }
     def qmap(f: BenchRow => String): String =
@@ -600,11 +672,46 @@ object Bench {
     // array per long query.
     def summary(xs: Seq[Double]): String = {
       val s = xs.sorted
-      val med = s(s.size / 2)
+      // True median: average the two middles for even n — the former
+      // upper-middle pick made n=2's "med" equal "max", over-reading
+      // interior contention on short timelines (r15 ADVICE).
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       s"""{"min":${s.head},"med":$med,"max":${s.last},"n":${s.size}}"""
     }
     val durQs = qmapWhen(_.durSerial.nonEmpty)(r => summary(r.durSerial))
     val durParQs = qmapWhen(_.durPar.nonEmpty)(r => summary(r.durPar))
+    // The latency-chase kernel's brackets + timeline (r15 verdict
+    // ask #1): serial+parallel quiet with chase dilated brands
+    // LLC/latency contention — the quadrant that inflates task cpu
+    // while both stream kernels read near-quiet.
+    val canaryChaseQs = qmap(_.canaryChase.toString)
+    val canaryChasePostQs = qmap(_.canaryChasePost.toString)
+    val durChaseQs = qmapWhen(_.durChase.nonEmpty)(r => summary(r.durChase))
+    // Per-stage (wall, cpu) attribution for long shots (r15 verdict
+    // ask #1): top stages by wall, capped so a 60-stage iterative
+    // query cannot bloat the artifact — the cap is LOUD (n_total vs
+    // the emitted list length) and the dropped tail's sums are
+    // published, so truncation never reads as "that was everything".
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    def stageJson(recs: Seq[StageRec]): String = {
+      val top = recs.sortBy(-_.wall).take(12)
+      val rest = recs.sortBy(-_.wall).drop(12)
+      val items = top.map(s =>
+        s"""{"id":${s.id},"tasks":${s.tasks},"wall":${s.wall},""" +
+          s""""cpu":${s.cpu},"run":${s.run},"name":${jstr(s.name)}}""")
+        .mkString("[", ",", "]")
+      s"""{"n_total":${recs.size},"rest_wall":${rest.map(_.wall).sum},""" +
+        s""""rest_cpu":${rest.map(_.cpu).sum},"top":$items}"""
+    }
+    val stagesQs = qmapWhen(_.stages.nonEmpty)(r => stageJson(r.stages))
     // shots: every successful shot's wall when >1 ran (auto mode's
     // min-selection must never hide the distribution it selected
     // from).
@@ -641,7 +748,10 @@ object Bench {
       .flatMap(r => Seq(r.canary, r.canaryPost)).filter(_ > 0.0)).min
     val canaryParMin = (canaryParBase +: results
       .flatMap(r => Seq(r.canaryPar, r.canaryParPost)).filter(_ > 0.0)).min
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"gc":$gcQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"blk_mem_w":$blkMemWQs,"blk_disk_w":$blkDiskWQs,"blk_drop":$blkDropQs,"fit_s":$fitQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"canary_min":$canaryMin,"canary_par":$canaryParQs,"canary_par_post":$canaryParPostQs,"canary_par_base":$canaryParBase,"canary_par_min":$canaryParMin,"canary_during":$durQs,"canary_par_during":$durParQs,"shots":$shotsQs,"store_warm":$storeWarmQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"gc_total":$gcTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"blk_disk_w_total":$blkDiskWTotal,"errors":$errs,"sf":"$sfDir"}"""
+    val canaryChaseMin = (canaryChaseBase +: results
+      .flatMap(r => Seq(r.canaryChase, r.canaryChasePost))
+      .filter(_ > 0.0)).min
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpuQs,"run":$runQs,"gc":$gcQs,"spill_mem":$memSpillQs,"spill_disk":$diskSpillQs,"peakmem":$peakMemQs,"blk_mem_w":$blkMemWQs,"blk_disk_w":$blkDiskWQs,"blk_drop":$blkDropQs,"fit_s":$fitQs,"canary":$canaryQs,"canary_post":$canaryPostQs,"canary_base":$canaryBase,"canary_min":$canaryMin,"canary_par":$canaryParQs,"canary_par_post":$canaryParPostQs,"canary_par_base":$canaryParBase,"canary_par_min":$canaryParMin,"canary_chase":$canaryChaseQs,"canary_chase_post":$canaryChasePostQs,"canary_chase_base":$canaryChaseBase,"canary_chase_min":$canaryChaseMin,"canary_during":$durQs,"canary_par_during":$durParQs,"canary_chase_during":$durChaseQs,"stage_breakdown":$stagesQs,"shots":$shotsQs,"store_warm":$storeWarmQs,"cpu_total":$cpuTotal,"run_total":$runTotal,"gc_total":$gcTotal,"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"blk_disk_w_total":$blkDiskWTotal,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the full-name, full-precision line to a file FIRST: the
     // round-4 artifact lost its `total` and 12 per-query numbers to a
     // truncated stdout capture — a file write cannot be cut mid-stream
@@ -691,12 +801,15 @@ object Bench {
     val canaryParMax = results
       .flatMap(r => Seq(r.canaryPar, r.canaryParPost))
       .foldLeft(0.0)(math.max)
+    val canaryChaseMax = results
+      .flatMap(r => Seq(r.canaryChase, r.canaryChasePost))
+      .foldLeft(0.0)(math.max)
     // store_cold: how many serving rows were measured against a store
     // that was NOT verifiably warm at shot time (0 on a healthy run —
     // one scalar fits the tail window; the per-query map is in
     // bench_out.json).
     val storeCold = results.count(_.storeWarm.contains(false))
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"gc_total":${s3(gcTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"blk_disk_w_total":$blkDiskWTotal,"canary_base":${s3(canaryBase)},"canary_min":${s3(canaryMin)},"canary_max":${s3(canaryMax)},"canary_par_min":${s3(canaryParMin)},"canary_par_max":${s3(canaryParMax)},"store_cold":$storeCold,"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"$outFile"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_total":${s3(cpuTotal)},"run_total":${s3(runTotal)},"gc_total":${s3(gcTotal)},"spill_mem_total":$memSpillTotal,"spill_disk_total":$diskSpillTotal,"blk_disk_w_total":$blkDiskWTotal,"canary_base":${s3(canaryBase)},"canary_min":${s3(canaryMin)},"canary_max":${s3(canaryMax)},"canary_par_min":${s3(canaryParMin)},"canary_par_max":${s3(canaryParMax)},"canary_chase_min":${s3(canaryChaseMin)},"canary_chase_max":${s3(canaryChaseMax)},"store_cold":$storeCold,"queries":$qsShort,"errors":$errs,"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
     // A bench with errored queries must not ship as a healthy "rc 0"
     // run (r6 shipped 15 fast-failing queries inside a green-looking
@@ -741,6 +854,80 @@ private[graft] object Canary {
       pass += 1
     }
     sink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The LATENCY kernel — third canary (r15 verdict ask #1). The two
+    * stream kernels have a measured blind quadrant: the r15 driver's
+    * p5 shot read 806.8 s summed task CPU against an 8-9 s pin band
+    * while serial and parallel canaries stayed 1.2-1.8× — a
+    * contention mode that inflates a memory-LATENCY-bound workload's
+    * stall cycles (LLC/TLB thrash, DRAM queue pressure from a
+    * random-access co-tenant) without starving a prefetch-friendly
+    * sequential stream. This kernel measures exactly that axis: a
+    * DEPENDENT pointer-chase through a strided single-cycle
+    * permutation over a 32 MiB int array. Each load's address comes
+    * from the previous load's VALUE, so out-of-order overlap cannot
+    * hide a miss, and the stride (39.9 KB jumps, page-crossing,
+    * value-dependent) defeats every hardware prefetcher.
+    *
+    * The SIZING is the sensitivity mechanism, chosen from a measured
+    * sweep on this host (tools/ChaseCal: 8 MiB → 35 ns/load, 16 MiB →
+    * 148 ns/load — the guest's EFFECTIVE LLC share is 8-16 MiB, far
+    * under the advertised 54 MiB, virtualization being what it is):
+    * 8 MiB FITS the effective LLC, so the quiet reading is cache-hit
+    * latency (~0.06-0.08 s for 2M steps; the buffer self-warms
+    * within a sample — 128K lines, each revisited ~16×). A co-tenant
+    * thrashing the LLC or the DRAM queues CONTINUOUSLY evicts the
+    * working set and every step becomes a full loaded-to-use memory
+    * access — the reading dilates by the cache-vs-DRAM latency ratio
+    * (≥4×) at contention levels where the 128 MiB sequential stream
+    * kernel, which never relied on the LLC and rides the
+    * prefetchers, stays near-quiet. (A DRAM-resident 256 MiB variant
+    * was measured FLAT at those same levels — pure queue delay adds
+    * ~40 ns/load against a 145 ns base — which is exactly the r15
+    * blind quadrant; the LLC-resident sizing is what converts
+    * eviction pressure into signal.) Same sampling discipline as the
+    * other two kernels. */
+  private val chaseWords = 1 << 20 // 1M ints = 4 MiB: ABOVE the
+                                   // private L2 (a 2 MiB variant
+                                   // measured co-tenant-IMMUNE — L2
+                                   // is private, nothing external
+                                   // can evict it), inside the
+                                   // measured effective LLC share
+  private val chaseSteps = 2 << 20 // 2M dependent loads per sample
+  private lazy val chaseBuf = {
+    // Single-cycle strided permutation: next = (i + STRIDE) mod N
+    // with gcd(STRIDE, N) = 1 (N is a power of two, STRIDE odd ⇒
+    // coprime), so the walk visits all 8M slots before repeating —
+    // no short cycle can collapse into a hotter cache level. 9973
+    // ints = 39.9 KB per hop: every dependent load lands ~10 pages
+    // away.
+    val stride = 9973
+    val a = new Array[Int](chaseWords)
+    var i = 0
+    while (i < chaseWords) {
+      a(i) = (i + stride) & (chaseWords - 1)
+      i += 1
+    }
+    a
+  }
+  def runChase(): Double = {
+    var j = sink.toInt & (chaseWords - 1) // data-dependent start; any slot works
+    // UNTIMED warm cycle: the bracket order runs the two 128 MiB
+    // stream kernels immediately before this one, evicting the chase
+    // buffer — without a warm pass every sample pays one cold cycle
+    // of compulsory misses and the quiet baseline floats with kernel
+    // ordering. With it, the timed region measures pure steady
+    // state: resident (cache-hit latency) on a quiet host, and under
+    // a thrashing co-tenant the warm pass cannot help — lines are
+    // re-evicted between revisits, which is the signal.
+    var w = 0
+    while (w < chaseWords) { j = chaseBuf(j); w += 1 }
+    val t0 = System.nanoTime()
+    var s = 0
+    while (s < chaseSteps) { j = chaseBuf(j); s += 1 }
+    sink += j // value dependency reaches the sink: no dead-code elim
     (System.nanoTime() - t0) / 1e9
   }
 

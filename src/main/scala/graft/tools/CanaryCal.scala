@@ -1,17 +1,20 @@
 package graft.tools
 
-/** Sample the serial + parallel contention canaries for N seconds —
-  * calibrates the parallel kernel's quiet band and catches contention
-  * phases the serial kernel misses (see graft.Canary.runParallel). */
+/** Sample the serial + parallel + latency-chase contention canaries
+  * for N seconds — calibrates each kernel's quiet band and catches
+  * contention phases the other kernels miss (see
+  * graft.Canary.runParallel and graft.Canary.runChase). */
 object CanaryCal {
   def main(args: Array[String]): Unit = {
     val secs = args.headOption.map(_.toInt).getOrElse(60)
-    graft.Canary.run(); graft.Canary.runParallel() // JIT + page-in
+    // JIT + page-in all three kernels before any printed sample.
+    graft.Canary.run(); graft.Canary.runParallel(); graft.Canary.runChase()
     val t0 = System.nanoTime()
     while ((System.nanoTime() - t0) / 1e9 < secs) {
       val s = graft.Canary.run()
       val p = graft.Canary.runParallel()
-      println(f"[canary] serial ${s}%.3f  parallel ${p}%.3f  ratio ${p / s}%.2f")
+      val c = graft.Canary.runChase()
+      println(f"[canary] serial ${s}%.3f  parallel ${p}%.3f  chase ${c}%.3f")
       Thread.sleep(2000)
     }
   }
