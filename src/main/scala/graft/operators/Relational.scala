@@ -201,25 +201,40 @@ object Relational {
       // build its whole df-sized id array in a single buffer, where
       // the join path merely spills a fat SMJ bucket.
       // Pair emission is the native [[graft.functions.expr
-      // .ArrayOrderedPairs]] codegen expression — pairs are born
-      // ordered (sorted input) and exploded once. Two rejected
-      // declarative forms, both measured: posexplode-then-slice
-      // carried the full ids array on every exploded row (Σ df³ bytes
-      // of row copies — 19× wall at 4× data), and the
-      // flatten(transform(sequence…slice…)) nest evaluated
+      // .ArrayOrderedPairsGen]] GENERATOR — pairs are born ordered
+      // (sorted input) and STREAMED: GenerateExec consumes the lazy
+      // iterator inside whole-stage codegen, one reused row, zero
+      // per-pair allocation. Three rejected forms, all measured:
+      // posexplode-then-slice carried the full ids array on every
+      // exploded row (Σ df³ bytes of row copies — 19× wall at 4×
+      // data); the flatten(transform(sequence…slice…)) nest evaluated
       // INTERPRETED (higher-order functions are CodegenFallback) with
       // a sliced tail copy per outer index — a25 at sf0.1 read 172 s
-      // summed task CPU on that form vs the join path's 49 s. The
-      // expression emits the same df²/2 pair structs from one tight
-      // compiled loop.
-      e0.groupBy("__el").agg(sort_array(collect_list(col("__id"))).as("ids"))
+      // summed task CPU on that form vs the join path's 49 s; and the
+      // ArrayOrderedPairs array expression + explode (the r15 form)
+      // materialized every group's full pair array before exploding
+      // it — ~7 s of a25's ~21 s restricted task cpu was that
+      // build-then-tear-apart (the r15 verdict's named follow-up).
+      // The explicit repartition pins the EXPANSION stage's
+      // parallelism: pair emission inflates rows ~C(df,2)/df ≈ 10-20×
+      // past the lists frame, but AQE sizes the post-agg stage on the
+      // lists' INPUT bytes and coalesces it (measured: 4 tasks on 32
+      // cores at sf0.1 — 1.75 s of a 5.3 s wall, and each fat task's
+      // partial-agg map grows past 100 MB, thrashing cache). A
+      // user-specified hash repartition with an EXPLICIT partition
+      // count is exempt from AQE coalescing (a count-less repartition
+      // still participates — measured: the stage stayed coalesced),
+      // and keying it on __el lets the groupBy reuse the exchange —
+      // same shuffle count, fixed fan-out.
+      e0.repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("__el"))
+        .groupBy("__el").agg(sort_array(collect_list(col("__id"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.expr.ArrayOrderedPairs(
-              org.apache.spark.sql.graft.ColumnBridge.expression(
-                col("ids")))))
-          .as("p"))
-        .select(col("p.id_a"), col("p.id_b"))
+        .select(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expr.ArrayOrderedPairsGen(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col("ids")))))
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("overlap"))
     } else {

@@ -413,12 +413,11 @@ object ScaleProbe {
         .agg(sort_array(collect_list(col("__id"))).as("ids"))
         .filter(size(col("ids")) >= 2)
     def ovPairs(m: DataFrame): DataFrame =
-      ovLists(m).select(explode(
-          org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.expr.ArrayOrderedPairs(
-              org.apache.spark.sql.graft.ColumnBridge.expression(
-                col("ids"))))).as("p"))
-        .select(col("p.id_a"), col("p.id_b"))
+      ovLists(m).select(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expr.ArrayOrderedPairsGen(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              col("ids")))))
     // b2: cone-seeded reachability + validation counts.
     def validate(m: DataFrame): DataFrame = {
       val mem = m.select(col("l_partkey").as("t"),
