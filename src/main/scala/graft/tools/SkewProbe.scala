@@ -37,9 +37,18 @@ import org.apache.spark.sql.functions._
   *    is one task's sort run; the hot partition is one task.
   *  - a1 agg      — plain multi-agg groupBy: partial aggregation
   *    combines map-side, the expected-robust control.
-  *  - a10 merge   — the name-merge join (collections sharing a
-  *    name): sort-merge join with a hot key on BOTH sides — the
-  *    shape AQE's skew join is supposed to split.
+  *  - a10 merge   — the REGISTERED name-merge shape: groupBy(name)
+  *    with min/sum/count (merging collections sharing a name is an
+  *    aggregation, one output row per name) — map-side combine
+  *    collapses the hot name to one row per map task.
+  *  - a10 pairjoin — the shape a10 is NOT (self-join on name
+  *    emitting pairs): quadratic on the hot key by construction,
+  *    kept as the negative control — this is what a25's dfCap
+  *    exists to prevent.
+  *  - a25 capped  — overlapPairs with dfCap=40 on a skewed member
+  *    key: the cap's anti-join drops the hot element, so skewed
+  *    must read ≈ uniform (the "bounded by an existing cap"
+  *    adjudication).
   *  - d16 labels  — the label pull: edge frame joined to a label dim
   *    on the edge's b endpoint, hot b (one super-connected node).
   *  - g1 session  — per-user ordered window (sessionize): hot user.
@@ -59,18 +68,22 @@ object SkewProbe {
       }
     }
     def reset(): Unit = byStage.clear()
-    /** (ratio, maxMs, medMs, tasks) of the stage with the largest
-      * max/median task-run ratio among stages with >= minTasks. */
-    def worstStraggler(minTasks: Int = 8): Option[(Double, Long, Long, Int)] = {
+    /** (ratio, maxMs, medMs, tasks) of the DOMINANT stage — largest
+      * summed task run time among stages with >= minTasks. The
+      * max-ratio-anywhere variant was measured misleading at probe
+      * scale: a near-empty side stage (med 1 ms, max 29 ms) reads
+      * "29x" while the stage carrying the actual work reads flat —
+      * skew only matters where the time is. */
+    def dominantStraggler(minTasks: Int = 8): Option[(Double, Long, Long, Int)] = {
       import scala.jdk.CollectionConverters._
       byStage.asScala.values.flatMap { q =>
         val d = q.asScala.toVector.sorted
         if (d.size < minTasks || d.last == 0L) None
         else {
           val med = math.max(d(d.size / 2), 1L)
-          Some((d.last.toDouble / med, d.last, med, d.size))
+          Some((d.sum, (d.last.toDouble / med, d.last, med, d.size)))
         }
-      }.maxByOption(_._1)
+      }.maxByOption(_._1).map(_._2)
     }
   }
 
@@ -154,10 +167,19 @@ object SkewProbe {
           count(lit(1)).as("n"), sum("qty").as("sq"),
           avg("score").as("as"), max("member").as("mm"))),
       ("a10 merge", names, namesSkew,
+        (d: DataFrame) => d.groupBy("name").agg(
+          min(col("coll")).as("stable_id"),
+          count(lit(1)).as("merged_count"))),
+      ("a10 pairjoin", names, namesSkew,
         (d: DataFrame) => d.join(
             d.select(col("name"), col("coll").as("coll2")), "name")
           .filter(col("coll") < col("coll2"))
           .groupBy("name").agg(count(lit(1)).as("pairs"))),
+      ("a25 capped", li, skewKey(li, "member"),
+        (d: DataFrame) => graft.operators.Relational.overlapPairs(
+          d.select(col("coll").as("c"), col("member").as("m"))
+            .localCheckpoint(),
+          "c", "m", dfCap = 40L, boundedDf = true)),
       ("d16 labels", edges, edgesSkew,
         (d: DataFrame) => d.join(labels, "b")
           .groupBy("a").agg(min("label").as("lbl"))),
@@ -214,7 +236,7 @@ object SkewProbe {
         tally.reset()
         val (w, c) = cpuTimed(noop(body(in)))
         drainBus()
-        val s = tally.worstStraggler().map { case (r, mx, md, n) =>
+        val s = tally.dominantStraggler().map { case (r, mx, md, n) =>
           f"straggler ${r}%5.1fx (max ${mx}ms med ${md}ms n=$n)"
         }.getOrElse("straggler n/a")
         (w, c, s)
