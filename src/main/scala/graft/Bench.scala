@@ -199,7 +199,32 @@ object Bench {
       val wall = (for (s <- si.submissionTime; c <- si.completionTime)
         yield (c - s) / 1e3).getOrElse(0.0)
       val m = si.taskMetrics
-      val rec = Bench.StageRec(si.stageId, si.name, si.numTasks, wall,
+      // si.name is the ACTION's short callsite, identical across a
+      // query's stages and often a lambda frame
+      // ("$anonfun$... at CompletableFuture.java" for broadcast
+      // jobs) — useless for attribution. si.details carries the full
+      // callsite stack; the topmost graft frame names the operator
+      // that actually built this stage's subtree, which is the label
+      // an inflated reading needs.
+      // The stage's RDD operation scopes name the physical operators
+      // it executes (distinguishing — si.name is the ACTION callsite,
+      // identical across a query's stages and a bare thread-pool
+      // lambda for broadcast jobs); the topmost graft frame from the
+      // callsite stack, when present, names the operator that built
+      // the subtree. Both, so an inflated stage is identifiable.
+      val scopes = si.rddInfos.flatMap(_.scope).map(_.name)
+        .distinct.take(4)
+      val graftFrame = si.details.linesIterator
+        .map(_.trim)
+        .find(l => l.contains("graft.") && !l.contains("graft.Bench"))
+        .map(_.stripPrefix("at ").takeWhile(_ != ')') + ")")
+      val name = (scopes.mkString("+"), graftFrame) match {
+        case ("", None) => si.name
+        case ("", Some(g)) => g
+        case (s, None) => s
+        case (s, Some(g)) => s + " @ " + g
+      }
+      val rec = Bench.StageRec(si.stageId, name, si.numTasks, wall,
         if (m != null) m.executorCpuTime / 1e9 else 0.0,
         if (m != null) m.executorRunTime / 1e3 else 0.0)
       stageRecs.synchronized { stageRecs += rec }
