@@ -901,7 +901,7 @@ private[graft] object Canary {
     * 148 ns/load — the guest's EFFECTIVE LLC share is 8-16 MiB, far
     * under the advertised 54 MiB, virtualization being what it is):
     * 8 MiB FITS the effective LLC, so the quiet reading is cache-hit
-    * latency (~0.06-0.08 s for 2M steps; the buffer self-warms
+    * latency (~0.05-0.09 s for 2M steps; the buffer self-warms
     * within a sample — 128K lines, each revisited ~16×). A co-tenant
     * thrashing the LLC or the DRAM queues CONTINUOUSLY evicts the
     * working set and every step becomes a full loaded-to-use memory
