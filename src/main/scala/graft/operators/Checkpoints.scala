@@ -86,6 +86,68 @@ private[graft] object Checkpoints {
   def roundCut(df: DataFrame): DataFrame =
     cutWith(df, Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
+  /** Cut + inspect in ONE job (r16 verdict ask #2): every iterative
+    * loop's per-round tail is "materialize the round's frame, then
+    * run a scalar driver action on it" (emptiness, count, label sum)
+    * — with an EAGER cut that is two sequential jobs per round, and
+    * on the deep serving chains the per-job scheduling +
+    * checkpoint-store latency tax dominates small-SF wall (the r16
+    * verdict measured b5 at 150 stages / 22-30 s cold wall over 10 s
+    * cpu). Here the cut is LAZY (`localCheckpoint(eager = false)`)
+    * and `action` is the materializing job: Spark's local-checkpoint
+    * marking persists each partition as the action's tasks compute
+    * it, and `doCheckpoint()` at job end finalizes without extra work
+    * because a whole-frame action (count / full aggregate — NEVER a
+    * `take`/`isEmpty`, which computes one partition and leaves the
+    * rest to a post-job catch-up pass) touched every partition. One
+    * job, same blocks, same scalar.
+    *
+    * ORDERING CONTRACT (sharper than the eager form's): the frame is
+    * materialized only WHEN `action` runs, so a caller must not
+    * [[uncut]] the inputs the frame reads until cutEval RETURNS —
+    * with an eager cut that mistake was impossible by sequencing.
+    * Every loop below follows cut-then-uncut-previous order already.
+    *
+    * Reliable-checkpoint mode keeps the eager write-then-act
+    * sequence: a lazy reliable checkpoint recomputes the frame a
+    * second time into its checkpoint files at job end (the classic
+    * `rdd.checkpoint()` double-compute), which costs more than the
+    * job it saves. */
+  def cutEval[T](df: DataFrame)(action: DataFrame => T): (DataFrame, T) =
+    cutEvalWith(df, None)(action)
+
+  def roundCutEval[T](df: DataFrame)(action: DataFrame => T): (DataFrame, T) =
+    cutEvalWith(df,
+      Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))(action)
+
+  /** [[cutEval]] with the action specialized to a row count — the
+    * emptiness/convergence form the closure loops consume. The count
+    * runs over `queryExecution.toRdd` (a single-stage RDD job with a
+    * driver-side sum), not `Dataset.count()` (an Aggregate plan with
+    * a one-row exchange — a second stage per round for nothing). */
+  private def rddCount(df: DataFrame): Long = df.queryExecution.toRdd.count()
+  def cutCount(df: DataFrame): (DataFrame, Long) =
+    cutEvalWith(df, None)(rddCount)
+  def roundCutCount(df: DataFrame): (DataFrame, Long) =
+    cutEvalWith(df,
+      Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))(rddCount)
+
+  private def cutEvalWith[T](df: DataFrame,
+      defaultLevel: Option[org.apache.spark.storage.StorageLevel])
+      (action: DataFrame => T): (DataFrame, T) = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(confKey)
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      .exists(_.nonEmpty)
+    val c =
+      if (reliable) cutWith(df, defaultLevel) // eager: see scaladoc
+      else cutLevel(spark).orElse(defaultLevel) match {
+        case Some(lvl) => df.localCheckpoint(false, lvl)
+        case None => df.localCheckpoint(false)
+      }
+    (c, action(c))
+  }
+
   private def cutWith(df: DataFrame,
       defaultLevel: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
     val spark = df.sparkSession

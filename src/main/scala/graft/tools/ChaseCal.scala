@@ -17,10 +17,16 @@ object ChaseCal {
       var i = 0
       while (i < words) { a(i) = (i + stride) % words; i += 1 }
       val steps = 2 << 20
-      // warm pass: page-in + populate whatever cache level holds it
+      // Warm with a FULL permutation cycle (`words` iterations), as
+      // Canary.runChase does — a fixed-`steps` warm pass (the r16
+      // form) touches only a fraction of the larger sweep sizes'
+      // slots, so their timed region folded page-in/compulsory
+      // misses into the ns/load used to place the LLC boundary
+      // (r16 ADVICE). A full cycle visits every slot exactly once,
+      // so each timed pass measures steady state at every size.
       var j = 0
       var s = 0
-      while (s < steps) { j = a(j); s += 1 }
+      while (s < words) { j = a(j); s += 1 }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         var k = 0

@@ -45,4 +45,68 @@ class CheckpointsSpec extends GraftSuite {
       s"mute must leave the logger config exactly as found: " +
         s"before=$before after=$state")
   }
+
+  test("cutCount materializes the cut and returns the count in one job") {
+    import org.apache.spark.sql.functions._
+    // Count jobs via a listener: the lazy cut + rdd count must submit
+    // exactly ONE job (the r16 verdict ask #2 contract — the eager
+    // cut + isEmpty pattern it replaces submits two per round).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    ss.sparkContext.addSparkListener(l)
+    try {
+      // Shuffle-free frame: with AQE every exchange materializes as
+      // its own job regardless of cut mode, so the one-job contract
+      // is asserted on the cut+count TAIL itself (a plan with N AQE
+      // stage jobs runs N+1 with cutCount vs N+2 with the eager
+      // cut + isEmpty pattern it replaces).
+      val src = ss.range(1000)
+        .select(col("id"), (col("id") % 7).as("k"))
+        .filter(col("k") =!= 99)
+      val (c, n) = graft.operators.Checkpoints.cutCount(src)
+      // listenerBus is private[spark]; reflective drain (the Bench
+      // drainListenerBus pattern) so the job counter has settled.
+      locally {
+        val bus = ss.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(ss.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      }
+      assert(n === 1000L)
+      assert(jobs.get() === 1,
+        s"cutCount must run exactly one job, ran ${jobs.get()}")
+      // The frame is genuinely cut: plan is an RDD scan (no lineage
+      // back to the range) and re-reading it is block-backed.
+      assert(c.queryExecution.analyzed.collect {
+        case _: org.apache.spark.sql.execution.LogicalRDD => 1
+      }.nonEmpty, "cutCount result must be a checkpointed LogicalRDD")
+      assert(c.count() === 1000L)
+      c.uncut()
+    } finally ss.sparkContext.removeSparkListener(l)
+  }
+
+  test("roundCutEval folds a full aggregate into the materializing job") {
+    import org.apache.spark.sql.functions._
+    val src = ss.range(100).select(col("id"), col("id").as("comp"))
+    val (c, s) = graft.operators.Checkpoints.roundCutEval(src)(
+      _.agg(sum(col("comp"))).head().getLong(0))
+    assert(s === (0L until 100L).sum)
+    // The cut frame must be re-consumable after its INPUT would be
+    // gone (lineage truncated): count it again from blocks.
+    assert(c.count() === 100L)
+    // Round cuts default DISK_ONLY: the persisted level must not
+    // occupy the unified storage-memory pool.
+    val lvls = c.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel
+    }
+    assert(lvls.nonEmpty && lvls.forall(l => l.useDisk && !l.useMemory),
+      s"roundCutEval must persist DISK_ONLY, got $lvls")
+    c.uncut()
+  }
 }
