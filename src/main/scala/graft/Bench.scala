@@ -783,9 +783,16 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
+    // SPARK_GRAFT_BENCH_STAGES_FULL=1: emit EVERY stage row instead
+    // of the top-12 — for local stage-count archaeology (the r16
+    // verdict ask #2 chain audits); the driver never sets it, so
+    // graded artifacts keep the bounded form.
+    val stagesFull = sys.env.get("SPARK_GRAFT_BENCH_STAGES_FULL")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     def stageJson(recs: Seq[StageRec]): String = {
-      val top = recs.sortBy(-_.wall).take(12)
-      val rest = recs.sortBy(-_.wall).drop(12)
+      val cap = if (stagesFull) Int.MaxValue else 12
+      val top = recs.sortBy(-_.wall).take(cap)
+      val rest = recs.sortBy(-_.wall).drop(cap)
       val items = top.map(s =>
         s"""{"id":${s.id},"tasks":${s.tasks},"wall":${s.wall},""" +
           s""""cpu":${s.cpu},"run":${s.run},"name":${jstr(s.name)}}""")

@@ -132,6 +132,38 @@ private[graft] object Checkpoints {
     cutEvalWith(df,
       Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))(rddCount)
 
+  /** LAZY cut: lineage is truncated now (the plan becomes an RDD
+    * scan), but materialization waits for the first consumer's job —
+    * the right form for pipeline intermediates whose next step runs
+    * immediately (r16 verdict ask #2: an eager cut there inserts a
+    * whole sequential job + its scheduling round-trip purely to
+    * persist blocks the next job would have persisted as a side
+    * effect). Concurrent scans of a not-yet-materialized lazy cut
+    * are safe — the block manager serializes per-partition compute
+    * under its block locks (getOrElseUpdate), so the upstream plan
+    * still runs once.
+    *
+    * ORDERING CONTRACT (same as [[cutEval]]): inputs may not be
+    * [[uncut]] until some action has materialized this frame.
+    * Reliable-checkpoint mode degrades to the eager cut (a lazy
+    * reliable checkpoint recomputes the frame into its files at job
+    * end — the double-compute [[cutEval]] documents). */
+  def cutLazy(df: DataFrame): DataFrame = cutLazyWith(df, None)
+  def roundCutLazy(df: DataFrame): DataFrame =
+    cutLazyWith(df, Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+  private def cutLazyWith(df: DataFrame,
+      defaultLevel: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(confKey)
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      .exists(_.nonEmpty)
+    if (reliable) cutWith(df, defaultLevel)
+    else cutLevel(spark).orElse(defaultLevel) match {
+      case Some(lvl) => df.localCheckpoint(false, lvl)
+      case None => df.localCheckpoint(false)
+    }
+  }
+
   private def cutEvalWith[T](df: DataFrame,
       defaultLevel: Option[org.apache.spark.storage.StorageLevel])
       (action: DataFrame => T): (DataFrame, T) = {
@@ -303,6 +335,7 @@ private[graft] object Checkpoints {
   implicit class Cuttable(private val df: DataFrame) extends AnyVal {
     def cut(): DataFrame = Checkpoints.cut(df)
     def cutRound(): DataFrame = Checkpoints.roundCut(df)
+    def cutLazy(): DataFrame = Checkpoints.cutLazy(df)
     def uncut(): Unit = Checkpoints.uncut(df)
   }
 }

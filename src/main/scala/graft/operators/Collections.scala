@@ -365,7 +365,12 @@ object Collections {
       typeEdges.select(col("src"), col("dst")),
       coll0.select(col("required_type").as("dst")),
       stride = closureStride,
-      uniquePaths = closureUniquePaths)
+      uniquePaths = closureUniquePaths,
+      // stride > 1 IS the caller's "typeEdges is dimension-sized"
+      // declaration (reachableTo's stride cost contract) — the same
+      // condition that makes broadcasting the step side sound, so
+      // the two plan choices ride one knob.
+      broadcastStep = closureStride > 1)
 
     // LEFT join to entities (r12 review, reference parity): a member
     // with no entity row cannot validate — the reference counts it

@@ -142,7 +142,11 @@ object Dedup {
     // its internals against that cut); only the lazy dfCap = 0 form
     // needs the checkpoint here.
     val sh0 = shingles(docs, idCol, textCol, n, dfCap)
-    val sh = if (dfCap > 0) sh0 else sh0.cut()
+    // cutLazy: sh's several consumers all live inside the single
+    // final pair job, which materializes the cut under the block
+    // manager's per-partition locks — the eager form paid a
+    // sequential pre-job purely to persist (r16 verdict ask #2).
+    val sh = if (dfCap > 0) sh0 else sh0.cutLazy()
     if (!prefixFilter) {
       // Cut: `sizes` is joined on BOTH pair sides and Catalyst does
       // not dedupe the identical agg subplans (verified on the
@@ -150,7 +154,7 @@ object Dedup {
       // the per-doc count aggregation over the full shingle stream
       // executes twice per query (r12 review). The materialized
       // (id, n) frame is docs-sized — dim-class storage.
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")).cut()
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")).cutLazy()
       Relational.overlapPairs(sh, "id", "shingle", boundedDf = dfCap > 0)
         .withColumnRenamed("overlap", "shared")
         .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
@@ -183,7 +187,7 @@ object Dedup {
       // on the prefix path.
       val sets = sh.groupBy("id")
         .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n_sh"))
-        .cut()
+        .cutLazy()
       cands
         .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
           col("n_sh").as("na")), "id_a")
@@ -260,7 +264,7 @@ object Dedup {
           graft.functions.Hashes.minhashSig(
             Text.shingles(Text.tokens(col(textCol)), n), numHashes).as("sig"))
         .filter(col("sig").isNotNull)
-        .cut()
+        .cutLazy()
     } else {
       // The df-cut shingle frame arrives cut from shingles; it is
       // dead the moment the (much smaller) signature cut
@@ -318,7 +322,7 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int, tau: Double,
                           dfCap: Long = 0L): DataFrame =
-    ngramJaccardAgainstIndex(shingles(existing, idCol, textCol, n, 0L).cut(),
+    ngramJaccardAgainstIndex(shingles(existing, idCol, textCol, n, 0L).cutLazy(),
       incoming, idCol, textCol, n, tau, dfCap)
 
   /** [[ngramJaccardAgainst]] with the existing side supplied as an
@@ -359,7 +363,7 @@ object Dedup {
     val inc0 = shingles(incoming, idCol, textCol, n, 0L)
       .select(col("id").as("new_id"), col("shingle"))
     val (ex, inc) =
-      if (dfCap <= 0L) (ex0, inc0.cut())
+      if (dfCap <= 0L) (ex0, inc0.cutLazy())
       else {
         // Same broadcast-anti-join shape as [[shingles]]'s cut (the
         // shared [[overCapShingles]], which checkpoints the set —

@@ -584,8 +584,11 @@ object Similarity {
       "ivfPqIndexDelta: pass the codebook's subspace count explicitly (m = ...)")
     requireDim(dim, "ivfPqIndexDelta")
     require(dim % m == 0, s"ivfPqIndexDelta: dim $dim is not divisible by m = $m")
+    // cutLazy: both consumers (assignment + PQ encode) sit in the one
+    // downstream job, which materializes the slice-sized unit frame
+    // under block locks — no eager pre-job (r16 verdict ask #2).
     val unit = normalized(slice.filter(col(vecCol).isNotNull),
-      idCol, vecCol).cut()
+      idCol, vecCol).cutLazy()
     freeingOnFailure(unit) {
       val assigned = ivfAssign(unit, broadcast(centroids))
         .select(col("id"), col("cid"))

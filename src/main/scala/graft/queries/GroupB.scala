@@ -193,7 +193,7 @@ object GroupB {
     graft.sinks.ServingStore.ensure(key, inputs, version) { root =>
       graft.sinks.ModelStore.save(
         Graph.transitiveClosure(edges(s, d).filter(col("src") % 10 =!= 0),
-          uniquePaths = true, stride = 4),
+          uniquePaths = true, stride = 4, broadcastStep = true),
         root + "/closure")
     }
   }
@@ -213,7 +213,8 @@ object GroupB {
     * the per-cycle serving cost. */
   def closureServingOf(closure: DataFrame, newE: DataFrame): DataFrame =
     closure.unionByName(
-      Graph.transitiveClosureDelta(closure, newE, strict = true))
+      Graph.transitiveClosureDelta(closure, newE, strict = true,
+        broadcastStep = true))
 
   /** b5's per-cycle body, state injected (the servingChain pattern):
     * given the held serving state — the target cone and yesterday's
@@ -227,7 +228,7 @@ object GroupB {
   def revalidateChain(targets: DataFrame, cone: DataFrame,
                       newE: DataFrame, oldV: DataFrame): DataFrame = {
     val delta = Graph.reachableToDelta(targets, cone, cone, newE,
-      strict = true)
+      strict = true, broadcastStep = true)
     val oldCounts = oldV.groupBy("o_orderkey")
       .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
            sum(when(col("valid"), 0L).otherwise(1L)).as("invalid_cnt"))
@@ -248,7 +249,8 @@ object GroupB {
     // 14 (pointer doubling needs similar rounds but re-distincts the
     // ENTIRE closure each one; on a forest that's pure waste).
     "b1_closure_iterative" -> ((s, d) =>
-      Graph.transitiveClosure(edges(s, d), uniquePaths = true, stride = 4)),
+      Graph.transitiveClosure(edges(s, d), uniquePaths = true, stride = 4,
+        broadcastStep = true)),
 
     // b4: INCREMENTAL closure maintenance — b1 without re-walking the
     // old edge set: every tenth parent link (src % 10 = 0, the
@@ -267,9 +269,10 @@ object GroupB {
       // store-backed serving regime where only the fold is paid).
       val c = graft.Timed.region("fit")(
         Graph.transitiveClosure(all.filter(col("src") % 10 =!= 0),
-          uniquePaths = true, stride = 4))
+          uniquePaths = true, stride = 4, broadcastStep = true))
       val delta = Graph.transitiveClosureDelta(c,
-        all.filter(col("src") % 10 === 0), strict = true)
+        all.filter(col("src") % 10 === 0), strict = true,
+        broadcastStep = true)
       c.unionByName(delta)
     }),
 
@@ -327,17 +330,20 @@ object GroupB {
       // times.
       val cone = Graph.reachableTo(oldE,
         targets.unionByName(newE.select(col("src").as("dst"))),
-        uniquePaths = true, stride = 4)
+        uniquePaths = true, stride = 4, broadcastStep = true)
       val members = Tables(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(Tables(s, d, "orders")
                 .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("required")),
               col("l_orderkey") === col("o_orderkey"))
-      // cut(): the verdict frame feeds BOTH the baseline counts and
-      // the flip probe — without the lineage cut the whole
-      // members × cone validation join would execute twice.
+      // cutLazy(): the verdict frame feeds BOTH the baseline counts
+      // and the flip probe — without the lineage cut the whole
+      // members × cone validation join would execute twice. Lazy:
+      // both consumers live in the single final output job, whose
+      // block locks serialize the first materialization (no eager
+      // pre-job; r16 verdict ask #2).
       val oldV = Graph.validateReachable(members, cone,
-        "l_partkey", "required").cut()
+        "l_partkey", "required").cutLazy()
       revalidateChain(targets, cone, newE, oldV)
     }),
 
@@ -412,7 +418,7 @@ object GroupB {
       // forest: uniquePaths skips the per-round dedup shuffles.
       val closure = Graph.reachableTo(edges(s, d),
         Tables(s, d, "orders").select((col("o_orderkey") % 30 + 2).as("dst")),
-        uniquePaths = true, stride = 4)
+        uniquePaths = true, stride = 4, broadcastStep = true)
       Graph.validateReachable(members, closure, "l_partkey", "required")
         .groupBy("o_orderkey")
         .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("valid_cnt"),
@@ -441,7 +447,7 @@ object GroupB {
         .join(broadcast(redirects), col("l_partkey") === col("r_src"), "left")
       val closure = Graph.reachableTo(edges(s, d),
         Tables(s, d, "orders").select((col("o_orderkey") % 30 + 2).as("dst")),
-        uniquePaths = true, stride = 4)
+        uniquePaths = true, stride = 4, broadcastStep = true)
       val v1 = Graph.validateReachable(withAlt, closure, "l_partkey", "required")
         .withColumnRenamed("valid", "valid_orig")
       Graph.validateReachable(v1, closure, "r_dst", "required")

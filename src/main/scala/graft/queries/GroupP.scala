@@ -430,11 +430,13 @@ object GroupP {
   def servingChain(incoming: DataFrame, sliceEmb: DataFrame,
                    bits: DataFrame, exSh: DataFrame, exSizes: DataFrame,
                    asg: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
-    // cut(): the gate feeds the sliver filter AND the final verdict
-    // join — the slice-sized probe result materializes once.
+    // cutLazy(): the gate feeds the sliver filter AND the final
+    // verdict join — the slice-sized probe result materializes once,
+    // inside the first consumer's job (no eager pre-job; r16 verdict
+    // ask #2).
     val gate = GroupD.bloomGateAgainst(bits, incoming)
       .select(col("doc_id"), col("maybe_overlap"))
-      .cut()
+      .cutLazy()
     val sliver = incoming
       .join(gate.filter(col("maybe_overlap")).select("doc_id"), "doc_id")
     val confirmed = Dedup.ngramJaccardAgainstIndex(exSh, sliver,

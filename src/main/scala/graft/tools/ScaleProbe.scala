@@ -267,7 +267,7 @@ object ScaleProbe {
     // copy-0 nodes — same delta cone on both sides, only the closure
     // being scanned grows.
     lazy val closure0 = Graph.transitiveClosure(edges,
-      uniquePaths = true, stride = 4).localCheckpoint()
+      uniquePaths = true, stride = 4, broadcastStep = true).localCheckpoint()
     lazy val closureK = scaled(closure0, Seq("src", "dst"))
     lazy val newLeaves = edges
       .select((col("src") + lit(1_000_000_000L)).as("src"), col("dst"))
@@ -369,7 +369,7 @@ object ScaleProbe {
       .localCheckpoint()
     lazy val coneB5 = Graph.reachableTo(oldEb5,
         targetsB5.unionByName(newEb5.select(col("src").as("dst"))),
-        uniquePaths = true, stride = 4)
+        uniquePaths = true, stride = 4, broadcastStep = true)
       .localCheckpoint()
     lazy val oldVb5 = Graph.validateReachable(
         Tables(spark, sfDir, "lineitem")
@@ -423,7 +423,8 @@ object ScaleProbe {
       val mem = m.select(col("l_partkey").as("t"),
         (col("l_orderkey") % 30 + 2).as("required"))
       val closure = Graph.reachableTo(edges,
-        mem.select(col("required").as("dst")), uniquePaths = true, stride = 4)
+        mem.select(col("required").as("dst")), uniquePaths = true, stride = 4,
+        broadcastStep = true)
       Graph.validateReachable(mem, closure, "t", "required")
         .groupBy("required").agg(sum(when(col("valid"), 1L).otherwise(0L)).as("v"))
     }
@@ -591,8 +592,10 @@ object ScaleProbe {
       // rounds are B-bounded, so the ratio must stay far below K —
       // a closure-sized re-walk (b1's shape) would read ≈ K.
       ("b4 closure-delta",
-        () => noop(Graph.transitiveClosureDelta(closure0, newLeaves)),
-        () => noop(Graph.transitiveClosureDelta(closureK, newLeaves))),
+        () => noop(Graph.transitiveClosureDelta(closure0, newLeaves,
+          broadcastStep = true)),
+        () => noop(Graph.transitiveClosureDelta(closureK, newLeaves,
+          broadcastStep = true))),
       // d17: FIXED ingest slice, K× gram-count dim (the corpus-grows
       // direction). The dim is streamed against the broadcast slice
       // gram set and everything downstream is slice-keyed, so the
