@@ -142,11 +142,15 @@ object Dedup {
     // its internals against that cut); only the lazy dfCap = 0 form
     // needs the checkpoint here.
     val sh0 = shingles(docs, idCol, textCol, n, dfCap)
-    // cutLazy: sh's several consumers all live inside the single
-    // final pair job, which materializes the cut under the block
-    // manager's per-partition locks — the eager form paid a
-    // sequential pre-job purely to persist (r16 verdict ask #2).
-    val sh = if (dfCap > 0) sh0 else sh0.cutLazy()
+    // EAGER cut, deliberately (r17 A/B): sh is scanned by several
+    // subplans of the SAME downstream job (sizes + the overlap join,
+    // or sets + both candidate sides), and a lazily-persisted frame
+    // double-computes under Spark's get-or-compute race when two
+    // tasks materialize the same partition concurrently — the
+    // interleaved A/B measured the lazy form at +40% cpu on the
+    // jaccard family. Lazy cuts are only safe single-scan-first
+    // (see Checkpoints.cutLazy).
+    val sh = if (dfCap > 0) sh0 else sh0.cut()
     if (!prefixFilter) {
       // Cut: `sizes` is joined on BOTH pair sides and Catalyst does
       // not dedupe the identical agg subplans (verified on the
@@ -154,7 +158,7 @@ object Dedup {
       // the per-doc count aggregation over the full shingle stream
       // executes twice per query (r12 review). The materialized
       // (id, n) frame is docs-sized — dim-class storage.
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")).cutLazy()
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")).cut()
       Relational.overlapPairs(sh, "id", "shingle", boundedDf = dfCap > 0)
         .withColumnRenamed("overlap", "shared")
         .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
@@ -187,7 +191,7 @@ object Dedup {
       // on the prefix path.
       val sets = sh.groupBy("id")
         .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n_sh"))
-        .cutLazy()
+        .cut()
       cands
         .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
           col("n_sh").as("na")), "id_a")
@@ -264,7 +268,7 @@ object Dedup {
           graft.functions.Hashes.minhashSig(
             Text.shingles(Text.tokens(col(textCol)), n), numHashes).as("sig"))
         .filter(col("sig").isNotNull)
-        .cutLazy()
+        .cut()
     } else {
       // The df-cut shingle frame arrives cut from shingles; it is
       // dead the moment the (much smaller) signature cut
@@ -322,7 +326,7 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int, tau: Double,
                           dfCap: Long = 0L): DataFrame =
-    ngramJaccardAgainstIndex(shingles(existing, idCol, textCol, n, 0L).cutLazy(),
+    ngramJaccardAgainstIndex(shingles(existing, idCol, textCol, n, 0L).cut(),
       incoming, idCol, textCol, n, tau, dfCap)
 
   /** [[ngramJaccardAgainst]] with the existing side supplied as an
@@ -363,7 +367,7 @@ object Dedup {
     val inc0 = shingles(incoming, idCol, textCol, n, 0L)
       .select(col("id").as("new_id"), col("shingle"))
     val (ex, inc) =
-      if (dfCap <= 0L) (ex0, inc0.cutLazy())
+      if (dfCap <= 0L) (ex0, inc0.cut())
       else {
         // Same broadcast-anti-join shape as [[shingles]]'s cut (the
         // shared [[overCapShingles]], which checkpoints the set —

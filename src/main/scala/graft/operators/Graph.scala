@@ -145,12 +145,18 @@ object Graph {
                         stride: Int = 1,
                         broadcastStep: Boolean = false): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
-    // LAZY cut (r16 verdict ask #2): lineage truncation now, blocks
-    // materialize inside the strict check's job (when on) or round
-    // 1's counted job via the strideHops chain — the eager form paid
-    // one sequential pre-loop job per cut (base, seed, step) before
-    // any closure work.
-    val base = (if (uniquePaths) raw else raw.distinct()).cutLazy()
+    // LAZY base cut only under broadcastStep (r16 verdict ask #2 +
+    // r17 A/B): with a broadcast step the round-1 broadcast-build
+    // job materializes step → base BEFORE the probe stage scans
+    // seed → base, so the lazy cut folds into existing jobs with
+    // every first-materialization single-scanned. WITHOUT the
+    // broadcast, round 1 scans frontier(seed→base) and hop(step→
+    // base) in one job — concurrent tasks hit Spark's
+    // get-or-compute race and double-compute base's partitions
+    // (measured +40% cpu on the lazily-cut jaccard family), so the
+    // sort-merge path keeps the eager cut.
+    val base0 = if (uniquePaths) raw else raw.distinct()
+    val base = if (broadcastStep) base0.cutLazy() else base0.cut()
     if (uniquePaths && strict) {
       // Edges run child → parent; duplicate paths require some node
       // with MORE THAN ONE OUTGOING edge (two parents). Multiple
@@ -314,14 +320,18 @@ object Graph {
                   stride: Int = 1,
                   broadcastStep: Boolean = false): DataFrame = {
     val raw = edges.select(col("src"), col("dst"))
-    // LAZY prep chain (r16 verdict ask #2, as transitiveClosure):
-    // e/seedHops/step/seed all materialize inside round 1's counted
-    // job — the eager form ran four sequential pre-loop jobs. The
-    // superseded-cut uncuts (e, seedHops under stride > 1) move
-    // post-loop per the cutLazy ordering contract; both are
-    // dim-sized under the stride cost contract, so holding them for
-    // the loop is noise, not pressure.
-    val e = (if (uniquePaths) raw else raw.distinct()).cutLazy()
+    // LAZY prep chain under broadcastStep only (r16 verdict ask #2 +
+    // r17 A/B — see transitiveClosure's matching note on the
+    // get-or-compute race): the broadcast-build job serializes
+    // step → e materialization ahead of the probe stage, so every
+    // lazy first-materialization stays single-scanned; the
+    // sort-merge path keeps the eager edge cut. The superseded-cut
+    // uncuts (e, seedHops under stride > 1) move post-loop per the
+    // cutLazy ordering contract; both are dim-sized under the
+    // stride cost contract, so holding them for the loop is noise,
+    // not pressure.
+    val e0raw = if (uniquePaths) raw else raw.distinct()
+    val e = if (broadcastStep) e0raw.cutLazy() else e0raw.cut()
     if (uniquePaths && strict) {
       val multiParent = e.groupBy("src").count().filter(col("count") > 1).limit(1).count()
       if (multiParent > 0) {
@@ -443,13 +453,13 @@ object Graph {
     // Materialize the pair set before mirroring it: the union consumes
     // e0 twice and the upstream pair generator (an LSH pipeline, a
     // Jaccard join) would otherwise execute twice.
-    val e0 = pairs.select(col(idA).as("a"), col(idB).as("b")).cutLazy()
-    // LAZY cuts (r16 verdict ask #2): lineage is truncated here, but
-    // blocks materialize inside the init counted-cut's job below —
-    // the eager form paid two extra sequential jobs (one per cut)
-    // before the loop even started. e0's double appearance in the
-    // union is safe lazily: the block manager's per-partition locks
-    // serialize the first compute (see Checkpoints.cutLazy).
+    val e0 = pairs.select(col(idA).as("a"), col(idB).as("b")).cut()
+    // e0 EAGER (r17 A/B): the mirror union scans it twice in one
+    // job, where a lazy cut double-computes the upstream pair
+    // generator under the get-or-compute race (measured +40% cpu on
+    // the jaccard-fed paths). und LAZY: its single scan in the init
+    // counted-cut's job below materializes it with no extra
+    // sequential job (r16 verdict ask #2).
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct().cutLazy()
     // Per-round label frames take DISK_ONLY cuts (cutRound): each
@@ -588,23 +598,23 @@ object Graph {
                       idA: String = "id_a", idB: String = "id_b",
                       maxIter: Int = 25, strict: Boolean = false): DataFrame = {
     val asg = assignment.select(col("id"), col("comp"))
-    // LAZY cuts down the whole slice-prep chain (r16 verdict ask #2):
-    // lineage truncation is immediate — the pair generator upstream
-    // (an incremental Jaccard join) still runs once, double-scans
-    // serialized by the block manager's per-partition locks — but
-    // materialization folds into the FIRST scalar action's job (the
-    // strict stats, or the rep-space loop's init counted cut), where
-    // the eager form paid a sequential job per cut before any merge
-    // work started. Uncut ordering below respects the cutLazy
-    // contract: nothing is freed until an action has run.
+    // EAGER slice cuts (r17 A/B): e0 is double-scanned by the
+    // endpoint union, touched by the strict stats' crossJoined aggs,
+    // nodeRep by compPairs' two endpoint lifts — each a
+    // multi-scan-in-one-job shape where a lazy cut double-computes
+    // the upstream (slice-Jaccard) pipeline under Spark's
+    // get-or-compute race (two tasks materialize the same partition
+    // concurrently; measured +40% cpu). The job-count diet here
+    // comes from the merged strict stats action and the inner
+    // loop's counted cuts instead.
     val e0 = newPairs.select(col(idA).as("a"), col(idB).as("b"))
-      .filter(col("a") =!= col("b")).distinct().cutLazy()
+      .filter(col("a") =!= col("b")).distinct().cut()
     val nodes = e0.select(col("a").as("id"))
-      .union(e0.select(col("b").as("id"))).distinct().cutLazy()
+      .union(e0.select(col("b").as("id"))).distinct().cut()
     // Slice-bounded view of the old labels: LEFT SEMI keeps the
     // build (endpoint) side broadcastable, so the corpus-sized
     // assignment is scanned, not shuffled.
-    val touched = asg.join(nodes, Seq("id"), "left_semi").cutLazy()
+    val touched = asg.join(nodes, Seq("id"), "left_semi").cut()
     // strict: the merge is only correct under the min-id label
     // convention documented as this function's precondition (labels =
     // component min ids, every label a fixpoint). A non-canonical
@@ -674,7 +684,7 @@ object Graph {
           "— rebuild the assignment with connectedComponents")
     }
     val nodeRep = nodes.join(touched, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("rep")).cutLazy()
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep")).cut()
     val compPairs = e0
       .join(nodeRep.select(col("id").as("a"), col("rep").as("rep_a")), "a")
       .join(nodeRep.select(col("id").as("b"), col("rep").as("rep_b")), "b")
@@ -749,12 +759,14 @@ object Graph {
     // joins, three scans total (PlanSpec pins no-SortMergeJoin, the
     // componentsDelta doctrine).
     val c = closure.select(col("src"), col("dst"))
-    // LAZY slice cuts: both materialize inside the inner closure's
-    // first counted round (its base chains through withPrefix to
-    // e0); the uncuts below already run after that loop.
-    val e0 = newEdges.select(col("src"), col("dst")).distinct().cutLazy()
+    // EAGER slice cuts (r17 A/B): e0 is scanned twice inside
+    // withPrefix (the union with its own composed prefix) and
+    // withPrefix twice inside b — self-union shapes double-compute
+    // under the get-or-compute race when cut lazily (see
+    // transitiveClosure's note).
+    val e0 = newEdges.select(col("src"), col("dst")).distinct().cut()
     val pre = compose(c, e0)
-    val withPrefix = e0.union(pre).distinct().cutLazy()
+    val withPrefix = e0.union(pre).distinct().cut()
     val post = compose(withPrefix, c)
     // No distinct/cut here: transitiveClosure's own base preparation
     // distincts and checkpoints its edge input — doing it twice would
@@ -846,10 +858,10 @@ object Graph {
     val cT = coneToTargets.select(col("src"), col("dst"))
     val cS = coneToSources.select(col("src"), col("dst"))
     val tSet = targets.select(col("dst")).distinct()
-    // LAZY slice cut — materialized by the inner closure's first
-    // counted round (its base is e0-derived); uncut follows delta0's
-    // eager cut, well after.
-    val e0 = newEdges.select(col("src"), col("dst")).distinct().cutLazy()
+    // EAGER slice cut (r17 A/B): base = e0 ∪ compose(cS, e0) scans
+    // e0 twice — the self-union double-compute race (see
+    // transitiveClosure's note).
+    val e0 = newEdges.select(col("src"), col("dst")).distinct().cut()
     // Old-path prefix into a new edge, then the edge itself. Cone
     // pairs ending anywhere but a new-edge source drop out here —
     // the superset tolerance.

@@ -584,11 +584,11 @@ object Similarity {
       "ivfPqIndexDelta: pass the codebook's subspace count explicitly (m = ...)")
     requireDim(dim, "ivfPqIndexDelta")
     require(dim % m == 0, s"ivfPqIndexDelta: dim $dim is not divisible by m = $m")
-    // cutLazy: both consumers (assignment + PQ encode) sit in the one
-    // downstream job, which materializes the slice-sized unit frame
-    // under block locks — no eager pre-job (r16 verdict ask #2).
+    // EAGER cut (r17 A/B): assignment + PQ encode scan unit in one
+    // job — a lazy cut double-computes the normalize under the
+    // get-or-compute race (see Dedup's matching note).
     val unit = normalized(slice.filter(col(vecCol).isNotNull),
-      idCol, vecCol).cutLazy()
+      idCol, vecCol).cut()
     freeingOnFailure(unit) {
       val assigned = ivfAssign(unit, broadcast(centroids))
         .select(col("id"), col("cid"))

@@ -336,14 +336,13 @@ object GroupB {
         .join(Tables(s, d, "orders")
                 .select(col("o_orderkey"), (col("o_orderkey") % 30 + 2).as("required")),
               col("l_orderkey") === col("o_orderkey"))
-      // cutLazy(): the verdict frame feeds BOTH the baseline counts
-      // and the flip probe — without the lineage cut the whole
-      // members × cone validation join would execute twice. Lazy:
-      // both consumers live in the single final output job, whose
-      // block locks serialize the first materialization (no eager
-      // pre-job; r16 verdict ask #2).
+      // cut() EAGER (r17 A/B): the verdict frame feeds BOTH the
+      // baseline counts and the flip probe in the one output job —
+      // a lazy cut double-computes the members × cone validation
+      // join under the get-or-compute race (two concurrent tasks
+      // both materialize a partition before either caches it).
       val oldV = Graph.validateReachable(members, cone,
-        "l_partkey", "required").cutLazy()
+        "l_partkey", "required").cut()
       revalidateChain(targets, cone, newE, oldV)
     }),
 

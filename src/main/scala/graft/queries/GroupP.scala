@@ -430,13 +430,13 @@ object GroupP {
   def servingChain(incoming: DataFrame, sliceEmb: DataFrame,
                    bits: DataFrame, exSh: DataFrame, exSizes: DataFrame,
                    asg: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
-    // cutLazy(): the gate feeds the sliver filter AND the final
-    // verdict join — the slice-sized probe result materializes once,
-    // inside the first consumer's job (no eager pre-job; r16 verdict
-    // ask #2).
+    // cut() EAGER (r17 A/B): the gate feeds the sliver filter AND
+    // the final verdict join — two scans that can land in one job,
+    // where a lazy cut double-computes the probe under the
+    // get-or-compute race (see Dedup's matching note).
     val gate = GroupD.bloomGateAgainst(bits, incoming)
       .select(col("doc_id"), col("maybe_overlap"))
-      .cutLazy()
+      .cut()
     val sliver = incoming
       .join(gate.filter(col("maybe_overlap")).select("doc_id"), "doc_id")
     val confirmed = Dedup.ngramJaccardAgainstIndex(exSh, sliver,

@@ -91,9 +91,18 @@ object SkewProbe {
     val only = args.headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_PROBE_PARTITIONS (default = cpus): the reduce
+    // fan-out, independently of the thread count. The r16 verdict's
+    // ask #5: with 32 partitions and a 10% hot key the straggler
+    // ratio CAPS at ~3.6x (0.10 / (0.90/32)) — a measurement at the
+    // instrument's ceiling cannot separate "combine holds" from
+    // "ceiling hit". 256 partitions raise the ceiling to ~29x, so a
+    // genuinely super-linear hot group separates from the pack while
+    // a group-size-bounded one stays at its absolute hot-task time.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
@@ -245,7 +254,7 @@ object SkewProbe {
       val (uw, uc, us) = side("uniform", uni)
       val (sw, sc, ss) = side("skewed", skw)
       val c2 = graft.Canary.run()
-      println(f"[skew] $name%-12s uniform ${uw}%6.2f s cpu ${uc}%6.2f [$us]   " +
+      println(f"[skew] $name%-12s parts=$parts%-4s uniform ${uw}%6.2f s cpu ${uc}%6.2f [$us]   " +
         f"skewed ${sw}%6.2f s cpu ${sc}%6.2f [$ss]   wallratio ${sw / uw}%4.2f" +
         f"   canary_max ${math.max(c1, c2)}%.3f")
     }
