@@ -152,21 +152,7 @@ object Dedup {
     // (see Checkpoints.cutLazy).
     val sh = if (dfCap > 0) sh0 else sh0.cut()
     if (!prefixFilter) {
-      // Cut: `sizes` is joined on BOTH pair sides and Catalyst does
-      // not dedupe the identical agg subplans (verified on the
-      // executed plan: zero ReusedExchange) — without the checkpoint
-      // the per-doc count aggregation over the full shingle stream
-      // executes twice per query (r12 review). The materialized
-      // (id, n) frame is docs-sized — dim-class storage.
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")).cut()
-      Relational.overlapPairs(sh, "id", "shingle", boundedDf = dfCap > 0)
-        .withColumnRenamed("overlap", "shared")
-        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
-        .withColumn("jaccard",
-          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-        .filter(col("jaccard") >= tau)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      ngramJaccardPairsFromIndex(sh, tau, boundedDf = dfCap > 0)
     } else {
       // Global rarity order (df, shingle); rank each doc's shingles by it.
       val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -204,6 +190,38 @@ object Dedup {
         .filter(col("jaccard") >= tau)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }
+  }
+
+  /** [[ngramJaccardPairs]]' default (inverted-index) plan over an
+    * ALREADY-BUILT — and CUT — (id, shingle) index: the shingle pass
+    * factored out so a composed query that both self-pairs a side and
+    * confirms a slice against it (d16/d19, p4/p5's ingest DAGs)
+    * shingles each document set ONCE instead of once per consumer
+    * (guide §1.2: the corpus-linear tokenize→explode→distinct pass is
+    * the heaviest narrow stage in the dedup family, and Catalyst does
+    * not dedupe common subplans across separately-constructed frames).
+    * `sh` must arrive checkpointed — the body scans it from several
+    * subplans of one job (sizes agg + both overlap sides), exactly the
+    * multi-scan shape the eager-cut contract exists for.
+    * [[ngramJaccardPairs]] IS this function applied to its own freshly
+    * cut shingle frame, so the two paths cannot drift. */
+  def ngramJaccardPairsFromIndex(sh: DataFrame, tau: Double,
+                                 boundedDf: Boolean = false): DataFrame = {
+    // Cut: `sizes` is joined on BOTH pair sides and Catalyst does
+    // not dedupe the identical agg subplans (verified on the
+    // executed plan: zero ReusedExchange) — without the checkpoint
+    // the per-doc count aggregation over the full shingle stream
+    // executes twice per query (r12 review). The materialized
+    // (id, n) frame is docs-sized — dim-class storage.
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh")).cut()
+    Relational.overlapPairs(sh, "id", "shingle", boundedDf = boundedDf)
+      .withColumnRenamed("overlap", "shared")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash signatures: `numHashes` min-values of seeded xxhash64 over
@@ -377,6 +395,34 @@ object Dedup {
         (ex0.join(drop, Seq("shingle"), "left_anti"),
           inc0.join(drop, Seq("shingle"), "left_anti").cut())
       }
+    jaccardAgainstCore(ex, inc, tau, exSizes)
+  }
+
+  /** [[ngramJaccardAgainstIndex]] with BOTH sides pre-shingled — the
+    * form composed DAGs use when the incoming side's (id, shingle)
+    * frame is shared with other consumers (the new×new pair stage, the
+    * bloom probe): d16/d19 and p4/p5 shingle the slice ONCE and feed
+    * the same cut frame everywhere (guide §1.2 — the r16 forms
+    * re-tokenized the slice once per consumer). `incShingles` must
+    * arrive CUT (it is scanned from several subplans of one job) with
+    * columns (id, shingle); no `dfCap` form — capped calls go through
+    * [[ngramJaccardAgainstIndex]], which owns the two-sided cut. */
+  def ngramJaccardAgainstIndexes(exShingles: DataFrame,
+                                 incShingles: DataFrame,
+                                 tau: Double,
+                                 exSizes: Option[DataFrame] = None): DataFrame =
+    jaccardAgainstCore(
+      exShingles.select(col("id"), col("shingle")),
+      incShingles.select(col("id").as("new_id"), col("shingle")),
+      tau, exSizes)
+
+  /** The shared bipartite-confirm tail: `ex` (id, shingle) streamed
+    * against the slice-bounded `inc` (new_id, shingle) on the shingle
+    * key, intersection counts joined to both size frames, Jaccard
+    * filter. One definition under every against-variant so the
+    * serving and self-contained paths cannot drift. */
+  private def jaccardAgainstCore(ex: DataFrame, inc: DataFrame, tau: Double,
+                                 exSizes: Option[DataFrame]): DataFrame = {
     val szOld = exSizes
       .map(_.select(col("id"), col("n_old")))
       .getOrElse(ex.groupBy("id").agg(count(lit(1)).as("n_old")))

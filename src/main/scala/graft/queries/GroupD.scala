@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Similarity}
+import graft.operators.{Dedup, Graph, Par, Similarity}
+import graft.operators.Checkpoints.Cuttable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,11 +27,15 @@ object GroupD {
     * updated assignment). */
   def componentsServingOf(incoming: DataFrame, exSh: DataFrame,
                           exSizes: DataFrame, asg: DataFrame): DataFrame = {
-    val newPairs = Dedup.ngramJaccardAgainstIndex(exSh, incoming,
-        "doc_id", "text", n = 3, tau = 0.5, exSizes = Some(exSizes))
+    // ONE slice shingle pass (r17, guide §1.2): the confirm probe and
+    // the new×new pair stage consume the same cut (id, shingle) frame
+    // — the r16 form re-tokenized the slice once per consumer.
+    val incSh = Dedup.shingles(incoming, "doc_id", "text", n = 3).cut()
+    val newPairs = Dedup.ngramJaccardAgainstIndexes(exSh, incSh,
+        tau = 0.5, exSizes = Some(exSizes))
       .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-      .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
-        n = 3, tau = 0.5).select("id_a", "id_b"))
+      .unionByName(Dedup.ngramJaccardPairsFromIndex(incSh, tau = 0.5)
+        .select("id_a", "id_b"))
     val delta = Graph.componentsDelta(asg, newPairs, strict = true)
     asg.join(delta, Seq("id"), "left_anti").unionByName(delta)
       .select(col("id").as("doc_id"), col("comp").as("component"))
@@ -72,11 +77,17 @@ object GroupD {
     // bands × rows.
     "d15_dedup_eval" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      Dedup.pairsEval(
-        candidate = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      // The two pair generators are independent legs whose
+      // construction runs eager cut jobs (the LSH signature cut; the
+      // jaccard side's shingle + sizes cuts) — overlap them from two
+      // driver threads (r17, guide §2.6) so the second leg back-fills
+      // the first's sequential small stages.
+      val (cand, truth) = Par.both(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
           n = 3, bands = 8, rows = 4, minEstJaccard = 0.5),
-        truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           n = 3, tau = 0.5))
+      Dedup.pairsEval(candidate = cand, truth = truth)
     }),
 
     // d5 is the EXACT all-pairs variant — the validation-scale gate
@@ -193,6 +204,16 @@ object GroupD {
       val docs = Tables(s, d, "documents")
       val existing = docs.filter(col("doc_id") % 10 =!= 0)
       val incoming = docs.filter(col("doc_id") % 10 === 0)
+      // ONE shingle pass per side (r17, guide §1.2): the fit's pair
+      // generation, the slice confirm, and the new×new pair stage all
+      // consume the two cut (id, shingle) frames — the r16 form
+      // tokenized `existing` twice and `incoming` twice because each
+      // Dedup entry point shingled its own input. The corpus index is
+      // part of the amortizable fit (it IS the ex_shingles dim the
+      // serving store persists), hence inside the fit region.
+      val exSh = graft.Timed.region("fit")(
+        Dedup.shingles(existing, "doc_id", "text", n = 3).cut())
+      val incSh = Dedup.shingles(incoming, "doc_id", "text", n = 3).cut()
       // Timed.region("fit"): the self-containment cost — deriving
       // yesterday's assignment — is EAGER (connectedComponents cuts
       // per round), so the bench artifact's fit_s column splits this
@@ -201,13 +222,12 @@ object GroupD {
       // d19 measures that regime directly).
       val oldAssign = graft.Timed.region("fit")(
         Graph.connectedComponents(
-          Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
+          Dedup.ngramJaccardPairsFromIndex(exSh, tau = 0.5),
           strict = true))
-      val newPairs = Dedup.ngramJaccardAgainst(existing, incoming,
-          "doc_id", "text", n = 3, tau = 0.5)
+      val newPairs = Dedup.ngramJaccardAgainstIndexes(exSh, incSh, tau = 0.5)
         .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-        .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
-          n = 3, tau = 0.5).select("id_a", "id_b"))
+        .unionByName(Dedup.ngramJaccardPairsFromIndex(incSh, tau = 0.5)
+          .select("id_a", "id_b"))
       val delta = Graph.componentsDelta(oldAssign, newPairs, strict = true)
       oldAssign.join(delta, Seq("id"), "left_anti").unionByName(delta)
         .select(col("id").as("doc_id"), col("comp").as("component"))
@@ -323,9 +343,22 @@ object GroupD {
     * cannot hash differently. */
   private[graft] def bloomGateAgainst(bits: org.apache.spark.sql.DataFrame,
                                       incoming: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bloomGateAgainstShingled(bits, incoming,
+      Dedup.shingles(incoming, "doc_id", "text", n = 3))
+
+  /** [[bloomGateAgainst]] with the slice's (id, shingle) frame
+    * supplied — the shared-shingle form p4/p5 use so the gate probe
+    * rides the same slice index the confirm and pair stages consume
+    * (guide §1.2; the plain form shingled the slice itself). One
+    * body, so gate semantics cannot drift between the forms. */
+  private[graft] def bloomGateAgainstShingled(
+      bits: org.apache.spark.sql.DataFrame,
+      incoming: org.apache.spark.sql.DataFrame,
+      incShingles: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val perGram = Dedup.bloomProbe(bits,
-      Dedup.shingles(incoming, "doc_id", "text", n = 3), "shingle")
+      incShingles.select(col("id"), col("shingle")), "shingle")
     incoming.select(col("doc_id"))
       .join(perGram.groupBy(col("id").as("doc_id"))
           .agg(count(lit(1)).as("n_grams"),

@@ -273,50 +273,84 @@ object GroupP {
   def ingestPipeline(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     val existing = docs.filter(col("doc_id") % 10 =!= 0)
     val incoming = docs.filter(col("doc_id") % 10 === 0)
-    // d13 gate: (doc_id, …, maybe_overlap) for every incoming doc.
-    val gate = GroupD.bloomPrefilterOf(docs)
-      .select(col("doc_id"), col("maybe_overlap"))
-    // d11 confirm on the maybe sliver only — the clear-bit docs are
-    // PROVEN novel, so dropping them cannot lose a pair (the oracle
-    // replays the confirm unrestricted; equality proves it).
-    val sliver = incoming
-      .join(gate.filter(col("maybe_overlap")).select("doc_id"), "doc_id")
-    val confirmed = Dedup.ngramJaccardAgainst(existing, sliver,
-      "doc_id", "text", n = 3, tau = 0.5)
-    val dupStats = confirmed.groupBy(col("new_id").as("doc_id"))
-      .agg(count(lit(1)).as("n_dup_old"),
-        max(col("jaccard")).as("best_jaccard"))
-    // d16 merge: slice pairs = confirmed cross pairs + new-new pairs.
-    // Timed.region("fit"): the assignment derivation is EAGER
-    // (per-round cuts) and is exactly what p5's serving store
-    // amortizes — fit_s decomposes p4's wall into amortizable fit +
-    // per-cycle DAG (the d16 pattern, applied to the composed twin).
-    val oldAssign = graft.Timed.region("fit")(
-      Graph.connectedComponents(
-        Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
-        strict = true))
-    val newPairs = confirmed
-      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-      .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
-        n = 3, tau = 0.5).select("id_a", "id_b"))
-    // Incoming ids are absent from the old assignment by construction,
-    // so their labels live entirely in the delta.
-    val comp = Graph.componentsDelta(oldAssign, newPairs, strict = true)
-      .filter(col("id") % 10 === 0)
-      .select(col("id").as("doc_id"), col("comp").as("component"))
-    // e11 index delta: serving structures fit on the existing vectors,
-    // slice assigned with no refit (vec_id aligns with doc_id).
-    // Also fit: the IVF+PQ structures (eager — normalized corpus cut +
-    // unrolled Lloyd/codebook cuts), reloaded from the store in p5.
-    val (cent, cb) = graft.Timed.region("fit")(
-      Similarity.ivfPqFit(
-        embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        dim = 64))
-    val idx = Similarity.ivfPqIndexDelta(
-        embeddings.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
-        cent, cb, m = 8, dim = 64)
-      .select(col("id").as("doc_id"), col("cid"),
-        concat_ws(",", col("codes")).as("codes"))
+    // TEXT LEG (r17 restructure, guide §1.2 + §2.6): one shingle pass
+    // per document side, shared by the bloom gate, the sliver
+    // confirm, the fit's pair generation and the new×new pairs — the
+    // r16 form tokenized `existing` three times (bloom bits, confirm
+    // index, fit pairs) and `incoming` three times (bloom probe,
+    // sliver shingles, new-new pairs) because each Dedup entry point
+    // shingled its own input. The corpus index is fit-class work (it
+    // IS the ex_shingles dim p5's store persists), hence in the fit
+    // region. The gate is CUT: it feeds the sliver filter AND the
+    // final verdict join — uncut, the whole bloom pipeline executed
+    // once per consumer (servingChain already cut it; the
+    // self-contained twin now matches).
+    def textLeg(): (DataFrame, DataFrame, DataFrame) = {
+      val exSh = graft.Timed.region("fit")(
+        Dedup.shingles(existing, "doc_id", "text", n = 3).cut())
+      val incSh = Dedup.shingles(incoming, "doc_id", "text", n = 3).cut()
+      val bits = Dedup.bloomBits(exSh.select("shingle"), "shingle")
+      val gate = GroupD.bloomGateAgainstShingled(bits, incoming, incSh)
+        .select(col("doc_id"), col("maybe_overlap"))
+        .cut()
+      // d11 confirm on the maybe sliver only — the clear-bit docs are
+      // PROVEN novel, so dropping them cannot lose a pair (the oracle
+      // replays the confirm unrestricted; equality proves it). The
+      // sliver's shingles are the cut slice index semi-probed by the
+      // gate's positive ids — shingles(sliver docs) without a second
+      // tokenize pass.
+      val sliverSh = incSh.join(
+        gate.filter(col("maybe_overlap")).select(col("doc_id").as("id")),
+        Seq("id"), "left_semi")
+      val confirmed = Dedup.ngramJaccardAgainstIndexes(exSh, sliverSh,
+        tau = 0.5)
+      val dupStats = confirmed.groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dup_old"),
+          max(col("jaccard")).as("best_jaccard"))
+      // d16 merge: slice pairs = confirmed cross pairs + new-new pairs.
+      // Timed.region("fit"): the assignment derivation is EAGER
+      // (per-round cuts) and is exactly what p5's serving store
+      // amortizes — fit_s decomposes p4's wall into amortizable fit +
+      // per-cycle DAG (the d16 pattern, applied to the composed twin).
+      val oldAssign = graft.Timed.region("fit")(
+        Graph.connectedComponents(
+          Dedup.ngramJaccardPairsFromIndex(exSh, tau = 0.5),
+          strict = true))
+      val newPairs = confirmed
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        .unionByName(Dedup.ngramJaccardPairsFromIndex(incSh, tau = 0.5)
+          .select("id_a", "id_b"))
+      // Incoming ids are absent from the old assignment by construction,
+      // so their labels live entirely in the delta.
+      val comp = Graph.componentsDelta(oldAssign, newPairs, strict = true)
+        .filter(col("id") % 10 === 0)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+      (gate, dupStats, comp)
+    }
+    // VECTOR LEG — e11 index delta: serving structures fit on the
+    // existing vectors, slice assigned with no refit (vec_id aligns
+    // with doc_id). Also fit: the IVF+PQ structures (eager —
+    // normalized corpus cut + unrolled Lloyd/codebook cuts), reloaded
+    // from the store in p5.
+    def vecLeg(): DataFrame = {
+      val (cent, cb) = graft.Timed.region("fit")(
+        Similarity.ivfPqFit(
+          embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          dim = 64))
+      Similarity.ivfPqIndexDelta(
+          embeddings.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          cent, cb, m = 8, dim = 64)
+        .select(col("id").as("doc_id"), col("cid"),
+          concat_ws(",", col("codes")).as("codes"))
+    }
+    // The legs share NO frames (documents vs embeddings) and both run
+    // eager fit jobs at construction — overlap them from two driver
+    // threads (guide §2.6; Par's independence contract). fit_s note:
+    // the two fit regions now overlap, so their SUM can exceed the
+    // shot's fit window — read fit_s as total fit-class work, not a
+    // wall segment.
+    val ((gate, dupStats, comp), idx) = graft.operators.Par.both(
+      textLeg(), vecLeg())
     incoming.select("doc_id")
       .join(gate, Seq("doc_id"), "left")
       .join(dupStats, Seq("doc_id"), "left")
@@ -371,7 +405,12 @@ object GroupP {
   private def fitAndSave(s: SparkSession, dir: String, root: String): Unit = {
       val docs = Tables(s, dir, "documents")
       val existing = docs.filter(col("doc_id") % 10 =!= 0)
-      val exSh = Dedup.shingles(existing, "doc_id", "text", n = 3)
+      // One corpus shingle pass feeds all four text dims (r17, guide
+      // §1.2): each ModelStore.save is its own job and the lazy frame
+      // re-ran the tokenize→explode→distinct pipeline per consumer
+      // (index, sizes, bloom bits, assignment pairs). Cut once, free
+      // after the last text save.
+      val exSh = Dedup.shingles(existing, "doc_id", "text", n = 3).cut()
       ModelStore.save(exSh, s"$root/ex_shingles")
       // Sizes persisted NEXT TO the index: re-aggregating them per
       // cycle would be a corpus-sized shuffle in the serving path.
@@ -383,9 +422,10 @@ object GroupP {
         s"$root/bloom_bits")
       ModelStore.save(
         Graph.connectedComponents(
-          Dedup.ngramJaccardPairs(existing, "doc_id", "text", n = 3, tau = 0.5),
+          Dedup.ngramJaccardPairsFromIndex(exSh, tau = 0.5),
           strict = true),
         s"$root/assignment")
+      exSh.uncut()
       val (cent, cb) = Similarity.ivfPqFit(
         Tables(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
         "vec_id", "embedding", dim = 64)
@@ -430,31 +470,44 @@ object GroupP {
   def servingChain(incoming: DataFrame, sliceEmb: DataFrame,
                    bits: DataFrame, exSh: DataFrame, exSizes: DataFrame,
                    asg: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
-    // cut() EAGER (r17 A/B): the gate feeds the sliver filter AND
-    // the final verdict join — two scans that can land in one job,
-    // where a lazy cut double-computes the probe under the
-    // get-or-compute race (see Dedup's matching note).
-    val gate = GroupD.bloomGateAgainst(bits, incoming)
-      .select(col("doc_id"), col("maybe_overlap"))
-      .cut()
-    val sliver = incoming
-      .join(gate.filter(col("maybe_overlap")).select("doc_id"), "doc_id")
-    val confirmed = Dedup.ngramJaccardAgainstIndex(exSh, sliver,
-      "doc_id", "text", n = 3, tau = 0.5, exSizes = Some(exSizes))
-    val dupStats = confirmed.groupBy(col("new_id").as("doc_id"))
-      .agg(count(lit(1)).as("n_dup_old"),
-        max(col("jaccard")).as("best_jaccard"))
-    val newPairs = confirmed
-      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-      .unionByName(Dedup.ngramJaccardPairs(incoming, "doc_id", "text",
-        n = 3, tau = 0.5).select("id_a", "id_b"))
-    val comp = Graph.componentsDelta(asg, newPairs, strict = true)
-      .filter(col("id") % 10 === 0)
-      .select(col("id").as("doc_id"), col("comp").as("component"))
-    val idx = Similarity.ivfPqIndexDelta(sliceEmb,
-        "vec_id", "embedding", cent, cb, m = 8, dim = 64)
-      .select(col("id").as("doc_id"), col("cid"),
-        concat_ws(",", col("codes")).as("codes"))
+    // TEXT LEG (r17 restructure — the ingestPipeline notes apply):
+    // one slice shingle pass shared by gate probe, sliver confirm and
+    // new×new pairs; the gate cut stays EAGER (r17 A/B: it feeds the
+    // sliver filter AND the final verdict join — two scans that can
+    // land in one job, where a lazy cut double-computes the probe
+    // under the get-or-compute race, see Dedup's matching note).
+    def textLeg(): (DataFrame, DataFrame, DataFrame) = {
+      val incSh = Dedup.shingles(incoming, "doc_id", "text", n = 3).cut()
+      val gate = GroupD.bloomGateAgainstShingled(bits, incoming, incSh)
+        .select(col("doc_id"), col("maybe_overlap"))
+        .cut()
+      val sliverSh = incSh.join(
+        gate.filter(col("maybe_overlap")).select(col("doc_id").as("id")),
+        Seq("id"), "left_semi")
+      val confirmed = Dedup.ngramJaccardAgainstIndexes(exSh, sliverSh,
+        tau = 0.5, exSizes = Some(exSizes))
+      val dupStats = confirmed.groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dup_old"),
+          max(col("jaccard")).as("best_jaccard"))
+      val newPairs = confirmed
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        .unionByName(Dedup.ngramJaccardPairsFromIndex(incSh, tau = 0.5)
+          .select("id_a", "id_b"))
+      val comp = Graph.componentsDelta(asg, newPairs, strict = true)
+        .filter(col("id") % 10 === 0)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+      (gate, dupStats, comp)
+    }
+    // VECTOR LEG: slice assignment against the reloaded dims — eager
+    // only in its normalize cut, but its stages still back-fill the
+    // text leg's sequential rep-merge rounds (guide §2.6).
+    def vecLeg(): DataFrame =
+      Similarity.ivfPqIndexDelta(sliceEmb,
+          "vec_id", "embedding", cent, cb, m = 8, dim = 64)
+        .select(col("id").as("doc_id"), col("cid"),
+          concat_ws(",", col("codes")).as("codes"))
+    val ((gate, dupStats, comp), idx) = graft.operators.Par.both(
+      textLeg(), vecLeg())
     incoming.select("doc_id")
       .join(gate, Seq("doc_id"), "left")
       .join(dupStats, Seq("doc_id"), "left")

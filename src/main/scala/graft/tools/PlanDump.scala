@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for registered queries — the plan
+  * evidence files the optimization rounds commit under plans/<round>/.
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=8 sbt 'runMain graft.tools.PlanDump <outDir> <suffix> [q1,q2,...]'
+  *
+  * Writes <outDir>/<query>_<suffix>.txt per selected query (all
+  * registered queries when the list is omitted). Plans are captured
+  * BEFORE execution (AdaptiveSparkPlan isFinalPlan=false) — the static
+  * shape: Exchange count, join strategy, PushedFilters/ReadSchema.
+  * Queries whose construction runs eager jobs (dfCap cuts, iterative
+  * fits) execute those jobs as a side effect of building the frame;
+  * the dumped plan is the final consumer plan those queries register.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: PlanDump <outDir> <suffix> [q1,q2,...] [sfDir]")
+    val outDir = args(0)
+    val suffix = args(1)
+    val names: Seq[String] =
+      if (args.length >= 3 && args(2).nonEmpty)
+        args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val sfDir =
+      if (args.length >= 4) args(3)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val p = java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt")
+      java.nio.file.Files.write(p, plan.getBytes("UTF-8"))
+      println(s"[plandump] wrote $p (${plan.length} chars)")
+    }
+    spark.stop()
+  }
+}
