@@ -72,8 +72,23 @@ object Collections {
     * collection_name, n_members, n_skipped, members csv, top_member,
     * n_tokens_total, member_rank, rank, malformed).
     */
-  def fromCustom(lines: DataFrame, valueCol: String = "value"): DataFrame = {
-    val staged = parseCustom(lines, valueCol)
+  def fromCustom(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    fromCustomParsed(parseCustom(lines, valueCol))
+
+  /** The staged parse frame [[fromCustomParsed]]/[[customMembersParsed]]
+    * consume — exposed so a composed DAG that needs BOTH the
+    * collection-grain and the member-grain view (p3) can run the
+    * JSONL parse — the expensive per-row step — ONCE, cut it, and
+    * feed both consumers (r17, guide §1.2: the line-level
+    * entry points each parsed their own input, so p3 paid the parse
+    * twice). The line-level forms delegate through here, so the
+    * shapes cannot drift. */
+  private[graft] def parseCustomStaged(lines: DataFrame,
+                                       valueCol: String = "value"): DataFrame =
+    parseCustom(lines, valueCol)
+
+  /** [[fromCustom]] over an already-parsed staged frame. */
+  private[graft] def fromCustomParsed(staged: DataFrame): DataFrame = {
     val nMembers = when(col("__mem").isNull, lit(0L))
       .otherwise(size(col("__mem")).cast("long"))
     // One sortable STRING key per command so the pick is a plain
@@ -153,7 +168,11 @@ object Collections {
     * dimension tables against it (domain status, scores) and
     * re-aggregate. */
   def customMembers(lines: DataFrame, valueCol: String = "value"): DataFrame =
-    parseCustom(lines, valueCol)
+    customMembersParsed(parseCustom(lines, valueCol))
+
+  /** [[customMembers]] over an already-parsed staged frame. */
+  private[graft] def customMembersParsed(staged: DataFrame): DataFrame =
+    staged
       .filter(!col("malformed"))
       .select(col("collection_id"), col("member_rank"),
         posexplode(col("__mem")).as(Seq("__p", "m")))

@@ -464,9 +464,12 @@ object Similarity {
     val ds = dim / m
     val unit = normalized(corpus, idCol, vecCol).cut()
     freeingOnFailure(unit) {
-    val centroids = ivfFit(unit, centroidMod, kmeansIters,
-      fitBuckets, fitKeep, "knnIvfPq")
-    val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut()
+    // Independent fits over the shared cut unit frame — overlapped
+    // like [[ivfPqFit]] (r17, guide §2.6).
+    val (centroids, cb) = Par.both(
+      ivfFit(unit, centroidMod, kmeansIters, fitBuckets, fitKeep,
+        "knnIvfPq"),
+      pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut())
     freeingOnFailure(cb) {
     // Inverted lists carry (neighbor_id, cid, codes) — m ints, no
     // vectors.
@@ -538,10 +541,16 @@ object Similarity {
     require(dim % m == 0, s"ivfPqFit: dim $dim is not divisible by m = $m")
     val unit = normalized(corpus, idCol, vecCol).cut()
     freeingOnFailure(unit) {
-      val centroids = ivfFit(unit, centroidMod, kmeansIters,
-        fitBuckets, fitKeep, "ivfPqFit")
-      val cb = pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut()
-      (centroids, cb)
+      // The IVF Lloyd loop and the PQ codebook fit are independent
+      // eager constructions over the SAME already-cut unit frame —
+      // overlap them on two driver threads (r17, guide §2.6; Par's
+      // contract allows sharing a cut upstream). Each is a chain of
+      // short single-digit-task rounds, so the other leg's tasks
+      // back-fill the idle cores between its driver round-trips.
+      Par.both(
+        ivfFit(unit, centroidMod, kmeansIters, fitBuckets, fitKeep,
+          "ivfPqFit"),
+        pqCodebook(unit, "id", "unit", m, codewords, pqIters, dim).cut())
     }
   }
 

@@ -525,7 +525,16 @@ object GroupA4 {
         .select(col("o_orderkey").as("iid"),
           (lit(900) + col("o_orderkey") % 1100).as("s"))
         .withColumn("e", col("s") + 40)
-      Relational.rangeJoin(pts, ivals, "v", "s", "e", bucketSize = 64L)
+      // bucketSize 8, not 64 (r17, guide §2.5): the value axis is
+      // only ~1100 wide, so 64-wide buckets gave ~18 distinct join
+      // keys — AQE coalesced the bucket join to ~1 task, and every
+      // interval was tested against the points of a (40+64)-wide
+      // candidate window. 8-wide buckets raise the key count to
+      // ~140 (parallel across all 32 partitions) and shrink the
+      // candidate window to (40+8) — ~2.2× fewer pair tests. Result
+      // rows are IDENTICAL: bucketization is physical routing only,
+      // the exact [s, e] containment filter decides membership.
+      Relational.rangeJoin(pts, ivals, "v", "s", "e", bucketSize = 8L)
         .groupBy("p_partkey")
         .agg(count(lit(1)).as("n_intervals"), min(col("iid")).as("min_iid"))
     }),

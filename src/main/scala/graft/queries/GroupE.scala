@@ -103,12 +103,20 @@ object GroupE {
     // path (e2) against the exact baseline (e1). The first-class
     // query form of the recall floors SimilarityLshSpec asserts;
     // composes over any (exact, candidate) pair of kNN outputs.
-    "e9_recall_eval" -> ((s, d) =>
-      Similarity.recallAt(
+    "e9_recall_eval" -> ((s, d) => {
+      // The ANN and exact legs are independent constructions whose
+      // building runs eager jobs (knnLsh's unit/bucket cuts; the
+      // brute-force guard counts) — overlap them from two driver
+      // threads (r17, guide §2.6; the d15 pattern), so the exact
+      // leg's all-pairs stage back-fills the LSH leg's sequential
+      // small cut stages.
+      val (ann, exact) = graft.operators.Par.both(
         Similarity.knnLsh(queriesSet(s, d), emb(s, d),
           "vec_id", "embedding", k = 10, dim = 64),
         Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
-          "vec_id", "embedding", k = 10))),
+          "vec_id", "embedding", k = 10))
+      Similarity.recallAt(ann, exact)
+    }),
 
     // e13: NDCG@k of the LSH retrieval against the exact ranking —
     // e9's graded sibling (compare_window_sizes.py:191-211): recall
@@ -116,12 +124,15 @@ object GroupE {
     // its exact cosine and discounted by log2(rank+1). Ideal grades
     // floor at 0.0 (the reference's 2.0 suits 0–4 human annotations;
     // cosine grades live in [-1, 1]).
-    "e13_ndcg_eval" -> ((s, d) =>
-      Similarity.ndcgAt(
+    "e13_ndcg_eval" -> ((s, d) => {
+      // Same two independent legs as e9 — same driver-thread overlap.
+      val (ann, exact) = graft.operators.Par.both(
         Similarity.knnLsh(queriesSet(s, d), emb(s, d),
           "vec_id", "embedding", k = 10, dim = 64),
         Similarity.knnBruteForce(queriesSet(s, d), emb(s, d),
-          "vec_id", "embedding", k = 10))),
+          "vec_id", "embedding", k = 10))
+      Similarity.ndcgAt(ann, exact)
+    }),
 
     // e11: incremental ANN index maintenance — the vector-side
     // analogue of d11's incremental dedup. The serving structures

@@ -187,20 +187,26 @@ object GroupP {
     * ScaleProbe, the [[corpusPipeline]] pattern. */
   def customPipeline(customer: DataFrame): DataFrame = {
     val ln = GroupC2.linesOf(customer)
-    // The parsed collections feed BOTH the update-ops branch and the
-    // log-prob tokenizer — cut, or the JSONL parse (the expensive
-    // per-row step of this DAG) runs once per consumer (the r14 scan
-    // audit caught customer scanned 7x here; Catalyst does not dedupe
-    // common subplans). Measured: cpu band disjoint in the cut's
-    // favor (3.65-4.05 vs 4.64-5.02 s, tools/abtest_27794a6_*.json).
+    // ONE JSONL parse for the whole DAG (r17, guide §1.2): the
+    // collection-grain view (update ops + log-prob tokenizer) and the
+    // member-grain view (status counts) both derive from the same cut
+    // staged frame — the r16 form parsed the lines twice because
+    // fromCustom and customMembers each parsed their own input.
+    // The parse is the expensive per-row step of this DAG (the r14
+    // scan audit caught customer scanned 7x here; Catalyst does not
+    // dedupe common subplans); cutting the collection-grain `shaped`
+    // stays (measured r14: cpu band disjoint in the cut's favor,
+    // 3.65-4.05 vs 4.64-5.02 s, tools/abtest_27794a6_*.json) because
+    // it feeds the ops branch AND the token explode.
     // The token explode below stays UNCUT deliberately — its upstream
-    // is now the cheap cut-read, and materializing exploded rows
+    // is the cheap cut-read, and materializing exploded rows
     // measured as a net loss in the same A/B (the a27 adjudication).
-    val shaped = Collections.fromCustom(ln).cut()
+    val staged = Collections.parseCustomStaged(ln).cut()
+    val shaped = Collections.fromCustomParsed(staged).cut()
     val ops = Collections.customUpdateOps(shaped,
       GroupC2.existingIndexOf(customer), maxMembers = 1L)
     val status = Collections.customStatusCounts(
-        Collections.customMembers(ln), GroupC2.domainsDimOf(customer))
+        Collections.customMembersParsed(staged), GroupC2.domainsDimOf(customer))
       .select(col("collection_id"), col("nonavailable_count"),
         col("nonavailable_ratio"))
     val toks = shaped.filter(!col("malformed"))
