@@ -345,6 +345,20 @@ object Bench {
       // query. Group counts here are ~10^4 per task with small array
       // buffers; keep them hashing.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // Join strategy (r17, guide §3.1/§9): let the planner pick
+      // shuffled-hash over sort-merge when its size conditions hold
+      // (skips both sides' sorts), and let AQE rewrite a planned
+      // sort-merge to shuffled-hash at runtime when every post-shuffle
+      // partition fits a 64 MiB local map (the guide's suggested knob;
+      // default 0 = never). NOT scale-tuned constants: 64 MiB is a
+      // per-task build-memory bound that holds on any executor with
+      // the usual 2-4 GiB/task budget, and AQE's skew-join splitting
+      // applies to shuffled-hash joins too, so the 100 TB failure mode
+      // (one giant build partition) is handled where it is handled for
+      // sort-merge. SPARK_GRAFT_CONF (below) can override both for
+      // A/B runs.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
     // extraConf folds in LAST so an A/B run can override any default.
     val spark = extraConf.foldLeft(baseBuilder) {

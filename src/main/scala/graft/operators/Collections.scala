@@ -350,8 +350,13 @@ object Collections {
         // remap and the survivor seed set feed several consumers below
         // (member remap, survivor remap, closure targets, the final
         // join) and Catalyst does not dedupe common subplans — one
-        // materialization each, both dim-sized.
-        val remap = broadcast(mergeRemap(sound).cut())
+        // materialization each, both dim-sized. remap's cut is LAZY
+        // (r17, the job-barrier diet): its first scan is the single
+        // reference inside the survivors cut's own job below, so the
+        // two dim cuts materialize in ONE sequential job instead of
+        // two (no concurrent first-scan → no get-or-compute race);
+        // every later consumer reads the stored blocks.
+        val remap = broadcast(mergeRemap(sound).cutLazy())
         val remappedMem = members
           .join(remap, members("collection_id") === remap("old_id"), "left")
           .withColumn("collection_id", coalesce(col("new_id"), col("collection_id")))
