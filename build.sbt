@@ -30,7 +30,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (r17, guide §5): the local driver+executor JVM runs
+  // 32 concurrent tasks, and at 8g the allocation-heavy queries spent
+  // half their GC budget on young-gen churn — interleaved A/B
+  // (tools/bench_mem_* rollup in OPTIMIZATION_r17.md): gc_total
+  // 5.4-5.5 s at 24g vs 10.4-12.6 s at 8g (disjoint), a25 wall
+  // 6.18-6.26 vs 6.74-7.63 and p5 6.94-7.75 vs 8.23-9.98 (both
+  // disjoint), no band worse. Local-mode sizing only — a cluster
+  // sizes executors per §5; SPARK_DRIVER_MEM still overrides (the
+  // pressure-repro harness constrains through it).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++
   // Extra JVM flags for ad-hoc experiment runs — e.g.
   // -Dspark.graft.checkpointDir=... for the reliable-checkpoint full
