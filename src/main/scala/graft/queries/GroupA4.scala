@@ -327,6 +327,12 @@ object GroupA4 {
         .select(col("l_orderkey").as("coll"), col("l_partkey").as("member"))
       def collsOf(f: DataFrame): DataFrame =
         f.distinct().groupBy("coll").agg(count(lit(1)).as("nm"))
+      // (Par.both on these two collapses and on the anti-join legs
+      // below was TRIED this round and REVERTED: cpu rose disjointly
+      // ~4.7→7.8-9.0 s at overlapping wall — two concurrent
+      // distinct-shuffles over one scan thrash allocation, the W3
+      // mechanism — and the cpu inflation would poison the driver's
+      // lower-core leg.)
       val c1 = collsOf(mem.filter(col("coll") % 3 =!= 0)).cut()
       val c2 = collsOf(mem.filter(col("coll") % 5 =!= 0)).cut()
       def sideStats(c: DataFrame, tag: String): DataFrame =

@@ -211,6 +211,12 @@ object GroupD {
       // Dedup entry point shingled its own input. The corpus index is
       // part of the amortizable fit (it IS the ex_shingles dim the
       // serving store persists), hence inside the fit region.
+      // (Overlapping these two side cuts via Par.both was TRIED this
+      // round and measured no better — wall trended worse with cpu
+      // overlapping, the concurrent-tokenize allocation-thrash
+      // mechanism the W3 revert documented — so they stay sequential;
+      // p4's textLeg keeps its overlap because there the gate ∥ CC-fit
+      // pairing wins disjointly.)
       val exSh = graft.Timed.region("fit")(
         Dedup.shingles(existing, "doc_id", "text", n = 3).cut())
       val incSh = Dedup.shingles(incoming, "doc_id", "text", n = 3).cut()

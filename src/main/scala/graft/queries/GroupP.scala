@@ -292,13 +292,28 @@ object GroupP {
     // once per consumer (servingChain already cut it; the
     // self-contained twin now matches).
     def textLeg(): (DataFrame, DataFrame, DataFrame) = {
-      val exSh = graft.Timed.region("fit")(
-        Dedup.shingles(existing, "doc_id", "text", n = 3).cut())
-      val incSh = Dedup.shingles(incoming, "doc_id", "text", n = 3).cut()
+      // The two side cuts share no frames (disjoint doc slices) —
+      // overlap their materialization jobs (guide §2.6, the leg
+      // primitive this DAG already uses for text ∥ vector).
+      val (exSh, incSh) = graft.operators.Par.both(
+        graft.Timed.region("fit")(
+          Dedup.shingles(existing, "doc_id", "text", n = 3).cut()),
+        Dedup.shingles(incoming, "doc_id", "text", n = 3).cut())
       val bits = Dedup.bloomBits(exSh.select("shingle"), "shingle")
-      val gate = GroupD.bloomGateAgainstShingled(bits, incoming, incSh)
-        .select(col("doc_id"), col("maybe_overlap"))
-        .cut()
+      // The gate cut and the assignment fit are both EAGER and both
+      // read only already-CUT frames (exSh/incSh stored blocks —
+      // thread-safe per Par's contract), so the gate's single job
+      // back-fills the CC fit's per-round idle cores. The fit is the
+      // longer leg; the gate's consumers (sliver filter, final
+      // verdict join) all sit below both.
+      val (gate, oldAssign) = graft.operators.Par.both(
+        GroupD.bloomGateAgainstShingled(bits, incoming, incSh)
+          .select(col("doc_id"), col("maybe_overlap"))
+          .cut(),
+        graft.Timed.region("fit")(
+          Graph.connectedComponents(
+            Dedup.ngramJaccardPairsFromIndex(exSh, tau = 0.5),
+            strict = true)))
       // d11 confirm on the maybe sliver only — the clear-bit docs are
       // PROVEN novel, so dropping them cannot lose a pair (the oracle
       // replays the confirm unrestricted; equality proves it). The
@@ -314,14 +329,9 @@ object GroupP {
         .agg(count(lit(1)).as("n_dup_old"),
           max(col("jaccard")).as("best_jaccard"))
       // d16 merge: slice pairs = confirmed cross pairs + new-new pairs.
-      // Timed.region("fit"): the assignment derivation is EAGER
-      // (per-round cuts) and is exactly what p5's serving store
-      // amortizes — fit_s decomposes p4's wall into amortizable fit +
-      // per-cycle DAG (the d16 pattern, applied to the composed twin).
-      val oldAssign = graft.Timed.region("fit")(
-        Graph.connectedComponents(
-          Dedup.ngramJaccardPairsFromIndex(exSh, tau = 0.5),
-          strict = true))
+      // (oldAssign — the fit-region CC assignment — is derived above,
+      // overlapped with the gate cut; fit_s decomposes p4's wall into
+      // amortizable fit + per-cycle DAG, the d16 pattern.)
       val newPairs = confirmed
         .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
         .unionByName(Dedup.ngramJaccardPairsFromIndex(incSh, tau = 0.5)
