@@ -364,11 +364,17 @@ object GroupB {
     // combinable aggs.
     "b8_degree_histogram" -> ((s, d) => {
       val e = cyclicEdges(s, d)
-      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
-        .withColumn("dir", lit("out"))
-        .unionByName(
-          e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("degree"))
-            .withColumn("dir", lit("in")))
+      // ONE scan + ONE first-level exchange (r17, guide §2.4): each
+      // edge explodes to its two (dir, endpoint) incidences and a
+      // single (dir, id) count replaces the r16 two-leg union (two
+      // scans, two exchanges of the same total bytes keyed by id).
+      // Row-identical by construction: count per (out, src) ≡ the
+      // out-degree leg, count per (in, dst) ≡ the in-degree leg.
+      e.select(explode(array(
+          struct(lit("out").as("dir"), col("src").as("id")),
+          struct(lit("in").as("dir"), col("dst").as("id")))).as("x"))
+        .groupBy(col("x.dir").as("dir"), col("x.id").as("id"))
+        .agg(count(lit(1)).as("degree"))
         .groupBy("dir", "degree").agg(count(lit(1)).as("n_nodes"))
     }),
 

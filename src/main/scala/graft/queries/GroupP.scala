@@ -241,19 +241,32 @@ object GroupP {
         regexp_count(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).cast("double") /
           length(col("text")) <= 0.3 &&
         col("doc_id") % 20 =!= 0) // benchmark docs are never trainable
-    val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text",
-      n = 3, tau = 0.5)
-    val kept = Dedup.keepCanonical(gated, pairs, "doc_id")
+    // The dedup leg (pair generation's dfCap cuts + the canonical
+    // CC fit) and the contamination leg (its shingle cut) are both
+    // EAGER at construction and share only the LAZY `gated` frame
+    // (each leg computes its own scan, exactly as when sequential —
+    // nothing cut/uncut crosses threads), so the two constructions
+    // overlap from two driver threads (guide §2.6, the p4/d15
+    // primitive).
+    //
     // Contamination is per-doc independent, so it only needs to be
     // MEASURED on docs that can still survive — the gated corpus —
     // against the benchmark slice of the FULL corpus (eval sets are
     // never quality-gated away). Feeding the whole corpus here would
     // re-scan exactly the majority the gate just discarded.
-    val contInput = docs.select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 20 === 0)
-      .unionByName(gated.select(col("doc_id"), col("text")))
-    val cont = Corpus.contamination(contInput, "doc_id", "text", n = 3,
-      isBench = col("doc_id") % 20 === 0)
+    val (kept, cont) = graft.operators.Par.both(
+      {
+        val pairs = Dedup.ngramJaccardPairs(gated, "doc_id", "text",
+          n = 3, tau = 0.5)
+        Dedup.keepCanonical(gated, pairs, "doc_id")
+      },
+      {
+        val contInput = docs.select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 20 === 0)
+          .unionByName(gated.select(col("doc_id"), col("text")))
+        Corpus.contamination(contInput, "doc_id", "text", n = 3,
+          isBench = col("doc_id") % 20 === 0)
+      })
     val clean = kept
       .join(cont.select(col("id").as("doc_id"), col("contamination")),
         Seq("doc_id"), "left")
