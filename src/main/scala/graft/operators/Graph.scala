@@ -39,8 +39,15 @@ object Graph {
     * then anti against that bounded set. The componentsDelta-doctrine
     * subtraction shape, shared by both delta operators. */
   private def subtractKnown(delta0: DataFrame, known: DataFrame): DataFrame = {
-    val touched = known.join(delta0, Seq("src", "dst"), "left_semi")
-    delta0.join(touched, Seq("src", "dst"), "left_anti")
+    // Hinted broadcasts (r18): both build sides are slice-bounded
+    // cuts whose checkpoint scans carry no statistics — without the
+    // hint the static plan sort-merges, shuffling the corpus-sized
+    // known frame before AQE's runtime conversion can intervene (the
+    // componentsDelta rationale; the doc above already declares the
+    // broadcast shape).
+    val touched = known.join(delta0.hint("broadcast"),
+      Seq("src", "dst"), "left_semi")
+    delta0.join(touched.hint("broadcast"), Seq("src", "dst"), "left_anti")
   }
 
   /** Union of per-round increments. Each increment is already
@@ -613,8 +620,17 @@ object Graph {
       .union(e0.select(col("b").as("id"))).distinct().cut()
     // Slice-bounded view of the old labels: LEFT SEMI keeps the
     // build (endpoint) side broadcastable, so the corpus-sized
-    // assignment is scanned, not shuffled.
-    val touched = asg.join(nodes, Seq("id"), "left_semi").cut()
+    // assignment is scanned, not shuffled. The broadcast is HINTED
+    // (r18, closing the r17 verdict's ask #1): `nodes` is a
+    // checkpoint scan carrying no size statistics, so the static
+    // planner cannot prove the broadcast on its own and plans a
+    // sort-merge join — AQE converts it at runtime, but only AFTER
+    // the assignment's map-side shuffle write has executed (the r18
+    // executed-plan dumps show the residual Exchange on asg). The
+    // hint is the module's own declared slice contract (the strict
+    // path's reps already hint for the same reason), and it deletes
+    // the assignment exchange statically.
+    val touched = asg.join(nodes.hint("broadcast"), Seq("id"), "left_semi").cut()
     // strict: the merge is only correct under the min-id label
     // convention documented as this function's precondition (labels =
     // component min ids, every label a fixpoint). A non-canonical
@@ -683,7 +699,10 @@ object Graph {
           "(assignment(comp) must equal comp under the min-id convention) " +
           "— rebuild the assignment with connectedComponents")
     }
-    val nodeRep = nodes.join(touched, Seq("id"), "left")
+    // Both sides are slice-bounded cuts; hint the probe side so the
+    // join plans broadcast statically (stats-less checkpoint scans,
+    // the r18 hint rationale above).
+    val nodeRep = nodes.join(touched.hint("broadcast"), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("rep")).cut()
     val compPairs = e0
       .join(nodeRep.select(col("id").as("a"), col("rep").as("rep_a")), "a")
@@ -706,8 +725,13 @@ object Graph {
     val remapped = repMap.filter(col("id") =!= col("comp"))
       .select(col("id").as("__oldc"), col("comp").as("__newc"))
     // Every member of a remapped old component changes label — work
-    // ∝ touched component sizes (broadcast probe over `comp`).
-    val changedOld = asg.join(remapped, asg("comp") === col("__oldc"))
+    // ∝ touched component sizes (broadcast probe over `comp`). The
+    // remap is bounded by the touched components (slice contract) but
+    // reads from connectedComponents' stats-less label cut — hint the
+    // broadcast so the assignment is never exchanged here (the r18
+    // hint rationale on `touched` above).
+    val changedOld = asg.join(remapped.hint("broadcast"),
+        asg("comp") === col("__oldc"))
       .select(asg("id"), col("__newc").as("comp"))
     // Ids the assignment has never seen: label = their rep's merged
     // label, or themselves when their pairs stayed within one rep.
@@ -715,8 +739,12 @@ object Graph {
     // bounded and already materialized), NOT the corpus-sized
     // assignment — the same set difference without ever shuffling
     // the assignment (PlanSpec pins the no-SortMergeJoin shape).
-    val newRows = nodes.join(touched.select("id"), Seq("id"), "left_anti")
-      .join(repMap.select(col("id").as("__rid"), col("comp").as("__rc")),
+    // Slice-bounded build sides on both joins — hinted for the same
+    // stats-less-checkpoint reason as `touched` above.
+    val newRows = nodes.join(touched.select("id").hint("broadcast"),
+        Seq("id"), "left_anti")
+      .join(repMap.select(col("id").as("__rid"), col("comp").as("__rc"))
+          .hint("broadcast"),
             col("id") === col("__rid"), "left")
       .select(col("id"), coalesce(col("__rc"), col("id")).as("comp"))
     changedOld.union(newRows)

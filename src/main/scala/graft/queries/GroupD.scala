@@ -37,7 +37,15 @@ object GroupD {
       .unionByName(Dedup.ngramJaccardPairsFromIndex(incSh, tau = 0.5)
         .select("id_a", "id_b"))
     val delta = Graph.componentsDelta(asg, newPairs, strict = true)
-    asg.join(delta, Seq("id"), "left_anti").unionByName(delta)
+    // delta is |touched components| + |slice|-bounded (componentsDelta's
+    // output contract) but plans over stats-less checkpoint scans, so
+    // the anti-join statically sort-merged — shuffling the corpus-sized
+    // assignment once per serving cycle before AQE's runtime broadcast
+    // conversion could intervene (the r18 executed-plan dump shows the
+    // residual Exchange on asg). Hint the broadcast; the assignment is
+    // then scanned only, the declared serving contract.
+    asg.join(delta.hint("broadcast"), Seq("id"), "left_anti")
+      .unionByName(delta)
       .select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
@@ -235,7 +243,11 @@ object GroupD {
         .unionByName(Dedup.ngramJaccardPairsFromIndex(incSh, tau = 0.5)
           .select("id_a", "id_b"))
       val delta = Graph.componentsDelta(oldAssign, newPairs, strict = true)
-      oldAssign.join(delta, Seq("id"), "left_anti").unionByName(delta)
+      // Hinted broadcast on the slice-bounded delta — the d19 upsert's
+      // rationale (stats-less checkpoint scans statically sort-merged
+      // the corpus-sized assignment).
+      oldAssign.join(delta.hint("broadcast"), Seq("id"), "left_anti")
+        .unionByName(delta)
         .select(col("id").as("doc_id"), col("comp").as("component"))
     }),
 

@@ -15,6 +15,18 @@ import org.apache.spark.sql.SparkSession
   * Queries whose construction runs eager jobs (dfCap cuts, iterative
   * fits) execute those jobs as a side effect of building the frame;
   * the dumped plan is the final consumer plan those queries register.
+  *
+  * SPARK_GRAFT_PLAN_EXEC=1 (r18, closing the r17 verdict's ask #5):
+  * EXECUTE each selected query first — the registered frame's own
+  * physical plan, run to completion via `queryExecution.toRdd.count()`
+  * (every operator runs; only the noop sink is absent) — and dump the
+  * POST-EXECUTION formatted plan instead. With AQE on this is the
+  * final re-optimized plan (`AdaptiveSparkPlan isFinalPlan=true`),
+  * the only artifact that can show AQE's runtime join-strategy
+  * rewrites (the W9 `maxShuffledHashJoinLocalMapThreshold` SMJ→SHJ
+  * conversions), which a pre-execution dump structurally cannot.
+  * Run these dumps with SPARK_GRAFT_CPUS=32 so shuffle.partitions and
+  * AQE coalescing match the benched session's.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -48,9 +60,22 @@ object PlanDump {
     new java.io.File(outDir).mkdirs()
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
+      val qe = df.queryExecution
+      if (exec) {
+        // Execute THIS QueryExecution (not a separate count/write
+        // plan) so its AdaptiveSparkPlanExec finalizes in place and
+        // the explain below prints the runtime plan. toRdd runs the
+        // physical plan as-is — no column pruning, no re-planning
+        // (the Checkpoints.rddCount rationale).
+        spark.sparkContext.setJobDescription(s"plandump-exec: $n")
+        qe.toRdd.count()
+        spark.sparkContext.setJobDescription(null)
+      }
+      val plan = qe.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val p = java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt")
       java.nio.file.Files.write(p, plan.getBytes("UTF-8"))
