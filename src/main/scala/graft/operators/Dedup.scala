@@ -427,22 +427,28 @@ object Dedup {
       .map(_.select(col("id"), col("n_old")))
       .getOrElse(ex.groupBy("id").agg(count(lit(1)).as("n_old")))
     val incSizes = inc.groupBy("new_id").agg(count(lit(1)).as("n_new"))
-    // Broadcast hints (r18): the matched-pair aggregate and the slice
-    // size dim are both slice-bounded (the bipartite contract — `inc`
-    // IS the ingest slice, and the agg emits one row per qualifying
-    // cross pair), but both plan over agg-topped/checkpoint subtrees
-    // that carry no size statistics, so the static planner sort-merged
-    // the n_old join — shuffling the CORPUS-sized sizes dim once per
-    // serving cycle (AQE converts at runtime, but only after the dim's
-    // map-side shuffle write has executed). With the pair side hinted,
-    // the sizes dim is only ever scanned — the declared "touches the
-    // sizes dim only through the matched-pair join" shape.
+    // ONE broadcast hint (r18): the matched-pair aggregate is
+    // slice-bounded (the bipartite contract — the agg emits one row
+    // per qualifying cross pair) but plans over an agg-topped subtree
+    // with no size statistics, so the static planner sort-merged the
+    // n_old join — shuffling the CORPUS-sized sizes dim once per
+    // serving cycle (AQE converts at runtime, but only after the
+    // dim's map-side shuffle write has executed). The n_old join
+    // therefore runs FIRST, with the hinted pair side built and the
+    // sizes dim only ever SCANNED — the declared "touches the sizes
+    // dim only through the matched-pair join" shape. The slice-sized
+    // n_new join follows UNhinted: both of its sides are slice-scale
+    // (no corpus side to protect), and forcing a second broadcast
+    // round-trip there measured as pure fixed cost on the ~2 s
+    // serving floor rows (the W7 hotGramsAgainst rejection's
+    // mechanism — this tail initially hinted both joins and d11 read
+    // disjointly ~0.3 s worse until the second hint was dropped).
     inc.join(ex.select(col("id").as("old_id"), col("shingle")), "shingle")
       .groupBy("new_id", "old_id")
       .agg(count(lit(1)).as("shared"))
-      .join(incSizes.hint("broadcast"), "new_id")
       .hint("broadcast")
       .join(szOld.select(col("id").as("old_id"), col("n_old")), "old_id")
+      .join(incSizes, "new_id")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_new") + col("n_old") - col("shared")))
       .filter(col("jaccard") >= tau)
